@@ -1,0 +1,92 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators: the reference's daily-bar data model re-expressed
+  * as distributed Spark aggregations.
+  *
+  * The reference ingests *pre-aggregated* daily OHLC bars from the Alpha
+  * Vantage API (reference `av_etl.py:69-76`, `av_etl.py:113-121`); here the
+  * bars are reconstructed from a raw tick stream with a keyed group-by, which
+  * is the operation the API performs server-side. Shapes match SURVEY.md §1.1.
+  *
+  * Scale posture: `groupBy(seriesKey, date)` has full map-side partial
+  * aggregation (min/max/min_by/max_by/count all support partial agg), so the
+  * shuffle carries one row per (series, date) regardless of tick volume.
+  */
+object Ohlc {
+
+  /** Daily OHLCV bars per series key from a tick stream.
+    *
+    * open/close are the first/last tick value by timestamp within the day
+    * (deterministic: tie-broken by `tsCol` which is unique per series+day in
+    * the fixtures; `min_by`/`max_by` are partial-aggregable, unlike a
+    * window + row_number approach which would need a full shuffle+sort).
+    */
+  def dailyBars(ticks: DataFrame, seriesCols: Seq[String] = Seq("event_type"),
+                tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val date = to_date(col(tsCol)).as("date")
+    val keys = seriesCols.map(col) :+ date
+    ticks.groupBy(keys: _*).agg(
+      min_by(col(valueCol), col(tsCol)).as("open"),
+      max(col(valueCol)).as("high"),
+      min(col(valueCol)).as("low"),
+      max_by(col(valueCol), col(tsCol)).as("close"),
+      count(lit(1)).as("volume"))
+  }
+
+  /** NULL-gated exclusive trailing simple moving average (reference
+    * `data_viz.py:100-109`; exact semantics verified in SURVEY.md §2.7):
+    * sma_n(d) = avg(close over the n rows immediately before d, current row
+    * excluded), NULL while fewer than n predecessors exist.
+    *
+    * The sum is taken over `decimal(18,4)` so the result is independent of
+    * accumulation order (bitwise-reproducible across engines and across
+    * partitionings — a double sum would drift in the low bits), then cast
+    * back to double for the division.
+    *
+    * `partitionCols` keys the window; an empty seq means a single global
+    * window — fine for one bar series (O(10^3) rows/decade even at 100 TB of
+    * ticks, because bars are already one row per day), but every multi-series
+    * caller must partition to keep the sort distributed.
+    */
+  def withSma(bars: DataFrame, n: Int, partitionCols: Seq[String] = Nil,
+              orderCol: String = "date", closeCol: String = "close"): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-n, -1)
+    val cnt = count(col(closeCol)).over(w)
+    val sumDec = sum(col(closeCol).cast(DecimalType(18, 4))).over(w)
+    bars.withColumn(s"sma_$n",
+      when(cnt === n, sumDec.cast("double") / lit(n).cast("double")))
+  }
+
+  /** Reference flagship derivation (`av_etl.py:139-195`): join the USD price
+    * series with the FX rate series on date (inner — the reference's
+    * left-join + dropna, SURVEY.md §2.4 J1), rename (R5), multiply (F1) and
+    * round half-even to 2 dp (F2: the reference's `round()` is banker's
+    * rounding, hence `bround`, not `round`).
+    *
+    * Both sides are one row per date; Catalyst broadcasts the smaller side
+    * automatically under AQE. At scale with many symbols the join key becomes
+    * (symbol, date) and stays an equi-join.
+    */
+  def ccyDerive(priceUsd: DataFrame, fx: DataFrame,
+                joinCols: Seq[String] = Seq("date")): DataFrame =
+    priceUsd.select(joinCols.map(col) :+ col("close").as("close_price_usd"): _*)
+      .join(fx.select(joinCols.map(col) :+ col("close").as("close_rate"): _*),
+            joinCols, "inner")
+      // The multiply runs in exact decimal, not double: prices are 2-dp
+      // values, so the product lands exactly on 4-dp ties (x.xx50) where
+      // double bround and decimal bround disagree. bround on the exact
+      // decimal product is the reference's banker's rounding with no FP
+      // tie ambiguity (and is engine-portable: DuckDB round_even(DECIMAL)
+      // matches bit-for-bit).
+      .withColumn("close_price_ccy",
+        bround(col("close_price_usd").cast(DecimalType(18, 2)) *
+               col("close_rate").cast(DecimalType(18, 2)), 2).cast("double"))
+}

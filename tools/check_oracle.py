@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Dev-loop comparator mimicking the driver's DuckDB oracle check.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: load the Spark parquet result, run the
+oracle SQL in DuckDB with each fixture table registered as a view, sort
+columns by name, and compare cell-by-cell (exact for non-floats; exact-ish
+1e-12 relative for floats so a true bitwise mismatch is still flagged loudly).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        # flag near-misses distinctly: these would fail a strict hash compare
+        return abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in spark_cols)
+                + f" FROM spark_rel").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            duck_rel = con.sql(sql)
+            duck_cols = sorted(duck_rel.columns)
+            duck_rows = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in duck_cols)
+                + " FROM duck_rel").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        if spark_cols != duck_cols:
+            print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            n_bad += 1
+            continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rows spark={len(spark_rows)} "
+                  f"duck={len(duck_rows)}")
+            n_bad += 1
+            continue
+        bad = None
+        exact = True
+        for i, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
+            for c, (sv, dv) in enumerate(zip(sr, dr)):
+                if not cells_equal(sv, dv):
+                    bad = (i, spark_cols[c], sv, dv)
+                    break
+                if sv != dv and not (
+                        sv is None or dv is None
+                        or (isinstance(sv, float) and math.isnan(sv))):
+                    exact = False
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
+                  f"spark={bad[2]!r} duck={bad[3]!r}")
+            n_bad += 1
+        else:
+            tag = "OK  " if exact else "OK~ (float near-miss — NOT bitwise!)"
+            print(f"{tag} {name}: {len(spark_rows)} rows, "
+                  f"{len(spark_cols)} cols")
+    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
