@@ -6,6 +6,8 @@ import org.apache.spark.sql.types.DecimalType
 import graft.cal.BusdayCount
 import graft.inc.Watermark
 import graft.ingest.AvJson
+import graft.olap.Exact
+import graft.text.TextAnalysis
 import graft.ts.Ohlc
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -159,6 +161,111 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
+
+    // Wide-scan grouped aggregation (TPC-H Q1 shape): full map-side partial
+    // agg, 4-group shuffle, exact decimal sums. The scan reads only the 7
+    // referenced columns (check ReadSchema in .explain).
+    "agg_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) <= lit("2000-12-31"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+          Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
+          Exact.avgMoney(col("l_quantity")).as("avg_qty"),
+          Exact.avgMoney(col("l_extendedprice")).as("avg_price"),
+          (sum(Exact.rate(col("l_discount"))).cast("double")
+            / count(lit(1)).cast("double")).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Selective 3-way join + top-k (TPC-H Q3 shape): the customer dim is
+    // broadcast (no shuffle of lineitem for it); orders⋈lineitem shuffles
+    // on the order key; top-10 via TakeOrderedAndProject.
+    "join_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) < lit("1998-07-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+                to_date(col("o_orderdate")).as("order_date"),
+                col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) > lit("1998-07-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "order_date", "o_orderpriority")
+        .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // 6-way star join (TPC-H Q5 shape): region/nation/supplier broadcast,
+    // customer⋈orders⋈lineitem shuffle on their keys, nation-local
+    // supplier constraint, exact revenue per nation.
+    "join_region_revenue" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir).join(
+        broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val ord = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")).between("1996-01-01", "1996-12-31"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // North-star dedup: exact duplicate groups by full content (hash-free —
+    // group directly on the text; Spark hashes internally for the shuffle).
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+             count(lit(1)).as("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")),
+
+    // North-star text analysis: tokenization + stopword stats.
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.withTokenStats(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "n_stopwords", "avg_word_len")
+        .orderBy("doc_id")),
+
+    // North-star text analysis: quality scoring (pure-arithmetic ratios).
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(Tables.documents(s, dir))
+        .select("doc_id", "punct_ratio", "stopword_ratio", "quality_score")
+        .orderBy("doc_id")),
+
+    // North-star text analysis: marker-based language ID with a
+    // deterministic priority cascade.
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir))
+        .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
+                "predicted_lang")
+        .orderBy("doc_id")),
+
+    // North-star text analysis: rolling-hash document fingerprint over
+    // word 3-shingles (portable polynomial hash, no engine-specific hash).
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(Tables.documents(s, dir))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,5 +373,135 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+                 CAST(sum(${Exact.revenueSql}) AS DOUBLE) AS sum_disc_price,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_price,
+                 CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_disc,
+                 count(*) AS n
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-31'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "join_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                 o_orderpriority,
+                 CAST(sum(${Exact.revenueSql}) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+            AND CAST(l_shipdate AS DATE) > DATE '1998-07-01'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, l_orderkey ASC
+          LIMIT 10""",
+
+    "join_region_revenue" ->
+      s"""SELECT n_name, CAST(sum(${Exact.revenueSql}) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                              AND DATE '1996-12-31'
+          GROUP BY 1 ORDER BY revenue DESC, n_name ASC""",
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY 1""",
+
+    "text_token_stats" -> {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                     FROM documents)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, t -> list_contains($stops, t)))
+                   AS BIGINT) AS n_stopwords,
+                 CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END AS avg_word_len
+          FROM t ORDER BY doc_id"""
+    },
+
+    "text_quality" -> {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                     FROM documents),
+               r AS (SELECT doc_id,
+                            CAST(len(toks) AS BIGINT) AS n_tokens,
+                            CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                              AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                              AS punct_ratio,
+                            CASE WHEN len(toks) > 0 THEN
+                              CAST(len(list_filter(toks,
+                                t -> list_contains($stops, t))) AS DOUBLE)
+                                / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS stopword_ratio
+                     FROM t)
+          SELECT doc_id, punct_ratio, stopword_ratio,
+                 least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (1.0 - punct_ratio) * 0.3
+                   + stopword_ratio * 0.3 AS quality_score
+          FROM r ORDER BY doc_id"""
+    },
+
+    "text_langid" -> {
+      def markers(lang: String) = TextAnalysis.langMarkers.toMap.apply(lang)
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.langMarkers.map { case (lang, _) =>
+        s"CAST(len(list_filter(toks, t -> list_contains(${markers(lang)}, t))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n                 ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cascade = langs.map { lang =>
+        val beats = langs.filter(_ != lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
+      }.mkString("\n                 ")
+      s"""WITH t AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                     FROM documents),
+               sc AS (SELECT doc_id,
+                 $scoreCols
+                 FROM t)
+          SELECT doc_id, score_en, score_de, score_es, score_fr,
+                 CASE $cascade
+                 ELSE 'und' END AS predicted_lang
+          FROM sc ORDER BY doc_id"""
+    },
+
+    "text_fingerprint" -> {
+      val tokHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+        "(h, c) -> (h * 31 + c) % 2147483647)"
+      s"""WITH t AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                     FROM documents),
+               h AS (SELECT doc_id,
+                            list_transform(toks, t -> $tokHash) AS th
+                     FROM t)
+          SELECT doc_id,
+                 CASE WHEN len(th) >= 3 THEN
+                   list_min(list_transform(generate_series(1, len(th) - 2), i ->
+                     ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647))
+                 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                        (a, b) -> a * 31 + b) % 2147483647
+                 END AS fingerprint
+          FROM h ORDER BY doc_id"""
+    },
   )
 }

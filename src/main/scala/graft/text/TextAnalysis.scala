@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star extension):
+  * tokenization, quality scoring, language-ID heuristics, and document
+  * fingerprinting — all built from codegen'd native functions (no UDFs),
+  * with arithmetic chosen to be engine-portable (integer/decimal exact, no
+  * transcendental functions) so every operator is oracle-checkable.
+  *
+  * Scale posture: everything here is a per-row projection — no shuffle, no
+  * state; it runs map-side at whatever parallelism the scan provides.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric tokens. regexp_extract_all (RE2-compatible
+    * pattern, ASCII classes) so Spark's Java regex and other engines agree
+    * on edge cases — unlike split(), which emits empty boundary tokens.
+    */
+  def tokens(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+
+  /** Portable polynomial string hash — see graft.functions.CharFold (a
+    * codegen'd expression; the lambda-based formulation of the same fold
+    * benched ~100× slower).
+    */
+  def charFoldHash(c: Column): Column =
+    graft.functions.CharFold.char_fold_hash(c)
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  private def lit_array(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("array(", ", ", ")")
+
+  /** Token count, stopword count, average token length. Counts are exact
+    * integers; avg_word_len is one double division (deterministic given the
+    * same integer inputs).
+    */
+  def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("toks", tokens(textCol))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stopwords",
+        expr(s"size(filter(toks, t -> array_contains(${lit_array(stopwords)}, t)))")
+          .cast("long"))
+      .withColumn("avg_word_len",
+        when(col("n_tokens") > 0,
+          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+            .cast("double") / col("n_tokens").cast("double")))
+
+  /** Quality scoring (length / punctuation / stopword-ratio heuristics).
+    * Pure +,*,/ and least() over exact counts — no libm, fully portable.
+    */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withTokenStats(docs, textCol)
+      .withColumn("punct_ratio",
+        length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")).cast("double")
+          / length(col(textCol)).cast("double"))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+          + (lit(1.0) - col("punct_ratio")) * lit(0.3)
+          + col("stopword_ratio") * lit(0.3))
+
+  /** Language-ID heuristic: marker-token hit counts per language, argmax
+    * with a fixed priority cascade (deterministic ties). The markers are
+    * data, not a model — swap in real per-language lists at deploy time.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withScores = langMarkers.foldLeft(
+      docs.withColumn("toks", tokens(textCol))) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang",
+        expr(s"size(filter(toks, t -> array_contains(${lit_array(markers)}, t)))")
+          .cast("long"))
+    }
+    val langs = langMarkers.map(_._1)
+    // priority cascade: first language whose score ties-or-beats the rest
+    val predicted = langs.foldRight(lit("und")) { (lang, elseCol) =>
+      val beatsAll = langs.filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$lang") > 0 && beatsAll, lit(lang)).otherwise(elseCol)
+    }
+    withScores.withColumn("predicted_lang", predicted).drop("toks")
+  }
+
+  /** Document fingerprint: minimum rolling hash over word 3-shingles
+    * (SURVEY.md north-star "document fingerprinting (rolling hash)").
+    * shingle_hash = ((h(w1)*31 + h(w2))*31 + h(w3)) mod p over the portable
+    * token hash; the fingerprint is the min across the document — a 1-word
+    * change flips the fingerprint only if it touches the minimal shingle.
+    */
+  /** Production fingerprint: one fused codegen'd expression (see
+    * graft.functions.DocFingerprint for why).
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint",
+      graft.functions.DocFingerprint.doc_fingerprint(col(textCol)))
+
+  /** Reference formulation of the same fingerprint from composable pieces —
+    * kept for cross-checking the fused expression (the spec asserts both
+    * agree on every fixture document).
+    */
+  def withFingerprintComposable(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // Single-pass fold carrying (prev2, prev1, min-shingle, small-doc fold).
+    // Deliberately NOT expressed as indexed accesses over a hash array —
+    // CollapseProject inlines the array-producing expression into every
+    // element access inside a lambda, turning that formulation O(N²) per
+    // document (benched 40s+ at sf0.1; this form is ~1s).
+    val p = lit(2147483647L)
+    val sentinel = lit(Long.MaxValue)
+    val fp = aggregate(
+      transform(tokens(textCol), t => charFoldHash(t)),
+      struct(lit(-1L).as("p1"), lit(-1L).as("p2"),
+             sentinel.as("m"), lit(0L).as("f")),
+      (acc, h) => struct(
+        acc.getField("p2").as("p1"),
+        h.as("p2"),
+        when(acc.getField("p1") >= 0,
+          least(acc.getField("m"),
+            pmod((acc.getField("p1") * 31 + acc.getField("p2")) * 31 + h, p)))
+          .otherwise(acc.getField("m")).as("m"),
+        pmod(acc.getField("f") * 31 + h, p).as("f")),
+      acc => when(acc.getField("m") =!= sentinel, acc.getField("m"))
+        .otherwise(acc.getField("f")))
+    docs.withColumn("fingerprint", fp)
+  }
+}

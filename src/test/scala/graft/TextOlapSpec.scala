@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOlapSpec extends AnyFunSuite {
+  import graft.text.TextAnalysis
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("fused doc_fingerprint matches the composable formulation everywhere") {
+    val docs = Tables.documents(spark, sf)
+    val fused = TextAnalysis.withFingerprint(docs)
+      .select("doc_id", "fingerprint")
+    val composed = TextAnalysis.withFingerprintComposable(docs)
+      .select(col("doc_id"), col("fingerprint").as("fingerprint_c"))
+    val diff = fused.join(composed, "doc_id")
+      .filter(col("fingerprint") =!= col("fingerprint_c")).count()
+    assert(diff == 0)
+  }
+
+  test("doc_fingerprint edge cases: empty, 1-2 tokens, case folding") {
+    import spark.implicits._
+    val df = Seq("", "hello", "hello world", "Hello, WORLD!", "a b c a b c")
+      .toDF("text")
+    val got = TextAnalysis.withFingerprint(df)
+      .select("fingerprint").collect().map(_.getLong(0))
+    assert(got(0) == 0L)          // no tokens -> empty fold
+    assert(got(1) > 0L)           // single token -> its own hash
+    assert(got(2) == got(3))      // punctuation/case insensitive
+    assert(got.distinct.length == 4)
+  }
+
+  test("quality score is bounded and deterministic") {
+    val q = TextAnalysis.withQuality(Tables.documents(spark, sf))
+      .agg(min("quality_score"), max("quality_score")).collect()(0)
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("langid cascade: ties resolve to earlier language deterministically") {
+    import spark.implicits._
+    // 'la' is a marker for both es and fr; es comes first in the cascade
+    val df = Seq("la la la").toDF("text")
+    val got = TextAnalysis.withLangId(df).select("predicted_lang").first()
+    assert(got.getString(0) == "es")
+    val none = TextAnalysis.withLangId(Seq("xyz abc").toDF("text"))
+      .select("predicted_lang").first()
+    assert(none.getString(0) == "und")
+  }
+
+  test("join_region_revenue plan broadcasts dims and prunes columns") {
+    val plan = SparkEntry.queries("join_region_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // lineitem scan must not read all 11 columns
+    assert(!plan.contains("l_shipdate") || !plan.contains("l_comment"))
+  }
+
+  test("agg_pricing_summary pushes the shipdate filter to the scan") {
+    val plan = SparkEntry.queries("agg_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || plan.contains("PushedFilters: [*IsNotNull(l_shipdate)"))
+  }
+
+  test("sort_topk_newest plans as distributed top-k, not global sort") {
+    val plan = SparkEntry.queries("sort_topk_newest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
