@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.cal.BusdayCount
+import graft.dedup.{MinHash, SimHash}
 import graft.inc.Watermark
 import graft.ingest.AvJson
 import graft.olap.Exact
+import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import graft.ts.Ohlc
 
@@ -266,6 +268,76 @@ object SparkEntry {
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+
+    // North-star dedup: MinHash+LSH near-dup pairs — shingle→minhash→band→
+    // bucket-join; the only shuffle is the (band,key) self-join.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      MinHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 16, r = 4, minEstJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // North-star dedup: 32-bit SimHash per document (fused codegen pass).
+    "dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs by Hamming distance over a bounded id range.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))
+      d.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+              col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+        .filter(col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // North-star dedup: exact token-2-gram Jaccard over a bounded id range
+    // (the brute-force ground truth the LSH variants approximate).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens("text")
+      val grams = array_distinct(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      val g = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), grams.as("grams"))
+      val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+      g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
+              col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", inter.cast("double") /
+          (size(col("grams_a")) + size(col("grams_b")) - inter).cast("double"))
+        .filter(col("jaccard") >= 0.10)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // North-star dedup: embedding-cosine near-dup pairs (bounded exact
+    // pairwise; IVF/LSH prune the same metric at scale).
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          maxId = 200, minCosine = 0.35)
+        .orderBy("vec_a", "vec_b")),
+
+    // North-star similarity: brute-force cosine top-k (broadcast queries ×
+    // corpus scan, per-query window top-k).
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // North-star similarity: IVF coarse assignment (broadcast centroids,
+    // argmax-cosine partitioning — the scale path's inverted lists).
+    "sim_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
+        .orderBy("centroid_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -484,16 +556,8 @@ object SparkEntry {
           FROM sc ORDER BY doc_id"""
     },
 
-    "text_fingerprint" -> {
-      val tokHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
-        "(h, c) -> (h * 31 + c) % 2147483647)"
-      s"""WITH t AS (SELECT doc_id,
-                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-                     FROM documents),
-               h AS (SELECT doc_id,
-                            list_transform(toks, t -> $tokHash) AS th
-                     FROM t)
+    "text_fingerprint" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents)
           SELECT doc_id,
                  CASE WHEN len(th) >= 3 THEN
                    list_min(list_transform(generate_series(1, len(th) - 2), i ->
@@ -501,7 +565,145 @@ object SparkEntry {
                  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), th),
                         (a, b) -> a * 31 + b) % 2147483647
                  END AS fingerprint
-          FROM h ORDER BY doc_id"""
+          FROM h ORDER BY doc_id""",
+
+    "dedup_minhash_lsh" -> {
+      val k = 16; val r = 4
+      val as = (0 until k).map(MinHash.coeffA).mkString("[", ", ", "]")
+      val bs = (0 until k).map(MinHash.coeffB).mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            sh AS (SELECT doc_id,
+                     list_transform(generate_series(1, len(th) - 2), i ->
+                       ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647) AS s
+                   FROM h WHERE len(th) >= 3),
+            sg AS (SELECT doc_id,
+                     list_transform(generate_series(1, $k), i ->
+                       list_min(list_transform(s, x ->
+                         ($as[i] * x + $bs[i]) % 2147483647))) AS sig
+                   FROM sh),
+            bd AS (SELECT doc_id, sig,
+                     list_transform(generate_series(0, ${k / r - 1}), b ->
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, $r), j ->
+                             sig[b * $r + j])),
+                         (h, x) -> (h * 31 + x) % 2147483647)) AS bands
+                   FROM sg),
+            bk AS (SELECT doc_id, sig,
+                          unnest(bands) AS key,
+                          unnest(generate_series(1, len(bands))) AS band
+                   FROM bd),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.sig AS sig_a, y.sig AS sig_b
+                     FROM bk x JOIN bk y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter(generate_series(1, $k), i ->
+                   sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0 AS est_jaccard
+          FROM cand
+          WHERE CAST(len(list_filter(generate_series(1, $k), i ->
+                  sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0 >= 0.5
+          ORDER BY doc_a, doc_b"""
     },
+
+    "dedup_simhash" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents)
+          SELECT doc_id, $duckSimhash AS simhash
+          FROM h ORDER BY doc_id""",
+
+    "dedup_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th
+                     FROM documents WHERE doc_id < 250),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+          ORDER BY doc_a, doc_b""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                    FROM documents WHERE doc_id < 150),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, len(toks) - 1), i ->
+                             toks[i] || ' ' || toks[i+1])) AS grams
+                  FROM t)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / CAST(len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.10
+         ORDER BY doc_a, doc_b""",
+
+    "dedup_embedding_cosine" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e
+                     FROM embeddings WHERE vec_id < 200)
+          SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${duckDot("a.e", "b.e")}
+                     / (sqrt(${duckDot("a.e", "a.e")})
+                        * sqrt(${duckDot("b.e", "b.e")})) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          WHERE cosine >= 0.35
+          ORDER BY vec_a, vec_b""",
+
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq
+                     FROM embeddings WHERE vec_id < 10),
+            d AS (SELECT query_id, vec_id,
+                    ${duckDot("eq", "embedding")}
+                      / (sqrt(${duckDot("eq", "eq")})
+                         * sqrt(${duckDot("embedding", "embedding")})) AS cosine
+                  FROM q JOIN embeddings ON vec_id <> query_id),
+            r AS (SELECT query_id, vec_id, cosine,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+                  FROM d)
+          SELECT query_id, rank, vec_id, cosine FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "sim_ivf_assign" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                     FROM embeddings WHERE vec_id < 8),
+            d AS (SELECT vec_id, centroid_id,
+                    ${duckDot("embedding", "ec")}
+                      / (sqrt(${duckDot("embedding", "embedding")})
+                         * sqrt(${duckDot("ec", "ec")})) AS cosine
+                  FROM embeddings CROSS JOIN c),
+            r AS (SELECT vec_id, centroid_id,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, centroid_id ASC) AS rn
+                  FROM d)
+          SELECT centroid_id, count(*) AS n_assigned
+          FROM r WHERE rn = 1
+          GROUP BY 1 ORDER BY 1""",
   )
+
+  /** DuckDB fragment: per-token portable polynomial hashes of `text`. */
+  private val duckTokHashes: String =
+    "list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      "(h, c) -> (h * 31 + c) % 2147483647))"
+
+  /** DuckDB fragment: 32-bit simhash from a token-hash list column `th`. */
+  private val duckSimhash: String =
+    "list_sum(list_transform(generate_series(0, 31), b -> " +
+      "CASE WHEN list_sum(list_transform(th, x -> " +
+      "CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+      "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))"
+
+  /** DuckDB fragment: sequential-fold dot product in double precision —
+    * the same accumulation order as graft.functions.VecOps.dotProduct, so
+    * the doubles agree bitwise.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 }

@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash + LSH near-duplicate detection (north-star extension):
+  * shingle → minhash → band → bucket-join.
+  *
+  * Pipeline shape (the one that scales to 100 TB):
+  *   1. per doc, one fused codegen pass computes the k-component minhash
+  *      signature over word-3-shingle hashes (no shingle array materialized);
+  *   2. band keys (r consecutive signature components folded) explode to
+  *      (band, key) rows — the ONLY shuffle in the pipeline is the
+  *      self-join on (band, key), i.e. candidates collide in buckets
+  *      instead of an O(n²) cross join;
+  *   3. candidate pairs are scored by signature agreement (estimated
+  *      Jaccard) and thresholded.
+  *
+  * All hashing is the engine-portable polynomial fold (graft.functions
+  * .CharFold) with LCG-derived (aᵢ, bᵢ) coefficients — exact integer
+  * arithmetic reproducible in the DuckDB oracle; deliberately not
+  * xxhash/murmur.
+  */
+object MinHash {
+  final val P = 2147483647L
+  final val DefaultK = 16
+  final val DefaultBandSize = 4
+
+  /** Deterministic per-component coefficients (classic LCG constants). */
+  def coeffA(i: Int): Long = {
+    val a = (1103515245L * (i + 1) + 12345L) % P
+    if (a == 0L) 1L else a
+  }
+  def coeffB(i: Int): Long = (69069L * (i + 1) + 362437L) % P
+
+  /** Tokenize ([a-z0-9]+ runs of lowercased text), hash tokens with the
+    * portable fold, slide word-3-shingles, and keep per-component minima of
+    * (aᵢ·x + bᵢ) mod P. Components stay P when the doc has <3 tokens
+    * (no shingles) — callers filter those out before LSH.
+    */
+  def signature(s: UTF8String, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(P)
+    val str = s.toString
+    val n = str.length
+    var h1 = -1L; var h2 = -1L
+    var tok = 0L
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      var cp = -1
+      if (i < n) {
+        cp = str.codePointAt(i)
+        if (cp >= 'A' && cp <= 'Z') cp += 32
+      }
+      val isTokChar = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (isTokChar) {
+        tok = (tok * 31 + cp) % P
+        inTok = true
+      } else if (inTok) {
+        if (h1 >= 0) {
+          val sh = ((h1 * 31 + h2) * 31 + tok) % P
+          var j = 0
+          while (j < k) {
+            val hv = (coeffA(j) * sh + coeffB(j)) % P
+            if (hv < sig(j)) sig(j) = hv
+            j += 1
+          }
+        }
+        h1 = h2; h2 = tok
+        tok = 0L; inTok = false
+      }
+      i += (if (cp < 0) 1 else Character.charCount(cp))
+    }
+    sig
+  }
+
+  def signatureData(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(signature(s, k))
+
+  /** Band keys: fold r consecutive signature components per band. */
+  def bandKeysData(s: UTF8String, k: Int, r: Int): ArrayData = {
+    val sig = signature(s, k)
+    val bands = Array.ofDim[Long](k / r)
+    var b = 0
+    while (b < bands.length) {
+      var h = 0L
+      var j = 0
+      while (j < r) { h = (h * 31 + sig(b * r + j)) % P; j += 1 }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  def minhash_signature(text: Column, k: Int = DefaultK): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), k))
+
+  def lsh_band_keys(text: Column, k: Int = DefaultK,
+                    r: Int = DefaultBandSize): Column =
+    ColumnBridge.column(LshBandKeysExpr(ColumnBridge.expression(text), k, r))
+
+  /** Candidate near-duplicate pairs with estimated Jaccard (fraction of
+    * agreeing signature components), thresholded. Input needs columns
+    * (idCol, textCol).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = DefaultK, r: Int = DefaultBandSize,
+                   minEstJaccard: Double = 0.2): DataFrame = {
+    val sigs = docs.select(
+        col(idCol).as("doc_id"),
+        minhash_signature(col(textCol), k).as("sig"),
+        lsh_band_keys(col(textCol), k, r).as("bands"))
+      // docs with <3 tokens have no shingles: every component is the
+      // sentinel, which would spuriously bucket them all together
+      .filter(element_at(col("sig"), 1) =!= lit(P))
+    val buckets = sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      .select("doc_id", "band", "key")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSigs = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    withSigs
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), x -> x))")
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    MinHash.signatureData(s.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.dedup.MinHash.signatureData($s, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class LshBandKeysExpr(child: Expression, k: Int, r: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_keys needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    MinHash.bandKeysData(s.asInstanceOf[UTF8String], k, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.dedup.MinHash.bandKeysData($s, $k, $r)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,72 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecOps
+
+/** Approximate-nearest-neighbor building blocks over an embedding column
+  * (north-star extension).
+  *
+  * Scale posture: brute-force is the correctness baseline — a broadcast of
+  * the (small) query set against a full scan of the corpus, no shuffle
+  * until the per-query top-k (window over query_id, which partitions
+  * perfectly). The IVF path is the scale route: one pass assigns every
+  * vector to its nearest coarse centroid (broadcast centroids); probing
+  * then touches only the lists of the closest centroids instead of the
+  * full corpus, cutting the scan by ~n_lists×.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector, by cosine. Ties broken by
+    * vec_id so results are total-ordered and reproducible.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("vec_id"),
+                          col("embedding").as("emb_c"))
+    val q = queries.select(col("vec_id").as("query_id"),
+                           col("embedding").as("emb_q"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", VecOps.cosine(col("emb_q"), col("emb_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** IVF coarse assignment: nearest centroid per vector (argmax cosine,
+    * ties to the lower centroid id). Returns the inverted-list sizes —
+    * the partitioning a probe would exploit.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"),
+                             col("embedding").as("emb_cent"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(c))
+      .withColumn("cosine", VecOps.cosine(col("embedding"), col("emb_cent")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("centroid_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_assigned"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a bounded id range (the
+    * exact-pairwise oracle path; LSH/IVF prunes the same computation at
+    * scale).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, maxId: Long,
+                         minCosine: Double): DataFrame = {
+    val a = vectors.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = vectors.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VecOps.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

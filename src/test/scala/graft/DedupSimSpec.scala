@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimSpec extends AnyFunSuite {
+  import graft.dedup.{MinHash, SimHash}
+  import graft.similarity.Similarity
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash: identical docs collide with est_jaccard 1.0") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different words about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("minhash: near-identical docs (one word changed) still pair up") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"word$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, w.updated(20, "CHANGED").mkString(" "))).toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getDouble(2) >= 0.5 && pairs(0).getDouble(2) < 1.0)
+  }
+
+  test("minhash: docs with <3 tokens are excluded, not all-bucketed") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two"), (2L, "three four"), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(MinHash.nearDupPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.0).count() == 0)
+  }
+
+  test("simhash: identical text -> distance 0; disjoint text differs") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta",
+                 "epsilon zeta eta theta")
+      .toDF("text").select(SimHash.simhash32(col("text")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, rank ordered") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), k = 5)
+    val rows = got.collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("cosine")).toSeq
+        == rs.map(_.getAs[Double]("cosine")).toSeq.sorted.reverse)
+    }
+  }
+
+  test("ivfAssign: every vector lands in exactly one inverted list") {
+    val emb = Tables.embeddings(spark, sf)
+    val lists = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
+    assert(lists.agg(sum("n_assigned")).first().getLong(0) == emb.count())
+  }
+
+  test("minhash LSH recall matches exact jaccard on fixture near-dups") {
+    // every fixture pair with true 2-gram jaccard >= 0.5 must be caught by
+    // LSH with est >= 0.5 (16 hashes, 4-row bands: P(miss | j=0.5) ~ 23%
+    // per band^4 — at j>=0.9 as in the fixtures, P(miss) < 1e-4)
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    exact.foreach(p => assert(lsh.contains(p), s"LSH missed true near-dup $p"))
+  }
+}
