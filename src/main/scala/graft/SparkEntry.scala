@@ -338,6 +338,42 @@ object SparkEntry {
       Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
         .orderBy("centroid_id")
     }),
+
+    // North-star streaming: tumbling daily windows + watermark over the
+    // events stream (Structured Streaming, memory sink; batch-equivalent
+    // by construction, which is exactly what the oracle checks).
+    "stream_tumbling_daily" -> ((s, dir) =>
+      graft.streaming.EventStream.runTumblingDaily(s, dir)
+        .orderBy("date", "event_type")),
+
+    // §2.4 extension: as-of join — for each purchase, the user's latest
+    // view at or before it (merge-style union + keyed window; one shuffle,
+    // no O(|L|·|R|) range-join blowup).
+    "asof_join_latest_view" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      graft.ts.AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts",
+          Seq("value"))
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+        .orderBy("event_id")
+    }),
+
+    // North-star streaming-adjacent: gap-based sessionization (30-min
+    // inactivity gap) as lag + running session counter over one keyed
+    // shuffle+sort.
+    "sessionize_events" -> ((s, dir) =>
+      graft.ts.Sessionize.sessions(Tables.events(s, dir), "user_id", "ts",
+          "value", gapSeconds = 1800)
+        .orderBy("user_id", "session_seq")),
+
+    // North-star multimodal: binary payload column + typed metadata via a
+    // batched per-partition decode (codec stubbed; plumbing real).
+    "mm_media_meta" -> ((s, dir) =>
+      graft.multimodal.Media.mediaMeta(s, Tables.documents(s, dir))
+        .orderBy("media_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -666,6 +702,56 @@ object SparkEntry {
                   FROM d)
           SELECT query_id, rank, vec_id, cosine FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "stream_tumbling_daily" ->
+      """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "asof_join_latest_view" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+                v.ts AS asof_ts, v.value AS asof_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
+
+    "sessionize_events" ->
+      """WITH x AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              y AS (SELECT user_id, ts, value,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                    FROM x)
+         SELECT user_id, session_seq,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "mm_media_meta" ->
+      """WITH b AS (SELECT doc_id AS media_id, 'txt' AS format,
+                           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                           list_transform(string_split(text, ''),
+                             ch -> CAST(ascii(ch) AS BIGINT)) AS bytes
+                    FROM documents)
+         SELECT media_id, format, n_bytes,
+                CAST(64 + CASE WHEN n_bytes > 0 THEN bytes[1] % 64
+                               ELSE 0 END AS INT) AS width,
+                CAST(64 + CASE WHEN n_bytes > 0 THEN bytes[len(bytes)] % 64
+                               ELSE 0 END AS INT) AS height,
+                CASE WHEN n_bytes > 0
+                     THEN list_sum(bytes) % 2147483647
+                     ELSE 0 END AS checksum
+         FROM b ORDER BY media_id""",
 
     "sim_ivf_assign" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata, and
+  * decode/feature-extract runs as batched per-partition functions over the
+  * typed Dataset — the Scala analog of a Pandas-UDF/mapInPandas stage.
+  *
+  * The Spark-side plumbing (schema, binary transport, batch shape,
+  * partition-parallel execution) is real and tested; the *codec* itself is
+  * a deliberate STUB (`FakeCodec`): this container has no image/audio
+  * libraries, so the decoder derives deterministic pseudo-metadata from the
+  * raw bytes. Swapping `FakeCodec.decode` for a JNI/libjpeg call changes no
+  * plumbing.
+  */
+object Media {
+
+  /** A media row in flight: id + raw payload + declared format. */
+  case class MediaRow(media_id: Long, payload: Array[Byte], format: String)
+
+  /** Extracted metadata (what a real decoder would emit). */
+  case class MediaMeta(media_id: Long, format: String, n_bytes: Long,
+                       width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder — deterministic fake in lieu of a real codec. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      // real impl: hand `payload` to the image library; here: derive
+      // stable pseudo-dimensions and a byte checksum from the payload
+      val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val last = if (payload.nonEmpty) payload(payload.length - 1) & 0xff else 0
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+      (64 + first % 64, 64 + last % 64, sum % 2147483647L)
+    }
+  }
+
+  /** Wrap any table with a string column as binary media (fixture adapter:
+    * the documents table stands in for a media corpus; payload bytes are
+    * the UTF-8 encoding).
+    */
+  def asMedia(docs: DataFrame, idCol: String, contentCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("media_id"),
+                col(contentCol).cast("binary").as("payload"),
+                lit("txt").as("format"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode: runs once per partition, iterating payloads — the
+    * batch shape a vectorized codec wants (and where a real impl would
+    * amortize codec init per partition, exactly like mapInPandas batches).
+    */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { m =>
+        val (w, h, checksum) = FakeCodec.decode(m.payload)
+        MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, checksum)
+      }
+    }
+  }
+
+  def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractMeta(asMedia(docs, "doc_id", "text")).toDF()
+}

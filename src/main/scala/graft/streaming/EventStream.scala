@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (north-star extension — the
+  * reference is strictly batch-incremental, SURVEY.md §2.9; this is the
+  * streaming generalization of its watermark model).
+  *
+  * The same tumbling-window aggregation works in both modes because the
+  * transformation is declared once against an unbounded DataFrame: at scale
+  * the source is Kafka/object-store file arrivals; here the driver fixture
+  * parquet replayed through readStream.
+  */
+object EventStream {
+
+  /** File-stream schema: ts arrives as TIMESTAMP(NANOS) which Spark reads
+    * as a nanosecond long under the legacy flag (graft.Tables.events does
+    * the same for batch).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded events source from a fixture dir. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams need a directory source; glob-filter to the events file
+    val r = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+    val r2 = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n))
+    r2.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling daily windows per event_type: count + exact decimal sum.
+    * The watermark bounds state: windows older than (max event time - delay)
+    * are finalized and their state dropped — the streaming analog of the
+    * reference's high-watermark incremental model.
+    */
+  def tumblingDaily(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double")
+             .as("sum_value"))
+      .select(to_date(col("window.start")).as("date"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Run the daily aggregation over the fixture as a bounded streaming
+    * query (complete mode → memory sink) and return the result table.
+    * Append-mode watermark semantics are exercised in the spec with a
+    * 2-batch replay.
+    */
+  def runTumblingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_daily"
+    val q = tumblingDaily(readEvents(spark, dir), "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row with
+  * right.time <= left.time within the same key (SURVEY.md §2.4 — the
+  * natural generalization of the reference's date equi-join J1: "join the
+  * rate at or before date d").
+  *
+  * Implemented as the merge-style union + keyed ordered window, NOT as a
+  * range join + groupBy: a range join materializes O(|L|·|R|) candidate
+  * pairs per key before reducing, while the union form is one shuffle on
+  * the key, one sort, one linear pass — the same asymptotics a native
+  * sort-merge as-of operator would have, using only built-in operators
+  * (Catalyst plans the window as a single exchange + sort).
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; columns preserved in the output
+    * @param right     reference side: keyCols ++ (timeCol +: payloadCols)
+    * @param keyCols   equi-join keys
+    * @param timeCol   ordering column (same name both sides)
+    * @param payloadCols right-side columns carried to the output as
+    *                    `asof_<name>` (+ `asof_<timeCol>`); NULL when no
+    *                    right row is at or before the left row's time
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val sideCol = "__graft_is_left"
+    val rightType = right.schema.map(f => f.name -> f.dataType).toMap
+    val leftType = left.schema.map(f => f.name -> f.dataType).toMap
+    val carriedSrc = timeCol +: payloadCols
+    val carried = carriedSrc.map(c => s"asof_$c")
+    // typed nulls, so unionByName resolves (NullType wouldn't)
+    val l = left
+      .withColumn(sideCol, lit(1))
+      .withColumns(carriedSrc.map(c =>
+        s"asof_$c" -> lit(null).cast(rightType(c))).toMap)
+    val r0 = right.select(
+      keyCols.map(col) ++ carriedSrc.map(c => col(c).as(s"asof_$c")): _*)
+    // right rows get the left schema's shape: missing left columns as null
+    val extraLeftCols = l.columns.filterNot(c =>
+      keyCols.contains(c) || carried.contains(c) || c == sideCol)
+    val r = extraLeftCols.foldLeft(r0) { (df, c) =>
+        df.withColumn(c, lit(null).cast(leftType(c)))
+      }
+      .withColumn(sideCol, lit(0))
+      .withColumn(timeCol, col(s"asof_$timeCol"))
+      .select(l.columns.map(col): _*)
+    // order right rows before left rows at equal time => `<=` semantics
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(sideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(sideCol) === 1).drop(sideCol)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamAsofSpec extends AnyFunSuite {
+  import graft.ts.{AsOfJoin, Sessionize}
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")), // before any right row
+      (4L, 30L, ts("2024-01-01 10:00:00"))  // exactly at a right row (<=)
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 11:30:00"), 2.0),
+      (20L, ts("2024-01-01 23:00:00"), 9.0),
+      (30L, ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(1L -> Some(1.0), 2L -> Some(2.0),
+                            3L -> None, 4L -> Some(5.0)))
+  }
+
+  test("sessionize splits on gaps > threshold only") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),  // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00"), 3.0),  // new session (50 min > 30)
+      (2L, ts("2024-01-01 10:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Sessionize.sessions(ev, "user_id", "ts", "value", 1800)
+      .orderBy("user_id", "session_seq").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(0).getAs[Double]("sum_value") == 3.0)
+    assert(got(1).getAs[Long]("n_events") == 1)
+    assert(got(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("streaming append mode emits only watermark-closed windows") {
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // batch 1: two days of events; batch 2: a third day (advances the
+    // watermark past day 1 and 2)
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+        (2L, ts("2024-01-02 10:00:00"), 1L, "a", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, ts("2024-01-03 10:00:00"), 1L, "a", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val src = spark.readStream
+      .schema(Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/b*")
+    val q = EventStream.tumblingDaily(src, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_append_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("graft_stream_append_test")
+      .select("date").collect().map(_.getDate(0).toString).sorted
+    // day 3's window is still open (watermark = day3 10:00 - 1h), so only
+    // days 1 and 2 may be emitted; day 1 must be (watermark passed it)
+    assert(emitted.contains("2024-01-01"))
+    assert(!emitted.contains("2024-01-03"))
+  }
+
+  test("media meta: byte-level decode plumbing on crafted payloads") {
+    import graft.multimodal.Media
+    import spark.implicits._
+    val docs = Seq((1L, "AB"), (2L, "")).toDF("doc_id", "text")
+    val got = Media.mediaMeta(spark, docs).orderBy("media_id").collect()
+    assert(got(0).getAs[Long]("n_bytes") == 2L)
+    assert(got(0).getAs[Int]("width") == 64 + 'A' % 64)
+    assert(got(0).getAs[Int]("height") == 64 + 'B' % 64)
+    assert(got(0).getAs[Long]("checksum") == 'A'.toLong + 'B'.toLong)
+    assert(got(1).getAs[Long]("n_bytes") == 0L)
+    assert(got(1).getAs[Long]("checksum") == 0L)
+  }
+}
