@@ -169,7 +169,9 @@ object SparkEntry {
     // referenced columns (check ReadSchema in .explain).
     "agg_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .filter(to_date(col("l_shipdate")) <= lit("2000-12-31"))
+        // raw-timestamp filter (ship timestamps are midnight-only): a
+        // to_date() wrapper would block parquet predicate pushdown
+        .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           Exact.sumMoney(col("l_quantity")).as("sum_qty"),
@@ -190,12 +192,12 @@ object SparkEntry {
       val cust = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val ord = Tables.orders(s, dir)
-        .filter(to_date(col("o_orderdate")) < lit("1998-07-01"))
+        .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"),
                 to_date(col("o_orderdate")).as("order_date"),
                 col("o_orderpriority"))
       val li = Tables.lineitem(s, dir)
-        .filter(to_date(col("l_shipdate")) > lit("1998-07-01"))
+        .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -216,7 +218,8 @@ object SparkEntry {
         .select("n_nationkey", "n_name")
       val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
       val ord = Tables.orders(s, dir)
-        .filter(to_date(col("o_orderdate")).between("1996-01-01", "1996-12-31"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")

@@ -113,25 +113,27 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = DefaultK, r: Int = DefaultBandSize,
                    minEstJaccard: Double = 0.2): DataFrame = {
-    val sigs = docs.select(
+    // signature rides along through the explode so candidate pairs already
+    // carry both signatures — no per-side rejoin back to the corpus (the
+    // naive shape re-scans the corpus twice more and recomputes minhash
+    // per rejoin; carrying k longs through the (band,key) shuffle is far
+    // cheaper than extra scans at 100 TB)
+    val buckets = docs.select(
         col(idCol).as("doc_id"),
         minhash_signature(col(textCol), k).as("sig"),
-        lsh_band_keys(col(textCol), k, r).as("bands"))
+        posexplode(lsh_band_keys(col(textCol), k, r)).as(Seq("band", "key")))
       // docs with <3 tokens have no shingles: every component is the
       // sentinel, which would spuriously bucket them all together
       .filter(element_at(col("sig"), 1) =!= lit(P))
-    val buckets = sigs.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "key")))
-      .select("doc_id", "band", "key")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val withSigs = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-    withSigs
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      // dedupe multi-band collisions: one row per pair
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+    cand
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), x -> x))")
           .cast("double") / lit(k.toDouble))

@@ -56,11 +56,12 @@ class TextOlapSpec extends AnyFunSuite {
     assert(!plan.contains("l_shipdate") || !plan.contains("l_comment"))
   }
 
-  test("agg_pricing_summary pushes the shipdate filter to the scan") {
+  test("agg_pricing_summary pushes the shipdate comparison to the scan") {
     val plan = SparkEntry.queries("agg_pricing_summary")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)")
-      || plan.contains("PushedFilters: [*IsNotNull(l_shipdate)"))
+    // not just IsNotNull — the range predicate itself must reach parquet
+    // (row-group min/max skipping); a to_date() wrapper would block it
+    assert(plan.contains("LessThan(l_shipdate"))
   }
 
   test("sort_topk_newest plans as distributed top-k, not global sort") {
