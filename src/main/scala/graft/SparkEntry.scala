@@ -342,6 +342,16 @@ object SparkEntry {
         .orderBy("centroid_id")
     }),
 
+    // North-star similarity: IVF probe — approximate top-k searching only
+    // the nprobe nearest centroids' inverted lists (the 100 TB search
+    // path; sim_bruteforce_topk is its ground truth).
+    "sim_ivf_probe_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfProbeTopK(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") < 10), nprobe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // North-star streaming: tumbling daily windows + watermark over the
     // events stream (Structured Streaming, memory sink; batch-equivalent
     // by construction, which is exactly what the oracle checks).
@@ -703,6 +713,42 @@ object SparkEntry {
                     CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
                   FROM d)
+          SELECT query_id, rank, vec_id, cosine FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "sim_ivf_probe_topk" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                     FROM embeddings WHERE vec_id < 8),
+            asg AS (SELECT centroid_id, vec_id, embedding FROM (
+                      SELECT e.vec_id, c.centroid_id, e.embedding,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          ${duckDot("e.embedding", "c.ec")}
+                            / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                               * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                          c.centroid_id ASC) AS rn
+                      FROM embeddings e CROSS JOIN c)
+                    WHERE rn = 1),
+            prb AS (SELECT query_id, centroid_id, emb_q FROM (
+                      SELECT q.vec_id AS query_id, c.centroid_id,
+                             q.embedding AS emb_q,
+                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                          ${duckDot("q.embedding", "c.ec")}
+                            / (sqrt(${duckDot("q.embedding", "q.embedding")})
+                               * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                          c.centroid_id ASC) AS rn
+                      FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+                    WHERE rn <= 2),
+            sc AS (SELECT p.query_id, a.vec_id,
+                     ${duckDot("p.emb_q", "a.embedding")}
+                       / (sqrt(${duckDot("p.emb_q", "p.emb_q")})
+                          * sqrt(${duckDot("a.embedding", "a.embedding")}))
+                       AS cosine
+                   FROM prb p JOIN asg a USING (centroid_id)
+                   WHERE a.vec_id <> p.query_id),
+            r AS (SELECT query_id, vec_id, cosine,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+                  FROM sc)
           SELECT query_id, rank, vec_id, cosine FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
 

@@ -54,6 +54,45 @@ object Similarity {
       .agg(count(lit(1)).as("n_assigned"))
   }
 
+  /** IVF probe: approximate top-k — each query searches only the inverted
+    * lists of its `nprobe` nearest centroids instead of the full corpus.
+    * Both the assignment and the probe broadcast the centroid set; the one
+    * shuffle is the probe⋈list join keyed on centroid_id, which is exactly
+    * the inverted-list locality a vector store exploits (lists can be
+    * pre-partitioned/bucketed by centroid at ingest, making the probe a
+    * co-located join at 100 TB).
+    */
+  def ivfProbeTopK(corpus: DataFrame, centroids: DataFrame,
+                   queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"),
+                             col("embedding").as("emb_cent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("centroid_id").asc)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(c))
+      .withColumn("cosine", VecOps.cosine(col("embedding"), col("emb_cent")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("centroid_id", "vec_id", "embedding")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("centroid_id").asc)
+    val probes = queries.select(col("vec_id").as("query_id"),
+                                col("embedding").as("emb_q"))
+      .join(broadcast(c))
+      .withColumn("cosine", VecOps.cosine(col("emb_q"), col("emb_cent")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "centroid_id", "emb_q")
+    val wTopK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", VecOps.cosine(col("emb_q"), col("embedding")))
+      .withColumn("rank", row_number().over(wTopK))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range (the
     * exact-pairwise oracle path; LSH/IVF prunes the same computation at
     * scale).
