@@ -382,6 +382,16 @@ object SparkEntry {
           "value", gapSeconds = 1800)
         .orderBy("user_id", "session_seq")),
 
+    // North-star streaming: custom keyed state via flatMapGroupsWithState —
+    // sessions spanning micro-batches, closed by gap or event-time timeout.
+    // No SQL oracle (stateful streaming isn't SQL-expressible); the driver
+    // records a rows-only check, and the spec pins equivalence to the batch
+    // sessionizer (streaming output == batch sessions minus each user's
+    // still-open final session).
+    "stream_sessionize_stateful" -> ((s, dir) =>
+      graft.streaming.StatefulSessions.runOverFixture(s, dir)
+        .orderBy("user_id", "session_start")),
+
     // North-star multimodal: binary payload column + typed metadata via a
     // batched per-partition decode (codec stubbed; plumbing real).
     "mm_media_meta" -> ((s, dir) =>
