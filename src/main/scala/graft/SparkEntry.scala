@@ -245,10 +245,12 @@ object SparkEntry {
         .select("keep_doc_id", "n_copies")
         .orderBy("keep_doc_id")),
 
-    // North-star text analysis: tokenization + stopword stats.
+    // North-star text analysis: tokenization + whitespace/BPE-ish/stopword
+    // counting.
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.withTokenStats(Tables.documents(s, dir))
-        .select("doc_id", "n_tokens", "n_stopwords", "avg_word_len")
+        .select("doc_id", "n_tokens", "n_ws_tokens", "n_subwords",
+                "n_stopwords", "avg_word_len")
         .orderBy("doc_id")),
 
     // North-star text analysis: quality scoring (pure-arithmetic ratios).
@@ -397,6 +399,16 @@ object SparkEntry {
     "mm_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.mediaMeta(s, Tables.documents(s, dir))
         .orderBy("media_id")),
+
+    // North-star multimodal: frame sampling — one media row fans out to
+    // per-frame rows (fixed 256-byte chunks standing in for keyframes),
+    // turning per-media work into per-frame parallelism.
+    "mm_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Media.sampleFrames(
+          graft.multimodal.Media.asMedia(Tables.documents(s, dir),
+            "doc_id", "text"), frameBytes = 256)
+        .toDF()
+        .orderBy("media_id", "frame_idx")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,10 +568,15 @@ object SparkEntry {
 
     "text_token_stats" -> {
       val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id, text,
                             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                      FROM documents)
           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+                   AS n_ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
+                   AS BIGINT) AS n_subwords,
                  CAST(len(list_filter(toks, t -> list_contains($stops, t)))
                    AS BIGINT) AS n_stopwords,
                  CASE WHEN len(toks) > 0 THEN
@@ -725,6 +742,21 @@ object SparkEntry {
                   FROM d)
           SELECT query_id, rank, vec_id, cosine FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+                           CAST(unnest(generate_series(0,
+                             CAST(floor((length(text) - 1) / 256.0) AS INT)))
+                             AS INT) AS frame_idx
+                    FROM documents WHERE length(text) > 0),
+            c AS (SELECT media_id, frame_idx,
+                         substr(text, frame_idx * 256 + 1, 256) AS chunk
+                  FROM f)
+         SELECT media_id, frame_idx,
+                CAST(length(chunk) AS BIGINT) AS n_bytes,
+                list_sum(list_transform(string_split(chunk, ''),
+                  ch -> CAST(ascii(ch) AS BIGINT))) % 2147483647 AS checksum
+         FROM c ORDER BY media_id, frame_idx""",
 
     "sim_ivf_probe_topk" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec

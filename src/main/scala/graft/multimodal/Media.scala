@@ -69,4 +69,51 @@ object Media {
 
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMeta(asMedia(docs, "doc_id", "text")).toDF()
+
+  /** A sampled frame: fixed-stride chunk of the payload (what video frame
+    * sampling looks like to the engine: one media row fans out to many
+    * frame rows, each independently processable downstream).
+    */
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long,
+                   checksum: Long)
+
+  /** Frame sampling: split each payload into fixed-size chunks and emit one
+    * row per chunk — the explode pattern that turns per-media work into
+    * per-frame parallelism (a 2 GB video becomes thousands of
+    * independently-schedulable frame tasks instead of one straggler).
+    * Chunking stands in for codec-aware keyframe extraction (STUB).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex.map { case (chunk, i) =>
+        var sum = 0L
+        var j = 0
+        while (j < chunk.length) { sum += (chunk(j) & 0xff); j += 1 }
+        Frame(m.media_id, i, chunk.length.toLong, sum % 2147483647L)
+      }
+    }
+  }
+
+  /** Fake feature extraction: fixed-dim float vector from byte statistics
+    * (a real impl returns the model's embedding; the Spark shape —
+    * binary in, float array out, batched per partition — is identical).
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition model/codec init would go here
+      rows.map { m =>
+        val feats = new Array[Float](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          feats(i % dim) += (m.payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+        (m.media_id, feats)
+      }
+    }.toDF("media_id", "features")
+  }
 }

@@ -41,6 +41,14 @@ object TextAnalysis {
   def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("toks", tokens(textCol))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // whitespace tokenization (the reference point BPE vocabularies are
+      // measured against)
+      .withColumn("n_ws_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[^\\\\s]+', 0)")).cast("long"))
+      // BPE-ish subword estimate: pieces of <=4 chars per token — the
+      // deterministic stand-in for a real tokenizer's piece count
+      .withColumn("n_subwords",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))"))
       .withColumn("n_stopwords",
         expr(s"size(filter(toks, t -> array_contains(${lit_array(stopwords)}, t)))")
           .cast("long"))
