@@ -302,20 +302,19 @@ object SparkEntry {
     }),
 
     // North-star dedup: exact token-2-gram Jaccard over a bounded id range
-    // (the brute-force ground truth the LSH variants approximate).
+    // (the brute-force ground truth the LSH variants approximate). Gram
+    // sets are sorted distinct hash arrays built in one fused pass;
+    // pairwise scoring is a codegen'd linear merge-intersect.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens("text")
-      val grams = array_distinct(zip_with(
-        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
+      import graft.dedup.NgramJaccard
       val g = Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id"), grams.as("grams"))
-      val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+        .select(col("doc_id"),
+                NgramJaccard.gram_hashes(col("text"), 2).as("grams"))
       g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
         .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
               col("doc_a") < col("doc_b"))
-        .withColumn("jaccard", inter.cast("double") /
-          (size(col("grams_a")) + size(col("grams_b")) - inter).cast("double"))
+        .withColumn("jaccard",
+          NgramJaccard.jaccard_sorted(col("grams_a"), col("grams_b")))
         .filter(col("jaccard") >= 0.10)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -698,14 +697,13 @@ object SparkEntry {
           ORDER BY doc_a, doc_b""",
 
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id,
-                           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-                    FROM documents WHERE doc_id < 150),
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th
+                     FROM documents WHERE doc_id < 150),
             g AS (SELECT doc_id,
                          list_distinct(list_transform(
-                           generate_series(1, len(toks) - 1), i ->
-                             toks[i] || ' ' || toks[i+1])) AS grams
-                  FROM t)
+                           generate_series(1, len(th) - 1), i ->
+                             (th[i] * 31 + th[i+1]) % 2147483647)) AS grams
+                  FROM h)
          SELECT doc_a, doc_b, jaccard FROM (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)

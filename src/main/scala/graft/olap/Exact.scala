@@ -21,21 +21,32 @@ object Exact {
   /** Small-range 2-dp rate (discount/tax). */
   def rate(c: Column): Column = c.cast(DecimalType(8, 2))
 
-  /** Exact order-independent sum of a 2-dp money column, as double. */
-  def sumMoney(c: Column): Column = sum(money(c)).cast("double")
+  /** 2-dp money as integer cents. round() snaps the within-1-ulp double to
+    * its exact integer (never a true .5 tie on 2-dp data), so this is the
+    * same exact value the decimal cast produces — but long hash-agg sums
+    * run markedly faster than decimal sums. Overflow headroom: 2^63 cents
+    * ≈ 9e16 dollars.
+    */
+  def cents(c: Column): Column = round(c * lit(100), 0).cast("long")
 
-  /** avg = exact decimal sum / count, one double division. */
-  def avgMoney(c: Column): Column =
-    sum(money(c)).cast("double") / count(lit(1)).cast("double")
+  /** Exact order-independent sum of a 2-dp money column, as double.
+    * (long cents)/100.0 and the decimal-sum-cast produce the identical
+    * correctly-rounded double of the same exact rational — the DuckDB
+    * oracles keep the decimal formulation and match bitwise.
+    */
+  def sumMoney(c: Column): Column = sum(cents(c)).cast("double") / lit(100.0)
+
+  /** avg = exact sum / count: double(exact Σ/100) then one division —
+    * the same operation sequence as the decimal formulation.
+    */
+  def avgMoney(c: Column): Column = sumMoney(c) / count(lit(1)).cast("double")
 
   /** TPC-H style discounted revenue: extendedprice * (1 - discount), exact
-    * at 4 dp (DECIMAL(18,2) × DECIMAL(9,2)).
+    * in 1e-4 units (cents × percent-cents).
     */
-  def revenue(extendedPrice: Column, discount: Column): Column =
-    money(extendedPrice) * (lit(1).cast(DecimalType(8, 2)) - rate(discount))
-
   def sumRevenue(extendedPrice: Column, discount: Column): Column =
-    sum(revenue(extendedPrice, discount)).cast("double")
+    sum(cents(extendedPrice) * (lit(100L) - cents(discount)))
+      .cast("double") / lit(10000.0)
 
   /** Oracle-side SQL fragments mirroring the same arithmetic. */
   val revenueSql: String =

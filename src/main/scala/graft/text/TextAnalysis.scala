@@ -38,33 +38,37 @@ object TextAnalysis {
     * integers; avg_word_len is one double division (deterministic given the
     * same integer inputs).
     */
+  /** One fused pass (graft.functions.TextStatsExpr) computes every count;
+    * the derived columns are cheap field reads. The composable
+    * regexp/lambda formulation of the same stats lives on in the DuckDB
+    * oracles, which pin the semantics.
+    */
   def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("toks", tokens(textCol))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    docs.withColumn("__stats",
+        graft.functions.TextStats.text_stats(col(textCol), Seq(stopwords)))
+      .withColumn("n_tokens", col("__stats.n_tokens"))
       // whitespace tokenization (the reference point BPE vocabularies are
       // measured against)
-      .withColumn("n_ws_tokens",
-        size(expr(s"regexp_extract_all($textCol, '[^\\\\s]+', 0)")).cast("long"))
+      .withColumn("n_ws_tokens", col("__stats.n_ws_tokens"))
       // BPE-ish subword estimate: pieces of <=4 chars per token — the
       // deterministic stand-in for a real tokenizer's piece count
-      .withColumn("n_subwords",
-        expr("aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))"))
-      .withColumn("n_stopwords",
-        expr(s"size(filter(toks, t -> array_contains(${lit_array(stopwords)}, t)))")
-          .cast("long"))
+      .withColumn("n_subwords", col("__stats.n_subwords"))
+      .withColumn("n_stopwords", element_at(col("__stats.hits"), 1))
       .withColumn("avg_word_len",
         when(col("n_tokens") > 0,
-          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
-            .cast("double") / col("n_tokens").cast("double")))
+          col("__stats.sum_tok_len").cast("double")
+            / col("n_tokens").cast("double")))
+      .drop("__stats")
 
   /** Quality scoring (length / punctuation / stopword-ratio heuristics).
     * Pure +,*,/ and least() over exact counts — no libm, fully portable.
     */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
     withTokenStats(docs, textCol)
+      .withColumn("__q",
+        graft.functions.TextStats.text_stats(col(textCol), Seq(stopwords)))
       .withColumn("punct_ratio",
-        length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")).cast("double")
-          / length(col(textCol)).cast("double"))
+        col("__q.n_punct").cast("double") / col("__q.n_chars").cast("double"))
       .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,
           col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
@@ -73,6 +77,7 @@ object TextAnalysis {
         least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
           + (lit(1.0) - col("punct_ratio")) * lit(0.3)
           + col("stopword_ratio") * lit(0.3))
+      .drop("__q")
 
   /** Language-ID heuristic: marker-token hit counts per language, argmax
     * with a fixed priority cascade (deterministic ties). The markers are
@@ -85,13 +90,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est"))
 
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val withScores = langMarkers.foldLeft(
-      docs.withColumn("toks", tokens(textCol))) { case (df, (lang, markers)) =>
-      df.withColumn(s"score_$lang",
-        expr(s"size(filter(toks, t -> array_contains(${lit_array(markers)}, t)))")
-          .cast("long"))
-    }
     val langs = langMarkers.map(_._1)
+    val withScores = docs.withColumn("__ls",
+        graft.functions.TextStats.text_stats(col(textCol),
+          langMarkers.map(_._2)))
+      .withColumns(langs.zipWithIndex.map { case (lang, i) =>
+        s"score_$lang" -> element_at(col("__ls.hits"), i + 1)
+      }.toMap)
+      .drop("__ls")
     // priority cascade: first language whose score ties-or-beats the rest
     val predicted = langs.foldRight(lit("und")) { (lang, elseCol) =>
       val beatsAll = langs.filter(_ != lang)
@@ -99,7 +105,7 @@ object TextAnalysis {
         .reduce(_ && _)
       when(col(s"score_$lang") > 0 && beatsAll, lit(lang)).otherwise(elseCol)
     }
-    withScores.withColumn("predicted_lang", predicted).drop("toks")
+    withScores.withColumn("predicted_lang", predicted)
   }
 
   /** Document fingerprint: minimum rolling hash over word 3-shingles
