@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.cal.{BusdayCount, BusdayCountExpr}
-import graft.dedup.{LshBandKeysExpr, MinHash, MinHashSigExpr, SimHashExpr}
-import graft.functions.{CharFoldHashExpr, DocFingerprintExpr, DotProductExpr}
+import graft.dedup.{GramHashesExpr, JaccardSortedExpr, LshBandKeysExpr, MinHash, MinHashSigExpr, SimHashExpr}
+import graft.functions.{CharFoldHashExpr, DocFingerprintExpr, DotProductExpr, TextStatsExpr}
+import graft.text.TextAnalysis
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -57,7 +58,18 @@ object GraftExtensions {
         es.lift(2).map(foldIntArg).getOrElse(MinHash.DefaultBandSize))),
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - float-vector dot product in double"),
-      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+    ("gram_hashes",
+      info("gram_hashes", "gram_hashes(text[, n]) - sorted distinct token n-gram hash set"),
+      (es: Seq[Expression]) => GramHashesExpr(es.head,
+        es.lift(1).map(foldIntArg).getOrElse(2))),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted distinct long arrays"),
+      (es: Seq[Expression]) => JaccardSortedExpr(es(0), es(1))),
+    ("text_stats",
+      info("text_stats", "text_stats(text) - fused token statistics struct (stopword list built in)"),
+      (es: Seq[Expression]) => TextStatsExpr(es.head,
+        Seq(TextAnalysis.stopwords))))
 
   private def foldIntArg(e: Expression): Int =
     e.eval(null) match {

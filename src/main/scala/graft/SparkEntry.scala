@@ -428,7 +428,7 @@ object SparkEntry {
          SELECT p.date AS date, p.close AS close_price_usd,
                 f.close AS close_rate,
                 round_even(CAST(p.close AS DECIMAL(18,2)) *
-                           CAST(f.close AS DECIMAL(18,2)), 2) AS close_price_ccy
+                           CAST(f.close AS DECIMAL(18,4)), 2) AS close_price_ccy
          FROM p JOIN f USING (date) ORDER BY date""",
 
     "ts_sma" ->

@@ -80,13 +80,14 @@ object Ohlc {
     priceUsd.select(joinCols.map(col) :+ col("close").as("close_price_usd"): _*)
       .join(fx.select(joinCols.map(col) :+ col("close").as("close_rate"): _*),
             joinCols, "inner")
-      // The multiply runs in exact decimal, not double: prices are 2-dp
-      // values, so the product lands exactly on 4-dp ties (x.xx50) where
-      // double bround and decimal bround disagree. bround on the exact
-      // decimal product is the reference's banker's rounding with no FP
-      // tie ambiguity (and is engine-portable: DuckDB round_even(DECIMAL)
-      // matches bit-for-bit).
+      // The multiply runs in exact decimal, not double: prices are 2-dp and
+      // FX rates up-to-4-dp values, so the product lands exactly on ties
+      // (x.xx50…) where double bround and decimal bround disagree. bround
+      // on the exact decimal product is the reference's banker's rounding
+      // with no FP tie ambiguity (and is engine-portable: DuckDB
+      // round_even(DECIMAL) matches bit-for-bit). Rate keeps scale 4 —
+      // quotes like 3.9810 must not be squashed to cents.
       .withColumn("close_price_ccy",
         bround(col("close_price_usd").cast(DecimalType(18, 2)) *
-               col("close_rate").cast(DecimalType(18, 2)), 2).cast("double"))
+               col("close_rate").cast(DecimalType(18, 4)), 2).cast("double"))
 }
