@@ -353,6 +353,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // North-star similarity: random-hyperplane LSH bucketing (the cosine
+    // analog of the minhash band join) — bucket sizes of the sign-bit
+    // signature space.
+    "sim_hyperplane_lsh" -> ((s, dir) =>
+      graft.similarity.HyperplaneLsh
+        .buckets(Tables.embeddings(s, dir), nPlanes = 8, dim = 64)
+        .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket")),
+
     // North-star streaming: tumbling daily windows + watermark over the
     // events stream (Structured Streaming, memory sink; batch-equivalent
     // by construction, which is exactly what the oracle checks).
@@ -791,6 +800,18 @@ object SparkEntry {
                   FROM sc)
           SELECT query_id, rank, vec_id, cosine FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "sim_hyperplane_lsh" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(8, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+        s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT bucket, count(*) AS n_vectors FROM (
+            SELECT vec_id, $bits AS bucket FROM embeddings)
+          GROUP BY 1 ORDER BY 1"""
+    },
 
     "stream_tumbling_daily" ->
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,

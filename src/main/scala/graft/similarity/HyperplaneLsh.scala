@@ -1,0 +1,43 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VecOps
+
+/** Random-hyperplane LSH for cosine similarity (the bucketed scale path
+  * complementing IVF): vectors whose dot products with a fixed set of
+  * pseudo-random ±1 hyperplanes share all sign bits land in the same
+  * bucket; near-duplicate search then touches only same-bucket pairs.
+  *
+  * The hyperplanes are deterministic LCG-derived ±1 vectors (no RNG state,
+  * no stored model): reruns, retried tasks, and the DuckDB oracle all see
+  * identical planes — the oracle gets the same arrays inlined as literals.
+  */
+object HyperplaneLsh {
+
+  /** ±1 hyperplane components, LCG-scrambled (plain parity of p,d would
+    * make alternate planes identical).
+    */
+  def planeComponent(plane: Int, dim: Int): Float = {
+    val seed = plane * 1000003L + dim * 7919L + 12345L
+    val x = (seed * 1103515245L + 12345L) % 2147483647L
+    if (((x >> 7) & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  def planes(nPlanes: Int, dim: Int): Seq[Array[Float]] =
+    (0 until nPlanes).map(p =>
+      Array.tabulate(dim)(d => planeComponent(p, d)))
+
+  /** Bucket id = sign-bit signature over the hyperplanes. One narrow
+    * projection per vector; at scale the corpus is then repartitioned (or
+    * bucketed at ingest) by this key, making near-dup search a per-bucket
+    * local problem.
+    */
+  def buckets(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val sig = planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      when(VecOps.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select(col("vec_id"), sig.as("bucket"))
+  }
+}
