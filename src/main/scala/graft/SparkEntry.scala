@@ -54,6 +54,13 @@ object SparkEntry {
       Ohlc.dailyBars(Tables.events(s, dir))
         .orderBy("event_type", "date")),
 
+    // Resample generality: the same partial-aggregable OHLC over weekly
+    // buckets (any granularity is just a different grouping expression).
+    "ts_ohlc_resample_weekly" -> ((s, dir) =>
+      Ohlc.bars(Tables.events(s, dir),
+          date_trunc("week", col("ts")).cast("date").as("week_start"))
+        .orderBy("event_type", "week_start")),
+
     // §2.4 J1 + §2.5 F1/F2 + §2.2 R5: keyed inner join of two daily series,
     // rename, multiply, bround (half-even) — the reference's
     // prd_{sym}_price_{ccy} table (av_etl.py:186-195).
@@ -425,6 +432,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ts_ohlc_resample" ->
       """SELECT event_type, CAST(ts AS DATE) AS date,
+         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         arg_max(value, ts) AS close, count(*) AS volume
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ts_ohlc_resample_weekly" ->
+      """SELECT event_type, date_trunc('week', ts) AS week_start,
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
          arg_max(value, ts) AS close, count(*) AS volume
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

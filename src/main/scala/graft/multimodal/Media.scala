@@ -96,6 +96,28 @@ object Media {
     }
   }
 
+  /** Resize stage (STUB): a real impl re-encodes the payload at the target
+    * dimensions; the stub rewrites the declared metadata and truncates the
+    * payload proportionally so downstream stages see a consistent
+    * (smaller) byte stream. The Spark shape — binary→binary map with new
+    * meta — is what matters.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+             targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, _) = FakeCodec.decode(m.payload)
+        val scale = math.min(1.0,
+          (targetW.toLong * targetH).toDouble / math.max(1, w.toLong * h))
+        val keep = math.max(1, (m.payload.length * scale).toInt)
+        m.copy(payload = m.payload.take(keep),
+               format = s"${m.format}@${targetW}x$targetH")
+      }
+    }
+  }
+
   /** Fake feature extraction: fixed-dim float vector from byte statistics
     * (a real impl returns the model's embedding; the Spark shape —
     * binary in, float array out, batched per partition — is identical).

@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -27,9 +27,16 @@ object Ohlc {
     * window + row_number approach which would need a full shuffle+sort).
     */
   def dailyBars(ticks: DataFrame, seriesCols: Seq[String] = Seq("event_type"),
-                tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    val date = to_date(col(tsCol)).as("date")
-    val keys = seriesCols.map(col) :+ date
+                tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    bars(ticks, to_date(col(tsCol)).as("date"), seriesCols, tsCol, valueCol)
+
+  /** Generalized resample: any time bucket (day, week, hour, …) works the
+    * same way — the bucket is just the grouping expression.
+    */
+  def bars(ticks: DataFrame, bucket: Column,
+           seriesCols: Seq[String] = Seq("event_type"),
+           tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val keys = seriesCols.map(col) :+ bucket
     ticks.groupBy(keys: _*).agg(
       min_by(col(valueCol), col(tsCol)).as("open"),
       max(col(valueCol)).as("high"),
