@@ -84,6 +84,17 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // W1 at scale: the same SMA with the window keyed by series — the
+    // form every multi-series caller uses (one exchange on the series key,
+    // sort within partitions; no single-partition global window).
+    "ts_sma_multi_series" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select("event_type", "date", "close")
+      Ohlc.withSma(bars, 5, Seq("event_type"))
+        .select("event_type", "date", "close", "sma_5")
+        .orderBy("event_type", "date")
+    }),
+
     // §2.1 S4 / §2.7 W2: high-watermark scalar probe — max(date) of the
     // sink (av_etl.py:12-19; ORDER BY date DESC LIMIT 1 ≡ max(date)).
     "wm_watermark_max" -> ((s, dir) =>
@@ -467,6 +478,19 @@ object SparkEntry {
          WINDOW w5 AS (ORDER BY date ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
                 w20 AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
          ORDER BY date""",
+
+    "ts_sma_multi_series" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, date, close,
+           CASE WHEN count(close) OVER w5 = 5
+                THEN CAST(sum(CAST(close AS DECIMAL(18,4))) OVER w5 AS DOUBLE) / 5
+           END AS sma_5
+         FROM b
+         WINDOW w5 AS (PARTITION BY event_type ORDER BY date
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+         ORDER BY event_type, date""",
 
     "wm_watermark_max" ->
       "SELECT max(CAST(l_shipdate AS DATE)) AS watermark FROM lineitem",
