@@ -380,6 +380,15 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
         .orderBy("bucket")),
 
+    // Prune-then-verify over the LSH buckets: candidates share a sign-bit
+    // bucket (4 planes here so buckets stay populated), exact cosine
+    // verifies — the two-stage shape every at-scale near-dup pass uses.
+    "sim_hyperplane_neardup" -> ((s, dir) =>
+      graft.similarity.HyperplaneLsh
+        .nearDupPairs(Tables.embeddings(s, dir), nPlanes = 4, dim = 64,
+          minCosine = 0.30)
+        .orderBy("vec_a", "vec_b")),
+
     // North-star streaming: tumbling daily windows + watermark over the
     // events stream (Structured Streaming, memory sink; batch-equivalent
     // by construction, which is exactly what the oracle checks).
@@ -848,6 +857,27 @@ object SparkEntry {
       s"""SELECT bucket, count(*) AS n_vectors FROM (
             SELECT vec_id, $bits AS bucket FROM embeddings)
           GROUP BY 1 ORDER BY 1"""
+    },
+
+    "sim_hyperplane_neardup" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(4, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+        s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket
+                     FROM embeddings)
+          SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                   ${duckDot("a.embedding", "b2.embedding")}
+                     / (sqrt(${duckDot("a.embedding", "a.embedding")})
+                        * sqrt(${duckDot("b2.embedding", "b2.embedding")}))
+                     AS cosine
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket
+                               AND a.vec_id < b2.vec_id)
+          WHERE cosine >= 0.30
+          ORDER BY vec_a, vec_b"""
     },
 
     "stream_tumbling_daily" ->

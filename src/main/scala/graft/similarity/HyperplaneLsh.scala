@@ -40,4 +40,27 @@ object HyperplaneLsh {
     }.reduce(_ + _)
     vectors.select(col("vec_id"), sig.as("bucket"))
   }
+
+  /** Prune-then-verify near-dup search: candidate pairs share a bucket
+    * (the shuffle is the bucket self-join, not an O(n²) cross), then exact
+    * cosine verifies. Recall trades against `nPlanes` (more planes →
+    * smaller buckets → cheaper + lower recall), the standard LSH dial.
+    */
+  def nearDupPairs(vectors: DataFrame, nPlanes: Int, dim: Int,
+                   minCosine: Double): DataFrame = {
+    val sig = planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      when(VecOps.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = vectors.select(col("vec_id"), col("embedding"),
+                           sig.as("bucket"))
+    b.select(col("bucket"), col("vec_id").as("vec_a"),
+             col("embedding").as("emb_a"))
+      .join(b.select(col("bucket"), col("vec_id").as("vec_b"),
+                     col("embedding").as("emb_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VecOps.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
 }

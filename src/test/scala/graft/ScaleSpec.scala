@@ -26,6 +26,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == want && want > 0)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    import graft.olap.Bucketing
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "graft_li_b", "l_orderkey", 8)
+    Bucketing.writeBucketed(ord, "graft_ord_b", "o_orderkey", 8)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.table(spark, "graft_li_b")
+        .join(Bucketing.table(spark, "graft_ord_b"),
+              col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      // and it still returns the right rows
+      assert(joined.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("salted join is bit-identical to the plain join on skewed data") {
     import spark.implicits._
     // 90% of big-side rows share one key — the pathological case
