@@ -14,10 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** `path=None` → managed table in the warehouse; pass an explicit path
+    * for an external table (e.g. a per-run temp dir in tests — a managed
+    * table's warehouse directory outlives the in-memory metastore, and a
+    * fresh session then refuses the stale location).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").format("parquet").saveAsTable(table)
+                    buckets: Int, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)

@@ -30,8 +30,11 @@ class ScaleSpec extends AnyFunSuite {
     import graft.olap.Bucketing
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
-    Bucketing.writeBucketed(li, "graft_li_b", "l_orderkey", 8)
-    Bucketing.writeBucketed(ord, "graft_ord_b", "o_orderkey", 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    Bucketing.writeBucketed(li, "graft_li_b", "l_orderkey", 8,
+      Some(s"$tmp/li"))
+    Bucketing.writeBucketed(ord, "graft_ord_b", "o_orderkey", 8,
+      Some(s"$tmp/ord"))
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
