@@ -84,6 +84,29 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // §2.9 V2 data side / FIXTURES.md §C report frame: the joined derived
+    // table with NULL-gated SMAs over BOTH price columns — the exact table
+    // the reference's dual-axis report consumes (rendering stays out of
+    // engine scope per SURVEY §7.5).
+    "ts_report_frame" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val derived = Ohlc.ccyDerive(
+        Ohlc.dailyBars(ev.filter(col("event_type") === "purchase")),
+        Ohlc.dailyBars(ev.filter(col("event_type") === "view")))
+      val withCcySma =
+        Ohlc.withSma(Ohlc.withSma(derived, 5, Nil, "date", "close_price_ccy"),
+          20, Nil, "date", "close_price_ccy")
+          .withColumnRenamed("sma_5", "sma_5_ccy")
+          .withColumnRenamed("sma_20", "sma_20_ccy")
+      Ohlc.withSma(Ohlc.withSma(withCcySma, 5, Nil, "date", "close_price_usd"),
+          20, Nil, "date", "close_price_usd")
+        .withColumnRenamed("sma_5", "sma_5_usd")
+        .withColumnRenamed("sma_20", "sma_20_usd")
+        .select("date", "close_price_usd", "close_rate", "close_price_ccy",
+                "sma_5_ccy", "sma_20_ccy", "sma_5_usd", "sma_20_usd")
+        .orderBy("date")
+    }),
+
     // W1 at scale: the same SMA with the window keyed by series — the
     // form every multi-series caller uses (one exchange on the series key,
     // sort within partitions; no single-partition global window).
@@ -484,6 +507,35 @@ object SparkEntry {
                 THEN CAST(sum(CAST(close AS DECIMAL(18,4))) OVER w20 AS DOUBLE) / 20
            END AS sma_20
          FROM b
+         WINDOW w5 AS (ORDER BY date ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                w20 AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+         ORDER BY date""",
+
+    "ts_report_frame" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS date, arg_max(value, ts) AS close
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              f AS (SELECT CAST(ts AS DATE) AS date, arg_max(value, ts) AS close
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+              d AS (SELECT p.date AS date, p.close AS close_price_usd,
+                           f.close AS close_rate,
+                           round_even(CAST(p.close AS DECIMAL(18,2)) *
+                                      CAST(f.close AS DECIMAL(18,4)), 2)
+                             AS close_price_ccy
+                    FROM p JOIN f USING (date))
+         SELECT date, close_price_usd, close_rate, close_price_ccy,
+           CASE WHEN count(close_price_ccy) OVER w5 = 5
+                THEN CAST(sum(CAST(close_price_ccy AS DECIMAL(18,4))) OVER w5
+                          AS DOUBLE) / 5 END AS sma_5_ccy,
+           CASE WHEN count(close_price_ccy) OVER w20 = 20
+                THEN CAST(sum(CAST(close_price_ccy AS DECIMAL(18,4))) OVER w20
+                          AS DOUBLE) / 20 END AS sma_20_ccy,
+           CASE WHEN count(close_price_usd) OVER w5 = 5
+                THEN CAST(sum(CAST(close_price_usd AS DECIMAL(18,4))) OVER w5
+                          AS DOUBLE) / 5 END AS sma_5_usd,
+           CASE WHEN count(close_price_usd) OVER w20 = 20
+                THEN CAST(sum(CAST(close_price_usd AS DECIMAL(18,4))) OVER w20
+                          AS DOUBLE) / 20 END AS sma_20_usd
+         FROM d
          WINDOW w5 AS (ORDER BY date ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
                 w20 AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
          ORDER BY date""",
