@@ -152,6 +152,35 @@ object SparkEntry {
         .orderBy("ship_date")
     }),
 
+    // §2.8 I3: derived-table incremental rebuild — the ccy-derive join over
+    // ONLY the missing suffix: the watermark predicate lands on both source
+    // scans (filter-below-join), so the rebuild touches k days, not
+    // history (av_etl.py:158-172's LIMIT-k reads as key predicates).
+    "inc_derived_rebuild" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wm = ev.agg(date_sub(max(to_date(col("ts"))), 10).as("watermark"))
+      val recent = Watermark.newerThan(
+        ev.withColumn("date", to_date(col("ts"))), wm, "date").drop("date")
+      Ohlc.ccyDerive(
+          Ohlc.dailyBars(recent.filter(col("event_type") === "purchase")),
+          Ohlc.dailyBars(recent.filter(col("event_type") === "view")))
+        .select("date", "close_price_usd", "close_rate", "close_price_ccy")
+        .orderBy("date")
+    }),
+
+    // Sliding event-time windows (2-day windows, 1-day step): each event
+    // lands in two windows — the windowed-aggregation shape shared by the
+    // batch and streaming paths.
+    "ts_sliding_window_2d" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(Exact.cents(col("value"))).cast("double")./(lit(100.0))
+               .as("sum_value"))
+        .select(col("window.start").cast("date").as("window_start"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
     // §2.6 O2: sort + limit-k (top-k newest) — planned as
     // TakeOrderedAndProject (distributed per-partition top-k + merge,
     // no global sort).
@@ -574,6 +603,31 @@ object SparkEntry {
                             WHERE CAST(o_orderdate AS DATE)
                                   = CAST(l_shipdate AS DATE))
          ORDER BY 1""",
+
+    "inc_derived_rebuild" ->
+      """WITH wm AS (SELECT max(CAST(ts AS DATE)) - 10 AS watermark FROM events),
+              r AS (SELECT * FROM events
+                    WHERE CAST(ts AS DATE) > (SELECT watermark FROM wm)),
+              p AS (SELECT CAST(ts AS DATE) AS date, arg_max(value, ts) AS close
+                    FROM r WHERE event_type = 'purchase' GROUP BY 1),
+              f AS (SELECT CAST(ts AS DATE) AS date, arg_max(value, ts) AS close
+                    FROM r WHERE event_type = 'view' GROUP BY 1)
+         SELECT p.date AS date, p.close AS close_price_usd,
+                f.close AS close_rate,
+                round_even(CAST(p.close AS DECIMAL(18,2)) *
+                           CAST(f.close AS DECIMAL(18,4)), 2) AS close_price_ccy
+         FROM p JOIN f USING (date) ORDER BY date""",
+
+    "ts_sliding_window_2d" ->
+      """WITH e AS (SELECT event_type, value,
+                           unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                                   date_trunc('day', ts)]) AS wstart
+                    FROM events)
+         SELECT CAST(wstart AS DATE) AS window_start, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "sort_topk_newest" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
