@@ -134,7 +134,10 @@ object SparkEntry {
       val wm = li.agg(date_sub(max(col("ship_date")), 90).as("watermark"))
       Watermark.newerThan(li, wm, "ship_date")
         .select("l_orderkey", "l_linenumber", "ship_date", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this generator —
+        // order by every output column for a total order (identical full
+        // rows are then interchangeable)
+        .orderBy("l_orderkey", "l_linenumber", "ship_date", "l_quantity")
     }),
 
     // §2.8 I2: keyed idempotent append — incoming daily aggregates whose
@@ -189,8 +192,10 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
                 to_date(col("l_shipdate")).as("ship_date"),
                 col("l_extendedprice"))
+        // all four output columns in the sort: the limit boundary must
+        // not depend on tie order between duplicate (orderkey, linenumber)
         .orderBy(col("ship_date").desc, col("l_orderkey").asc,
-                 col("l_linenumber").asc)
+                 col("l_linenumber").asc, col("l_extendedprice").asc)
         .limit(100)),
 
     // §2.5 F3/F4: busday_count with holiday calendar — custom Catalyst
@@ -591,7 +596,7 @@ object SparkEntry {
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) >
                (SELECT max(CAST(l_shipdate AS DATE)) - 90 FROM lineitem)
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity""",
 
     "inc_idempotent_antijoin" ->
       """SELECT CAST(l_shipdate AS DATE) AS ship_date, count(*) AS n_items,
@@ -633,7 +638,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
                 l_extendedprice
          FROM lineitem
-         ORDER BY ship_date DESC, l_orderkey ASC, l_linenumber ASC
+         ORDER BY ship_date DESC, l_orderkey ASC, l_linenumber ASC,
+                  l_extendedprice ASC
          LIMIT 100""",
 
     "cal_busday_count" ->
