@@ -260,6 +260,28 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Distinct aggregation (planned as Expand + two-phase agg): exact
+    // distinct counts alongside plain counts.
+    "agg_distinct_parts" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // Rollup (grouping sets): per-(flag,status) + per-flag + grand total
+    // in one pass; grouping_id distinguishes the levels.
+    "agg_rollup_counts" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(Exact.cents(col("l_quantity"))).cast("double")./(lit(100.0))
+               .as("sum_qty"),
+             grouping_id().cast("long").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
     // Selective 3-way join + top-k (TPC-H Q3 shape): the customer dim is
     // broadcast (no shuffle of lineitem for it); orders⋈lineitem shuffles
     // on the order key; top-10 via TakeOrderedAndProject.
@@ -699,6 +721,21 @@ object SparkEntry {
           FROM lineitem
           WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-31'
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_qty,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS lvl
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY lvl, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
 
     "join_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
