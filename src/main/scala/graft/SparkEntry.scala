@@ -222,6 +222,32 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // §2.2 restructuring, pivot direction: long→wide with a FIXED value
+    // set (dynamic pivot would need a driver-side distinct pass; the
+    // explicit list keeps the plan static and the schema declared).
+    "restructure_pivot_daily" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .pivot("event_type",
+               Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("date")),
+
+    // §2.2 restructuring, unpivot direction: wide→long (the relational
+    // form of the reference's transpose at av_etl.py:76) — OHLC columns
+    // melt to (date, metric, value) rows.
+    "restructure_unpivot_ohlc" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"))
+      bars.select(col("date"), col("open"), col("high"), col("low"),
+                  col("close"))
+        .unpivot(Array(col("date")),
+                 Array(col("open"), col("high"), col("low"), col("close")),
+                 "metric", "value")
+        .orderBy("date", "metric")
+    }),
+
     // §2.2 R1–R4: map-of-maps JSON ingest — the Alpha Vantage wire format
     // decoded via from_json + explode(map_entries), string→double/long/date
     // casts (av_etl.py:76-81 semantics, distributed).
@@ -685,6 +711,27 @@ object SparkEntry {
          FROM daily
          WHERE date < (SELECT max(date) FROM daily) AND isodow(date) <= 5
          ORDER BY date""",
+
+    "restructure_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS date,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "restructure_unpivot_ohlc" ->
+      """WITH b AS (SELECT CAST(ts AS DATE) AS date,
+                           arg_min(value, ts) AS open, max(value) AS high,
+                           min(value) AS low, arg_max(value, ts) AS close
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT date, metric, value FROM (
+           SELECT date, 'open' AS metric, open AS value FROM b
+           UNION ALL SELECT date, 'high', high FROM b
+           UNION ALL SELECT date, 'low', low FROM b
+           UNION ALL SELECT date, 'close', close FROM b)
+         ORDER BY date, metric""",
 
     "ingest_av_json" -> {
       val path = "'$.\"Time Series (Daily)\".\"' || d || '\""
