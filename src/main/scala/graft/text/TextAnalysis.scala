@@ -31,13 +31,6 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
-  private def lit_array(xs: Seq[String]): String =
-    xs.map(s => s"'$s'").mkString("array(", ", ", ")")
-
-  /** Token count, stopword count, average token length. Counts are exact
-    * integers; avg_word_len is one double division (deterministic given the
-    * same integer inputs).
-    */
   /** One fused pass (graft.functions.TextStatsExpr) computes every count;
     * the derived columns are cheap field reads. The composable
     * regexp/lambda formulation of the same stats lives on in the DuckDB
@@ -108,13 +101,10 @@ object TextAnalysis {
     withScores.withColumn("predicted_lang", predicted)
   }
 
-  /** Document fingerprint: minimum rolling hash over word 3-shingles
-    * (SURVEY.md north-star "document fingerprinting (rolling hash)").
+  /** Document fingerprint: minimum rolling hash over word 3-shingles —
     * shingle_hash = ((h(w1)*31 + h(w2))*31 + h(w3)) mod p over the portable
-    * token hash; the fingerprint is the min across the document — a 1-word
-    * change flips the fingerprint only if it touches the minimal shingle.
-    */
-  /** Production fingerprint: one fused codegen'd expression (see
+    * token hash; a 1-word change flips the fingerprint only if it touches
+    * the minimal shingle. Production path is one fused codegen'd expression: one fused codegen'd expression (see
     * graft.functions.DocFingerprint for why).
     */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
