@@ -524,6 +524,13 @@ object SparkEntry {
           "value", gapSeconds = 1800)
         .orderBy("user_id", "session_seq")),
 
+    // North-star streaming: deduplication over an at-least-once stream —
+    // the fixture replayed twice (union) collapses back to exact counts
+    // via dropDuplicates on the event key (streaming form of I2).
+    "stream_dedup_replay" -> ((s, dir) =>
+      graft.streaming.EventStream.runDedupedCounts(s, dir)
+        .orderBy("event_type")),
+
     // North-star streaming: custom keyed state via flatMapGroupsWithState —
     // sessions spanning micro-batches, closed by gap or event-time timeout.
     // No SQL oracle (stateful streaming isn't SQL-expressible); the driver
@@ -1075,6 +1082,10 @@ object SparkEntry {
           WHERE cosine >= 0.30
           ORDER BY vec_a, vec_b"""
     },
+
+    "stream_dedup_replay" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_unique
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "stream_tumbling_daily" ->
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,

@@ -55,6 +55,28 @@ object EventStream {
       .select(to_date(col("window.start")).as("date"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Streaming deduplication (the exactly-once repair for at-least-once
+    * delivery): duplicate deliveries collapse on the event key before
+    * aggregation; with a watermark, Spark bounds the dedup state the same
+    * way the reference's PK bounds its append (SURVEY.md §2.8 I2, in
+    * streaming form). Replays the fixture through a union of two reads to
+    * simulate redelivery.
+    */
+  def runDedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_dedup"
+    val doubled = readEvents(spark, dir).unionByName(readEvents(spark, dir))
+    val q = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Run the daily aggregation over the fixture as a bounded streaming
     * query (complete mode → memory sink) and return the result table.
     * Append-mode watermark semantics are exercised in the spec with a
