@@ -29,33 +29,40 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            timeCol: String, payloadCols: Seq[String]): DataFrame = {
     val sideCol = "__graft_is_left"
-    val rightType = right.schema.map(f => f.name -> f.dataType).toMap
+    val packCol = "__graft_asof_pack"
     val leftType = left.schema.map(f => f.name -> f.dataType).toMap
     val carriedSrc = timeCol +: payloadCols
-    val carried = carriedSrc.map(c => s"asof_$c")
-    // typed nulls, so unionByName resolves (NullType wouldn't)
+    // the carried right-side columns ride in ONE struct: the struct itself
+    // is non-null for every right row, so last(ignoreNulls) always lands on
+    // the latest right row — per-column last() would skip a latest row
+    // whose payload value happens to be NULL and wrongly surface an older
+    // one. (Also: one window function instead of N.)
+    val packType = org.apache.spark.sql.types.StructType(
+      carriedSrc.map(c => right.schema(c)))
     val l = left
       .withColumn(sideCol, lit(1))
-      .withColumns(carriedSrc.map(c =>
-        s"asof_$c" -> lit(null).cast(rightType(c))).toMap)
+      .withColumn(packCol, lit(null).cast(packType))
     val r0 = right.select(
-      keyCols.map(col) ++ carriedSrc.map(c => col(c).as(s"asof_$c")): _*)
+      keyCols.map(col) :+
+        struct(carriedSrc.map(col): _*).cast(packType).as(packCol): _*)
     // right rows get the left schema's shape: missing left columns as null
     val extraLeftCols = l.columns.filterNot(c =>
-      keyCols.contains(c) || carried.contains(c) || c == sideCol)
+      keyCols.contains(c) || c == packCol || c == sideCol)
     val r = extraLeftCols.foldLeft(r0) { (df, c) =>
         df.withColumn(c, lit(null).cast(leftType(c)))
       }
       .withColumn(sideCol, lit(0))
-      .withColumn(timeCol, col(s"asof_$timeCol"))
+      .withColumn(timeCol, col(packCol).getField(timeCol))
       .select(l.columns.map(col): _*)
     // order right rows before left rows at equal time => `<=` semantics
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(sideCol) === 1).drop(sideCol)
+    val filled = l.unionByName(r)
+      .withColumn(packCol, last(col(packCol), ignoreNulls = true).over(w))
+    carriedSrc.foldLeft(filled.filter(col(sideCol) === 1)) { (df, c) =>
+        df.withColumn(s"asof_$c", col(packCol).getField(c))
+      }
+      .drop(sideCol, packCol)
   }
 }

@@ -31,6 +31,21 @@ class StreamAsofSpec extends AnyFunSuite {
                             3L -> None, 4L -> Some(5.0)))
   }
 
+  test("asOf: a latest right row with NULL payload yields NULL, not an older row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(7.0)),
+      (10L, ts("2024-01-01 11:00:00"), Option.empty[Double]) // latest, NULL
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", Seq("value"))
+      .collect()(0)
+    assert(got.isNullAt(got.fieldIndex("asof_value"))) // NOT 7.0
+    assert(got.getAs[java.sql.Timestamp]("asof_ts")
+      == ts("2024-01-01 11:00:00"))
+  }
+
   test("sessionize splits on gaps > threshold only") {
     import spark.implicits._
     val ev = Seq(
