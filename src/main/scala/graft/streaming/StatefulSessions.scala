@@ -58,8 +58,11 @@ object StatefulSessions {
       val us = toUs(e.ts)
       open match {
         case Some(s) if us - s.lastUs <= gapUs =>
-          open = Some(OpenSession(s.startUs, us, s.n + 1,
-            s.cents + cents(e.value)))
+          // max/min guards: the watermark drives timeouts but does NOT
+          // filter late rows before flatMapGroupsWithState — a late event
+          // inside the gap must extend the session, never shrink it
+          open = Some(OpenSession(math.min(s.startUs, us),
+            math.max(s.lastUs, us), s.n + 1, s.cents + cents(e.value)))
         case Some(s) =>
           closed += close(userId, s)
           open = Some(OpenSession(us, us, 1, cents(e.value)))
