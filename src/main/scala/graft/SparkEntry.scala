@@ -516,6 +516,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range (interval) join via time bucketing: views in the hour before
+    // each purchase, per user — equi-join on (user, hour-bucket) +
+    // residual predicate instead of the nested-loop/filter-after-key-join
+    // a naive range join produces.
+    "range_join_prior_views" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ts.RangeJoin.countEventsWithin(
+          anchors = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          events = ev.filter(col("event_type") === "view")
+            .select("user_id", "ts"),
+          keyCols = Seq("user_id"), idCol = "event_id",
+          anchorTs = "ts", eventTs = "ts",
+          lowerUs = -3600L * 1000000L, upperUs = 0L)
+        .orderBy("event_id")
+    }),
+
     // North-star streaming-adjacent: gap-based sessionization (30-min
     // inactivity gap) as lag + running session counter over one keyed
     // shuffle+sort.
@@ -1102,6 +1119,16 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY p.event_id""",
+
+    "range_join_prior_views" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+         SELECT p.event_id, count(v.ts) AS n_in_range
+         FROM p LEFT JOIN v
+           ON v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+         GROUP BY 1 ORDER BY 1""",
 
     "sessionize_events" ->
       """WITH x AS (SELECT user_id, ts, value,
