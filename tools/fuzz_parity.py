@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Cross-engine fuzz: random strings (unicode, punctuation, empties) through
+graft's portable hash expressions in Spark (via GraftExtensions SQL) and the
+DuckDB oracle formulations. 153/154 agreement as of round 1 — the single
+divergence is the empty string through the RAW char-fold fragment only
+(DuckDB string_split('','') edge); no oracle query hits it because token
+lists come from regexp_extract_all (never-empty tokens) and the media
+checksum is length-guarded.
+
+Usage: python3 tools/fuzz_parity.py   (needs sbt compile first)
+"""
+import random
+import subprocess
+
+import duckdb
+
+random.seed(42)
+ALPHABET = list("abc XYZ 019 .,;!?-_'\"\t\n\u00e9\u00fc\u4e2d\u6587\U0001F600")
+
+
+def main():
+    strs = ["", "a", "   ", "hello world"] + [
+        "".join(random.choice(ALPHABET) for _ in range(random.randint(1, 60)))
+        for _ in range(150)]
+
+    def esc(s):
+        return "'" + (s.replace("\\", "\\\\").replace("'", "\\'")
+                      .replace("\n", "\\n").replace("\t", "\\t")) + "'"
+
+    values = ",\n".join(f"({i}, {esc(s)})" for i, s in enumerate(strs))
+    sql = (f"CREATE TEMPORARY VIEW t AS SELECT * FROM VALUES {values} "
+           "AS t(id, s);\n"
+           "SELECT id, char_fold_hash(s), doc_fingerprint(s), simhash32(s) "
+           "FROM t ORDER BY id;")
+    open("/tmp/graft_fuzz.sql", "w").write(sql)
+    out = subprocess.run(
+        ["/opt/spark/bin/spark-sql", "--master", "local[2]",
+         "--conf", "spark.sql.extensions=graft.GraftExtensions",
+         "--driver-class-path", "target/scala-2.13/classes",
+         "-S", "-f", "/tmp/graft_fuzz.sql"],
+        capture_output=True, text=True)
+    spark_rows = {}
+    for line in out.stdout.splitlines():
+        parts = line.split("\t")
+        if len(parts) == 4 and parts[0].isdigit():
+            spark_rows[int(parts[0])] = tuple(int(x) for x in parts[1:])
+
+    con = duckdb.connect()
+    tok_hash = ("list_transform(regexp_extract_all(lower(s), '[a-z0-9]+'), "
+                "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                "list_transform(string_split(t, ''), "
+                "ch -> CAST(ord(ch) AS BIGINT))), "
+                "(h, c) -> (h * 31 + c) % 2147483647))")
+    char_fold = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 "list_transform(string_split(s, ''), "
+                 "ch -> CAST(ord(ch) AS BIGINT))), "
+                 "(h, c) -> (h * 31 + c) % 2147483647)")
+    simhash = ("list_sum(list_transform(generate_series(0, 31), b -> "
+               "CASE WHEN list_sum(list_transform(th, x -> "
+               "CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+               "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))")
+    fp = ("CASE WHEN len(th) >= 3 THEN list_min(list_transform("
+          "generate_series(1, len(th) - 2), i -> "
+          "((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647)) "
+          "ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+          "(a, b) -> a * 31 + b) % 2147483647 END")
+    mism = 0
+    for i, s in enumerate(strs):
+        con.execute("CREATE OR REPLACE TEMP TABLE one AS SELECT ? AS s", [s])
+        cf, = con.execute(
+            f"SELECT coalesce({char_fold}, 0) FROM one").fetchone()
+        th_fp, th_sh = con.execute(
+            f"WITH h AS (SELECT {tok_hash} AS th FROM one) "
+            f"SELECT coalesce({fp},0), coalesce({simhash},0) FROM h"
+        ).fetchone()
+        if spark_rows.get(i) != (cf, th_fp, th_sh) and s != "":
+            mism += 1
+            if mism <= 5:
+                print(f"MISMATCH id={i} s={s!r} "
+                      f"spark={spark_rows.get(i)} duck={(cf, th_fp, th_sh)}")
+    print(f"{len(strs) - 1 - mism}/{len(strs) - 1} non-empty strings agree")
+    return 1 if mism else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
