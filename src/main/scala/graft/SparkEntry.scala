@@ -222,6 +222,23 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // §2.5 F6 as data functions: the reference's casing/format ops
+    // (constants.py:9-11, data_viz titles) applied to a column — lower/
+    // upper/capitalize/concat (capitalize composed from substrings since
+    // not every engine ships initcap).
+    "fn_string_casing" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          lower(col("n_name")).as("lower_name"),
+          upper(col("n_name")).as("upper_name"),
+          expr("concat(upper(substr(lower(n_name), 1, 1)), substr(lower(n_name), 2))")
+            .as("capitalized"),
+          concat(lit("nation: "), lower(col("n_name")),
+                 lit(" ("), col("n_nationkey").cast("string"), lit(")"))
+            .as("label"),
+          length(col("n_name")).cast("long").as("name_len"))
+        .orderBy("n_nationkey")),
+
     // §2.2 restructuring, pivot direction: long→wide with a FIXED value
     // set (dynamic pivot would need a driver-side distinct pass; the
     // explicit list keeps the plan static and the schema declared).
@@ -735,6 +752,16 @@ object SparkEntry {
          FROM daily
          WHERE date < (SELECT max(date) FROM daily) AND isodow(date) <= 5
          ORDER BY date""",
+
+    "fn_string_casing" ->
+      """SELECT n_nationkey, lower(n_name) AS lower_name,
+                upper(n_name) AS upper_name,
+                concat(upper(substr(lower(n_name), 1, 1)),
+                       substr(lower(n_name), 2)) AS capitalized,
+                concat('nation: ', lower(n_name), ' (',
+                       CAST(n_nationkey AS VARCHAR), ')') AS label,
+                CAST(length(n_name) AS BIGINT) AS name_len
+         FROM nation ORDER BY n_nationkey""",
 
     "restructure_pivot_daily" ->
       """SELECT CAST(ts AS DATE) AS date,
