@@ -385,6 +385,28 @@ object SparkEntry {
         .select("keep_doc_id", "n_copies")
         .orderBy("keep_doc_id")),
 
+    // North-star dedup: normalization-then-exact — casefold + whitespace
+    // collapse before grouping (catches trivially-reformatted copies that
+    // byte-exact dedup misses; the cheap pass that runs before MinHash).
+    "dedup_normalized" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("norm_text"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+             count(lit(1)).as("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")),
+
+    // North-star text analysis: corpus vocabulary — token frequencies,
+    // top-k (explode → count → distributed top-k).
+    "text_vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(50)),
+
     // North-star text analysis: tokenization + whitespace/BPE-ish/stopword
     // counting.
     "text_token_stats" -> ((s, dir) =>
@@ -866,6 +888,18 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY 1""",
+
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents
+         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ORDER BY 1""",
+
+    "text_vocab_topk" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents)
+         GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50""",
 
     "text_token_stats" -> {
       val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
