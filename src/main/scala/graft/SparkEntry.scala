@@ -1077,19 +1077,26 @@ object SparkEntry {
           SELECT query_id, rank, vec_id, cosine FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    // Byte-exact frames: chunk the UTF-8 *byte* stream (512 hex chars =
+    // 256 bytes), mirroring Spark's payload.grouped(256); char-based
+    // substr would misalign frames on any non-ASCII text. CAST pins
+    // list_sum's HUGEINT to int64.
     "mm_frame_sample" ->
-      """WITH f AS (SELECT doc_id AS media_id, text,
-                           CAST(unnest(generate_series(0,
-                             CAST(floor((length(text) - 1) / 256.0) AS INT)))
-                             AS INT) AS frame_idx
-                    FROM documents WHERE length(text) > 0),
-            c AS (SELECT media_id, frame_idx,
-                         substr(text, frame_idx * 256 + 1, 256) AS chunk
-                  FROM f)
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents WHERE octet_length(encode(text)) > 0),
+             f AS (SELECT media_id, h,
+                          CAST(unnest(generate_series(0,
+                            CAST(floor((nb - 1) / 256.0) AS INT)))
+                            AS INT) AS frame_idx
+                   FROM hx),
+             c AS (SELECT media_id, frame_idx,
+                          substr(h, frame_idx * 512 + 1, 512) AS ch
+                   FROM f)
          SELECT media_id, frame_idx,
-                CAST(length(chunk) AS BIGINT) AS n_bytes,
-                list_sum(list_transform(string_split(chunk, ''),
-                  ch -> CAST(ascii(ch) AS BIGINT))) % 2147483647 AS checksum
+                CAST(length(ch) // 2 AS BIGINT) AS n_bytes,
+                CAST(list_sum(${duckHexBytes("ch")}) % 2147483647
+                     AS BIGINT) AS checksum
          FROM c ORDER BY media_id, frame_idx""",
 
     "sim_ivf_probe_topk" ->
@@ -1136,7 +1143,7 @@ object SparkEntry {
         s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
       }.mkString(" + ")
       s"""SELECT bucket, count(*) AS n_vectors FROM (
-            SELECT vec_id, $bits AS bucket FROM embeddings)
+            SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings)
           GROUP BY 1 ORDER BY 1"""
     },
 
@@ -1209,20 +1216,27 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // Byte-exact: enumerate the UTF-8 *bytes* of the payload (via hex
+    // expansion), matching Spark's cast-to-binary — not codepoints, which
+    // silently diverge the day a fixture gains non-ASCII text. The final
+    // CAST pins list_sum's HUGEINT to int64.
     "mm_media_meta" ->
-      """WITH b AS (SELECT doc_id AS media_id, 'txt' AS format,
-                           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                           list_transform(string_split(text, ''),
-                             ch -> CAST(ascii(ch) AS BIGINT)) AS bytes
-                    FROM documents)
+      s"""WITH hx AS (SELECT doc_id AS media_id, 'txt' AS format,
+                             hex(encode(text)) AS h,
+                             CAST(octet_length(encode(text)) AS BIGINT)
+                               AS n_bytes
+                      FROM documents),
+             b AS (SELECT media_id, format, n_bytes,
+                          ${duckHexBytes("h")} AS bytes
+                   FROM hx)
          SELECT media_id, format, n_bytes,
                 CAST(64 + CASE WHEN n_bytes > 0 THEN bytes[1] % 64
                                ELSE 0 END AS INT) AS width,
                 CAST(64 + CASE WHEN n_bytes > 0 THEN bytes[len(bytes)] % 64
                                ELSE 0 END AS INT) AS height,
-                CASE WHEN n_bytes > 0
-                     THEN list_sum(bytes) % 2147483647
-                     ELSE 0 END AS checksum
+                CAST(CASE WHEN n_bytes > 0
+                          THEN list_sum(bytes) % 2147483647
+                          ELSE 0 END AS BIGINT) AS checksum
          FROM b ORDER BY media_id""",
 
     "sim_ivf_assign" ->
@@ -1242,6 +1256,16 @@ object SparkEntry {
           GROUP BY 1 ORDER BY 1""",
   )
 
+  /** DuckDB fragment: decode a hex-string column `h` (as produced by
+    * `hex(encode(text))`) into its list of byte values — the portable way
+    * to enumerate UTF-8 bytes in DuckDB SQL, byte-exact vs Spark's
+    * `cast(text as binary)` payloads even on non-ASCII text.
+    */
+  private def duckHexBytes(h: String): String =
+    s"list_transform(generate_series(1, CAST(length($h) // 2 AS INT)), i -> " +
+      s"CAST((strpos('0123456789ABCDEF', substr($h, 2 * i - 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', substr($h, 2 * i, 1)) - 1) AS BIGINT))"
+
   /** DuckDB fragment: per-token portable polynomial hashes of `text`. */
   private val duckTokHashes: String =
     "list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> " +
@@ -1249,12 +1273,16 @@ object SparkEntry {
       "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
       "(h, c) -> (h * 31 + c) % 2147483647))"
 
-  /** DuckDB fragment: 32-bit simhash from a token-hash list column `th`. */
+  /** DuckDB fragment: 32-bit simhash from a token-hash list column `th`.
+    * The outer CAST pins the arrow type to int64: DuckDB types `list_sum`
+    * as HUGEINT (arrow decimal128), which hash-mismatches Spark's BIGINT
+    * even when every value is identical.
+    */
   private val duckSimhash: String =
-    "list_sum(list_transform(generate_series(0, 31), b -> " +
+    "CAST(list_sum(list_transform(generate_series(0, 31), b -> " +
       "CASE WHEN list_sum(list_transform(th, x -> " +
       "CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
-      "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))"
+      "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)"
 
   /** DuckDB fragment: sequential-fold dot product in double precision —
     * the same accumulation order as graft.functions.VecOps.dotProduct, so

@@ -5,8 +5,13 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query dumped by graft.Verify: load the Spark parquet result, run the
 oracle SQL in DuckDB with each fixture table registered as a view, sort
-columns by name, and compare cell-by-cell (exact for non-floats; exact-ish
-1e-12 relative for floats so a true bitwise mismatch is still flagged loudly).
+columns by name, and compare BOTH the arrow schema types (the driver hashes
+typed arrow data, so DuckDB HUGEINT vs Spark BIGINT fails even with identical
+values) and every cell (exact for non-floats; exact-ish 1e-12 relative for
+floats so a true bitwise mismatch is still flagged loudly).
+
+Exit is nonzero on any FAIL *or* any OK~ float near-miss — OK~ would fail the
+driver's hash compare, so automation must treat it as red.
 """
 import json
 import math
@@ -22,6 +27,19 @@ def norm(v):
     if isinstance(v, float):
         return v
     return v
+
+
+def _types_compatible(s_type, d_type):
+    """Both sides are normalized through DuckDB's type system (the Spark
+    result is re-read from parquet by DuckDB), so arrow-type equality is the
+    default. One relaxation, mirroring the driver's observed behavior: plain
+    integer-width differences (int32 vs int64) hash identically there
+    (values coerce to int64), while decimal128 (DuckDB HUGEINT) vs int64
+    does NOT — that was round 1's silent killer."""
+    if str(s_type) == str(d_type):
+        return True
+    import pyarrow.types as pt
+    return pt.is_integer(s_type) and pt.is_integer(d_type)
 
 
 def cells_equal(a, b):
@@ -46,6 +64,7 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
+    n_near = 0
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(
@@ -72,6 +91,31 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
             n_bad += 1
             continue
+        # type-strict: the driver hashes typed arrow batches, so a DuckDB
+        # HUGEINT (decimal128) against a Spark int64 is a red row even when
+        # every value matches. Compare arrow types column-by-column.
+        try:
+            s_schema = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in spark_cols)
+                + " FROM spark_rel LIMIT 0").arrow().schema
+            d_schema = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in duck_cols)
+                + " FROM duck_rel LIMIT 0").arrow().schema
+            type_mism = [
+                (c, str(s_schema.field(c).type), str(d_schema.field(c).type))
+                for c in spark_cols
+                if not _types_compatible(s_schema.field(c).type,
+                                         d_schema.field(c).type)]
+        except Exception as e:
+            print(f"FAIL {name}: arrow schema fetch error: {e}")
+            n_bad += 1
+            continue
+        if type_mism:
+            c, st, dt = type_mism[0]
+            print(f"FAIL {name}: arrow type mismatch col {c}: "
+                  f"spark={st} duck={dt}")
+            n_bad += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} "
                   f"duck={len(duck_rows)}")
@@ -95,11 +139,15 @@ def main(sf_dir, out_dir):
                   f"spark={bad[2]!r} duck={bad[3]!r}")
             n_bad += 1
         else:
+            if not exact:
+                n_near += 1
             tag = "OK  " if exact else "OK~ (float near-miss — NOT bitwise!)"
             print(f"{tag} {name}: {len(spark_rows)} rows, "
                   f"{len(spark_cols)} cols")
-    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match")
-    return 1 if n_bad else 0
+    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match"
+          + (f" ({n_near} only approximately — treated as FAILING)"
+             if n_near else ""))
+    return 1 if (n_bad or n_near) else 0
 
 
 if __name__ == "__main__":
