@@ -1172,6 +1172,42 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
          FROM events GROUP BY 1 ORDER BY 1""",
 
+    // The stateful sessionizer's emitted set is deterministic: every
+    // gap-closed session (a later same-user event exists past the gap),
+    // plus each user's final session iff its event-time timeout
+    // (session_end + gap, in ms — Spark tracks watermarks in millis) is
+    // strictly below the final watermark (max ts - 1 hour). Expressed as
+    // the batch sessionize SQL plus that one filter.
+    "stream_sessionize_stateful" ->
+      """WITH x AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              y AS (SELECT user_id, ts, value,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                    FROM x),
+              s AS (SELECT user_id, session_seq,
+                      min(ts) AS session_start, max(ts) AS session_end,
+                      count(*) AS n_events,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        AS sum_value
+                    FROM y GROUP BY 1, 2),
+              s2 AS (SELECT *,
+                       max(session_seq) OVER (PARTITION BY user_id)
+                         AS last_seq
+                     FROM s),
+              m AS (SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms
+                    FROM events)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM s2, m
+         WHERE session_seq < last_seq
+            OR (epoch_us(session_end) // 1000) + 1800000 < wm_ms
+         ORDER BY user_id, session_start""",
+
     "stream_tumbling_daily" ->
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

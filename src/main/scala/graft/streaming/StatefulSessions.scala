@@ -95,9 +95,13 @@ object StatefulSessions {
   }
 
   /** Replay the fixture events through the stateful sessionizer (bounded
-    * source → memory sink). Only gap-closed sessions are emitted; each
-    * user's final session stays open in state (its timeout fires beyond
-    * the replay's watermark), which is the honest streaming answer.
+    * source → memory sink). Emitted: every gap-closed session, plus each
+    * user's final session iff its event-time timeout (session_end + gap)
+    * falls below the final watermark (max ts - 1 hour) — those fire in the
+    * no-data micro-batch after the last data batch. Final sessions inside
+    * the watermark horizon stay open in state, the honest streaming answer.
+    * This emitted set is deterministic and SQL-expressible (see the
+    * stream_sessionize_stateful oracle in SparkEntry).
     */
   def runOverFixture(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_sessions"
