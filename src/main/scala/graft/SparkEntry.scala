@@ -207,6 +207,19 @@ object SparkEntry {
           col("start_date"), date_add(col("start_date"), 30)))
         .orderBy("start_date")),
 
+    // §2.5 F3/F4 at full fidelity: the same codegen busday expression over
+    // the rule-generated NYSE trading calendar (MLK, Presidents, Good
+    // Friday via computus, Memorial, Juneteenth, Labor, Thanksgiving,
+    // observed-date shifts, ad-hoc closures) — the reference's
+    // mcal.get_calendar('NYSE').holidays() as data (av_etl.py:50-51).
+    "cal_busday_nyse" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("start_date")).distinct()
+        .withColumn("busdays", BusdayCount.busday_count(
+          col("start_date"), date_add(col("start_date"), 30),
+          graft.cal.NyseCalendar.default))
+        .orderBy("start_date")),
+
     // §2.5 F5 + §2.3 P3: weekday predicate + drop-newest-row filter (the
     // reference's still-forming-bar drop, av_etl.py:123-127).
     "cal_weekday_filter" -> ((s, dir) => {
@@ -271,6 +284,14 @@ object SparkEntry {
     "ingest_av_json" -> ((s, dir) =>
       AvJson.parseDailyBars(AvJson.equityFixtureDf(s), "payload",
                             "Time Series (Daily)", withVolume = true)
+        .orderBy("date")),
+
+    // §2.2 ingest, FX variant (av_etl.py:113-121): "Time Series FX
+    // (Daily)" outer key, four metrics, no volume — the reference's
+    // second of two extract paths.
+    "ingest_av_fx_json" -> ((s, dir) =>
+      AvJson.parseDailyBars(AvJson.fxFixtureDf(s), "payload",
+                            "Time Series FX (Daily)", withVolume = false)
         .orderBy("date")),
 
     // JSON field extraction over a data column (events.props) + group-agg;
@@ -767,6 +788,25 @@ object SparkEntry {
                        (month(day) = 12 AND day(day) = 25))) AS INT) AS busdays
          FROM g GROUP BY 1 ORDER BY 1""",
 
+    // The oracle carries the same explicit holiday-date list the engine
+    // generated (both sides then agree by construction on the *rules*,
+    // which the spec pins independently against hand-written NYSE dates).
+    "cal_busday_nyse" -> {
+      val dates = graft.cal.NyseCalendar.defaultDateLiterals
+        .map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS start_date
+                     FROM orders),
+               g AS (SELECT start_date,
+                            CAST(unnest(generate_series(start_date,
+                                 start_date + 29, INTERVAL 1 DAY)) AS DATE)
+                              AS day
+                     FROM d)
+          SELECT start_date,
+                 CAST(count(*) FILTER (WHERE isodow(day) <= 5
+                        AND day NOT IN ($dates)) AS INT) AS busdays
+          FROM g GROUP BY 1 ORDER BY 1"""
+    },
+
     "cal_weekday_filter" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS date, count(*) AS n_events
                         FROM events GROUP BY 1)
@@ -817,6 +857,19 @@ object SparkEntry {
                  CAST(j->>($path."3. low"') AS DOUBLE) AS low,
                  CAST(j->>($path."4. close"') AS DOUBLE) AS close,
                  CAST(j->>($path."5. volume"') AS BIGINT) AS volume
+          FROM k ORDER BY date"""
+    },
+
+    "ingest_av_fx_json" -> {
+      val path = "'$.\"Time Series FX (Daily)\".\"' || d || '\""
+      s"""WITH p AS (SELECT '${AvJson.fxFixture}' AS j),
+               k AS (SELECT unnest(json_keys(j, '$$."Time Series FX (Daily)"')) AS d, j
+                     FROM p)
+          SELECT CAST(d AS DATE) AS date,
+                 CAST(j->>($path."1. open"') AS DOUBLE) AS open,
+                 CAST(j->>($path."2. high"') AS DOUBLE) AS high,
+                 CAST(j->>($path."3. low"') AS DOUBLE) AS low,
+                 CAST(j->>($path."4. close"') AS DOUBLE) AS close
           FROM k ORDER BY date"""
     },
 

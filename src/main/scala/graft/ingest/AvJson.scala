@@ -76,4 +76,27 @@ object AvJson {
     import spark.implicits._
     Seq(equityFixture).toDF("payload")
   }
+
+  /** Checked-in FX fixture — the reference's second of two extract paths
+    * (av_etl.py:113-121): `FX_DAILY` payloads keyed `"Time Series FX
+    * (Daily)"` with four metrics and NO volume field. Same wire shape
+    * otherwise (string-encoded numbers, newest-first key order).
+    */
+  val fxFixture: String =
+    """{"Meta Data": {"2. From Symbol": "USD", "3. To Symbol": "PLN", "5. Last Refreshed": "2026-08-07 21:05:00"},
+      |"Time Series FX (Daily)": {
+      |"2026-08-07": {"1. open": "3.91200", "2. high": "3.94550", "3. low": "3.90110", "4. close": "3.93880"},
+      |"2026-08-06": {"1. open": "3.90450", "2. high": "3.92270", "3. low": "3.89760", "4. close": "3.91180"},
+      |"2026-08-05": {"1. open": "3.92810", "2. high": "3.93400", "3. low": "3.90020", "4. close": "3.90470"},
+      |"2026-08-04": {"1. open": "3.95130", "2. high": "3.96880", "3. low": "3.92260", "4. close": "3.92850"},
+      |"2026-08-03": {"1. open": "3.93670", "2. high": "3.95720", "3. low": "3.93210", "4. close": "3.95100"},
+      |"2026-07-31": {"1. open": "3.97040", "2. high": "3.97550", "3. low": "3.93330", "4. close": "3.93700"},
+      |"2026-07-30": {"1. open": "3.94880", "2. high": "3.97940", "3. low": "3.94410", "4. close": "3.97060"},
+      |"2026-07-29": {"1. open": "3.96230", "2. high": "3.96890", "3. low": "3.93960", "4. close": "3.94900"}}}"""
+      .stripMargin.replace("\n", " ")
+
+  def fxFixtureDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(fxFixture).toDF("payload")
+  }
 }

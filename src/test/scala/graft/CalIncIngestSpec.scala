@@ -30,6 +30,67 @@ class CalIncIngestSpec extends AnyFunSuite {
     assert(BusdayCount.count(day("1995-01-31"), day("1995-01-01"), h) == -22)
   }
 
+  test("NYSE calendar matches the exchange's published dates, 2020-2026") {
+    import graft.cal.NyseCalendar
+    // hand-written from the NYSE's published holiday schedule (observed
+    // dates) — independent of the rule implementation under test. Notable
+    // edges: 2021-07-05 (Jul 4 Sun->Mon), 2021-12-24 (Christmas Sat->Fri),
+    // 2022 has NO New Year's closure (Jan 1 Saturday), 2022-06-20
+    // (first NYSE Juneteenth, Sun->Mon), 2025-01-09 (Carter mourning).
+    val published = Seq(
+      "2020-01-01", "2020-01-20", "2020-02-17", "2020-04-10", "2020-05-25",
+      "2020-07-03", "2020-09-07", "2020-11-26", "2020-12-25",
+      "2021-01-01", "2021-01-18", "2021-02-15", "2021-04-02", "2021-05-31",
+      "2021-07-05", "2021-09-06", "2021-11-25", "2021-12-24",
+      "2022-01-17", "2022-02-21", "2022-04-15", "2022-05-30", "2022-06-20",
+      "2022-07-04", "2022-09-05", "2022-11-24", "2022-12-26",
+      "2023-01-02", "2023-01-16", "2023-02-20", "2023-04-07", "2023-05-29",
+      "2023-06-19", "2023-07-04", "2023-09-04", "2023-11-23", "2023-12-25",
+      "2024-01-01", "2024-01-15", "2024-02-19", "2024-03-29", "2024-05-27",
+      "2024-06-19", "2024-07-04", "2024-09-02", "2024-11-28", "2024-12-25",
+      "2025-01-01", "2025-01-09", "2025-01-20", "2025-02-17", "2025-04-18",
+      "2025-05-26", "2025-06-19", "2025-07-04", "2025-09-01", "2025-11-27",
+      "2025-12-25",
+      "2026-01-01", "2026-01-19", "2026-02-16", "2026-04-03", "2026-05-25",
+      "2026-06-19", "2026-07-03", "2026-09-07", "2026-11-26", "2026-12-25",
+    ).map(day)
+    assert(NyseCalendar.holidays(2020, 2026).toSeq == published.sorted)
+    // rule-era edges: MLK joins the calendar in 1998, not before
+    assert(!NyseCalendar.holidayDates(1997).contains(
+      java.time.LocalDate.of(1997, 1, 20)))
+    assert(NyseCalendar.holidayDates(1998).contains(
+      java.time.LocalDate.of(1998, 1, 19)))
+    // ad-hoc closures land in their years
+    assert(NyseCalendar.holidayDates(1994).contains(
+      java.time.LocalDate.of(1994, 4, 27)))
+    assert(NyseCalendar.holidayDates(2001).contains(
+      java.time.LocalDate.of(2001, 9, 14)))
+    // computus spot-checks via Good Friday
+    assert(NyseCalendar.easterSunday(1999) ==
+      java.time.LocalDate.of(1999, 4, 4))
+    assert(NyseCalendar.easterSunday(2035) ==
+      java.time.LocalDate.of(2035, 3, 25))
+  }
+
+  test("busday_count over the NYSE calendar matches np.busday_count goldens") {
+    import graft.cal.NyseCalendar
+    val h = NyseCalendar.holidays(2020, 2026)
+    // goldens from np.busday_count(start, end, holidays=<the hand-written
+    // published list above>) — generated independently of NyseCalendar
+    val cases = Seq(
+      ("2020-01-01", "2020-12-31", 252),
+      ("2021-12-20", "2022-01-10", 14), // Sat New Year: no closure
+      ("2022-06-10", "2022-07-08", 18), // first Juneteenth + July 4
+      ("2024-03-25", "2024-04-02", 5),  // Good Friday week
+      ("2025-01-02", "2025-02-01", 20), // Carter mourning + MLK
+      ("2025-12-20", "2026-01-05", 8),
+      ("2023-11-20", "2023-11-27", 4),  // Thanksgiving
+      ("2026-07-01", "2026-07-10", 6))  // observed Friday Jul 3
+    cases.foreach { case (s, e, want) =>
+      assert(BusdayCount.count(day(s), day(e), h) == want, s"$s..$e")
+    }
+  }
+
   test("busday_count expression works through codegen on a DataFrame") {
     import spark.implicits._
     val df = Seq(("1995-12-20", "1996-01-05"), ("2001-08-06", "2001-08-13"))
@@ -82,5 +143,17 @@ class CalIncIngestSpec extends AnyFunSuite {
       "Time Series FX (Daily)", withVolume = false)
     assert(!df.columns.contains("volume"))
     assert(df.collect()(0).getAs[Double]("close") == 4.0050)
+  }
+
+  test("checked-in FX fixture parses to 8 4-metric bars (av_etl.py:113-121)") {
+    val bars = AvJson.parseDailyBars(AvJson.fxFixtureDf(spark),
+      "payload", "Time Series FX (Daily)", withVolume = false)
+      .orderBy("date")
+    val got = bars.collect()
+    assert(got.length == 8)
+    assert(bars.columns.toSeq == Seq("date", "open", "high", "low", "close"))
+    assert(got.head.getAs[java.sql.Date]("date").toString == "2026-07-29")
+    assert(got.head.getAs[Double]("open") == 3.96230)
+    assert(got.last.getAs[Double]("close") == 3.93880)
   }
 }
