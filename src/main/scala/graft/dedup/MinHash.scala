@@ -125,6 +125,11 @@ object MinHash {
       // docs with <3 tokens have no shingles: every component is the
       // sentinel, which would spuriously bucket them all together
       .filter(element_at(col("sig"), 1) =!= lit(P))
+      // materialize the bucket frame once: both sides of the self-join
+      // read it from cache, so the corpus is scanned (and every signature
+      // computed) exactly once — the single-job equivalent of
+      // pre-materializing the signature table at real scale
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))

@@ -46,10 +46,14 @@ object Similarity {
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(c))
       .withColumn("cosine", VecOps.cosine(col("embedding"), col("emb_cent")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("centroid_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
+    // argmax as max_by, not a row_number window: partial-aggregable, so
+    // the n_vectors×n_centroids scored rows combine map-side and only one
+    // pre-reduced row per vector shuffles — a window would move them all.
+    // Tie-break to the lower centroid id via the negated field.
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cosine"), (-col("centroid_id")).as("neg")))
+        .as("centroid_id"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_assigned"))
   }
@@ -66,14 +70,17 @@ object Similarity {
                    queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val c = centroids.select(col("vec_id").as("centroid_id"),
                              col("embedding").as("emb_cent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("centroid_id").asc)
+    // same max_by argmax as ivfAssign (map-side partial agg, no window
+    // shuffle of the scored cross product); the vector's embedding rides
+    // in the max_by payload so no rejoin is needed.
     val assigned = corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(c))
       .withColumn("cosine", VecOps.cosine(col("embedding"), col("emb_cent")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("centroid_id", "vec_id", "embedding")
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("embedding")),
+        struct(col("cosine"), (-col("centroid_id")).as("neg"))).as("b"))
+      .select(col("b.centroid_id").as("centroid_id"), col("vec_id"),
+              col("b.embedding").as("embedding"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("centroid_id").asc)
     val probes = queries.select(col("vec_id").as("query_id"),

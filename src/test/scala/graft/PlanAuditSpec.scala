@@ -7,6 +7,31 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("IVF argmax stages are partial-aggregable max_by, not window shuffles") {
+    // assignment: no window at all — the n×k scored rows must pre-reduce
+    // map-side (partial_max_by) so only one row per vector shuffles
+    val assign = SparkEntry.queries("sim_ivf_assign")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!assign.contains("Window"), "assignment must not use a window")
+    assert(assign.contains("partial_max_by"),
+      "assignment argmax must partial-aggregate map-side")
+    // probe: the per-query windows (tiny query set) are fine, but the
+    // corpus-side assignment stage must not window-partition by vec_id
+    val probe = SparkEntry.queries("sim_ivf_probe_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("partial_max_by"))
+    assert(!probe.contains("windowspecdefinition(vec_id"),
+      "corpus assignment must not shuffle through a vec_id window")
+  }
+
+  test("MinHash self-join reads the bucket frame from cache (one corpus scan)") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      "both join sides must read the persisted bucket frame")
+  }
+
   test("audit plans") {
     for (q <- Seq("inc_idempotent_antijoin", "dedup_minhash_lsh",
                   "sim_bruteforce_topk", "asof_join_latest_view")) {
