@@ -406,12 +406,17 @@ object SparkEntry {
         .select("keep_doc_id", "n_copies")
         .orderBy("keep_doc_id")),
 
-    // North-star dedup: normalization-then-exact — casefold + whitespace
-    // collapse before grouping (catches trivially-reformatted copies that
-    // byte-exact dedup misses; the cheap pass that runs before MinHash).
+    // North-star dedup: normalization-then-exact — ASCII casefold +
+    // whitespace collapse before grouping (catches trivially-reformatted
+    // copies that byte-exact dedup misses; the cheap pass before MinHash).
+    // The whitespace class is written out explicitly: Java \s and RE2 \s
+    // disagree on vertical tab, so both engines get the same 6 characters.
     "dedup_normalized" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .groupBy(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        .groupBy(trim(regexp_replace(
+            translate(col("text"), TextAnalysis.asciiUpper,
+              TextAnalysis.asciiLower),
+            "[ \\t\\n\\r\\f\\x0B]+", " "))
           .as("norm_text"))
         .agg(min(col("doc_id")).as("keep_doc_id"),
              count(lit(1)).as("n_copies"))
@@ -942,22 +947,24 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY 1""",
 
+    // explicit whitespace class (Java \s vs RE2 \s disagree on \x0B);
+    // ASCII fold via translate, matching the engine's tokenizer contract
     "dedup_normalized" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents
-         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         GROUP BY trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+', ' ', 'g'))
          ORDER BY 1""",
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (
-           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
            FROM documents)
          GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50""",
 
     "text_token_stats" -> {
       val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, text,
-                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                            regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
                      FROM documents)
           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                  CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
@@ -976,7 +983,7 @@ object SparkEntry {
     "text_quality" -> {
       val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, text,
-                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                            regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
                      FROM documents),
                r AS (SELECT doc_id,
                             CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1009,7 +1016,7 @@ object SparkEntry {
         s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
       }.mkString("\n                 ")
       s"""WITH t AS (SELECT doc_id,
-                            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                            regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
                      FROM documents),
                sc AS (SELECT doc_id,
                  $scoreCols
@@ -1357,7 +1364,7 @@ object SparkEntry {
 
   /** DuckDB fragment: per-token portable polynomial hashes of `text`. */
   private val duckTokHashes: String =
-    "list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> " +
+    "list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+'), t -> " +
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
       "(h, c) -> (h * 31 + c) % 2147483647))"

@@ -14,12 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased alphanumeric tokens. regexp_extract_all (RE2-compatible
-    * pattern, ASCII classes) so Spark's Java regex and other engines agree
-    * on edge cases — unlike split(), which emits empty boundary tokens.
+  /** The engine's tokenizer contract, stated once: case folding is
+    * ASCII-ONLY (A-Z → a-z via translate, not full-Unicode lower()), and
+    * tokens are maximal [a-z0-9]+ runs. The fused codegen expressions
+    * (TextStatsExpr, DocFingerprintExpr, MinHash, SimHash) implement
+    * exactly this; full-Unicode lower() would diverge on characters whose
+    * lowercase is ASCII (e.g. Kelvin K U+212A → 'k'), silently breaking
+    * fused-vs-composable and Spark-vs-oracle bitwise parity.
+    */
+  val asciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  val asciiLower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** ASCII-folded alphanumeric tokens per the contract above.
+    * regexp_extract_all (RE2-compatible pattern, ASCII classes) so Spark's
+    * Java regex and other engines agree on edge cases — unlike split(),
+    * which emits empty boundary tokens.
     */
   def tokens(textCol: String): Column =
-    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    expr(s"regexp_extract_all(translate($textCol, '$asciiUpper', " +
+      s"'$asciiLower'), '[a-z0-9]+', 0)")
 
   /** Portable polynomial string hash — see graft.functions.CharFold (a
     * codegen'd expression; the lambda-based formulation of the same fold

@@ -1,11 +1,11 @@
 #!/usr/bin/env python3
-"""Cross-engine fuzz: random strings (unicode, punctuation, empties) through
-graft's portable hash expressions in Spark (via GraftExtensions SQL) and the
-DuckDB oracle formulations. 153/154 agreement as of round 1 — the single
-divergence is the empty string through the RAW char-fold fragment only
-(DuckDB string_split('','') edge); no oracle query hits it because token
-lists come from regexp_extract_all (never-empty tokens) and the media
-checksum is length-guarded.
+"""Cross-engine fuzz: random strings (unicode incl. uppercase chars with
+ASCII lowercase, punctuation, empties) through graft's portable hash
+expressions in Spark (via GraftExtensions SQL) and the DuckDB oracle
+formulations. 153/153 non-empty agreement as of round 2 (the empty string
+is excluded: it hits DuckDB's string_split('','') edge in the RAW char-fold
+fragment only; no oracle query reaches it because token lists come from
+regexp_extract_all and the media checksum is length-guarded).
 
 Usage: python3 tools/fuzz_parity.py   (needs sbt compile first)
 """
@@ -15,7 +15,11 @@ import subprocess
 import duckdb
 
 random.seed(42)
-ALPHABET = list("abc XYZ 019 .,;!?-_'\"\t\n\u00e9\u00fc\u4e2d\u6587\U0001F600")
+# includes uppercase characters whose *full-Unicode* lowercase is ASCII
+# (Kelvin K U+212A -> 'k', dotted I U+0130) \u2014 these catch any drift from
+# the engine's declared ASCII-only folding contract (translate, not lower)
+ALPHABET = list("abc XYZ 019 .,;!?-_'\"\t\n\u00e9\u00fc\u4e2d\u6587"
+                "\U0001F600\u212a\u0130\u00c9\u00dc")
 
 
 def main():
@@ -46,7 +50,11 @@ def main():
             spark_rows[int(parts[0])] = tuple(int(x) for x in parts[1:])
 
     con = duckdb.connect()
-    tok_hash = ("list_transform(regexp_extract_all(lower(s), '[a-z0-9]+'), "
+    # ASCII-only fold via translate — the tokenizer contract; full-Unicode
+    # lower() would fold e.g. U+212A to 'k' and diverge from the engine
+    tok_hash = ("list_transform(regexp_extract_all("
+                "translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                "'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+'), "
                 "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
                 "list_transform(string_split(t, ''), "
                 "ch -> CAST(ord(ch) AS BIGINT))), "
