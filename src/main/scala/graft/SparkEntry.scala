@@ -37,9 +37,12 @@ object SparkEntry {
     val ev = Tables.events(spark, dir)
     val price = Ohlc.dailyBars(ev.filter(col("event_type") === "purchase"))
     val fx = Ohlc.dailyBars(ev.filter(col("event_type") === "view"))
-    val derived = Ohlc.ccyDerive(price, fx)
-    val s5 = Ohlc.withSma(derived, 5, Nil, "date", "close_price_ccy")
-    Ohlc.withSma(s5, 20, Nil, "date", "close_price_ccy")
+    // the price-side series key rides through the join so the SMA windows
+    // partition on a real data column (see Ohlc.ccyDerive carryCols)
+    val derived = Ohlc.ccyDerive(price, fx, carryCols = Seq("event_type"))
+    val s5 = Ohlc.withSma(derived, 5, Seq("event_type"), "date",
+      "close_price_ccy")
+    Ohlc.withSma(s5, 20, Seq("event_type"), "date", "close_price_ccy")
       .select("date", "close_price_usd", "close_rate", "close_price_ccy",
               "sma_5", "sma_20")
       .orderBy("date")
@@ -78,8 +81,11 @@ object SparkEntry {
     // until n predecessors exist).
     "ts_sma" -> ((s, dir) => {
       val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
-      val bars = Ohlc.dailyBars(ev).select("date", "close")
-      Ohlc.withSma(Ohlc.withSma(bars, 5), 20)
+      // the real series column keys the window even with one series, so
+      // this plan is literally the multi-series plan at width 1
+      val bars = Ohlc.dailyBars(ev).select("event_type", "date", "close")
+      Ohlc.withSma(Ohlc.withSma(bars, 5, Seq("event_type")), 20,
+          Seq("event_type"))
         .select("date", "close", "sma_5", "sma_20")
         .orderBy("date")
     }),
@@ -92,14 +98,16 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val derived = Ohlc.ccyDerive(
         Ohlc.dailyBars(ev.filter(col("event_type") === "purchase")),
-        Ohlc.dailyBars(ev.filter(col("event_type") === "view")))
+        Ohlc.dailyBars(ev.filter(col("event_type") === "view")),
+        carryCols = Seq("event_type"))
+      val k = Seq("event_type") // real series key -> partitioned windows
       val withCcySma =
-        Ohlc.withSma(Ohlc.withSma(derived, 5, Nil, "date", "close_price_ccy"),
-          20, Nil, "date", "close_price_ccy")
+        Ohlc.withSma(Ohlc.withSma(derived, 5, k, "date", "close_price_ccy"),
+          20, k, "date", "close_price_ccy")
           .withColumnRenamed("sma_5", "sma_5_ccy")
           .withColumnRenamed("sma_20", "sma_20_ccy")
-      Ohlc.withSma(Ohlc.withSma(withCcySma, 5, Nil, "date", "close_price_usd"),
-          20, Nil, "date", "close_price_usd")
+      Ohlc.withSma(Ohlc.withSma(withCcySma, 5, k, "date", "close_price_usd"),
+          20, k, "date", "close_price_usd")
         .withColumnRenamed("sma_5", "sma_5_usd")
         .withColumnRenamed("sma_20", "sma_20_usd")
         .select("date", "close_price_usd", "close_rate", "close_price_ccy",

@@ -55,16 +55,20 @@ object Ohlc {
     * partitionings — a double sum would drift in the low bits), then cast
     * back to double for the division.
     *
-    * `partitionCols` keys the window; an empty seq means a single global
-    * window — fine for one bar series (O(10^3) rows/decade even at 100 TB of
-    * ticks, because bars are already one row per day), but every multi-series
-    * caller must partition to keep the sort distributed.
+    * `partitionCols` keys the window; an empty seq means a single series —
+    * fine for one bar frame (O(10^3) rows/decade even at 100 TB of ticks,
+    * because bars are already one row per day), but every multi-series
+    * caller must partition to keep the sort distributed. Even the
+    * single-series case partitions (by a constant) so the plan is always a
+    * *partitioned* WindowExec — same one-partition distribution, but the
+    * plan shape stays uniform with the multi-series form and Spark's
+    * "No Partition Defined" degradation warning can't fire.
     */
   def withSma(bars: DataFrame, n: Int, partitionCols: Seq[String] = Nil,
               orderCol: String = "date", closeCol: String = "close"): DataFrame = {
-    val base =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val partKeys =
+      if (partitionCols.isEmpty) Seq(lit(true)) else partitionCols.map(col)
+    val base = Window.partitionBy(partKeys: _*).orderBy(col(orderCol))
     val w = base.rowsBetween(-n, -1)
     val cnt = count(col(closeCol)).over(w)
     val sumDec = sum(col(closeCol).cast(DecimalType(18, 4))).over(w)
@@ -83,8 +87,14 @@ object Ohlc {
     * (symbol, date) and stays an equi-join.
     */
   def ccyDerive(priceUsd: DataFrame, fx: DataFrame,
-                joinCols: Seq[String] = Seq("date")): DataFrame =
-    priceUsd.select(joinCols.map(col) :+ col("close").as("close_price_usd"): _*)
+                joinCols: Seq[String] = Seq("date"),
+                carryCols: Seq[String] = Nil): DataFrame =
+    // carryCols: price-side series keys carried through the join (e.g. the
+    // symbol column) so downstream windows can partition on a *real* data
+    // column — a literal stand-in would be constant-folded out of the
+    // window spec and the plan would degrade to an unpartitioned window
+    priceUsd.select(joinCols.map(col) ++ carryCols.map(col)
+        :+ col("close").as("close_price_usd"): _*)
       .join(fx.select(joinCols.map(col) :+ col("close").as("close_rate"): _*),
             joinCols, "inner")
       // The multiply runs in exact decimal, not double: prices are 2-dp and
