@@ -483,6 +483,15 @@ object SparkEntry {
         .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // The simhash SCALE path: band-bucketed Hamming-ball search over the
+    // FULL corpus — pairs within Hamming<=1 must agree on one of the two
+    // 16-bit halves (pigeonhole), so candidates collide in buckets and
+    // only bucket-mates get the exact bit_count(xor) verify. No O(n²).
+    "dedup_simhash_banded" -> ((s, dir) =>
+      SimHash.bandedNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 1, bands = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // SimHash near-dup pairs by Hamming distance over a bounded id range.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
@@ -1089,6 +1098,27 @@ object SparkEntry {
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents)
           SELECT doc_id, $duckSimhash AS simhash
           FROM h ORDER BY doc_id""",
+
+    // oracle of the banded scale path: identical bucketing in SQL (two
+    // 16-bit halves), then exact Hamming verify — on the full corpus
+    "dedup_simhash_banded" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+          FROM cand
+          WHERE bit_count(xor(sh_a, sh_b)) <= 1
+          ORDER BY doc_a, doc_b""",
 
     "dedup_simhash_pairs" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th

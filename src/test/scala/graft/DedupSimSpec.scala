@@ -53,6 +53,34 @@ class DedupSimSpec extends AnyFunSuite {
     assert(hs(0) != hs(2))
   }
 
+  test("banded simhash equals brute-force Hamming-ball on the fixture") {
+    // pigeonhole guarantee: with 2 bands of 16 bits, every Hamming<=1
+    // pair agrees exactly on one band — banded recall must be 100%
+    val docs = Tables.documents(spark, sf)
+    val banded = SimHash.bandedNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 1, bands = 2)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = docs.select(col("doc_id"),
+      SimHash.simhash32(col("text")).as("s"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")),
+            col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup")
+    // the bit-flip neighbor enumeration (output-bound candidate volume,
+    // for templated corpora) must produce the identical pair set
+    val neighbor = SimHash.neighborNearDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(neighbor == brute)
+  }
+
   test("bruteForceTopK: k rows per query, self excluded, rank ordered") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.bruteForceTopK(emb,
