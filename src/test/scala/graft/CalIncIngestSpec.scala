@@ -145,6 +145,48 @@ class CalIncIngestSpec extends AnyFunSuite {
     assert(df.collect()(0).getAs[Double]("close") == 4.0050)
   }
 
+  test("FetchPlan decides no-fetch/compact/full exactly like the reference") {
+    import graft.inc.FetchPlan
+    import graft.inc.FetchPlan.{Compact, Full, NoFetch}
+    val wed = day("2024-06-12")
+    // last loaded = yesterday (a business day): 0 missing -> NoFetch
+    assert(FetchPlan.decide(Some(day("2024-06-11")), wed) == NoFetch)
+    // one business day missing -> Compact
+    assert(FetchPlan.decide(Some(day("2024-06-10")), wed) == Compact)
+    // no table yet -> Full
+    assert(FetchPlan.decide(None, wed) == Full)
+    // >100 business days missing -> Full (2023-06-12 .. 2024-06-12 ≈ 250)
+    assert(FetchPlan.decide(Some(day("2023-06-12")), wed) == Full)
+    // the calendar matters: Juneteenth week counts 2 missing with the NYSE
+    // calendar but 3 without it
+    assert(FetchPlan.missingBusdays(day("2024-06-17"), day("2024-06-21")) == 2)
+    assert(FetchPlan.missingBusdays(day("2024-06-17"), day("2024-06-21"),
+      Array.empty) == 3)
+    // exact compact boundary: missing == compactWindow stays Compact
+    assert(FetchPlan.decide(Some(day("2024-06-10")), wed,
+      compactWindow = 1) == Compact)
+    assert(FetchPlan.decide(Some(day("2024-06-07")), wed,
+      compactWindow = 1) == Full)
+  }
+
+  test("FetchPlan.retry: transient failures retried, permanent rethrown") {
+    import graft.inc.FetchPlan
+    var calls = 0
+    val got = FetchPlan.retry(tries = 5, delayMs = 1L) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    var always = 0
+    val e = intercept[RuntimeException] {
+      FetchPlan.retry(tries = 5, delayMs = 1L) { () =>
+        always += 1; throw new RuntimeException("permanent")
+      }
+    }
+    assert(e.getMessage == "permanent" && always == 5)
+  }
+
   test("checked-in FX fixture parses to 8 4-metric bars (av_etl.py:113-121)") {
     val bars = AvJson.parseDailyBars(AvJson.fxFixtureDf(spark),
       "payload", "Time Series FX (Daily)", withVolume = false)
