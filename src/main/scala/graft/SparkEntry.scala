@@ -342,6 +342,14 @@ object SparkEntry {
              count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // North-star sketch: KMV distinct-count estimation — portable-hash
+    // k-minimum-values, bitwise-reproducible in the oracle (unlike HLL,
+    // whose answer is a library artifact). k-smallest plans as
+    // TakeOrderedAndProject; the estimate is one double division.
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.olap.Sketch.kmvDistinct(Tables.lineitem(s, dir),
+        col("l_partkey"), k = 256)),
+
     // Rollup (grouping sets): per-(flag,status) + per-flag + grand total
     // in one pass; grouping_id distinguishes the levels.
     "agg_rollup_counts" -> ((s, dir) =>
@@ -921,6 +929,24 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // identical estimator arithmetic: k smallest distinct portable hashes,
+    // (k-1)*M/h_k in left-associated double ops on both engines
+    "sketch_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+                      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(l_partkey AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647)
+                       * 1103515245 + 12345) % 2147483647 AS hv
+                    FROM lineitem),
+              t AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+         SELECT CAST(count(*) AS BIGINT) AS k_actual,
+                CAST(max(hv) AS BIGINT) AS kth_hash,
+                CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                     ELSE CAST(count(*) - 1 AS DOUBLE) * 2147483647.0
+                          / CAST(max(hv) AS DOUBLE) END AS est_distinct
+         FROM t""",
 
     "agg_rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

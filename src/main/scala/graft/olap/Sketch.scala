@@ -1,0 +1,61 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CharFold
+
+/** Distributed cardinality sketching (north-star extension: estimating
+  * distinct counts — dedup rates, vocabulary sizes, key cardinalities —
+  * without a full distinct aggregation is a staple of large-corpus
+  * pipelines).
+  *
+  * KMV (k-minimum-values) rather than HLL, deliberately: the estimator is
+  * the k smallest distinct *portable* hash values plus one double division,
+  * so the result is bitwise-reproducible in any engine (the DuckDB oracle
+  * computes the identical number) — an HLL would tie the answer to one
+  * library's register layout. Standard estimator: with h_(k) the k-th
+  * smallest of n distinct hashes drawn uniformly from [0, M],
+  * E[n] ≈ (k-1) · M / h_(k); relative error ~ 1/√k.
+  *
+  * Scale shape: the map side dedups (partial aggregate of the distinct) and
+  * the k-smallest selection plans as TakeOrderedAndProject — per-partition
+  * heaps of k rows, driver-side merge of p·k values; no global sort. At
+  * extreme cardinalities a bounded k-min set per partition (typed
+  * Aggregator) would replace the distinct's shuffle entirely; the
+  * declarative form keeps the estimator oracle-checkable.
+  */
+object Sketch {
+
+  final val HashSpace = 2147483647L // portable fold modulus (2^31 - 1)
+
+  // LCG spread step: the raw polynomial fold of SHORT strings (numeric
+  // keys!) occupies only the low end of the space, which wrecks the
+  // uniformity KMV's estimator assumes. One multiplicative mix modulo the
+  // prime spreads residues across [0, M); exact integer arithmetic, so the
+  // oracle reproduces it bit-for-bit (products stay < 2^61 in a BIGINT).
+  final val MixA = 1103515245L
+  final val MixB = 12345L
+
+  private def mixed(c: Column): Column =
+    (CharFold.char_fold_hash(c.cast("string"))
+      * lit(MixA) + lit(MixB)) % lit(HashSpace)
+
+  /** One-row sketch summary of `c`'s distinct count: (k_actual, kth_hash,
+    * est_distinct). When fewer than k distinct hashes exist the sketch IS
+    * the exact distinct set, so the estimate degrades gracefully to the
+    * exact count.
+    */
+  def kmvDistinct(df: DataFrame, c: Column, k: Int): DataFrame = {
+    val hashes = df.select(mixed(c).as("hv")).distinct()
+    val kmin = hashes.orderBy(col("hv").asc).limit(k)
+    val cnt = count(lit(1))
+    kmin.agg(
+      cnt.cast("long").as("k_actual"),
+      max(col("hv")).as("kth_hash"),
+      when(cnt < k, cnt.cast("double"))
+        .otherwise((cnt - 1).cast("double") * lit(HashSpace.toDouble)
+          / max(col("hv")).cast("double"))
+        .as("est_distinct"))
+  }
+}

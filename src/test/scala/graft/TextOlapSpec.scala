@@ -69,4 +69,25 @@ class TextOlapSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("KMV sketch: ~1/sqrt(k) accuracy, exact below k, top-k plan") {
+    import spark.implicits._
+    import graft.olap.Sketch
+    // estimator branch: 20k distinct values, k=256 -> expect within ~3
+    // standard errors (3/sqrt(256) ≈ 19%); observed error is ~2% here but
+    // the bound keeps the test stable if the hash set changes
+    val big = (1 to 20000).toDF("v")
+    val est = Sketch.kmvDistinct(big, col("v"), 256)
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(math.abs(est - 20000) / 20000.0 < 0.19, s"est=$est")
+    // exact branch: fewer distinct values than k -> sketch IS the set
+    val small = (1 to 100).toDF("v")
+    val row = Sketch.kmvDistinct(small, col("v"), 256).collect()(0)
+    assert(row.getAs[Long]("k_actual") == 100L)
+    assert(row.getAs[Double]("est_distinct") == 100.0)
+    // the k-smallest selection must be a distributed top-k, not a sort
+    val plan = Sketch.kmvDistinct(big, col("v"), 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
