@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.cal.BusdayCount
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{MinHash, NgramJaccard, SimHash}
 import graft.inc.Watermark
 import graft.ingest.AvJson
 import graft.olap.Exact
@@ -438,6 +438,57 @@ object SparkEntry {
              count(lit(1)).as("n_copies"))
         .select("keep_doc_id", "n_copies")
         .orderBy("keep_doc_id")),
+
+    // North-star quality filter (Gopher-style repetition signal): the
+    // fraction of duplicate word-2-grams per document — templated /
+    // boilerplate text scores high. Per-row projection, zero shuffle.
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (size(TextAnalysis.tokens("text")) - 1)
+            .cast("long").as("n_grams"),
+          size(NgramJaccard.gram_hashes(col("text"), 2))
+            .cast("long").as("n_distinct_grams"))
+        .withColumn("dup_gram_ratio",
+          when(col("n_grams") > 0,
+            lit(1.0).cast("double") - col("n_distinct_grams").cast("double")
+              / col("n_grams").cast("double")))
+        .orderBy("doc_id")),
+
+    // North-star train/val/test split: deterministic hash-mod bucketing
+    // (the engine-portable spread hash) — reproducible on any engine and
+    // any cluster size, no RNG state to coordinate.
+    "sample_hash_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket",
+          (graft.olap.Sketch.spreadHash(col("doc_id")) % 100).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "validation")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_doc_id"),
+             max(col("doc_id")).as("max_doc_id"))
+        .orderBy("split")),
+
+    // North-star decontamination: corpus documents sharing any word-5-gram
+    // with a benchmark set (here: doc_id < 20 standing in for the eval
+    // suite). Benchmark gram set broadcasts; the corpus side is one scan +
+    // map-side semi-join — the standard eval-leak check at 100 TB.
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(NgramJaccard.gram_hashes(col("text"), 5))
+          .as("gram")).distinct()
+      docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"),
+          explode(NgramJaccard.gram_hashes(col("text"), 5)).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    }),
 
     // North-star text analysis: corpus vocabulary — token frequencies,
     // top-k (explode → count → distributed top-k).
@@ -933,13 +984,17 @@ object SparkEntry {
     // identical estimator arithmetic: k smallest distinct portable hashes,
     // (k-1)*M/h_k in left-associated double ops on both engines
     "sketch_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT
-                      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      """WITH f AS (SELECT DISTINCT
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(string_split(CAST(l_partkey AS VARCHAR), ''),
                           ch -> CAST(ascii(ch) AS BIGINT))),
-                        (a, c) -> (a * 31 + c) % 2147483647)
-                       * 1103515245 + 12345) % 2147483647 AS hv
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
                     FROM lineitem),
+              m1 AS (SELECT (h0 * 1103515245 + 12345) % 2147483647 AS h1
+                     FROM f),
+              m2 AS (SELECT (h1 * h1) % 2147483647 AS h2 FROM m1),
+              h AS (SELECT DISTINCT (h2 * 69069 + 362437) % 2147483647 AS hv
+                    FROM m2),
               t AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
          SELECT CAST(count(*) AS BIGINT) AS k_actual,
                 CAST(max(hv) AS BIGINT) AS kth_hash,
@@ -997,6 +1052,56 @@ object SparkEntry {
          FROM documents
          GROUP BY trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+', ' ', 'g'))
          ORDER BY 1""",
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+             g AS (SELECT doc_id, CAST(len(th) - 1 AS BIGINT) AS n_grams,
+                     CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(th) - 1), i ->
+                         (th[i] * 31 + th[i+1]) % 2147483647)))
+                       AS BIGINT) AS n_distinct_grams
+                   FROM t)
+         SELECT doc_id, n_grams, n_distinct_grams,
+                CASE WHEN n_grams > 0
+                     THEN CAST(1.0 AS DOUBLE)
+                          - CAST(n_distinct_grams AS DOUBLE)
+                            / CAST(n_grams AS DOUBLE) END AS dup_gram_ratio
+         FROM g ORDER BY doc_id""",
+
+    "sample_hash_split" ->
+      """WITH f AS (SELECT doc_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM documents),
+              m1 AS (SELECT doc_id,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT doc_id, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              b AS (SELECT doc_id,
+                      ((h2 * 69069 + 362437) % 2147483647) % 100 AS bucket
+                    FROM m2)
+         SELECT CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'validation'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs, min(doc_id) AS min_doc_id,
+                max(doc_id) AS max_doc_id
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     generate_series(1, len(th) - 4), i ->
+                       ((((th[i] * 31 + th[i+1]) % 2147483647 * 31
+                          + th[i+2]) % 2147483647 * 31
+                          + th[i+3]) % 2147483647 * 31
+                          + th[i+4]) % 2147483647))) AS gram
+                   FROM t),
+             bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+             corp AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20)
+         SELECT doc_id, count(*) AS n_shared_grams
+         FROM corp JOIN bench USING (gram)
+         GROUP BY 1 ORDER BY 1""",
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (

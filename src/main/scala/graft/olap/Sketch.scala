@@ -29,17 +29,28 @@ object Sketch {
 
   final val HashSpace = 2147483647L // portable fold modulus (2^31 - 1)
 
-  // LCG spread step: the raw polynomial fold of SHORT strings (numeric
+  // Spread steps: the raw polynomial fold of SHORT strings (numeric
   // keys!) occupies only the low end of the space, which wrecks the
-  // uniformity KMV's estimator assumes. One multiplicative mix modulo the
-  // prime spreads residues across [0, M); exact integer arithmetic, so the
-  // oracle reproduces it bit-for-bit (products stay < 2^61 in a BIGINT).
+  // uniformity KMV's estimator and mod-100 bucketing assume. Affine maps
+  // alone compose to affine (still lumpy mod small ranges), so the mix is
+  // affine → SQUARE mod prime (non-linear) → affine. Exact integer
+  // arithmetic throughout: every intermediate < 2^62 fits a BIGINT, so
+  // the oracle reproduces the hash bit-for-bit.
   final val MixA = 1103515245L
   final val MixB = 12345L
+  final val MixA2 = 69069L
+  final val MixB2 = 362437L
 
-  private def mixed(c: Column): Column =
-    (CharFold.char_fold_hash(c.cast("string"))
+  /** Portable uniform-ish hash of any column: the engine fold + spread.
+    * Shared by the KMV sketch and deterministic hash-based
+    * sampling/splitting (same reproducibility contract).
+    */
+  def spreadHash(c: Column): Column = {
+    val h1 = (CharFold.char_fold_hash(c.cast("string"))
       * lit(MixA) + lit(MixB)) % lit(HashSpace)
+    val h2 = (h1 * h1) % lit(HashSpace)
+    (h2 * lit(MixA2) + lit(MixB2)) % lit(HashSpace)
+  }
 
   /** One-row sketch summary of `c`'s distinct count: (k_actual, kth_hash,
     * est_distinct). When fewer than k distinct hashes exist the sketch IS
@@ -47,7 +58,7 @@ object Sketch {
     * exact count.
     */
   def kmvDistinct(df: DataFrame, c: Column, k: Int): DataFrame = {
-    val hashes = df.select(mixed(c).as("hv")).distinct()
+    val hashes = df.select(spreadHash(c).as("hv")).distinct()
     val kmin = hashes.orderBy(col("hv").asc).limit(k)
     val cnt = count(lit(1))
     kmin.agg(
