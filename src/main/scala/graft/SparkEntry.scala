@@ -350,6 +350,27 @@ object SparkEntry {
       graft.olap.Sketch.kmvDistinct(Tables.lineitem(s, dir),
         col("l_partkey"), k = 256)),
 
+    // Exact distributed order statistics: per-series value deciles via a
+    // keyed window (rank + per-group count, positions by integer
+    // arithmetic — no interpolation, so the decile values are rows that
+    // exist and compare bitwise). The window partitions by series; at
+    // scale this is one exchange on the series key, like any keyed sort.
+    "agg_value_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .withColumn("decile", explode(expr(
+          "filter(sequence(1, 9), q -> (cnt - 1) * q div 10 + 1 = rn)")))
+        .select(col("event_type"), col("decile").cast("long").as("decile"),
+                col("value"))
+        .orderBy("event_type", "decile")
+    }),
+
     // Rollup (grouping sets): per-(flag,status) + per-flag + grand total
     // in one pass; grouping_id distinguishes the levels.
     "agg_rollup_counts" -> ((s, dir) =>
@@ -1002,6 +1023,17 @@ object SparkEntry {
                      ELSE CAST(count(*) - 1 AS DOUBLE) * 2147483647.0
                           / CAST(max(hv) AS DOUBLE) END AS est_distinct
          FROM t""",
+
+    "agg_value_deciles" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+                      CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS BIGINT) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM events)
+         SELECT event_type, CAST(q AS BIGINT) AS decile, value
+         FROM r, unnest(generate_series(1, 9)) AS t(q)
+         WHERE ((cnt - 1) * q) // 10 + 1 = rn
+         ORDER BY event_type, decile""",
 
     "agg_rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
