@@ -32,6 +32,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "both join sides must read the persisted bucket frame")
   }
 
+  test("no scale red flags in any query plan (allowlisted BNLJ only)") {
+    // every BroadcastNestedLoopJoin in the engine is one of: a 1-row
+    // watermark/scalar probe, a broadcast query/centroid set scored
+    // against the corpus (non-equi by design), or a declared bounded
+    // ground-truth pairs query. Anything new showing up here is a
+    // regression to investigate, not an allowlist edit to make.
+    val bnljAllowed = Set(
+      "cal_weekday_filter", "inc_derived_rebuild", "inc_missing_suffix",
+      "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+      "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("stream_")) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name: unexpected nested-loop join")
+      assert(!p.linesIterator.exists(l =>
+          l.contains("Window [") && l.contains("windowspecdefinition()")),
+        s"$name: unpartitioned window")
+    }
+  }
+
   test("audit plans") {
     for (q <- Seq("inc_idempotent_antijoin", "dedup_minhash_lsh",
                   "sim_bruteforce_topk", "asof_join_latest_view")) {
