@@ -44,8 +44,13 @@ object Bench {
     // failed queries (-1 sentinel) are excluded from the total so a broken
     // query can't make the bench look healthy with a bogus timing
     val total = results.map(_._2).filter(_ >= 0).sum
+    // sub-totals: streaming queries carry seconds of fixed machinery per
+    // run — split them out so batch regressions aren't masked
+    val streaming = results.collect {
+      case (n, v) if n.startsWith("stream_") && v >= 0 => v }.sum
+    val batch = total - streaming
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","groups":{"batch":$batch,"streaming":$streaming},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces channel for the driver: the same line, unframed, on disk
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -720,6 +720,14 @@ object SparkEntry {
       graft.streaming.StatefulSessions.runOverFixture(s, dir)
         .orderBy("user_id", "session_start")),
 
+    // Streaming extension: stream-stream time-bounded inner join — both
+    // sides watermarked, state bounded by the range condition (one hour
+    // of activity, not history). Emitted set == the batch join over a
+    // bounded replay.
+    "stream_stream_join" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamStreamJoin(s, dir)
+        .orderBy("event_id", "view_ts", "view_value")),
+
     // North-star multimodal: binary payload column + typed metadata via a
     // batched per-partition decode (codec stubbed; plumbing real).
     "mm_media_meta" -> ((s, dir) =>
@@ -1473,6 +1481,15 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_stream_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+                v.ts AS view_ts, v.value AS view_value
+         FROM events p JOIN events v
+           ON p.event_type = 'purchase' AND v.event_type = 'view'
+          AND p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+         ORDER BY p.event_id, view_ts, view_value""",
 
     "asof_join_latest_view" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

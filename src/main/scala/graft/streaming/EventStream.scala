@@ -82,6 +82,38 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream time-bounded inner join: each purchase pairs with the
+    * same user's views from the trailing hour. Both sides carry event-time
+    * watermarks and the range condition bounds the buffered state on each
+    * (the requirement Structured Streaming imposes for stream-stream
+    * joins) — state scales with one hour of activity, not history. Over
+    * the bounded replay every pair lands in the data micro-batch before
+    * eviction, so the emitted set is exactly the batch join (the oracle).
+    */
+  def runStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_join"
+    val ev = readEvents(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+              col("value").as("view_value"))
+      .withWatermark("view_ts", "1 hour")
+    val q = p.join(v,
+        col("p_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("p_ts").as("ts"),
+              col("view_ts"), col("view_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Run the daily aggregation over the fixture as a bounded streaming
     * query (complete mode → memory sink) and return the result table.
     * Append-mode watermark semantics are exercised in the spec with a

@@ -93,6 +93,29 @@ class StreamAsofSpec extends AnyFunSuite {
     assert(!emitted.contains("2024-01-03"))
   }
 
+  test("stream-stream join over a bounded replay equals the batch join") {
+    import graft.streaming.EventStream
+    val sf = "/root/testdata/sf0.001"
+    val streamed = EventStream.runStreamStreamJoin(spark, sf)
+      .orderBy("event_id", "view_ts", "view_value").collect()
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+              col("value").as("view_value"))
+    val batch = p.join(v,
+        col("p_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("p_ts").as("ts"),
+              col("view_ts"), col("view_value"))
+      .orderBy("event_id", "view_ts", "view_value").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("media meta: byte-level decode plumbing on crafted payloads") {
     import graft.multimodal.Media
     import spark.implicits._
