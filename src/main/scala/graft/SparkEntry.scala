@@ -572,6 +572,17 @@ object SparkEntry {
           maxHamming = 1, bands = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // The dedup DECISION step: near-dup pairs → connected components →
+    // canonical (min-id) survivor per cluster. Min-label propagation,
+    // keyed joins + partial-aggregable min per round, deterministic
+    // fixpoint — completes signature → candidates → clusters → survivors.
+    "dedup_cc_canonical" -> ((s, dir) => {
+      val pairs = SimHash.bandedNearDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 1, bands = 2)
+      graft.dedup.Components.canonicalLabels(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs by Hamming distance over a bounded id range.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
@@ -1290,6 +1301,36 @@ object SparkEntry {
           FROM cand
           WHERE bit_count(xor(sh_a, sh_b)) <= 1
           ORDER BY doc_a, doc_b""",
+
+    // transitive closure over the banded pairs; min reachable id (incl.
+    // self) per node == the min-label propagation fixpoint
+    "dedup_cc_canonical" ->
+      s"""WITH RECURSIVE
+            h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+          SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+          FROM reach GROUP BY 1 ORDER BY 1""",
 
     "dedup_simhash_pairs" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th
