@@ -81,6 +81,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(neighbor == brute)
   }
 
+  test("connected components: chain, separate component, clique") {
+    import spark.implicits._
+    import graft.dedup.Components
+    // a 5-long chain (tests pointer jumping across hops), a 2-clique,
+    // and a triangle — all labels must land on each component's minimum
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain
+      (20L, 21L),                                      // pair
+      (30L, 31L), (31L, 32L), (30L, 32L))              // triangle
+      .toDF("a", "b")
+    val got = Components.canonicalLabels(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
   test("bruteForceTopK: k rows per query, self excluded, rank ordered") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.bruteForceTopK(emb,

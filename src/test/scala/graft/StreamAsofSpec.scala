@@ -93,6 +93,28 @@ class StreamAsofSpec extends AnyFunSuite {
     assert(!emitted.contains("2024-01-03"))
   }
 
+  test("media resize and feature extraction: deterministic byte plumbing") {
+    import spark.implicits._
+    import graft.multimodal.Media
+    val docs = Seq((1L, "a" * 300), (2L, "xy")).toDF("doc_id", "text")
+    val media = Media.asMedia(docs, "doc_id", "text")
+    // resize truncates the payload proportionally to the target area and
+    // rewrites the declared format — byte count is deterministic
+    val resized = Media.resize(media, 8, 8).collect().sortBy(_.media_id)
+    assert(resized(0).format == "txt@8x8")
+    assert(resized(0).payload.length < 300 && resized(0).payload.length >= 1)
+    assert(resized(1).payload.length >= 1)
+    // feature extraction: fixed-dim vector, bytes folded round-robin;
+    // "a"*300 -> dim 4: positions hit 75 times each with 97/255
+    val feats = Media.extractFeatures(media, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).length == 4)
+    val expected = (1 to 75).foldLeft(0.0f)((acc, _) => acc + 97 / 255.0f)
+    assert(feats(1L).forall(_ == expected))
+    assert(feats(2L)(0) == 'x' / 255.0f && feats(2L)(1) == 'y' / 255.0f
+      && feats(2L)(2) == 0.0f)
+  }
+
   test("stream-stream join over a bounded replay equals the batch join") {
     import graft.streaming.EventStream
     val sf = "/root/testdata/sf0.001"
