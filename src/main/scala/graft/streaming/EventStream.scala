@@ -27,6 +27,22 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming state partitions are fixed per query at start (they live
+    * in the checkpoint for the query's lifetime), and every state store
+    * pays a per-partition commit on every micro-batch — so they must be
+    * sized to the STATE volume, not the session's core count. The bounded
+    * fixture replays carry a few thousand state rows; 8 partitions keeps
+    * the per-batch commit cost proportionate (32 was pure overhead). A
+    * production deployment sizes this once per query the same way.
+    */
+  private[streaming] def withStatePartitions[T](spark: SparkSession,
+                                                n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Unbounded events source from a fixture dir. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -65,7 +81,8 @@ object EventStream {
     * (listing, schema, per-batch planning) twice for identical semantics,
     * and at 24 s it dominated the round-1 bench.
     */
-  def runDedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+  def runDedupedCounts(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
     val name = "graft_stream_dedup"
     val doubled = readEvents(spark, dir)
       .withColumn("attempt", explode(array(lit(1), lit(2))))
@@ -90,7 +107,8 @@ object EventStream {
     * the bounded replay every pair lands in the data micro-batch before
     * eviction, so the emitted set is exactly the batch join (the oracle).
     */
-  def runStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
     val name = "graft_stream_join"
     val ev = readEvents(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
@@ -119,7 +137,8 @@ object EventStream {
     * Append-mode watermark semantics are exercised in the spec with a
     * 2-batch replay.
     */
-  def runTumblingDaily(spark: SparkSession, dir: String): DataFrame = {
+  def runTumblingDaily(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
     val name = "graft_stream_daily"
     val q = tumblingDaily(readEvents(spark, dir), "1 hour")
       .writeStream.outputMode("complete")

@@ -103,7 +103,8 @@ object StatefulSessions {
     * This emitted set is deterministic and SQL-expressible (see the
     * stream_sessionize_stateful oracle in SparkEntry).
     */
-  def runOverFixture(spark: SparkSession, dir: String): DataFrame = {
+  def runOverFixture(spark: SparkSession, dir: String): DataFrame =
+      EventStream.withStatePartitions(spark, 8) {
     val name = "graft_stream_sessions"
     val q = sessions(EventStream.readEvents(spark, dir), 1800)
       .toDF()
