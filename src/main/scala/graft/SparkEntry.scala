@@ -350,6 +350,23 @@ object SparkEntry {
       graft.olap.Sketch.kmvDistinct(Tables.lineitem(s, dir),
         col("l_partkey"), k = 256)),
 
+    // Semi-join (EXISTS, TPC-H Q4 shape): priority counts over orders
+    // having at least one returned lineitem. leftsemi materializes no
+    // right-side columns and short-circuits per key — with the date
+    // window pushed into the orders scan before the join.
+    "join_semi_late_orders" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Exact distributed order statistics: per-series value deciles via a
     // keyed window (rank + per-group count, positions by integer
     // arithmetic — no interpolation, so the decile values are rows that
@@ -1042,6 +1059,16 @@ object SparkEntry {
                      ELSE CAST(count(*) - 1 AS DOUBLE) * 2147483647.0
                           / CAST(max(hv) AS DOUBLE) END AS est_distinct
          FROM t""",
+
+    "join_semi_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R')
+         GROUP BY 1 ORDER BY 1""",
 
     "agg_value_deciles" ->
       """WITH r AS (SELECT event_type, event_id, value,
