@@ -52,4 +52,30 @@ class GoldenPipelineSpec extends AnyFunSuite {
     }
     assert(withSma(3).getAs[Double]("sma_3") == expectedSma3)
   }
+
+  test("incremental FX refresh end-to-end: decide → ingest → suffix → idempotent append") {
+    import graft.inc.{FetchPlan, Watermark}
+    import graft.inc.FetchPlan.Compact
+    def day(s: String): Int = java.time.LocalDate.parse(s).toEpochDay.toInt
+    // the table's high watermark is Mon 2026-08-03; "today" is Sat
+    // 2026-08-08 → 4 NYSE business days missing (Tue-Fri) → Compact
+    assert(FetchPlan.missingBusdays(day("2026-08-03"), day("2026-08-08")) == 4)
+    assert(FetchPlan.decide(Some(day("2026-08-03")),
+      day("2026-08-08")) == Compact)
+    // the compact FX payload arrives; keep only rows past the watermark
+    val bars = AvJson.parseDailyBars(AvJson.fxFixtureDf(spark),
+      "payload", "Time Series FX (Daily)", withVolume = false)
+    val wm = spark.sql("SELECT CAST('2026-08-03' AS DATE) AS watermark")
+    val fresh = Watermark.newerThan(bars, wm, "date")
+    val freshDates = fresh.orderBy("date").collect()
+      .map(_.getAs[java.sql.Date]("date").toString).toSeq
+    assert(freshDates ==
+      Seq("2026-08-04", "2026-08-05", "2026-08-06", "2026-08-07"))
+    // idempotent append: a retried load (FetchPlan.retry semantics)
+    // cannot double-insert
+    val sink = java.nio.file.Files.createTempDirectory("graft_fx").toString + "/t"
+    Watermark.appendIdempotent(spark, fresh, sink, Seq("date"))
+    Watermark.appendIdempotent(spark, fresh, sink, Seq("date"))
+    assert(spark.read.parquet(sink).count() == 4)
+  }
 }
