@@ -115,6 +115,21 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // Lag-family window: day-over-day simple returns per series — the
+    // other half of the reference's derived-metrics surface (SMA is the
+    // frame average; returns are the frame delta). Keyed window, exact
+    // division order on both engines.
+    "ts_daily_returns" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"), col("close"))
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .withColumn("return_pct",
+          (col("close") - col("prev_close")) / col("prev_close") * lit(100.0))
+        .orderBy("event_type", "date")
+    }),
+
     // W1 at scale: the same SMA with the window keyed by series — the
     // form every multi-series caller uses (one exchange on the series key,
     // sort within partitions; no single-partition global window).
@@ -788,6 +803,17 @@ object SparkEntry {
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
          arg_max(value, ts) AS close, count(*) AS volume
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ts_daily_returns" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, date, close,
+                lag(close) OVER w AS prev_close,
+                (close - lag(close) OVER w) / lag(close) OVER w * 100.0
+                  AS return_pct
+         FROM b WINDOW w AS (PARTITION BY event_type ORDER BY date)
+         ORDER BY event_type, date""",
 
     "ts_ccy_join_derive" ->
       """WITH p AS (SELECT CAST(ts AS DATE) AS date, arg_max(value, ts) AS close
