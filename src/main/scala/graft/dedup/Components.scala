@@ -26,7 +26,10 @@ import org.apache.spark.storage.StorageLevel
   * label sum strictly decreases until the fixpoint; decimal so 10¹⁰ nodes
   * with 10¹⁰-sized ids can't overflow). AQE right-sizes the tiny
   * post-shuffle partitions locally; at cluster scale the same joins
-  * shuffle on node id.
+  * shuffle on node id. `localCheckpoint` is the single-job lineage
+  * truncation; a production run on a lossy cluster would swap it for a
+  * reliable `checkpoint` dir (same call shape) so an executor loss
+  * recovers from storage instead of recomputing rounds.
   */
 object Components {
 
