@@ -106,12 +106,20 @@ object SparkEntry {
           20, k, "date", "close_price_ccy")
           .withColumnRenamed("sma_5", "sma_5_ccy")
           .withColumnRenamed("sma_20", "sma_20_ccy")
-      Ohlc.withSma(Ohlc.withSma(withCcySma, 5, k, "date", "close_price_usd"),
+      val withUsdSma =
+        Ohlc.withSma(Ohlc.withSma(withCcySma, 5, k, "date", "close_price_usd"),
           20, k, "date", "close_price_usd")
-        .withColumnRenamed("sma_5", "sma_5_usd")
-        .withColumnRenamed("sma_20", "sma_20_usd")
+          .withColumnRenamed("sma_5", "sma_5_usd")
+          .withColumnRenamed("sma_20", "sma_20_usd")
+      // the reference's report also SMAs the exchange-rate series itself
+      // (data_viz.py:103-104) — all three report figures get their frames
+      Ohlc.withSma(Ohlc.withSma(withUsdSma, 5, k, "date", "close_rate"),
+          20, k, "date", "close_rate")
+        .withColumnRenamed("sma_5", "sma_5_rate")
+        .withColumnRenamed("sma_20", "sma_20_rate")
         .select("date", "close_price_usd", "close_rate", "close_price_ccy",
-                "sma_5_ccy", "sma_20_ccy", "sma_5_usd", "sma_20_usd")
+                "sma_5_ccy", "sma_20_ccy", "sma_5_usd", "sma_20_usd",
+                "sma_5_rate", "sma_20_rate")
         .orderBy("date")
     }),
 
@@ -755,10 +763,9 @@ object SparkEntry {
 
     // North-star streaming: custom keyed state via flatMapGroupsWithState —
     // sessions spanning micro-batches, closed by gap or event-time timeout.
-    // No SQL oracle (stateful streaming isn't SQL-expressible); the driver
-    // records a rows-only check, and the spec pins equivalence to the batch
-    // sessionizer (streaming output == batch sessions minus each user's
-    // still-open final session).
+    // The emitted set IS SQL-expressible (gap-closed sessions plus final
+    // sessions timed out below the final watermark), so this has a full
+    // oracle; the spec additionally pins batch equivalence.
     "stream_sessionize_stateful" -> ((s, dir) =>
       graft.streaming.StatefulSessions.runOverFixture(s, dir)
         .orderBy("user_id", "session_start")),
@@ -864,7 +871,13 @@ object SparkEntry {
                           AS DOUBLE) / 5 END AS sma_5_usd,
            CASE WHEN count(close_price_usd) OVER w20 = 20
                 THEN CAST(sum(CAST(close_price_usd AS DECIMAL(18,4))) OVER w20
-                          AS DOUBLE) / 20 END AS sma_20_usd
+                          AS DOUBLE) / 20 END AS sma_20_usd,
+           CASE WHEN count(close_rate) OVER w5 = 5
+                THEN CAST(sum(CAST(close_rate AS DECIMAL(18,4))) OVER w5
+                          AS DOUBLE) / 5 END AS sma_5_rate,
+           CASE WHEN count(close_rate) OVER w20 = 20
+                THEN CAST(sum(CAST(close_rate AS DECIMAL(18,4))) OVER w20
+                          AS DOUBLE) / 20 END AS sma_20_rate
          FROM d
          WINDOW w5 AS (ORDER BY date ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
                 w20 AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
