@@ -612,6 +612,16 @@ object SparkEntry {
           maxHamming = 1, bands = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // ANN index training: one distributed Lloyd (k-means) update — the
+    // step that makes the IVF centroids trainable rather than fixed.
+    // Assignment is the shared max_by argmax; the per-dimension mean runs
+    // over exact integer micro-units so it's order-independent.
+    "sim_kmeans_update" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansUpdate(emb, emb.filter(col("vec_id") < 8))
+        .orderBy("centroid_id", "dim")
+    }),
+
     // The dedup DECISION step: near-dup pairs → connected components →
     // canonical (min-id) survivor per cluster. Min-label propagation,
     // keyed joins + partial-aggregable min per round, deterministic
@@ -1659,6 +1669,29 @@ object SparkEntry {
                           THEN list_sum(bytes) % 2147483647
                           ELSE 0 END AS BIGINT) AS checksum
          FROM b ORDER BY media_id""",
+
+    "sim_kmeans_update" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                     FROM embeddings WHERE vec_id < 8),
+            d AS (SELECT vec_id, centroid_id, embedding,
+                    ${duckDot("embedding", "ec")}
+                      / (sqrt(${duckDot("embedding", "embedding")})
+                         * sqrt(${duckDot("ec", "ec")})) AS cosine
+                  FROM embeddings CROSS JOIN c),
+            asg AS (SELECT vec_id, centroid_id, embedding FROM (
+                      SELECT vec_id, centroid_id, embedding,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cosine DESC, centroid_id ASC) AS rn
+                      FROM d) WHERE rn = 1),
+            x AS (SELECT centroid_id, CAST(i - 1 AS INT) AS dim,
+                         embedding[i] AS v
+                  FROM asg, unnest(generate_series(1, len(embedding)))
+                    AS t(i))
+          SELECT centroid_id, dim,
+                 CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0)
+                               AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1000000.0) AS mean_val
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "sim_ivf_assign" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec

@@ -66,14 +66,16 @@ object Similarity {
     * pre-partitioned/bucketed by centroid at ingest, making the probe a
     * co-located join at 100 TB).
     */
-  def ivfProbeTopK(corpus: DataFrame, centroids: DataFrame,
-                   queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+  /** Corpus→nearest-centroid assignment frame (centroid_id, vec_id,
+    * embedding): the max_by argmax (map-side partial agg, no window
+    * shuffle of the scored cross product); the vector's embedding rides
+    * in the max_by payload so no rejoin is needed. Shared by the IVF
+    * probe and the k-means update step.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("centroid_id"),
                              col("embedding").as("emb_cent"))
-    // same max_by argmax as ivfAssign (map-side partial agg, no window
-    // shuffle of the scored cross product); the vector's embedding rides
-    // in the max_by payload so no rejoin is needed.
-    val assigned = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(c))
       .withColumn("cosine", VecOps.cosine(col("embedding"), col("emb_cent")))
       .groupBy(col("vec_id"))
@@ -81,6 +83,28 @@ object Similarity {
         struct(col("cosine"), (-col("centroid_id")).as("neg"))).as("b"))
       .select(col("b.centroid_id").as("centroid_id"), col("vec_id"),
               col("b.embedding").as("embedding"))
+  }
+
+  /** One distributed Lloyd update: per-centroid, per-dimension mean of
+    * the assigned vectors. The mean runs over exact integer micro-units
+    * (round(v·10⁶) as long — order-independent sums, so the result is
+    * bitwise-stable under any partitioning and reproducible in the
+    * oracle) with one double division at the end. Long output shape
+    * (centroid_id, dim, mean_val) — no float-array aggregation needed.
+    */
+  def kmeansUpdate(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(corpus, centroids)
+      .select(col("centroid_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("centroid_id", "dim")
+      .agg((sum(expr("CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * lit(1000000.0))).as("mean_val"))
+
+  def ivfProbeTopK(corpus: DataFrame, centroids: DataFrame,
+                   queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"),
+                             col("embedding").as("emb_cent"))
+    val assigned = assignToCentroids(corpus, centroids)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("centroid_id").asc)
     val probes = queries.select(col("vec_id").as("query_id"),

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val bnljAllowed = Set(
       "cal_weekday_filter", "inc_derived_rebuild", "inc_missing_suffix",
       "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash_pairs",
-      "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk")
+      "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
+      "sim_kmeans_update")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
