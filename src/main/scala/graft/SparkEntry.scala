@@ -739,6 +739,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of with a match tolerance (pandas merge_asof(tolerance=...)):
+    // the latest view older than 30 minutes is no match — asof_* go NULL.
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      graft.ts.AsOfJoin.asOfWithTolerance(purchases, views, Seq("user_id"),
+          "ts", Seq("value"), toleranceSeconds = 1800)
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+        .orderBy("event_id")
+    }),
+
     // Range (interval) join via time bucketing: views in the hour before
     // each purchase, per user — equi-join on (user, hour-bucket) +
     // residual predicate instead of the nested-loop/filter-after-key-join
@@ -1618,6 +1632,22 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY p.event_id""",
+
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view'),
+              a AS (SELECT p.event_id, p.user_id, p.ts,
+                           v.ts AS asof_ts, v.value AS asof_value
+                    FROM p ASOF LEFT JOIN v
+                      ON p.user_id = v.user_id AND v.ts <= p.ts)
+         SELECT event_id, user_id, ts,
+                CASE WHEN asof_ts >= ts - INTERVAL 30 MINUTE
+                     THEN asof_ts END AS asof_ts,
+                CASE WHEN asof_ts >= ts - INTERVAL 30 MINUTE
+                     THEN asof_value END AS asof_value
+         FROM a ORDER BY event_id""",
 
     "range_join_prior_views" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

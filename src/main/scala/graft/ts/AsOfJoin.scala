@@ -65,4 +65,22 @@ object AsOfJoin {
       }
       .drop(sideCol, packCol)
   }
+
+  /** As-of join with a match tolerance (pandas `merge_asof(tolerance=…)`):
+    * a latest-at-or-before match older than `toleranceSeconds` is treated
+    * as no match — every carried `asof_*` column goes NULL. One post-pass
+    * predicate over the asOf output; the join plan is unchanged.
+    */
+  def asOfWithTolerance(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String], timeCol: String,
+                        payloadCols: Seq[String],
+                        toleranceSeconds: Long): DataFrame = {
+    val joined = asOf(left, right, keyCols, timeCol, payloadCols)
+    val within = col(s"asof_$timeCol").isNotNull &&
+      col(s"asof_$timeCol") >=
+        col(timeCol) - expr(s"INTERVAL $toleranceSeconds SECOND")
+    (timeCol +: payloadCols).foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
+    }
+  }
 }
