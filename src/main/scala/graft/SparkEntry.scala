@@ -127,16 +127,12 @@ object SparkEntry {
     // other half of the reference's derived-metrics surface (SMA is the
     // frame average; returns are the frame delta). Keyed window, exact
     // division order on both engines.
-    "ts_daily_returns" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("date")
-      Ohlc.dailyBars(Tables.events(s, dir))
-        .select(col("event_type"), col("date"), col("close"))
-        .withColumn("prev_close", lag(col("close"), 1).over(w))
-        .withColumn("return_pct",
-          (col("close") - col("prev_close")) / col("prev_close") * lit(100.0))
-        .orderBy("event_type", "date")
-    }),
+    "ts_daily_returns" -> ((s, dir) =>
+      Ohlc.withReturns(
+          Ohlc.dailyBars(Tables.events(s, dir))
+            .select(col("event_type"), col("date"), col("close")),
+          Seq("event_type"))
+        .orderBy("event_type", "date")),
 
     // W1 at scale: the same SMA with the window keyed by series — the
     // form every multi-series caller uses (one exchange on the series key,
@@ -395,21 +391,10 @@ object SparkEntry {
     // arithmetic — no interpolation, so the decile values are rows that
     // exist and compare bitwise). The window partitions by series; at
     // scale this is one exchange on the series key, like any keyed sort.
-    "agg_value_deciles" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
-        .orderBy(col("value").asc, col("event_id").asc)
-      Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-        .withColumn("decile", explode(expr(
-          "filter(sequence(1, 9), q -> (cnt - 1) * q div 10 + 1 = rn)")))
-        .select(col("event_type"), col("decile").cast("long").as("decile"),
-                col("value"))
-        .orderBy("event_type", "decile")
-    }),
+    "agg_value_deciles" -> ((s, dir) =>
+      graft.olap.OrderStats.deciles(Tables.events(s, dir),
+          Seq("event_type"), "value", "event_id")
+        .orderBy("event_type", "decile")),
 
     // Rollup (grouping sets): per-(flag,status) + per-flag + grand total
     // in one pass; grouping_id distinguishes the levels.

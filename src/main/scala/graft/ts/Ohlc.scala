@@ -76,6 +76,21 @@ object Ohlc {
       when(cnt === n, sumDec.cast("double") / lit(n).cast("double")))
   }
 
+  /** Day-over-day simple returns per series (the lag/delta half of the
+    * derived-metrics surface; the SMA is the frame-average half). Keyed
+    * window; the division order is fixed so any engine reproduces the
+    * doubles bitwise.
+    */
+  def withReturns(bars: DataFrame, partitionCols: Seq[String],
+                  orderCol: String = "date",
+                  closeCol: String = "close"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+    bars.withColumn("prev_close", lag(col(closeCol), 1).over(w))
+      .withColumn("return_pct",
+        (col(closeCol) - col("prev_close")) / col("prev_close") * lit(100.0))
+  }
+
   /** Reference flagship derivation (`av_etl.py:139-195`): join the USD price
     * series with the FX rate series on date (inner — the reference's
     * left-join + dropna, SURVEY.md §2.4 J1), rename (R5), multiply (F1) and

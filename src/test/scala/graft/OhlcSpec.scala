@@ -86,7 +86,41 @@ class OhlcSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("queries and oracleSql keys line up") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("queries and oracleSql keys line up — every query has an oracle") {
+    // round 2 closed the last oracle gap (stateful sessions), so this is
+    // now strict equality: a new query without an oracle fails here
+    // before it can silently become a weaker rows-only row in the
+    // driver's ledger
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"diff: ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+        .union(SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet))}")
+  }
+
+  test("per-series deciles: positions and values on a crafted series") {
+    import spark.implicits._
+    import graft.olap.OrderStats
+    // 11 values 0..100 step 10 for one series: decile q sits at rank
+    // (11-1)*q/10 + 1 -> value 10*q exactly
+    val rows = (0 to 10).map(i => ("a", i.toLong, i * 10.0))
+      .toDF("event_type", "event_id", "value")
+    val got = OrderStats.deciles(rows, Seq("event_type"), "value", "event_id")
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == (1 to 9).map(q => (q.toLong, q * 10.0)))
+  }
+
+  test("daily returns: delta over previous close per series") {
+    import spark.implicits._
+    val bars = Seq(
+      ("a", java.sql.Date.valueOf("2024-01-01"), 100.0),
+      ("a", java.sql.Date.valueOf("2024-01-02"), 110.0),
+      ("a", java.sql.Date.valueOf("2024-01-03"), 99.0))
+      .toDF("event_type", "date", "close")
+    val got = Ohlc.withReturns(bars, Seq("event_type"))
+      .orderBy("date").collect()
+    assert(got.length == 3)
+    assert(got(0).isNullAt(got(0).fieldIndex("return_pct")))
+    assert(got(1).getAs[Double]("return_pct") == 10.0)
+    assert(got(2).getAs[Double]("return_pct") == (99.0 - 110.0) / 110.0 * 100.0)
   }
 }
