@@ -15,6 +15,10 @@ run / fork := true
 // the driver parses graft.Bench's one-line JSON metric from stdout, and
 // `[info]` framing breaks that parse (BENCH_r01 recorded parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the trailing `[success] Total time: ...` line must not follow the
+// metric line either (BENCH_r02 still recorded parsed:null because that
+// framing line was the last thing on stdout).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
