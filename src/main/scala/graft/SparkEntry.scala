@@ -802,6 +802,163 @@ object SparkEntry {
             "doc_id", "text"), frameBytes = 256)
         .toDF()
         .orderBy("media_id", "frame_idx")),
+
+    // North-star multimodal: audio-style overlapping sample windows —
+    // the STFT/feature-frame fan-out (64-sample windows every 32), exact
+    // integer energy per window. Same explode parallelism as frames, with
+    // overlap.
+    "mm_audio_window" -> ((s, dir) =>
+      graft.multimodal.Media.audioWindows(
+          graft.multimodal.Media.asMedia(
+            Tables.documents(s, dir).filter(col("doc_id") < 200),
+            "doc_id", "text"), windowSize = 64, hop = 32)
+        .toDF()
+        .orderBy("media_id", "window_idx")),
+
+    // Cube (full grouping-sets lattice — rollup's superset): every
+    // (flag, status) combination plus both one-dimension margins plus the
+    // grand total in one pass, levels tagged by grouping_id.
+    "agg_cube_counts" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(Exact.cents(col("l_quantity"))).cast("double")./(lit(100.0))
+               .as("sum_qty"),
+             grouping_id().cast("long").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // Skew-mitigation join: the salted form (big side scattered over 8
+    // deterministic sub-keys, small side replicated 8×) — bit-identical
+    // to the plain join, which is exactly what the oracle checks. The
+    // explicit fallback for when one key exceeds an executor and AQE's
+    // partition-split can't help (it can split a partition, not a single
+    // key's sorted run).
+    "join_salted_skew" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_quantity")
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.olap.SkewJoin.saltedJoin(li, supp, Seq("l_suppkey"), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+             Exact.sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
+    // EMA: the recursive per-series indicator as an ordered prefix fold
+    // (see graft.ts.Ema) — sequential double arithmetic reproduced
+    // fold-step-for-fold-step by the oracle's list_reduce.
+    "ts_ema" -> ((s, dir) =>
+      graft.ts.Ema.withEma(
+          Ohlc.dailyBars(Tables.events(s, dir))
+            .select("event_type", "date", "close"),
+          alpha = 0.25, partitionCols = Seq("event_type"))
+        .orderBy("event_type", "date")),
+
+    // SCD2 dimension history from a change stream: every purchase
+    // versions the user's attribute with a validity interval — the
+    // point-in-time-join form of the reference's latest-wins watermark
+    // table. Keyed window; (ts, event_id) makes versioning total.
+    "inc_scd2_history" -> ((s, dir) =>
+      graft.inc.Scd2.history(
+          Tables.events(s, dir)
+            .filter(col("event_type") === "purchase" && col("user_id") < 50)
+            .select("user_id", "event_id", "ts", "value"),
+          keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+        .select("user_id", "version", "valid_from", "valid_to", "value",
+                "is_current")
+        .orderBy("user_id", "version")),
+
+    // Mergeable sketches: per-group KMV plus the union estimated ONLY from
+    // the per-group sketch rows — the roll-up property that makes sketches
+    // distributed primitives (per-partition → global, daily → monthly,
+    // no rescan).
+    "sketch_kmv_union" -> ((s, dir) =>
+      graft.olap.Sketch.kmvGroupsWithUnion(Tables.lineitem(s, dir),
+          col("l_returnflag"), col("l_partkey"), k = 128)
+        .orderBy("scope")),
+
+    // Bloom-filter join pruning (explicit runtime-filter): selective build
+    // side → broadcast position set → probe-side candidacy before the real
+    // join; the output counts the filter's exact false-positive tally.
+    "sketch_bloom_join" -> ((s, dir) => {
+      import graft.olap.BloomJoin
+      val bits = 65536
+      val hashes = 3
+      val build = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      val probeKeys = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k")).distinct()
+      val positions = BloomJoin.buildPositions(build, "o_orderkey",
+        bits, hashes)
+      val cands = BloomJoin.candidateKeys(probeKeys, "k", positions,
+        bits, hashes)
+      val trues = probeKeys.join(build,
+        col("k") === col("o_orderkey"), "leftsemi")
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(trues.agg(count(lit(1)).as("n_true")))
+        .crossJoin(probeKeys.agg(count(lit(1)).as("n_probe_keys")))
+        .select(col("n_probe_keys"), col("n_true"), col("n_candidates"),
+                (col("n_candidates") - col("n_true")).as("n_false_pos"))
+    }),
+
+    // Embedding normalization + int8 quantization (the storage/serving
+    // transform ANN shards apply at ingest): L2 norm via the fused dot,
+    // per-dimension round(x/norm·127) — all per-row projection, zero
+    // shuffle.
+    "emb_normalize_quantize" -> ((s, dir) => {
+      import graft.functions.VecOps
+      val e = Tables.embeddings(s, dir)
+        .withColumn("norm",
+          sqrt(VecOps.dot(col("embedding"), col("embedding"))))
+        .filter(col("norm") > 0)
+        .withColumn("q", transform(col("embedding"), x =>
+          round(x.cast("double") / col("norm") * lit(127.0), 0).cast("int")))
+      e.select(col("vec_id"), col("norm"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("q_sum"))
+        .orderBy("vec_id")
+    }),
+
+    // BPE-style pre-tokenization: maximal letter / digit / punctuation
+    // runs (explicit ASCII classes so Java and RE2 agree codepoint for
+    // codepoint), with a sequential piece-hash checksum — the
+    // deterministic skeleton a real BPE vocabulary merge would refine.
+    "text_bpe_tokens" -> ((s, dir) => {
+      import graft.text.TextAnalysis.{asciiLower, asciiUpper}
+      val pieces = regexp_extract_all(
+        translate(col("text"), asciiUpper, asciiLower),
+        lit("[a-z]+|[0-9]+|[.,;:!?()/_-]+"), lit(0))
+      val p = lit(2147483647L)
+      Tables.documents(s, dir)
+        .withColumn("pieces", pieces)
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          size(filter(col("pieces"), x => x.rlike("^[a-z]"))).cast("long")
+            .as("n_alpha"),
+          size(filter(col("pieces"), x => x.rlike("^[0-9]"))).cast("long")
+            .as("n_num"),
+          aggregate(
+            transform(col("pieces"),
+              x => graft.functions.CharFold.char_fold_hash(x)),
+            lit(0L), (a, h) => pmod(a * 31 + h, p)).as("piece_checksum"))
+        .withColumn("n_punct",
+          col("n_pieces") - col("n_alpha") - col("n_num"))
+        .select("doc_id", "n_pieces", "n_alpha", "n_num", "n_punct",
+                "piece_checksum")
+        .orderBy("doc_id")
+    }),
+
+    // Streaming extension: stream-static enrich — unbounded events joined
+    // to the broadcast customer dimension (stateless; no watermark, no
+    // join state), then aggregated per segment.
+    "stream_static_enrich" -> ((s, dir) =>
+      graft.streaming.EventStream.runStaticEnrich(s, dir)
+        .orderBy("c_mktsegment", "event_type")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1723,6 +1880,208 @@ object SparkEntry {
           SELECT centroid_id, count(*) AS n_assigned
           FROM r WHERE rn = 1
           GROUP BY 1 ORDER BY 1""",
+
+    // overlapping 64-sample windows every 32 over the UTF-8 byte stream;
+    // windows enumerated while start < n_bytes, so the last window may be
+    // short (least(64, nb - start)) — matching the Spark flatMap exactly
+    "mm_audio_window" ->
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                      WHERE doc_id < 200 AND octet_length(encode(text)) > 0),
+             b AS (SELECT media_id, nb, ${duckHexBytes("h")} AS bytes
+                   FROM hx),
+             w AS (SELECT media_id, nb, bytes,
+                          CAST(unnest(generate_series(0,
+                            CAST((nb - 1) // 32 AS INT))) AS INT)
+                            AS window_idx
+                   FROM b),
+             c AS (SELECT media_id, window_idx, bytes,
+                          least(64, nb - window_idx * 32) AS ns
+                   FROM w)
+         SELECT media_id, window_idx, CAST(ns AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(
+                  generate_series(window_idx * 32 + 1, window_idx * 32 + ns),
+                  j -> (bytes[j] - 128) * (bytes[j] - 128)))
+                  AS BIGINT) AS energy
+         FROM c ORDER BY media_id, window_idx""",
+
+    "agg_cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_qty,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS lvl
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY lvl, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
+
+    // the salted join must be bit-identical to the plain join — the
+    // oracle IS the plain join
+    "join_salted_skew" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // list_reduce seeds with the first element and folds left in index
+    // order — the identical sequential double recursion as the Spark
+    // aggregate over the running collect_list
+    "ts_ema" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, date, close,
+                           list(close) OVER (PARTITION BY event_type
+                             ORDER BY date ROWS UNBOUNDED PRECEDING) AS cl
+                    FROM b)
+         SELECT event_type, date, close,
+                list_reduce(cl, (a, x) -> a * CAST(0.75 AS DOUBLE)
+                                          + x * CAST(0.25 AS DOUBLE)) AS ema
+         FROM l ORDER BY event_type, date""",
+
+    "inc_scd2_history" ->
+      """SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+                ts AS valid_from, lead(ts) OVER w AS valid_to, value,
+                lead(ts) OVER w IS NULL AS is_current
+         FROM events
+         WHERE event_type = 'purchase' AND user_id < 50
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version""",
+
+    // per-group k-min sketches; the union row re-takes the k smallest of
+    // the UNION OF THE SKETCH ROWS only (mergeability), never the raw data
+    "sketch_kmv_union" ->
+      """WITH f AS (SELECT DISTINCT l_returnflag AS scope,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(l_partkey AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM lineitem),
+              m1 AS (SELECT scope,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT scope, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              h AS (SELECT DISTINCT scope,
+                      (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              r AS (SELECT scope, hv, row_number() OVER (PARTITION BY scope
+                      ORDER BY hv) AS rn FROM h),
+              sk AS (SELECT scope, hv FROM r WHERE rn <= 128),
+              per AS (SELECT scope, CAST(count(*) AS BIGINT) AS k_actual,
+                        CAST(max(hv) AS BIGINT) AS kth_hash,
+                        CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                             ELSE CAST(count(*) - 1 AS DOUBLE) * 2147483647.0
+                                  / CAST(max(hv) AS DOUBLE)
+                        END AS est_distinct
+                      FROM sk GROUP BY 1),
+              u AS (SELECT DISTINCT hv FROM sk ORDER BY hv LIMIT 128),
+              uni AS (SELECT '__union' AS scope,
+                        CAST(count(*) AS BIGINT) AS k_actual,
+                        CAST(max(hv) AS BIGINT) AS kth_hash,
+                        CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                             ELSE CAST(count(*) - 1 AS DOUBLE) * 2147483647.0
+                                  / CAST(max(hv) AS DOUBLE)
+                        END AS est_distinct
+                      FROM u)
+         SELECT * FROM per UNION ALL SELECT * FROM uni ORDER BY scope""",
+
+    // spread("key#salt") % bits on both sides; candidacy = all 3 positions
+    // set; n_false_pos is the filter's exact false-positive tally
+    "sketch_bloom_join" ->
+      """WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                     WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                       AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'),
+              pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+              bs AS (SELECT k, CAST(unnest(generate_series(0, 2)) AS INT)
+                       AS salt FROM bk),
+              bf AS (SELECT
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(
+                          CAST(k AS VARCHAR) || '#' || CAST(salt AS VARCHAR),
+                          ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                     FROM bs),
+              bm1 AS (SELECT (h0 * 1103515245 + 12345) % 2147483647 AS h1
+                      FROM bf),
+              bm2 AS (SELECT (h1 * h1) % 2147483647 AS h2 FROM bm1),
+              bpos AS (SELECT DISTINCT
+                         ((h2 * 69069 + 362437) % 2147483647) % 65536 AS pos
+                       FROM bm2),
+              ps AS (SELECT k, CAST(unnest(generate_series(0, 2)) AS INT)
+                       AS salt FROM pk),
+              pf AS (SELECT k,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(
+                          CAST(k AS VARCHAR) || '#' || CAST(salt AS VARCHAR),
+                          ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                     FROM ps),
+              pm1 AS (SELECT k, (h0 * 1103515245 + 12345) % 2147483647 AS h1
+                      FROM pf),
+              pm2 AS (SELECT k, (h1 * h1) % 2147483647 AS h2 FROM pm1),
+              ppos AS (SELECT k,
+                         ((h2 * 69069 + 362437) % 2147483647) % 65536 AS pos
+                       FROM pm2),
+              hits AS (SELECT k, count(*) AS n_hit
+                       FROM ppos JOIN bpos USING (pos) GROUP BY 1),
+              cand AS (SELECT k FROM hits WHERE n_hit = 3)
+         SELECT (SELECT count(*) FROM pk) AS n_probe_keys,
+                (SELECT count(*) FROM pk
+                 WHERE k IN (SELECT k FROM bk)) AS n_true,
+                (SELECT count(*) FROM cand) AS n_candidates,
+                (SELECT count(*) FROM cand)
+                  - (SELECT count(*) FROM pk
+                     WHERE k IN (SELECT k FROM bk)) AS n_false_pos""",
+
+    "emb_normalize_quantize" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+                       sqrt(${duckDot("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+              q AS (SELECT vec_id, norm,
+                      list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(round(CAST(embedding[i] AS DOUBLE) / norm
+                                        * CAST(127 AS DOUBLE), 0) AS INT))
+                        AS qs
+                    FROM n WHERE norm > 0)
+         SELECT vec_id, norm,
+                CAST(list_min(qs) AS INT) AS q_min,
+                CAST(list_max(qs) AS INT) AS q_max,
+                CAST(list_sum(list_transform(qs, x -> CAST(x AS BIGINT)))
+                  AS BIGINT) AS q_sum
+         FROM q ORDER BY vec_id""",
+
+    // identical explicit ASCII classes in both regex engines (Java and
+    // RE2 agree codepoint-for-codepoint on these); sequential left fold
+    // for the checksum on both sides
+    "text_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[.,;:!?()/_-]+') AS pieces
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(pieces) AS BIGINT) AS n_pieces,
+                CAST(len(list_filter(pieces,
+                  x -> regexp_matches(x, '^[a-z]'))) AS BIGINT) AS n_alpha,
+                CAST(len(list_filter(pieces,
+                  x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num,
+                CAST(len(pieces)
+                  - len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]')))
+                  - len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]')))
+                  AS BIGINT) AS n_punct,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(pieces, tk ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(tk, ''),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 2147483647))),
+                  (a, h) -> (a * 31 + h) % 2147483647) AS BIGINT)
+                  AS piece_checksum
+         FROM t ORDER BY doc_id""",
+
+    "stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

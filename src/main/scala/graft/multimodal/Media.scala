@@ -96,6 +96,43 @@ object Media {
     }
   }
 
+  /** One analysis window over an audio payload: overlapping fixed-size
+    * sample windows (the STFT/feature-frame shape), with integer energy —
+    * Σ(sample−128)² over the window's unsigned bytes, exact and
+    * engine-portable.
+    */
+  case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Long,
+                         energy: Long)
+
+  /** Audio-style windowing: treat the payload as 8-bit PCM samples and fan
+    * each media row out to overlapping windows (`windowSize` samples every
+    * `hop`). Same explode pattern as frame sampling but with overlap — the
+    * shape every audio feature extractor (MFCC, fbank, VAD) consumes. The
+    * per-window math is the STUB feature; a real extractor replaces the
+    * energy loop and nothing else.
+    */
+  def audioWindows(media: Dataset[MediaRow], windowSize: Int,
+                   hop: Int): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val nWin = if (n == 0) 0 else (n - 1) / hop + 1
+      (0 until nWin).iterator.map { i =>
+        val start = i * hop
+        val end = math.min(start + windowSize, n)
+        var e = 0L
+        var j = start
+        while (j < end) {
+          val s = (m.payload(j) & 0xff) - 128
+          e += s.toLong * s
+          j += 1
+        }
+        AudioWindow(m.media_id, i, (end - start).toLong, e)
+      }
+    }
+  }
+
   /** Resize stage (STUB): a real impl re-encodes the payload at the target
     * dimensions; the stub rewrites the declared metadata and truncates the
     * payload proportionally so downstream stages see a consistent

@@ -60,13 +60,56 @@ object Sketch {
   def kmvDistinct(df: DataFrame, c: Column, k: Int): DataFrame = {
     val hashes = df.select(spreadHash(c).as("hv")).distinct()
     val kmin = hashes.orderBy(col("hv").asc).limit(k)
+    kmin.agg(kmvSummary(k).head, kmvSummary(k).tail: _*)
+  }
+
+  /** The KMV estimator columns over a frame of sketch hashes. */
+  private def kmvSummary(k: Int): Seq[Column] = {
     val cnt = count(lit(1))
-    kmin.agg(
+    Seq(
       cnt.cast("long").as("k_actual"),
       max(col("hv")).as("kth_hash"),
       when(cnt < k, cnt.cast("double"))
         .otherwise((cnt - 1).cast("double") * lit(HashSpace.toDouble)
           / max(col("hv")).cast("double"))
         .as("est_distinct"))
+  }
+
+  /** Per-group KMV sketches PLUS their merged union — the property that
+    * makes sketches a distributed primitive: the union estimate is computed
+    * only from the per-group sketch rows (union the hash sets, re-take the
+    * k smallest), never re-touching the raw data. That is exactly how a
+    * 1000-executor job combines per-partition sketches, and how
+    * day-level sketches roll up to month-level without a rescan.
+    *
+    * One scan of `df`: the per-group k-min frame (≤ groups·k rows) is
+    * persisted and both the per-group summaries and the merged union read
+    * it. Per-group k-min is a keyed window rank — the hashes frame is
+    * already one row per distinct (group, hash) after the map-side-partial
+    * distinct.
+    */
+  def kmvGroupsWithUnion(df: DataFrame, grpCol: Column, c: Column,
+                         k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("scope")).orderBy(col("hv").asc)
+    val sketches = df
+      .select(grpCol.cast("string").as("scope"), spreadHash(c).as("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("scope", "hv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perGroup = sketches.groupBy("scope").agg(kmvSummary(k).head,
+      kmvSummary(k).tail: _*)
+    // global k-min of the merged hash sets: sort+limit plans as
+    // TakeOrderedAndProject (per-partition heaps), no window needed
+    val union = sketches.select(col("hv")).distinct()
+      .orderBy(col("hv").asc).limit(k)
+      .agg(kmvSummary(k).head, kmvSummary(k).tail: _*)
+      .select(lit("__union").as("scope"), col("k_actual"), col("kth_hash"),
+        col("est_distinct"))
+    perGroup.select(col("scope"), col("k_actual"), col("kth_hash"),
+        col("est_distinct"))
+      .unionByName(union)
   }
 }

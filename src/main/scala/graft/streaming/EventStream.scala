@@ -132,6 +132,32 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded dimension table (customer segment), then aggregated. The
+    * static side is broadcast — a stream-static inner join is STATELESS
+    * (each micro-batch joins against the dimension as-of that batch; no
+    * watermark, no join state), which is why enrich-then-aggregate is the
+    * cheapest streaming join shape and the default way to attach
+    * dimensions at scale.
+    */
+  def runStaticEnrich(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_enrich"
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = readEvents(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double")
+             .as("sum_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Run the daily aggregation over the fixture as a bounded streaming
     * query (complete mode → memory sink) and return the result table.
     * Append-mode watermark semantics are exercised in the spec with a

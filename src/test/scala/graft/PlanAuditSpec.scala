@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "cal_weekday_filter", "inc_derived_rebuild", "inc_missing_suffix",
       "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash_pairs",
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
-      "sim_kmeans_update")
+      "sim_kmeans_update",
+      // 1-row aggregate summaries combined via crossJoin (scalar probes)
+      "sketch_bloom_join")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-3 operators: EMA fold, SCD2 history,
+  * bloom-filter pruning, mergeable KMV sketches, audio windowing.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("EMA fold equals the explicit per-series recursion") {
+    import spark.implicits._
+    val bars = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
+      ("a", "2024-01-03", 8.0), ("a", "2024-01-04", 11.0),
+      ("b", "2024-01-01", 100.0), ("b", "2024-01-02", 90.0))
+      .toDF("event_type", "date", "close")
+    val got = graft.ts.Ema.withEma(bars, 0.25, Seq("event_type"))
+      .orderBy("event_type", "date")
+      .select("event_type", "ema").as[(String, Double)].collect()
+    def rec(xs: Seq[Double]): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((acc, x) => acc * 0.75 + x * 0.25)
+    val want = rec(Seq(10.0, 12.0, 8.0, 11.0)).map(("a", _)) ++
+      rec(Seq(100.0, 90.0)).map(("b", _))
+    assert(got.toSeq == want, "bitwise: same fold order, same doubles")
+  }
+
+  test("SCD2 history partitions each key's timeline") {
+    import spark.implicits._
+    val h = graft.inc.Scd2.history(
+      Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), "ts", "event_id")
+    // exactly one open (current) version per key
+    val open = h.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1).count()
+    assert(open == 0)
+    // versions are 1..n contiguous and intervals chain: valid_to of v ==
+    // valid_from of v+1
+    val chain = h.as("a").join(h.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.version") + 1 === col("b.version"))
+      .filter(col("a.valid_to") =!= col("b.valid_from")).count()
+    assert(chain == 0)
+    val counts = h.groupBy("user_id").agg(count(lit(1)).as("n"),
+      max(col("version")).as("vmax"))
+      .filter(col("n") =!= col("vmax")).count()
+    assert(counts == 0)
+  }
+
+  test("bloom filter admits every true key (no false negatives)") {
+    import graft.olap.BloomJoin
+    val build = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val probe = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k")).distinct()
+    val pos = BloomJoin.buildPositions(build, "o_orderkey", 65536, 3)
+    val cands = BloomJoin.candidateKeys(probe, "k", pos, 65536, 3)
+    val trueKeys = probe.join(build, col("k") === col("o_orderkey"),
+      "leftsemi")
+    // the bloom guarantee: candidates ⊇ true matches
+    assert(trueKeys.exceptAll(cands).count() == 0)
+    // and it actually prunes something on this data
+    assert(cands.count() < probe.count())
+  }
+
+  test("KMV union-of-sketches equals the sketch of the union (mergeable)") {
+    import graft.olap.Sketch
+    val li = Tables.lineitem(spark, sf)
+    val merged = Sketch.kmvGroupsWithUnion(li, col("l_returnflag"),
+        col("l_partkey"), k = 128)
+      .filter(col("scope") === "__union")
+      .select("k_actual", "kth_hash", "est_distinct")
+      .collect().head
+    val direct = Sketch.kmvDistinct(li, col("l_partkey"), k = 128)
+      .collect().head
+    // exact equality: merging per-group k-mins loses nothing — the global
+    // k smallest hashes all live in some group's k smallest
+    assert(merged.getLong(0) == direct.getLong(0))
+    assert(merged.getLong(1) == direct.getLong(1))
+    assert(merged.getDouble(2) == direct.getDouble(2))
+  }
+
+  test("audio windows cover the payload with the declared overlap") {
+    import spark.implicits._
+    import graft.multimodal.Media
+    val text = ('a' to 'z').mkString * 4 // 104 ASCII bytes
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Media.audioWindows(Media.asMedia(docs, "doc_id", "text"),
+        windowSize = 64, hop = 32)
+      .orderBy("window_idx").collect()
+    val bytes = text.getBytes("UTF-8")
+    val expected = (0 until 4).map { i =>
+      val start = i * 32
+      val end = math.min(start + 64, bytes.length)
+      val e = (start until end).map { j =>
+        val s = (bytes(j) & 0xff) - 128; s.toLong * s
+      }.sum
+      (i, (end - start).toLong, e)
+    }
+    assert(got.length == 4) // ceil((104-1)/32)+1 windows while start < n
+    got.zip(expected).foreach { case (row, (i, ns, e)) =>
+      assert(row.window_idx == i)
+      assert(row.n_samples == ns)
+      assert(row.energy == e)
+    }
+  }
+
+  test("stream-static enrich matches the batch join") {
+    val streamed = graft.streaming.EventStream.runStaticEnrich(spark, sf)
+      .orderBy("c_mktsegment", "event_type")
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}
