@@ -959,6 +959,87 @@ object SparkEntry {
     "stream_static_enrich" -> ((s, dir) =>
       graft.streaming.EventStream.runStaticEnrich(s, dir)
         .orderBy("c_mktsegment", "event_type")),
+
+    // Deterministic stratified sampling: per stratum, the k rows with the
+    // smallest portable hash — a uniform-ish sample that is REPRODUCIBLE
+    // (no RNG state, no seed drift across engines/retries) and mergeable
+    // (the k smallest of a union are the k smallest of the per-shard k
+    // smallest). Keyed window rank; hash ties totalized by event_id.
+    "sample_stratified" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("hv").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("hv", graft.olap.Sketch.spreadHash(col("event_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Fixed-width histogram per series: fully partial-aggregable (the bin
+    // is just a grouping expression), exact decimal mass per bin — the
+    // profiling primitive for value distributions at scale.
+    "agg_value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(50.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double")
+               .as("sum_value"))
+        .orderBy("event_type", "bin")),
+
+    // CDC compaction (latest-wins upsert): one surviving row per key via
+    // partial-aggregable max_by over the packed payload — the shuffle
+    // carries one pre-reduced row per key per map partition, not the
+    // change log (a window formulation would sort every change).
+    "inc_upsert_latest" -> ((s, dir) =>
+      graft.inc.Watermark.latestByKey(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          payloadCols = Seq("value"))
+        .orderBy("user_id")),
+
+    // Asymmetric containment |A∩B|/|A| over token-2-gram sets (bounded
+    // exact pairs): catches subset/quotation duplication that symmetric
+    // Jaccard under-scores — the other half of the near-dup decision.
+    "text_ngram_containment" -> ((s, dir) => {
+      import graft.dedup.NgramJaccard
+      val g = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+                NgramJaccard.gram_hashes(col("text"), 2).as("grams"))
+      g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+        .filter(size(col("grams_a")) > 0)
+        .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
+              col("doc_a") =!= col("doc_b"))
+        .withColumn("containment",
+          size(array_intersect(col("grams_a"), col("grams_b")))
+            .cast("double") / size(col("grams_a")).cast("double"))
+        .filter(col("containment") >= 0.20)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Sketch-only set similarity: Jaccard estimated from two KMV sketches
+    // (merged k-min ∩ both sketches) — compares 100 TB key sets by
+    // touching 2·k sketch rows; exact figures ride along to show the
+    // estimator's error on this data.
+    "sketch_kmv_jaccard" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "R")
+      val b = li.filter(col("l_returnflag") === "A")
+      val sk = graft.olap.Sketch.kmvJaccard(a, col("l_partkey"),
+        b, col("l_partkey"), k = 128)
+      val aK = a.select(col("l_partkey").as("k")).distinct()
+      val bK = b.select(col("l_partkey").as("k")).distinct()
+      sk.crossJoin(aK.join(bK, Seq("k"), "leftsemi")
+          .agg(count(lit(1)).as("n_inter")))
+        .crossJoin(aK.unionByName(bK).distinct()
+          .agg(count(lit(1)).as("n_union")))
+        .withColumn("jaccard_exact",
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2082,6 +2163,95 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sample_stratified" ->
+      """WITH f AS (SELECT event_type, event_id, value,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(event_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM events),
+              m1 AS (SELECT event_type, event_id, value,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT event_type, event_id, value,
+                       (h1 * h1) % 2147483647 AS h2 FROM m1),
+              h AS (SELECT event_type, event_id, value,
+                      (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              r AS (SELECT event_type, event_id, value,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY hv, event_id) AS rn FROM h)
+         SELECT event_type, event_id, value FROM r WHERE rn <= 20
+         ORDER BY event_type, event_id""",
+
+    "agg_value_histogram" ->
+      """SELECT event_type,
+                CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT) AS bin,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "inc_upsert_latest" ->
+      """SELECT user_id, ts, event_id, value FROM (
+           SELECT user_id, ts, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase')
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "text_ngram_containment" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th
+                     FROM documents WHERE doc_id < 150),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, len(th) - 1), i ->
+                             (th[i] * 31 + th[i+1]) % 2147483647)) AS grams
+                  FROM h)
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / CAST(len(a.grams) AS DOUBLE) AS containment
+           FROM g a JOIN g b ON a.doc_id <> b.doc_id
+           WHERE len(a.grams) > 0)
+         WHERE containment >= 0.20
+         ORDER BY doc_a, doc_b""",
+
+    "sketch_kmv_jaccard" ->
+      """WITH f0 AS (SELECT DISTINCT l_returnflag AS scope, l_partkey
+                     FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+              f AS (SELECT scope, l_partkey,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(l_partkey AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM f0),
+              m1 AS (SELECT scope,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT scope, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              h AS (SELECT DISTINCT scope,
+                      (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              sa AS (SELECT hv FROM h WHERE scope = 'R'
+                     ORDER BY hv LIMIT 128),
+              sb AS (SELECT hv FROM h WHERE scope = 'A'
+                     ORDER BY hv LIMIT 128),
+              m AS (SELECT DISTINCT hv FROM
+                      (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+                    ORDER BY hv LIMIT 128),
+              nb AS (SELECT count(*) AS n_both FROM m
+                     WHERE hv IN (SELECT hv FROM sa)
+                       AND hv IN (SELECT hv FROM sb)),
+              ni AS (SELECT count(DISTINCT a.l_partkey) AS n_inter
+                     FROM f0 a JOIN f0 b ON a.l_partkey = b.l_partkey
+                     WHERE a.scope = 'R' AND b.scope = 'A'),
+              nu AS (SELECT count(DISTINCT l_partkey) AS n_union FROM f0)
+         SELECT (SELECT count(*) FROM m) AS k_merged,
+                (SELECT n_both FROM nb) AS n_both,
+                CAST((SELECT n_both FROM nb) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM m) AS DOUBLE) AS jaccard_est,
+                (SELECT n_inter FROM ni) AS n_inter,
+                (SELECT n_union FROM nu) AS n_union,
+                CAST((SELECT n_inter FROM ni) AS DOUBLE)
+                  / CAST((SELECT n_union FROM nu) AS DOUBLE)
+                  AS jaccard_exact""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -44,6 +44,23 @@ object Watermark {
     incoming.join(existing.select(keys.map(col): _*).distinct(),
                   keys, "left_anti")
 
+  /** CDC compaction (latest-wins upsert): one surviving row per key — the
+    * row with the greatest (tsCol, tieCol). `max_by` over the packed struct
+    * is partial-aggregable, so the shuffle carries ONE pre-reduced row per
+    * key per map partition instead of the full change log — the reason
+    * this beats the window-row_number formulation at 100 TB (a window
+    * would sort every change). `tieCol` totalizes the order under
+    * same-timestamp changes so replays compact identically.
+    */
+  def latestByKey(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+                  tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    val payload = struct((Seq(tsCol, tieCol) ++ payloadCols).map(col): _*)
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("b"))
+      .select(keyCols.map(col) ++
+        (Seq(tsCol, tieCol) ++ payloadCols).map(c => col(s"b.$c").as(c)): _*)
+  }
+
   /** Full idempotent parquet append: first write creates the sink, later
     * writes append only unseen keys. Retry semantics (av_etl.py:138) stay
     * driver-side, as in the reference.

@@ -112,4 +112,29 @@ object Sketch {
         col("est_distinct"))
       .unionByName(union)
   }
+
+  /** Sketch-only Jaccard estimate between two key sets: J ≈ |{h ∈ M :
+    * h ∈ S_A ∧ h ∈ S_B}| / |M| where M is the k smallest of S_A ∪ S_B —
+    * the classic KMV set-similarity estimator. Touches only the two
+    * sketches (≤ k rows each), never the raw sets; deterministic because
+    * the underlying hash is the portable spread hash, so any engine
+    * produces the identical estimate (not just one within tolerance).
+    */
+  def kmvJaccard(a: DataFrame, ca: Column, b: DataFrame, cb: Column,
+                 k: Int): DataFrame = {
+    def sketch(df: DataFrame, c: Column) =
+      df.select(spreadHash(c).as("hv")).distinct()
+        .orderBy(col("hv").asc).limit(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sa = sketch(a, ca)
+    val sb = sketch(b, cb)
+    val merged = sa.unionByName(sb).distinct().orderBy(col("hv").asc).limit(k)
+    val inBoth = merged
+      .join(sa, Seq("hv"), "leftsemi")
+      .join(sb, Seq("hv"), "leftsemi")
+    merged.agg(count(lit(1)).cast("long").as("k_merged"))
+      .crossJoin(inBoth.agg(count(lit(1)).cast("long").as("n_both")))
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("k_merged").cast("double"))
+  }
 }

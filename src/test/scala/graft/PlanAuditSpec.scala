@@ -41,10 +41,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val bnljAllowed = Set(
       "cal_weekday_filter", "inc_derived_rebuild", "inc_missing_suffix",
       "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+      "text_ngram_containment",
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
       "sim_kmeans_update",
       // 1-row aggregate summaries combined via crossJoin (scalar probes)
-      "sketch_bloom_join")
+      "sketch_bloom_join", "sketch_kmv_jaccard")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

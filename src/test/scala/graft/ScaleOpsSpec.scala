@@ -112,6 +112,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("latest-wins upsert is idempotent and equals the window form") {
+    import org.apache.spark.sql.expressions.Window
+    val changes = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val once = graft.inc.Watermark.latestByKey(changes,
+      Seq("user_id"), "ts", "event_id", Seq("value"))
+    // compacting a compaction changes nothing (CDC replay safety)
+    val twice = graft.inc.Watermark.latestByKey(once,
+      Seq("user_id"), "ts", "event_id", Seq("value"))
+    assert(once.exceptAll(twice).count() == 0 &&
+           twice.exceptAll(once).count() == 0)
+    // and the partial-aggregable max_by picks the same rows as the
+    // window row_number formulation
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(once.exceptAll(viaWindow).count() == 0 &&
+           viaWindow.exceptAll(once).count() == 0)
+  }
+
+  test("KMV Jaccard is exact when the sets fit inside the sketch") {
+    import spark.implicits._
+    // |A|=60, |B|=60, |A∩B|=30, |A∪B|=90 — all under k=128, so the
+    // sketches ARE the sets and the estimate must equal 30/90 exactly
+    val a = (1 to 60).toDF("k")
+    val b = (31 to 90).toDF("k")
+    val r = graft.olap.Sketch.kmvJaccard(a, col("k"), b, col("k"), k = 128)
+      .collect().head
+    assert(r.getAs[Double]("jaccard_est") == 30.0 / 90.0)
+  }
+
   test("stream-static enrich matches the batch join") {
     val streamed = graft.streaming.EventStream.runStaticEnrich(spark, sf)
       .orderBy("c_mktsegment", "event_type")
