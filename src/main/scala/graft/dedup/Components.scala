@@ -39,10 +39,22 @@ object Components {
   def canonicalLabels(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges.select(col(aCol).cast("long").as("a"),
                          col(bCol).cast("long").as("b"))
+    // cached pre-shuffled AND pre-sorted on the join key: the cached frame
+    // carries HashPartitioning(a) + per-partition order, so every round's
+    // neighbor-min join reuses the layout (no re-exchange, no re-sort of
+    // the edge frame — it is the big side; only the tiny label frame moves
+    // per round). This is the iterative-algorithm analog of bucketing.
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with round 1 for free: label₀ = min(self, neighbors) is ONE
+    // partial-aggregable aggregation over the symmetric edge frame —
+    // the same result the first propagation round would produce via two
+    // joins (sym is symmetric, so grouping on `a` covers every node)
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .localCheckpoint()
     var prevSum: java.math.BigDecimal = null
     var converged = false
