@@ -1021,6 +1021,38 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // End-to-end exactly-once streaming SINK: at-least-once delivery
+    // (every event twice) through foreachBatch + keyed idempotent append
+    // into parquet; the sink holds each event exactly once (n_rows ==
+    // n_unique is part of the checked output).
+    "stream_foreach_upsert" -> ((s, dir) => {
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_upsert_sink").toString
+      graft.streaming.EventStream.runForeachBatchUpsert(s, dir, sink)
+        .orderBy("event_type")
+    }),
+
+    // The full rank-function family in one keyed window pass: rank /
+    // dense_rank / percent_rank / cume_dist over the value order (tie
+    // semantics exercised — gaps, plateaus, inclusive fractions), ntile
+    // over the totalized order (ntile is positional, so its window must
+    // be a total order or engines may disagree within ties).
+    "window_rank_suite" -> ((s, dir) => {
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("event_type"), col("event_id"), col("value"),
+          rank().over(wv).cast("long").as("rnk"),
+          dense_rank().over(wv).cast("long").as("drnk"),
+          percent_rank().over(wv).as("prnk"),
+          cume_dist().over(wv).as("cdist"),
+          ntile(4).over(wt).cast("long").as("tile"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // Sketch-only set similarity: Jaccard estimated from two KMV sketches
     // (merged k-min ∩ both sketches) — compares 100 TB key sets by
     // touching 2·k sketch rows; exact figures ride along to show the
@@ -2214,6 +2246,26 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    // the sink must hold each event exactly once despite double delivery:
+    // n_rows == n_unique == the batch distinct count
+    "stream_foreach_upsert" ->
+      """SELECT event_type, count(*) AS n_rows,
+                count(DISTINCT event_id) AS n_unique,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "window_rank_suite" ->
+      """SELECT event_type, event_id, value,
+                CAST(rank() OVER wv AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+                percent_rank() OVER wv AS prnk,
+                cume_dist() OVER wv AS cdist,
+                CAST(ntile(4) OVER wt AS BIGINT) AS tile
+         FROM events WHERE user_id < 20
+         WINDOW wv AS (PARTITION BY event_type ORDER BY value),
+                wt AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_type, event_id""",
 
     "sketch_kmv_jaccard" ->
       """WITH f0 AS (SELECT DISTINCT l_returnflag AS scope, l_partkey

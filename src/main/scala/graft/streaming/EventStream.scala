@@ -158,6 +158,43 @@ object EventStream {
     spark.table(name)
   }
 
+  /** End-to-end exactly-once SINK: an at-least-once stream (every event
+    * delivered twice via the in-flight explode) lands in a parquet sink
+    * through `foreachBatch` + the keyed idempotent append — the streaming
+    * composition of the reference's PK-reject semantics (Watermark.
+    * appendIdempotent). Batch-level replays AND in-stream duplicates both
+    * collapse on the event key, so the sink holds each event exactly once
+    * regardless of delivery count; the returned frame aggregates the sink
+    * for the oracle. At scale the same foreachBatch body targets any
+    * atomic-append store; the anti-join is the minimal exchange for
+    * upsert-less storage.
+    */
+  def runForeachBatchUpsert(spark: SparkSession, dir: String,
+                            sinkDir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val doubled = readEvents(spark, dir)
+      .withColumn("attempt", explode(array(lit(1), lit(2))))
+      .drop("attempt")
+      .select("event_id", "ts", "event_type", "value")
+    val q = doubled.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // in-batch dedup first (the doubled deliveries share a micro-
+        // batch), then the keyed anti-join against the sink handles
+        // cross-batch replays — together: exactly-once landing
+        graft.inc.Watermark.appendIdempotent(spark,
+          batch.dropDuplicates("event_id"), sinkDir, Seq("event_id"))
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sinkDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("event_id")).as("n_unique"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double")
+             .as("sum_value"))
+  }
+
   /** Run the daily aggregation over the fixture as a bounded streaming
     * query (complete mode → memory sink) and return the result table.
     * Append-mode watermark semantics are exercised in the spec with a
