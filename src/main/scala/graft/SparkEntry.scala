@@ -1021,6 +1021,65 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Moment statistics per series from EXACT integer sums (cents and
+    // squared cents both fit BIGINT), converted to doubles once in a
+    // fixed expression order — mean/variance/stddev reproducible bitwise
+    // under any partitioning (a naive double sum would drift).
+    "agg_value_stats" -> ((s, dir) => {
+      val c = Exact.cents(col("value"))
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(c).as("sc"),
+             sum(c * c).as("ssq"))
+        .select(col("event_type"), col("n"),
+          (col("sc").cast("double") / (col("n").cast("double") * lit(100.0)))
+            .as("mean_value"),
+          (col("ssq").cast("double")
+             / (col("n").cast("double") * lit(10000.0))
+           - (col("sc").cast("double")
+              / (col("n").cast("double") * lit(100.0)))
+             * (col("sc").cast("double")
+                / (col("n").cast("double") * lit(100.0))))
+            .as("variance"),
+          sqrt(col("ssq").cast("double")
+             / (col("n").cast("double") * lit(10000.0))
+           - (col("sc").cast("double")
+              / (col("n").cast("double") * lit(100.0)))
+             * (col("sc").cast("double")
+                / (col("n").cast("double") * lit(100.0))))
+            .as("stddev"))
+        .orderBy("event_type")
+    }),
+
+    // Per-series least-squares trend over (epoch day, close cents): all
+    // five sums exact BIGINT, slope/intercept/r² as one fixed-order
+    // double projection — the regression every drift monitor runs, with
+    // the same bitwise-reproducibility contract as the SMA.
+    "ts_linreg_trend" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+      val d = datediff(col("date"), lit("1970-01-01").cast("date"))
+        .cast("long")
+      val c = Exact.cents(col("close"))
+      val agg = bars.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d).as("sx"), sum(c).as("sy"),
+             sum(d * d).as("sxx"), sum(c * c).as("syy"),
+             sum(d * c).as("sxy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      agg.select(col("event_type"), col("n"),
+          (num / den / lit(100.0)).as("slope_per_day"),
+          (col("sy").cast("double") / (col("n").cast("double") * lit(100.0))
+            - num / den / lit(100.0)
+              * (col("sx").cast("double") / col("n").cast("double")))
+            .as("intercept"),
+          (num * num / (den * deny)).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // End-to-end exactly-once streaming SINK: at-least-once delivery
     // (every event twice) through foreachBatch + keyed idempotent append
     // into parquet; the sink holds each event exactly once (n_rows ==
@@ -2246,6 +2305,61 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    // exact BIGINT moment sums; identical double expression order for the
+    // final mean/variance/stddev projection on both engines
+    "agg_value_stats" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)) AS sc,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)
+                          * CAST(round(value * 100, 0) AS BIGINT)) AS ssq
+                    FROM events GROUP BY 1)
+         SELECT event_type, n,
+                CAST(sc AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)) AS mean_value,
+                CAST(ssq AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE))
+                  - (CAST(sc AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)))
+                    * (CAST(sc AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)))
+                  AS variance,
+                sqrt(CAST(ssq AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE))
+                  - (CAST(sc AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)))
+                    * (CAST(sc AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE))))
+                  AS stddev
+         FROM a ORDER BY event_type""",
+
+    "ts_linreg_trend" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              x AS (SELECT event_type,
+                      CAST(date - DATE '1970-01-01' AS BIGINT) AS d,
+                      CAST(round(close * 100, 0) AS BIGINT) AS c
+                    FROM b),
+              g AS (SELECT event_type, count(*) AS n, sum(d) AS sx,
+                      sum(c) AS sy, sum(d * d) AS sxx, sum(c * c) AS syy,
+                      sum(d * c) AS sxy
+                    FROM x GROUP BY 1)
+         SELECT event_type, n,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  / CAST(100 AS DOUBLE) AS slope_per_day,
+                CAST(sy AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE))
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    / CAST(100 AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+         FROM g ORDER BY event_type""",
 
     // the sink must hold each event exactly once despite double delivery:
     // n_rows == n_unique == the batch distinct count
