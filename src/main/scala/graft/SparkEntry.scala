@@ -1021,6 +1021,61 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Corpus TF-IDF with a RATIONAL idf (tf·N/df — no ln(), which is not
+    // bit-portable across libm builds): document frequency over the full
+    // corpus (one token shuffle), term frequency only for the output
+    // slice, top-3 terms per document via keyed window. The weighting
+    // every retrieval/quality pipeline starts from.
+    "text_tfidf_topk" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens("text")).as("token"))
+      val tf = toks.filter(col("doc_id") < 100)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf").cast("double")
+          * col("n_docs").cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tfidf")
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Outlier ranking by z-score against the exact-sum series moments:
+    // the top-50 most anomalous events corpus-wide, ranked on doubles
+    // that both engines compute identically (TakeOrderedAndProject — no
+    // full sort).
+    "ts_zscore_topk" -> ((s, dir) => {
+      val c = Exact.cents(col("value"))
+      val stats = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(c).as("sc"), sum(c * c).as("ssq"))
+        .select(col("event_type"),
+          (col("sc").cast("double") / (col("n").cast("double") * lit(100.0)))
+            .as("mean_value"),
+          sqrt(col("ssq").cast("double")
+             / (col("n").cast("double") * lit(10000.0))
+           - (col("sc").cast("double")
+              / (col("n").cast("double") * lit(100.0)))
+             * (col("sc").cast("double")
+                / (col("n").cast("double") * lit(100.0))))
+            .as("stddev"))
+      Tables.events(s, dir)
+        .join(broadcast(stats), Seq("event_type"))
+        .withColumn("z",
+          (col("value") - col("mean_value")) / col("stddev"))
+        .select("event_type", "event_id", "value", "z")
+        .orderBy(abs(col("z")).desc, col("event_id").asc)
+        .limit(50)
+    }),
+
     // Moment statistics per series from EXACT integer sums (cents and
     // squared cents both fit BIGINT), converted to doubles once in a
     // fixed expression order — mean/variance/stddev reproducible bitwise
@@ -2305,6 +2360,52 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                       FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                     WHERE doc_id < 100 GROUP BY 1, 2),
+              df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                     GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              sc AS (SELECT doc_id, tf.token AS token,
+                       CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                         / CAST(df AS DOUBLE) AS tfidf
+                     FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+              r AS (SELECT doc_id, token, tfidf,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk
+                    FROM sc)
+         SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
+
+    // ranked on doubles both engines compute identically from the exact
+    // integer moment sums; ties totalized by event_id
+    "ts_zscore_topk" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)) AS sc,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)
+                          * CAST(round(value * 100, 0) AS BIGINT)) AS ssq
+                    FROM events GROUP BY 1),
+              s AS (SELECT event_type,
+                      CAST(sc AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE))
+                        AS mean_value,
+                      sqrt(CAST(ssq AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE))
+                        - (CAST(sc AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)))
+                          * (CAST(sc AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE))))
+                        AS stddev
+                    FROM a)
+         SELECT event_type, event_id, value,
+                (value - mean_value) / stddev AS z
+         FROM events JOIN s USING (event_type)
+         ORDER BY abs((value - mean_value) / stddev) DESC, event_id ASC
+         LIMIT 50""",
 
     // exact BIGINT moment sums; identical double expression order for the
     // final mean/variance/stddev projection on both engines

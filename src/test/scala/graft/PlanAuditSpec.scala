@@ -45,7 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
       "sim_kmeans_update",
       // 1-row aggregate summaries combined via crossJoin (scalar probes)
-      "sketch_bloom_join", "sketch_kmv_jaccard")
+      "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
