@@ -32,6 +32,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "both join sides must read the persisted bucket frame")
   }
 
+  test("CDC upsert argmax is partial-aggregable max_by, not a window") {
+    val p = SparkEntry.queries("inc_upsert_latest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by"),
+      "latest-wins compaction must pre-reduce map-side")
+    assert(!p.contains("Window"),
+      "compaction must not sort the change log through a window")
+  }
+
+  test("bloom probe joins the position set via broadcast") {
+    val p = SparkEntry.queries("sketch_bloom_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the filter's positions broadcast to the probe side — the probe's
+    // candidacy check must not shuffle the probe keys against them
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("LeftSemi"))
+  }
+
   test("no scale red flags in any query plan (allowlisted BNLJ only)") {
     // every BroadcastNestedLoopJoin in the engine is one of: a 1-row
     // watermark/scalar probe, a broadcast query/centroid set scored
