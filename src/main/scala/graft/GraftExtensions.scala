@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.cal.{BusdayCount, BusdayCountExpr}
-import graft.dedup.{GramHashesExpr, JaccardSortedExpr, LshBandKeysExpr, MinHash, MinHashSigExpr, SimHashExpr}
+import graft.dedup.{GramHashesExpr, IntersectCountSortedExpr, JaccardSortedExpr, LshBandKeysExpr, MinHash, MinHashSigExpr, SimHashExpr}
 import graft.functions.{CharFoldHashExpr, DocFingerprintExpr, DotProductExpr, TextStatsExpr}
 import graft.text.TextAnalysis
 
@@ -66,6 +66,9 @@ object GraftExtensions {
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted distinct long arrays"),
       (es: Seq[Expression]) => JaccardSortedExpr(es(0), es(1))),
+    ("intersect_count_sorted",
+      info("intersect_count_sorted", "intersect_count_sorted(a, b) - intersection size of two sorted distinct long arrays"),
+      (es: Seq[Expression]) => IntersectCountSortedExpr(es(0), es(1))),
     ("text_stats",
       info("text_stats", "text_stats(text) - fused token statistics struct (stopword list built in)"),
       (es: Seq[Expression]) => TextStatsExpr(es.head,

@@ -1014,11 +1014,75 @@ object SparkEntry {
         .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
               col("doc_a") =!= col("doc_b"))
         .withColumn("containment",
-          size(array_intersect(col("grams_a"), col("grams_b")))
+          NgramJaccard.intersect_count_sorted(col("grams_a"), col("grams_b"))
             .cast("double") / size(col("grams_a")).cast("double"))
         .filter(col("containment") >= 0.20)
         .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact rolling median (windowed order statistic): NULL-gated like the
+    // SMA (full 5-row window only), the middle of a sorted window — an
+    // order statistic no associative aggregate expresses; the bounded
+    // window keeps the per-row sort O(w log w).
+    "ts_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("date"))
+        .rowsBetween(-4, 0)
+      val lst = sort_array(collect_list(col("close")).over(w))
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"), col("close"))
+        .withColumn("median_5",
+          when(size(lst) === 5, element_at(lst, 3)))
+        .orderBy("event_type", "date")
+    }),
+
+    // Cohort retention: users bucketed by first-activity date, activity
+    // counted per day offset — two keyed aggregations (first-touch, then
+    // cohort×offset distincts); the warehouse query behind every
+    // retention curve.
+    "agg_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("activity_date"))
+        .distinct()
+      val firsts = ev.groupBy("user_id")
+        .agg(min(col("activity_date")).as("cohort_date"))
+      ev.join(firsts, Seq("user_id"))
+        .groupBy(col("cohort_date"),
+          datediff(col("activity_date"), col("cohort_date")).cast("long")
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    }),
+
+    // Session funnel: per session, did a view precede a purchase? The
+    // session assignment is the same gap logic as sessionize_events; the
+    // conversion test is first-view-ts <= last-purchase-ts within the
+    // session — ordered-sequence analytics over keyed windows.
+    "sessionize_funnel" -> ((s, dir) => {
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val ev = Tables.events(s, dir)
+        .withColumn("is_new",
+          when(lag(col("ts"), 1).over(wu).isNull ||
+               unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1)
+                 .over(wu)) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(wu.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      ev.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(when(col("event_type") === "view", col("ts")))
+            .as("first_view"),
+          max(when(col("event_type") === "purchase", col("ts")))
+            .as("last_purchase"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("first_view").isNotNull &&
+                   col("last_purchase").isNotNull &&
+                   col("first_view") <= col("last_purchase"), 1)
+            .otherwise(0)).as("n_converted"))
+        .orderBy("user_id")
     }),
 
     // Corpus TF-IDF with a RATIONAL idf (tf·N/df — no ln(), which is not
@@ -2360,6 +2424,55 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    "ts_rolling_median" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, date, close,
+                           list(close) OVER (PARTITION BY event_type
+                             ORDER BY date ROWS BETWEEN 4 PRECEDING
+                             AND CURRENT ROW) AS cl
+                    FROM b)
+         SELECT event_type, date, close,
+                CASE WHEN len(cl) = 5 THEN list_sort(cl)[3] END AS median_5
+         FROM l ORDER BY event_type, date""",
+
+    "agg_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE)
+                       AS activity_date FROM events),
+              f AS (SELECT user_id, min(activity_date) AS cohort_date
+                    FROM ev GROUP BY 1)
+         SELECT cohort_date,
+                CAST(activity_date - cohort_date AS BIGINT) AS day_offset,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN f ON ev.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sessionize_funnel" ->
+      """WITH x AS (SELECT user_id, ts, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              y AS (SELECT user_id, ts, event_type,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                    FROM x),
+              s AS (SELECT user_id, session_seq, count(*) AS n_events,
+                      min(CASE WHEN event_type = 'view' THEN ts END)
+                        AS first_view,
+                      max(CASE WHEN event_type = 'purchase' THEN ts END)
+                        AS last_purchase
+                    FROM y GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN first_view IS NOT NULL
+                               AND last_purchase IS NOT NULL
+                               AND first_view <= last_purchase
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+         FROM s GROUP BY 1 ORDER BY 1""",
 
     "text_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id,

@@ -76,11 +76,32 @@ object NgramJaccard {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Intersection size of two sorted distinct long arrays, same linear
+    * merge — the building block for asymmetric containment (|A∩B|/|A|),
+    * where the fused form skips array_intersect's result allocation on
+    * the O(pairs) inner loop.
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   def gram_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(text), n))
 
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    ColumnBridge.column(IntersectCountSortedExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
@@ -98,6 +119,31 @@ case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.dedup.NgramJaccard.gramHashes($s, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class IntersectCountSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (t: DataType) => t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count_sorted needs (array<long>, array<long>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NgramJaccard.intersectCountSorted(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.dedup.NgramJaccard.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class JaccardSortedExpr(left: Expression, right: Expression)
