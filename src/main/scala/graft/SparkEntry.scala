@@ -1021,6 +1021,30 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Snapshot reconciliation — the audit step of every incremental
+    // pipeline: diff two watermark-relative snapshots (history ≤ wm−10
+    // vs trailing 20 days) per key, classify added / removed / changed /
+    // unchanged. One full-outer join on the key; the per-key sums are
+    // exact cents so "changed" is exact, not float-fuzzy.
+    "inc_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      val wm = ev.agg(max(to_date(col("ts"))).as("maxd"))
+      val older = ev.join(broadcast(wm),
+          to_date(col("ts")) <= date_sub(col("maxd"), 10))
+        .groupBy("user_id")
+        .agg(sum(Exact.cents(col("value"))).as("cents_old"))
+      val newer = ev.join(broadcast(wm),
+          to_date(col("ts")) > date_sub(col("maxd"), 20))
+        .groupBy(col("user_id").as("user_id_n"))
+        .agg(sum(Exact.cents(col("value"))).as("cents_new"))
+      graft.inc.SnapshotDiff.classify(
+        older.select(col("user_id"), col("cents_old").as("cents")),
+        newer.select(col("user_id_n").as("user_id"),
+          col("cents_new").as("cents")),
+        "user_id", "cents")
+    }),
+
     // Exact rolling median (windowed order statistic): NULL-gated like the
     // SMA (full 5-row window only), the middle of a sorted window — an
     // order statistic no associative aggregate expresses; the bounded
@@ -2424,6 +2448,36 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    "inc_snapshot_diff" ->
+      """WITH wm AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events
+                     WHERE event_type = 'purchase'),
+              o AS (SELECT user_id,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents_old
+                    FROM events, wm
+                    WHERE event_type = 'purchase'
+                      AND CAST(ts AS DATE) <= maxd - 10
+                    GROUP BY 1),
+              n AS (SELECT user_id,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents_new
+                    FROM events, wm
+                    WHERE event_type = 'purchase'
+                      AND CAST(ts AS DATE) > maxd - 20
+                    GROUP BY 1),
+              j AS (SELECT o.user_id AS uo, n.user_id AS un,
+                           cents_old, cents_new
+                    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+         SELECT CAST(sum(CASE WHEN uo IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_added,
+                CAST(sum(CASE WHEN un IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                CAST(sum(CASE WHEN uo IS NOT NULL AND un IS NOT NULL
+                               AND cents_old <> cents_new
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                CAST(sum(CASE WHEN uo IS NOT NULL AND un IS NOT NULL
+                               AND cents_old = cents_new
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         FROM j""",
 
     "ts_rolling_median" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,

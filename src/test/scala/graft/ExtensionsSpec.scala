@@ -15,7 +15,9 @@ class ExtensionsSpec extends AnyFunSuite {
                 size(minhash_signature('one two three four five')) AS sig_k,
                 size(lsh_band_keys('one two three four five')) AS n_bands,
                 vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-                        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot
+                        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+                intersect_count_sorted(array(1L, 3L, 5L, 7L),
+                                       array(3L, 4L, 5L)) AS ic
       """).collect()(0)
     assert(row.getAs[Int]("bd") == 10) // numpy-verified golden value
     // char_fold_hash('abc') = ((97*31+98)*31+99) % (2^31-1)
@@ -23,6 +25,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("sig_k") == 16)
     assert(row.getAs[Int]("n_bands") == 4)
     assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Long]("ic") == 2L) // {3, 5}
     assert(row.getAs[Long]("fp") != 0L && row.getAs[Long]("sh") != 0L)
   }
 

@@ -145,6 +145,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard_est") == 30.0 / 90.0)
   }
 
+  test("snapshot diff classifies all four key fates") {
+    import spark.implicits._
+    val older = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val newer = Seq((2L, 20L), (3L, 99L), (4L, 40L)).toDF("k", "v")
+    val r = graft.inc.SnapshotDiff.classify(older, newer, "k", "v")
+      .collect().head
+    assert(r.getAs[Long]("n_added") == 1)     // key 4
+    assert(r.getAs[Long]("n_removed") == 1)   // key 1
+    assert(r.getAs[Long]("n_changed") == 1)   // key 3
+    assert(r.getAs[Long]("n_unchanged") == 1) // key 2
+  }
+
   test("stream-static enrich matches the batch join") {
     val streamed = graft.streaming.EventStream.runStaticEnrich(spark, sf)
       .orderBy("c_mktsegment", "event_type")
