@@ -32,9 +32,22 @@ def main():
                       .replace("\n", "\\n").replace("\t", "\\t")) + "'"
 
     values = ",\n".join(f"({i}, {esc(s)})" for i, s in enumerate(strs))
+    # BPE-style pretokenizer (text_bpe_tokens): explicit ASCII classes so
+    # Java regex (Spark) and RE2 (DuckDB) must agree codepoint-for-
+    # codepoint; the fuzz hunts divergence on mixed unicode input
+    bpe_spark = (
+        "aggregate(transform(regexp_extract_all(translate(s, "
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+        "'[a-z]+|[0-9]+|[.,;:!?()/_-]+', 0), tk -> char_fold_hash(tk)), "
+        "0L, (a, h) -> pmod(a * 31 + h, 2147483647L))")
+    n_pieces_spark = (
+        "size(regexp_extract_all(translate(s, "
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+        "'[a-z]+|[0-9]+|[.,;:!?()/_-]+', 0))")
     sql = (f"CREATE TEMPORARY VIEW t AS SELECT * FROM VALUES {values} "
            "AS t(id, s);\n"
-           "SELECT id, char_fold_hash(s), doc_fingerprint(s), simhash32(s) "
+           "SELECT id, char_fold_hash(s), doc_fingerprint(s), simhash32(s), "
+           f"{bpe_spark}, {n_pieces_spark} "
            "FROM t ORDER BY id;")
     open("/tmp/graft_fuzz.sql", "w").write(sql)
     out = subprocess.run(
@@ -46,7 +59,7 @@ def main():
     spark_rows = {}
     for line in out.stdout.splitlines():
         parts = line.split("\t")
-        if len(parts) == 4 and parts[0].isdigit():
+        if len(parts) == 6 and parts[0].isdigit():
             spark_rows[int(parts[0])] = tuple(int(x) for x in parts[1:])
 
     con = duckdb.connect()
@@ -72,6 +85,17 @@ def main():
           "((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647)) "
           "ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
           "(a, b) -> a * 31 + b) % 2147483647 END")
+    bpe_duck = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(pieces, tk -> "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(tk, ''), "
+        "ch -> CAST(ord(ch) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 2147483647))), "
+        "(a, h) -> (a * 31 + h) % 2147483647)")
+    pieces_duck = (
+        "regexp_extract_all(translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[.,;:!?()/_-]+')")
     mism = 0
     for i, s in enumerate(strs):
         con.execute("CREATE OR REPLACE TEMP TABLE one AS SELECT ? AS s", [s])
@@ -81,11 +105,16 @@ def main():
             f"WITH h AS (SELECT {tok_hash} AS th FROM one) "
             f"SELECT coalesce({fp},0), coalesce({simhash},0) FROM h"
         ).fetchone()
-        if spark_rows.get(i) != (cf, th_fp, th_sh) and s != "":
+        bpe, npc = con.execute(
+            f"WITH p AS (SELECT {pieces_duck} AS pieces FROM one) "
+            f"SELECT coalesce({bpe_duck}, 0), len(pieces) FROM p"
+        ).fetchone()
+        if spark_rows.get(i) != (cf, th_fp, th_sh, bpe, npc) and s != "":
             mism += 1
             if mism <= 5:
                 print(f"MISMATCH id={i} s={s!r} "
-                      f"spark={spark_rows.get(i)} duck={(cf, th_fp, th_sh)}")
+                      f"spark={spark_rows.get(i)} "
+                      f"duck={(cf, th_fp, th_sh, bpe, npc)}")
     print(f"{len(strs) - 1 - mism}/{len(strs) - 1} non-empty strings agree")
     return 1 if mism else 0
 
