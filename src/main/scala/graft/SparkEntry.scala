@@ -1021,6 +1021,23 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Z-order layout key (the OPTIMIZE ZORDER primitive): Morton-
+    // interleave (user, day) so min/max row-group stats prune scans on
+    // EITHER dimension; exact bit arithmetic, engine-portable. The query
+    // emits the curve positions for the distinct (user, day) grid — the
+    // exact sort key an ingest-time layout pass would cluster by.
+    "layout_zorder_key" -> ((s, dir) => {
+      val day = datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long")
+      Tables.events(s, dir)
+        .select(col("user_id"), day.as("day"))
+        .distinct()
+        .withColumn("zkey",
+          graft.olap.ZOrder.zkey(col("user_id"), col("day"), bits = 16))
+        .orderBy("zkey", "user_id", "day")
+        .limit(200)
+    }),
+
     // Snapshot reconciliation — the audit step of every incremental
     // pipeline: diff two watermark-relative snapshots (history ≤ wm−10
     // vs trailing 20 days) per key, classify added / removed / changed /
@@ -2448,6 +2465,17 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    "layout_zorder_key" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                        AS day
+                    FROM events)
+         SELECT user_id, day,
+                CAST(list_sum(list_transform(generate_series(0, 15), i ->
+                  (((user_id >> i) & 1) << (2 * i))
+                  + (((day >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+         FROM d ORDER BY zkey, user_id, day LIMIT 200""",
 
     "inc_snapshot_diff" ->
       """WITH wm AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events

@@ -145,6 +145,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard_est") == 30.0 / 90.0)
   }
 
+  test("z-order key interleaves bits exactly") {
+    import spark.implicits._
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.olap.ZOrder.zkey(col("a"), col("b"), 3).as("z"))
+      .first().getLong(0)
+    // a=101b -> positions 0,4 (1+16); b=011b -> positions 1,3 (2+8)
+    assert(got == 27L)
+    // round-trip property on a grid: the key is a bijection, so distinct
+    // inputs give distinct keys
+    val grid = (for (a <- 0L to 15L; b <- 0L to 15L) yield (a, b))
+      .toDF("a", "b")
+      .select(graft.olap.ZOrder.zkey(col("a"), col("b"), 4).as("z"))
+    assert(grid.distinct().count() == 256)
+  }
+
   test("snapshot diff classifies all four key fates") {
     import spark.implicits._
     val older = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
