@@ -1021,6 +1021,54 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Data-quality gate (Deequ-style): five row-level constraints in ONE
+    // aggregation pass (conditional counts, partial-aggregable) plus two
+    // table-level checks with their own minimal plans (anti-join orphans,
+    // group-count duplicates), unioned to one (check_name, n_violations)
+    // report — the pre-ingest gate every pipeline runs.
+    "dq_constraint_checks" -> ((s, dir) => {
+      import graft.olap.Quality
+      val li = Tables.lineitem(s, dir)
+      val rowChecks = Quality.violationCounts(li, Seq(
+        "null_orderkey" -> col("l_orderkey").isNull,
+        "nonpositive_quantity" -> (col("l_quantity") <= 0),
+        "discount_out_of_range" ->
+          (col("l_discount") < 0 || col("l_discount") > 1),
+        "null_shipdate" -> col("l_shipdate").isNull,
+        "flag_domain" -> !col("l_returnflag").isin("A", "N", "R")))
+      rowChecks
+        .unionByName(Quality.orphanCount(li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "orphan_orderkey"))
+        .unionByName(Quality.duplicateCount(li,
+          Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+          "duplicate_line_identity"))
+        .orderBy("check_name")
+    }),
+
+    // Algebraic partial-aggregate merge — the property incremental
+    // aggregate maintenance rests on: agg(history) ⊕ agg(increment) ==
+    // agg(all), checked against the oracle computing agg(all) directly.
+    // Counts and exact cent sums merge by addition; the watermark splits
+    // the input the same way an incremental run would.
+    "inc_agg_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wm = ev.agg(max(to_date(col("ts"))).as("maxd"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(Exact.cents(col("value"))).as("cents"))
+      val hist = partial(ev.join(broadcast(wm),
+        to_date(col("ts")) <= date_sub(col("maxd"), 10)))
+      val delta = partial(ev.join(broadcast(wm),
+        to_date(col("ts")) > date_sub(col("maxd"), 10)))
+      hist.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(col("event_type"), col("n"),
+          (col("cents").cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Z-order layout key (the OPTIMIZE ZORDER primitive): Morton-
     // interleave (user, day) so min/max row-group stats prune scans on
     // EITHER dimension; exact bit arithmetic, engine-portable. The query
@@ -2465,6 +2513,44 @@ object SparkEntry {
            WHERE len(a.grams) > 0)
          WHERE containment >= 0.20
          ORDER BY doc_a, doc_b""",
+
+    "dq_constraint_checks" ->
+      """SELECT check_name, n_violations FROM (
+           SELECT 'null_orderkey' AS check_name,
+                  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations FROM lineitem
+           UNION ALL
+           SELECT 'nonpositive_quantity',
+                  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'discount_out_of_range',
+                  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'null_shipdate',
+                  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'flag_domain',
+                  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = l_orderkey)
+           UNION ALL
+           SELECT 'duplicate_line_identity',
+                  CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+           FROM (SELECT count(*) AS n FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber, l_shipdate, l_quantity))
+         ORDER BY check_name""",
+
+    "inc_agg_merge" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / CAST(100 AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "layout_zorder_key" ->
       """WITH d AS (SELECT DISTINCT user_id,

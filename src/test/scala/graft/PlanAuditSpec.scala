@@ -58,7 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // regression to investigate, not an allowlist edit to make.
     val bnljAllowed = Set(
       "cal_weekday_filter", "inc_derived_rebuild", "inc_missing_suffix",
-      "inc_snapshot_diff",
+      "inc_snapshot_diff", "inc_agg_merge",
       "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash_pairs",
       "text_ngram_containment",
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",

@@ -145,6 +145,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard_est") == 30.0 / 90.0)
   }
 
+  test("quality gate counts violations on dirty data") {
+    import spark.implicits._
+    import graft.olap.Quality
+    val dirty = Seq(
+      (Some(1L), 5.0, 0.1),  // clean
+      (None, 5.0, 0.1),      // null key
+      (Some(2L), -1.0, 0.1), // nonpositive qty
+      (Some(3L), 5.0, 1.5),  // discount out of range
+      (Some(3L), 5.0, 1.5))  // duplicate of the row above
+      .toDF("k", "qty", "disc")
+    val rows = Quality.violationCounts(dirty, Seq(
+        "null_key" -> col("k").isNull,
+        "bad_qty" -> (col("qty") <= 0),
+        "bad_disc" -> (col("disc") < 0 || col("disc") > 1)))
+      .unionByName(Quality.duplicateCount(dirty, Seq("k", "qty", "disc"),
+        "dups"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("null_key" -> 1L, "bad_qty" -> 1L,
+      "bad_disc" -> 2L, "dups" -> 1L))
+    val parent = Seq(1L, 2L).toDF("pk")
+    val orphans = Quality.orphanCount(
+      dirty.filter(col("k").isNotNull).select(col("k")), "k",
+      parent, "pk", "orphans").collect().head
+    assert(orphans.getLong(1) == 2) // the two k=3 rows
+  }
+
   test("z-order key interleaves bits exactly") {
     import spark.implicits._
     val got = Seq((5L, 3L)).toDF("a", "b")
