@@ -32,6 +32,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "both join sides must read the persisted bucket frame")
   }
 
+  test("top-k-per-group queries plan as WindowGroupLimit") {
+    // rank-filter patterns must push the per-group limit below the
+    // window sort (per-partition heaps of k rows shuffle, not the full
+    // partition) — the distributed top-k shape
+    for (q <- Seq("sample_stratified", "sim_bruteforce_topk",
+                  "text_tfidf_topk")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit")
+    }
+  }
+
   test("CDC upsert argmax is partial-aggregable max_by, not a window") {
     val p = SparkEntry.queries("inc_upsert_latest")(spark, sf)
       .queryExecution.executedPlan.toString
