@@ -22,10 +22,13 @@ import graft.text.TextAnalysis
   * uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer surface: provably-safe rewrites over graft's expressions
+    e.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+  }
 }
 
 object GraftExtensions {

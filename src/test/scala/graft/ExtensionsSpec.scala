@@ -29,6 +29,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("fp") != 0L && row.getAs[Long]("sh") != 0L)
   }
 
+  test("optimizer rule rewrites size(array_intersect) over gram hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.dedup.NgramJaccard
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.IntersectCountRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.IntersectCountRewrite)
+    // parquet input, not a local Seq: a LocalRelation constant-folds to
+    // literals before extraOptimizations run and hides the rewrite
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    def composable = docs.select(col("doc_id"),
+      size(array_intersect(
+        NgramHashesFixture.grams(col("text")),
+        NgramHashesFixture.grams(concat(col("text"), lit(" two three")))))
+        .as("n"))
+    val opt = composable.queryExecution.optimizedPlan.toString
+    assert(opt.contains("intersect_count_sorted"),
+      s"rewrite did not fire:\n$opt")
+    assert(!opt.contains("array_intersect"))
+    // and the rewritten plan returns the counts the direct merge-count
+    // expression computes
+    val direct = docs.select(col("doc_id"),
+      NgramJaccard.intersect_count_sorted(
+        NgramHashesFixture.grams(col("text")),
+        NgramHashesFixture.grams(concat(col("text"), lit(" two three"))))
+        .cast("int").as("n"))
+    assert(composable.orderBy("doc_id").collect().toSeq ==
+      direct.orderBy("doc_id").collect().toSeq)
+  }
+
+  private object NgramHashesFixture {
+    import org.apache.spark.sql.Column
+    def grams(c: Column): Column =
+      graft.dedup.NgramJaccard.gram_hashes(c, 2)
+  }
+
   test("SQL and DataFrame APIs produce identical fingerprints") {
     GraftExtensions.registerAll(spark)
     val viaSql = spark.sql(
