@@ -518,6 +518,109 @@ object SparkEntry {
              max(col("doc_id")).as("max_doc_id"))
         .orderBy("split")),
 
+    // North-star pretraining packing: concatenate documents in doc_id
+    // order into one token stream, chop into 256-token training
+    // sequences, report per-sequence occupancy. The global offset is a
+    // two-level distributed prefix sum (Packing.withStreamOffset) — never
+    // a single unpartitioned window.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens("text")).cast("long").as("n_tokens"))
+      graft.text.Packing
+        .packSequences(docs, "doc_id", "n_tokens", seqLen = 256L,
+          bucketSize = 100L)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_overlap").as("n_tokens"),
+             min("doc_id").as("min_doc_id"),
+             max("doc_id").as("max_doc_id"))
+        .orderBy("seq_id")
+    }),
+
+    // North-star mixture balancing: the largest corpus that matches the
+    // target per-language proportions exactly (pure integer arithmetic:
+    // M = min over strata of count*10 div weight; quota = weight*M div
+    // 10), members picked deterministically per stratum by the engine's
+    // spread hash — reproducible on any engine/cluster size. At 100 TB
+    // the per-stratum rank becomes the k-smallest-hash threshold trick
+    // (see sample_stratified); the quota math is unchanged.
+    "sample_mixture_balance" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("wt", when(col("lang") === "en", 5L)
+          .when(col("lang") === "es", 2L).otherwise(1L))
+      val m = counts.agg(min(expr("cnt * 10 div wt")).as("m"))
+      val quota = counts.crossJoin(broadcast(m))
+        .withColumn("k", expr("wt * m div 10"))
+        .select("lang", "k")
+      docs
+        .withColumn("rn", row_number().over(w.partitionBy("lang")
+          .orderBy(graft.olap.Sketch.spreadHash(col("doc_id")),
+                   col("doc_id"))))
+        .join(broadcast(quota), "lang")
+        .filter(col("rn") <= col("k"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_selected"),
+             min("doc_id").as("min_doc_id"),
+             max("doc_id").as("max_doc_id"),
+             sum("doc_id").as("sum_doc_id"))
+        .orderBy("lang")
+    }),
+
+    // North-star quality-filter funnel: the cumulative-conjunction survival
+    // count per pipeline stage (language -> length -> stopword ratio ->
+    // repetition), i.e. the acceptance report a pretraining filter chain
+    // emits. One scan; flags are per-row projections; the 5x explode is
+    // map-side and partially aggregated.
+    "pipeline_filter_funnel" -> ((s, dir) => {
+      val flags = TextAnalysis.withTokenStats(Tables.documents(s, dir))
+        .withColumn("stop_ratio",
+          when(col("n_tokens") > 0,
+            col("n_stopwords").cast("double")
+              / col("n_tokens").cast("double")).otherwise(lit(0.0)))
+        .withColumn("distinct_ratio",
+          when(col("n_tokens") > 0,
+            size(array_distinct(TextAnalysis.tokens("text"))).cast("double")
+              / col("n_tokens").cast("double")).otherwise(lit(0.0)))
+        .withColumn("c1", col("lang") === "en")
+        .withColumn("c2", col("c1") && col("n_tokens").between(20, 500))
+        .withColumn("c3", col("c2") && col("stop_ratio") >= lit(0.05))
+        .withColumn("c4", col("c3") && col("distinct_ratio") >= lit(0.3))
+      flags.select(col("doc_id"), explode(array(
+          struct(lit("s0_all").as("stage"), lit(true).as("pass")),
+          struct(lit("s1_lang").as("stage"), col("c1").as("pass")),
+          struct(lit("s2_length").as("stage"), col("c2").as("pass")),
+          struct(lit("s3_stopwords").as("stage"), col("c3").as("pass")),
+          struct(lit("s4_repetition").as("stage"), col("c4").as("pass"))))
+          .as("st"))
+        .select(col("doc_id"), col("st.stage").as("stage"),
+                col("st.pass").as("pass"))
+        .groupBy("stage")
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_docs"),
+             sum(when(col("pass"), col("doc_id")).otherwise(0L))
+               .as("sum_doc_id"))
+        .orderBy("stage")
+    }),
+
+    // Graph analytics: fixed-iteration PageRank over the part<->supplier
+    // bipartite graph from lineitem (both directions), quantized-integer
+    // accumulation for bitwise reproducibility (graft.olap.PageRank).
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+                             (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                             (col("l_partkey") * 2).as("dst"))
+      graft.olap.PageRank.run(fwd.union(rev), "src", "dst", iterations = 3)
+        .withColumn("node_type",
+          when(col("node_id") % 2 === 0, "part").otherwise("supplier"))
+        .select("node_id", "node_type", "rank")
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(50)
+    }),
+
     // North-star decontamination: corpus documents sharing any word-5-gram
     // with a benchmark set (here: doc_id < 20 standing in for the eval
     // suite). Benchmark gram set broadcasts; the corpus side is one scan +
@@ -1750,6 +1853,133 @@ object SparkEntry {
                 count(*) AS n_docs, min(doc_id) AS min_doc_id,
                 max(doc_id) AS max_doc_id
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS BIGINT) AS n
+                    FROM documents),
+              c AS (SELECT doc_id, n,
+                      CAST(sum(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n AS BIGINT) AS tok_start
+                    FROM t),
+              e AS (SELECT doc_id, n, tok_start,
+                      unnest(generate_series(tok_start // 256,
+                        (tok_start + n - 1) // 256)) AS seq_id
+                    FROM c WHERE n > 0)
+         SELECT seq_id, count(*) AS n_docs,
+                CAST(sum(least(tok_start + n, (seq_id + 1) * 256)
+                       - greatest(tok_start, seq_id * 256)) AS BIGINT)
+                  AS n_tokens,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    "sample_mixture_balance" ->
+      """WITH f AS (SELECT doc_id, lang,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM documents),
+              m1 AS (SELECT doc_id, lang,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT doc_id, lang, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              hv AS (SELECT doc_id, lang,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+                        AS rn
+                    FROM hv),
+              c AS (SELECT lang, count(*) AS cnt,
+                      CAST(CASE lang WHEN 'en' THEN 5 WHEN 'es' THEN 2
+                           ELSE 1 END AS BIGINT) AS wt
+                    FROM documents GROUP BY 1),
+              m AS (SELECT min(cnt * 10 // wt) AS m FROM c),
+              q AS (SELECT lang, wt * m // 10 AS k FROM c, m)
+         SELECT r.lang, count(*) AS n_selected,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM r JOIN q USING (lang) WHERE rn <= k
+         GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_filter_funnel" -> {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang,
+                       regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+                     FROM documents),
+              s AS (SELECT doc_id, lang,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(toks, t -> list_contains($stops, t)))
+                        AS BIGINT) AS n_stop,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                    FROM t),
+              f AS (SELECT doc_id,
+                      lang = 'en' AS c1,
+                      CASE WHEN n_tokens > 0
+                           THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                           ELSE CAST(0 AS DOUBLE) END AS stop_ratio,
+                      CASE WHEN n_tokens > 0
+                           THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                           ELSE CAST(0 AS DOUBLE) END AS distinct_ratio,
+                      n_tokens
+                    FROM s),
+              fl AS (SELECT doc_id, c1,
+                       c1 AND n_tokens BETWEEN 20 AND 500 AS c2,
+                       c1 AND n_tokens BETWEEN 20 AND 500
+                          AND stop_ratio >= CAST(0.05 AS DOUBLE) AS c3,
+                       c1 AND n_tokens BETWEEN 20 AND 500
+                          AND stop_ratio >= CAST(0.05 AS DOUBLE)
+                          AND distinct_ratio >= CAST(0.3 AS DOUBLE) AS c4
+                     FROM f)
+         SELECT stage, n_docs, sum_doc_id FROM (
+           SELECT 's0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM fl
+           UNION ALL
+           SELECT 's1_lang', CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN c1 THEN doc_id ELSE 0 END) AS BIGINT) FROM fl
+           UNION ALL
+           SELECT 's2_length', CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN c2 THEN doc_id ELSE 0 END) AS BIGINT) FROM fl
+           UNION ALL
+           SELECT 's3_stopwords', CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN c3 THEN doc_id ELSE 0 END) AS BIGINT) FROM fl
+           UNION ALL
+           SELECT 's4_repetition', CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN c4 THEN doc_id ELSE 0 END) AS BIGINT) FROM fl
+         ) ORDER BY stage"""
+    },
+
+    "graph_pagerank" -> {
+      def iter(i: Int, prev: String): String =
+        s"""c$i AS (SELECT src,
+                      CAST(floor(rank / CAST(d AS DOUBLE)
+                        * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS c
+                    FROM $prev JOIN outdeg ON node_id = src),
+             s$i AS (SELECT dst AS node_id, CAST(sum(c) AS BIGINT) AS sc
+                     FROM edges JOIN c$i USING (src) GROUP BY 1),
+             r$i AS (SELECT n2.node_id,
+                       CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+                         * (CAST(coalesce(sc, 0) AS DOUBLE)
+                            / CAST(1000000000000 AS DOUBLE)) AS rank
+                     FROM nodes n2 LEFT JOIN s$i USING (node_id))"""
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+                        l_suppkey * 2 + 1 AS dst FROM lineitem),
+              edges AS (SELECT src, dst FROM e0
+                        UNION ALL SELECT e0.dst AS src, e0.src AS dst FROM e0),
+              nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+              nn AS (SELECT count(*) AS n FROM nodes),
+              outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+              r0 AS (SELECT node_id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS rank FROM nodes, nn),
+              ${iter(1, "r0")},
+              ${iter(2, "r1")},
+              ${iter(3, "r2")}
+         SELECT node_id,
+                CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supplier' END
+                  AS node_type,
+                rank
+         FROM r3 ORDER BY rank DESC, node_id LIMIT 50"""
+    },
 
     "text_contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckTokHashes AS th FROM documents),

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing (graft.text.Packing) and fixed-iteration PageRank
+  * (graft.olap.PageRank): the properties that make both safe at cluster
+  * scale — partitioning-invariance of every result, two-level prefix sum
+  * equivalence with the single-window reference form, and conservation
+  * invariants a packing/ranking must satisfy regardless of data.
+  */
+class PackRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docTokens = {
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(graft.text.TextAnalysis.tokens("text")).cast("long")
+        .as("n_tokens"))
+  }
+
+  test("two-level prefix sum equals the single-window reference form") {
+    val twoLevel = graft.text.Packing
+      .withStreamOffset(docTokens, "doc_id", "n_tokens", "tok_start",
+        bucketSize = 7L) // deliberately tiny, non-divisor bucket
+      .select("doc_id", "tok_start")
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = docTokens
+      .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .select("doc_id", "tok_start")
+    assert(twoLevel.orderBy("doc_id").collect().toSeq ==
+      reference.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("packing conserves tokens and fills every interior sequence") {
+    val seqLen = 256L
+    val packed = graft.text.Packing
+      .packSequences(docTokens, "doc_id", "n_tokens", seqLen,
+        bucketSize = 100L)
+    val perSeq = packed.groupBy("seq_id")
+      .agg(sum("n_overlap").as("filled")).collect()
+    val totalTokens = docTokens.agg(sum("n_tokens")).head.getLong(0)
+    // conservation: every token lands in exactly one sequence
+    assert(perSeq.map(_.getAs[Long]("filled")).sum == totalTokens)
+    val lastSeq = perSeq.map(_.getAs[Long]("seq_id")).max
+    perSeq.foreach { r =>
+      val (sid, filled) = (r.getAs[Long]("seq_id"), r.getAs[Long]("filled"))
+      if (sid < lastSeq) assert(filled == seqLen, s"seq $sid underfilled")
+      else assert(filled > 0 && filled <= seqLen)
+    }
+    // partitioning invariance: bucket size must not change the result
+    val alt = graft.text.Packing
+      .packSequences(docTokens.repartition(13), "doc_id", "n_tokens",
+        seqLen, bucketSize = 37L)
+    assert(packed.select("doc_id", "seq_id", "n_overlap")
+      .orderBy("doc_id", "seq_id").collect().toSeq ==
+      alt.select("doc_id", "seq_id", "n_overlap")
+        .orderBy("doc_id", "seq_id").collect().toSeq)
+  }
+
+  test("pagerank: hand graph, base rank floor, and exact first step") {
+    import spark.implicits._
+    // a -> b, b -> a (2-cycle): symmetric, so ranks stay equal; after any
+    // iteration rank = 0.15 + 0.85 * 0.5 exactly (outdeg 1, no rounding
+    // loss at 0.5 * 1e12)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = graft.olap.PageRank.run(edges, "src", "dst", iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == r(2L))
+    assert(r(1L) == 0.15 + 0.85 * 0.5)
+  }
+
+  test("pagerank is bitwise partitioning-invariant on real data") {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    def edges(shuffled: Boolean) = {
+      val base = pairs.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+      if (shuffled) base.repartition(17).sortWithinPartitions("dst") else base
+    }
+    val a = graft.olap.PageRank.run(edges(false), "src", "dst", 2)
+      .orderBy("node_id").collect().toSeq
+    val b = graft.olap.PageRank.run(edges(true), "src", "dst", 2)
+      .orderBy("node_id").collect().toSeq
+    // quantized-integer accumulation => identical DOUBLE bits either way
+    assert(a == b)
+    // every node keeps at least the damping base; total mass follows the
+    // closed form sum_k = 0.15*N*(1 + 0.85) + 0.85^2 * sum_0 with sum_0 = 1
+    // (mass only leaks through contribution quantization, bounded by
+    // #edges/Scale)
+    val ranks = a.map(_.getAs[Double]("rank"))
+    assert(ranks.forall(_ >= 0.15))
+    val expected = 0.15 * ranks.size * (1 + 0.85) + 0.85 * 0.85 * 1.0
+    assert(math.abs(ranks.sum - expected) / expected < 1e-6)
+  }
+
+  test("mixture balance hits its quotas exactly") {
+    val out = SparkEntry.queries("sample_mixture_balance")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("lang")
+        -> r.getAs[Long]("n_selected")).toMap
+    val counts = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count"))
+      .toMap
+    val wt = Map("en" -> 5L, "es" -> 2L, "de" -> 1L, "fr" -> 1L, "zh" -> 1L)
+    val m = wt.keys.map(l => counts(l) * 10L / wt(l)).min
+    wt.foreach { case (l, w) =>
+      assert(out(l) == w * m / 10L, s"quota for $l")
+      assert(out(l) <= counts(l))
+    }
+  }
+
+  test("filter funnel counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("pipeline_filter_funnel")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("stage")
+        -> r.getAs[Long]("n_docs"))
+    assert(rows.map(_._1).toSeq ==
+      Seq("s0_all", "s1_lang", "s2_length", "s3_stopwords", "s4_repetition"))
+    rows.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+}

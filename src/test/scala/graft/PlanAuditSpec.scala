@@ -76,7 +76,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
       "sim_kmeans_update",
       // 1-row aggregate summaries combined via crossJoin (scalar probes)
-      "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk")
+      "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk",
+      // 1-row scalar combines: node count N (init rank 1/N) and the
+      // mixture bound M = min(count*10 div wt)
+      "graph_pagerank", "sample_mixture_balance")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
