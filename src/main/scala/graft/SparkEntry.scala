@@ -841,6 +841,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // The same as-of join as a NATIVE plan node (graft.plans.AsOfJoinExec:
+    // custom LogicalPlan + SparkStrategy + SparkPlan via
+    // SparkSessionExtensions) — sort-merge with O(1) per-partition state
+    // instead of the union+window formulation; one exchange per side, none
+    // when bucketed. Same oracle as asof_join_latest_view.
+    "asof_join_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("r_user_id"), col("ts").as("asof_ts"),
+                col("value").as("asof_value"))
+      graft.plans.AsOfJoinPlan.asOf(purchases, views,
+          Seq("user_id"), Seq("r_user_id"), "ts", "asof_ts")
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+        .orderBy("event_id")
+    }),
+
     // Range (interval) join via time bucketing: views in the hour before
     // each purchase, per user — equi-join on (user, hour-bucket) +
     // residual predicate instead of the nested-loop/filter-after-key-join
@@ -2375,6 +2393,17 @@ object SparkEntry {
          ORDER BY p.event_id, view_ts, view_value""",
 
     "asof_join_latest_view" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+                v.ts AS asof_ts, v.value AS asof_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
+
+    "asof_join_exec" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'purchase'),
               v AS (SELECT user_id, ts, value FROM events
