@@ -35,10 +35,20 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, damping: Double = 0.85,
           base: Double = 0.15): DataFrame = {
+    // pre-shuffled on the per-iteration join key and persisted: every
+    // iteration reuses the cached layout (the iterative analog of
+    // bucketing — same trick as graft.dedup.Components), so the big edge
+    // side is scanned, shuffled, and sorted exactly once no matter the
+    // iteration count. nodes/outdeg are node-sized (orders of magnitude
+    // smaller) but also referenced every iteration, so they persist too.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1/N initial rank: N via a 1-row aggregate, combined by broadcast
     // cross join (scalar combine — not a data-data cartesian)
     val n = nodes.agg(count(lit(1)).as("__n"))
