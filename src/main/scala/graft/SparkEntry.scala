@@ -621,6 +621,25 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // North-star frequency sketch: count-min over the corpus token stream
+    // (depth 3 × width 1024). Counters are order-independent sums —
+    // mergeable by addition, bitwise-deterministic; the sketch is d·w rows
+    // regardless of corpus size, so estimate lookups broadcast it. Output:
+    // top-20 tokens with exact counts next to CMS estimates (never an
+    // underestimate — spec-pinned).
+    "sketch_cms_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+      val cms = graft.olap.Sketch.cmsBuild(toks, col("token"), w = 1024)
+      val est = graft.olap.Sketch.cmsEstimate(toks, col("token"), cms,
+        w = 1024)
+      toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .join(est, col("token") === est("item"))
+        .select(col("token"), col("exact_n"), col("est_n"))
+        .orderBy(col("exact_n").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // North-star decontamination: corpus documents sharing any word-5-gram
     // with a benchmark set (here: doc_id < 20 standing in for the eval
     // suite). Benchmark gram set broadcasts; the corpus side is one scan +
@@ -1998,6 +2017,39 @@ object SparkEntry {
                 rank
          FROM r3 ORDER BY rank DESC, node_id LIMIT 50"""
     },
+
+    "sketch_cms_topk" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                     FROM documents),
+              f AS (SELECT token,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(token, ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM tok),
+              m1 AS (SELECT token,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT token, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              sp AS (SELECT token,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              bk AS (SELECT token, hv % 1024 AS b0,
+                       ((hv * 69069 + 362437) % 2147483647) % 1024 AS b1,
+                       ((hv * 1103515245 + 12345) % 2147483647) % 1024 AS b2
+                     FROM sp),
+              cms AS (SELECT r, bucket, count(*) AS counter FROM (
+                        SELECT 0 AS r, b0 AS bucket FROM bk
+                        UNION ALL SELECT 1, b1 FROM bk
+                        UNION ALL SELECT 2, b2 FROM bk)
+                      GROUP BY 1, 2),
+              dtok AS (SELECT DISTINCT token, b0, b1, b2 FROM bk),
+              probe AS (SELECT token, 0 AS r, b0 AS bucket FROM dtok
+                        UNION ALL SELECT token, 1, b1 FROM dtok
+                        UNION ALL SELECT token, 2, b2 FROM dtok),
+              est AS (SELECT token, CAST(min(counter) AS BIGINT) AS est_n
+                      FROM probe JOIN cms USING (r, bucket) GROUP BY 1),
+              exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
+         SELECT token, exact_n, est_n FROM exact JOIN est USING (token)
+         ORDER BY exact_n DESC, token ASC LIMIT 20""",
 
     "text_contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckTokHashes AS th FROM documents),

@@ -137,4 +137,42 @@ object Sketch {
       .withColumn("jaccard_est",
         col("n_both").cast("double") / col("k_merged").cast("double"))
   }
+
+  // Count-min row mixers: depth-3, each row an affine remix of the spread
+  // hash (a pairwise-independent-style family with exact BIGINT
+  // arithmetic). Row 0 is the spread hash itself.
+  final val CmsRows: Seq[(Long, Long)] =
+    Seq((1L, 0L), (MixA2, MixB2), (MixA, MixB))
+
+  /** Bucket index of `c` in count-min row `r` (width `w`). */
+  def cmsBucket(c: Column, r: Int, w: Int): Column = {
+    val (a, b) = CmsRows(r)
+    ((spreadHash(c) * lit(a) + lit(b)) % lit(HashSpace)) % lit(w.toLong)
+  }
+
+  /** Count-min sketch of `c`'s frequency distribution: (row, bucket) →
+    * counter. Counters are plain sums, so the sketch is insertion-order
+    * independent (bitwise-deterministic), mergeable by addition (shard
+    * sketches sum into the corpus sketch — spec-pinned), and the whole
+    * build is one partial-aggregable groupBy over a d× map-side explode.
+    * The result is d·w rows regardless of input size: broadcastable.
+    */
+  def cmsBuild(df: DataFrame, c: Column, w: Int): DataFrame =
+    df.select(posexplode(array(CmsRows.indices.map(r =>
+        cmsBucket(c, r, w)): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("counter"))
+
+  /** Point-estimate lookups: for each distinct value of `c` in `items`,
+    * the count-min estimate min over rows of counter(r, bucket_r(v)) —
+    * never an underestimate (spec-pinned). The sketch side is tiny by
+    * construction, so the lookup join broadcasts: the probe is map-side.
+    */
+  def cmsEstimate(items: DataFrame, c: Column, cms: DataFrame,
+                  w: Int): DataFrame =
+    items.select(c.as("item")).distinct()
+      .select(col("item"), posexplode(array(CmsRows.indices.map(r =>
+        cmsBucket(col("item"), r, w)): _*)).as(Seq("r", "bucket")))
+      .join(broadcast(cms), Seq("r", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("counter"), lit(0L))).as("est_n"))
 }

@@ -87,6 +87,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.getDouble(2) == direct.getDouble(2))
   }
 
+  test("count-min never underestimates and merges by addition") {
+    import graft.olap.Sketch
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.tokens("text")).as("token"))
+    val w = 256 // narrow on purpose: forces collisions, so est > exact too
+    val cms = Sketch.cmsBuild(toks, col("token"), w)
+    val est = Sketch.cmsEstimate(toks, col("token"), cms, w)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val both = exact.join(est, col("token") === col("item")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"),
+        s"underestimate for ${r.getAs[String]("token")}")
+    }
+    // mergeability: shard sketches sum into the corpus sketch exactly
+    val docs = Tables.documents(spark, sf)
+    def shard(p: org.apache.spark.sql.Column) = Sketch.cmsBuild(
+      docs.filter(p).select(
+        explode(graft.text.TextAnalysis.tokens("text")).as("token")),
+      col("token"), w)
+    val summed = shard(col("doc_id") % 2 === 0)
+      .unionByName(shard(col("doc_id") % 2 === 1))
+      .groupBy("r", "bucket").agg(sum("counter").as("counter"))
+    assert(summed.orderBy("r", "bucket").collect().toSeq ==
+      cms.orderBy("r", "bucket").collect().toSeq)
+  }
+
   test("audio windows cover the payload with the declared overlap") {
     import spark.implicits._
     import graft.multimodal.Media
