@@ -640,6 +640,134 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Record linkage: blocking + edit-distance verify (the fuzzy-match
+    // pattern: a cheap equi-join block key bounds the candidate pairs,
+    // then Levenshtein — available and identical in both engines — scores
+    // only the pairs that survive). Aggregated per language.
+    "link_block_levenshtein" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          expr("n_chars div 16").as("blk"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("blk"),
+        col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
+        col("text").as("text_b"))
+      a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b"))
+          .cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+             min("lev").as("min_lev"),
+             sum("lev").as("sum_lev"),
+             sum(when(col("lev") <= 64, 1L).otherwise(0L)).as("n_close"))
+        .orderBy("lang")
+    }),
+
+    // Gaps-and-islands: longest up/down streak of daily closes per series
+    // via the rank-difference trick (two keyed row_numbers, no iteration).
+    "ts_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select("event_type", "date", "close")
+      val wd = w.partitionBy("event_type").orderBy("date")
+      val dir0 = bars.withColumn("prev", lag("close", 1).over(wd))
+        .filter(col("prev").isNotNull)
+        .withColumn("dir",
+          when(col("close") > col("prev"), lit("up")).otherwise(lit("down")))
+      val isl = dir0.withColumn("island",
+        row_number().over(wd)
+          - row_number().over(w.partitionBy("event_type", "dir")
+              .orderBy("date")))
+      isl.groupBy("event_type", "dir", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("event_type")
+        .agg(max(when(col("dir") === "up", col("len"))).as("max_up_streak"),
+             max(when(col("dir") === "down", col("len")))
+               .as("max_down_streak"),
+             sum(when(col("dir") === "up", 1L).otherwise(0L))
+               .as("n_up_streaks"),
+             sum(when(col("dir") === "down", 1L).otherwise(0L))
+               .as("n_down_streaks"))
+        .orderBy("event_type")
+    }),
+
+    // Imputation: last-observation-carried-forward over a complete daily
+    // spine (bars thinned deterministically to exercise the fill). The
+    // fill is last(ignoreNulls) over a keyed window — one exchange on the
+    // series key, linear state.
+    "ts_locf_impute" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select("event_type", "date", "close")
+      val thinned = bars.filter(dayofmonth(col("date")) % 3 =!= 0)
+      val spine = bars.groupBy("event_type")
+        .agg(min("date").as("d0"), max("date").as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("date"))
+      spine.join(thinned, Seq("event_type", "date"), "left")
+        .withColumn("close_filled",
+          last("close", ignoreNulls = true).over(
+            w.partitionBy("event_type").orderBy("date")
+              .rowsBetween(w.unboundedPreceding, w.currentRow)))
+        .withColumn("is_imputed", col("close").isNull)
+        .orderBy("event_type", "date")
+    }),
+
+    // Robust statistics: median + MAD (median absolute deviation) per
+    // series in exact integer cents — positional selection over keyed
+    // ranks, so the "median" is an existing value and every comparison is
+    // integer-exact; outliers = |v - med| > 3·MAD.
+    "agg_mad_outliers" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("cents"))
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val med = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("cents")))
+        .join(broadcast(n), "event_type")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("cents").as("med_cents"))
+      val dev = v.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+      val mad = dev
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("adev")))
+        .join(broadcast(n), "event_type")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("adev").as("mad_cents"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("adev") > col("mad_cents") * 3, 1L).otherwise(0L))
+               .as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          (col("med_cents").cast("double") / lit(100.0)).as("median_value"),
+          (col("mad_cents").cast("double") / lit(100.0)).as("mad_value"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // Set algebra over customer cohorts (1995 vs 1996 order years) as ONE
+    // partial-aggregable pass: per-key membership flags, then counts of
+    // intersection / differences / union — the plan you want instead of
+    // four separate INTERSECT/EXCEPT scans (equality with Spark's
+    // intersect()/except() operators is spec-pinned).
+    "set_ops_customers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+        .filter(col("y").isin(1995, 1996))
+      o.groupBy("o_custkey")
+        .agg(max(when(col("y") === 1995, 1L).otherwise(0L)).as("in95"),
+             max(when(col("y") === 1996, 1L).otherwise(0L)).as("in96"))
+        .agg(sum("in95").as("n_1995"),
+             sum("in96").as("n_1996"),
+             sum(col("in95") * col("in96")).as("n_both"),
+             sum(col("in95") * (lit(1L) - col("in96"))).as("n_only_1995"),
+             sum((lit(1L) - col("in95")) * col("in96")).as("n_only_1996"),
+             count(lit(1)).as("n_union"))
+    }),
+
     // North-star decontamination: corpus documents sharing any word-5-gram
     // with a benchmark set (here: doc_id < 20 standing in for the eval
     // suite). Benchmark gram set broadcasts; the corpus side is one scan +
@@ -2050,6 +2178,117 @@ object SparkEntry {
               exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
          SELECT token, exact_n, est_n FROM exact JOIN est USING (token)
          ORDER BY exact_n DESC, token ASC LIMIT 20""",
+
+    "link_block_levenshtein" ->
+      """WITH d AS (SELECT doc_id, lang, text, n_chars // 16 AS blk
+                    FROM documents),
+              p AS (SELECT a.lang,
+                      CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+                    FROM d a JOIN d b
+                      ON a.lang = b.lang AND a.blk = b.blk
+                     AND a.doc_id < b.doc_id)
+         SELECT lang, count(*) AS n_pairs, min(lev) AS min_lev,
+                CAST(sum(lev) AS BIGINT) AS sum_lev,
+                CAST(sum(CASE WHEN lev <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_close
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    "ts_streaks" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, date, close,
+                           lag(close) OVER (PARTITION BY event_type
+                                            ORDER BY date) AS prev
+                    FROM b),
+              d AS (SELECT event_type, date,
+                           CASE WHEN close > prev THEN 'up' ELSE 'down' END
+                             AS dir
+                    FROM l WHERE prev IS NOT NULL),
+              i AS (SELECT event_type, dir,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY date)
+                           - row_number() OVER (PARTITION BY event_type, dir
+                                                ORDER BY date) AS island
+                    FROM d),
+              s AS (SELECT event_type, dir, island, count(*) AS len
+                    FROM i GROUP BY 1, 2, 3)
+         SELECT event_type,
+                max(CASE WHEN dir = 'up' THEN len END) AS max_up_streak,
+                max(CASE WHEN dir = 'down' THEN len END) AS max_down_streak,
+                CAST(sum(CASE WHEN dir = 'up' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_up_streaks,
+                CAST(sum(CASE WHEN dir = 'down' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_down_streaks
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    "ts_locf_impute" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              th AS (SELECT * FROM b WHERE day(date) % 3 <> 0),
+              sp AS (SELECT event_type,
+                       CAST(unnest(generate_series(
+                         CAST(min(date) AS TIMESTAMP),
+                         CAST(max(date) AS TIMESTAMP),
+                         INTERVAL 1 DAY)) AS DATE) AS date
+                     FROM b GROUP BY event_type),
+              j AS (SELECT sp.event_type, sp.date, th.close
+                    FROM sp LEFT JOIN th USING (event_type, date))
+         SELECT event_type, date, close,
+                last_value(close IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS close_filled,
+                close IS NULL AS is_imputed
+         FROM j ORDER BY event_type, date""",
+
+    "agg_mad_outliers" ->
+      """WITH v AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events),
+              n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+              r AS (SELECT event_type, cents,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY cents) AS rn
+                    FROM v),
+              med AS (SELECT r.event_type, cents AS med_cents
+                      FROM r JOIN n USING (event_type)
+                      WHERE rn = (n + 1) // 2),
+              dev AS (SELECT v.event_type, v.cents, med.med_cents,
+                        abs(v.cents - med.med_cents) AS adev
+                      FROM v JOIN med USING (event_type)),
+              r2 AS (SELECT event_type, adev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY adev) AS rn
+                     FROM dev),
+              mad AS (SELECT r2.event_type, adev AS mad_cents
+                      FROM r2 JOIN n USING (event_type)
+                      WHERE rn = (n + 1) // 2)
+         SELECT dev.event_type, count(*) AS n,
+                CAST(med_cents AS DOUBLE) / CAST(100 AS DOUBLE)
+                  AS median_value,
+                CAST(mad_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS mad_value,
+                CAST(sum(CASE WHEN adev > mad_cents * 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+         FROM dev JOIN mad USING (event_type)
+         GROUP BY dev.event_type, med_cents, mad_cents
+         ORDER BY dev.event_type""",
+
+    "set_ops_customers" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS y FROM orders
+                    WHERE year(o_orderdate) IN (1995, 1996)),
+              f AS (SELECT o_custkey,
+                      max(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS in95,
+                      max(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS in96
+                    FROM o GROUP BY 1)
+         SELECT CAST(sum(in95) AS BIGINT) AS n_1995,
+                CAST(sum(in96) AS BIGINT) AS n_1996,
+                CAST(sum(in95 * in96) AS BIGINT) AS n_both,
+                CAST(sum(in95 * (1 - in96)) AS BIGINT) AS n_only_1995,
+                CAST(sum((1 - in95) * in96) AS BIGINT) AS n_only_1996,
+                count(*) AS n_union
+         FROM f""",
 
     "text_contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckTokHashes AS th FROM documents),

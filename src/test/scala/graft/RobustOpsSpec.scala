@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-3 breadth batch: set algebra, robust statistics, imputation,
+  * streak detection — each pinned against an independent formulation
+  * (Spark's own set operators, local brute force) rather than just the
+  * DuckDB oracle.
+  */
+class RobustOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("set-ops flags agree with Spark's intersect/except operators") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val a = o.filter(col("y") === 1995).select("o_custkey").distinct()
+    val b = o.filter(col("y") === 1996).select("o_custkey").distinct()
+    val row = SparkEntry.queries("set_ops_customers")(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Long]("n_both") == a.intersect(b).count())
+    assert(row.getAs[Long]("n_only_1995") == a.except(b).count())
+    assert(row.getAs[Long]("n_only_1996") == b.except(a).count())
+    assert(row.getAs[Long]("n_union") == a.union(b).distinct().count())
+  }
+
+  test("MAD query matches local brute force") {
+    val rows = SparkEntry.queries("agg_mad_outliers")(spark, sfDir).collect()
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        graft.olap.Exact.cents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    def lowerMedian(xs: Array[Long]): Long = xs(((xs.length + 1) / 2) - 1)
+    rows.foreach { r =>
+      val xs = cents(r.getAs[String]("event_type"))
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)).sorted)
+      assert(r.getAs[Double]("median_value") == med / 100.0)
+      assert(r.getAs[Double]("mad_value") == mad / 100.0)
+      assert(r.getAs[Long]("n_outliers") ==
+        xs.count(x => math.abs(x - med) > 3 * mad))
+    }
+  }
+
+  test("LOCF fills every gap with the latest prior observation") {
+    val out = SparkEntry.queries("ts_locf_impute")(spark, sfDir)
+      .collect()
+    val bySeries = out.groupBy(_.getAs[String]("event_type"))
+    bySeries.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Date]("date").toString)
+      var lastSeen: Option[Double] = None
+      sorted.foreach { r =>
+        val observed =
+          if (r.isNullAt(r.fieldIndex("close"))) None
+          else Some(r.getAs[Double]("close"))
+        observed.foreach(v => lastSeen = Some(v))
+        val filled =
+          if (r.isNullAt(r.fieldIndex("close_filled"))) None
+          else Some(r.getAs[Double]("close_filled"))
+        assert(filled == lastSeen, s"at ${r.getAs[java.sql.Date]("date")}")
+        assert(r.getAs[Boolean]("is_imputed") == observed.isEmpty)
+      }
+      // the thinning must actually create gaps, or the test is vacuous
+      assert(sorted.exists(_.getAs[Boolean]("is_imputed")))
+    }
+  }
+
+  test("streak lengths match a local scan") {
+    val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, sfDir))
+      .select("event_type", "date", "close").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val out = SparkEntry.queries("ts_streaks")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    bars.foreach { case (et, rows) =>
+      val closes = rows.sortBy(_.getAs[java.sql.Date]("date").toString)
+        .map(_.getAs[Double]("close"))
+      val dirs = closes.sliding(2).collect {
+        case Array(a, b) => b > a
+      }.toList
+      def streaks(d: List[Boolean], up: Boolean): List[Int] = {
+        val runs = scala.collection.mutable.ListBuffer[Int]()
+        var cur = 0
+        d.foreach { x =>
+          if (x == up) cur += 1
+          else { if (cur > 0) runs += cur; cur = 0 }
+        }
+        if (cur > 0) runs += cur
+        runs.toList
+      }
+      val ups = streaks(dirs, up = true)
+      val downs = streaks(dirs, up = false)
+      val r = out(et)
+      assert(r.getAs[Long]("max_up_streak") == ups.max.toLong)
+      assert(r.getAs[Long]("max_down_streak") == downs.max.toLong)
+      assert(r.getAs[Long]("n_up_streaks") == ups.size.toLong)
+      assert(r.getAs[Long]("n_down_streaks") == downs.size.toLong)
+    }
+  }
+}
