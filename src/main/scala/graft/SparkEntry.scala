@@ -640,6 +640,45 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Embedding analytics: dimension-correlation matrix from one pass of
+    // exact quantized sums (floor(x·2^16) — float→double→·2^16→floor are
+    // all IEEE-exact, sums are BIGINT and order-independent), then a
+    // fixed-order double formula per pair; sqrt is IEEE correctly-rounded,
+    // so the correlations are bitwise-portable. Top-10 |corr| pairs. Pair
+    // products come from a vec_id self-join of the exploded dims (64²
+    // rows/vector, partial-aggregated map-side before the 2016-key
+    // shuffle).
+    "emb_dim_correlation" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+          floor(col("x").cast("double") * lit(65536.0)).as("q"))
+      val stats = dims.groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"),
+             sum(col("q") * col("q")).as("ss"))
+      val a = dims.select(col("vec_id"), col("i"), col("q"))
+      val b = dims.select(col("vec_id"), col("i").as("j"),
+        col("q").as("qj"))
+      val pairs = a.join(b, "vec_id").filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("sp"))
+      val si = broadcast(stats.select(col("i"), col("n"),
+        col("s").as("si"), col("ss").as("ssi")))
+      val sj = broadcast(stats.select(col("i").as("j"),
+        col("s").as("sj"), col("ss").as("ssj")))
+      val nD = col("n").cast("double")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      pairs.join(si, "i").join(sj, "j")
+        .withColumn("corr",
+          (nD * d(col("sp")) - d(col("si")) * d(col("sj")))
+            / (sqrt(nD * d(col("ssi")) - d(col("si")) * d(col("si")))
+               * sqrt(nD * d(col("ssj")) - d(col("sj")) * d(col("sj")))))
+        .select(col("i").as("dim_i"), col("j").as("dim_j"), col("corr"),
+          abs(col("corr")).as("corr_abs"))
+        .orderBy(col("corr_abs").desc, col("dim_i"), col("dim_j"))
+        .limit(10)
+    }),
+
     // Record linkage: blocking + edit-distance verify (the fuzzy-match
     // pattern: a cheap equi-join block key bounds the candidate pairs,
     // then Levenshtein — available and identical in both engines — scores
@@ -2178,6 +2217,33 @@ object SparkEntry {
               exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
          SELECT token, exact_n, est_n FROM exact JOIN est USING (token)
          ORDER BY exact_n DESC, token ASC LIMIT 20""",
+
+    "emb_dim_correlation" ->
+      """WITH dims AS (SELECT vec_id, i,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
+                          AS BIGINT) AS q
+                      FROM (SELECT vec_id, embedding,
+                              unnest(generate_series(1, 64)) AS i
+                            FROM embeddings)),
+              st AS (SELECT i, count(*) AS n, sum(q) AS s,
+                       sum(q * q) AS ss
+                     FROM dims GROUP BY 1),
+              pr AS (SELECT a.i AS i, b.i AS j,
+                       CAST(sum(a.q * b.q) AS BIGINT) AS sp
+                     FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+                     WHERE a.i < b.i GROUP BY 1, 2),
+              c AS (SELECT pr.i AS dim_i, pr.j AS dim_j,
+                      (CAST(si.n AS DOUBLE) * CAST(sp AS DOUBLE)
+                        - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+                      / (sqrt(CAST(si.n AS DOUBLE) * CAST(si.ss AS DOUBLE)
+                              - CAST(si.s AS DOUBLE) * CAST(si.s AS DOUBLE))
+                         * sqrt(CAST(si.n AS DOUBLE) * CAST(sj.ss AS DOUBLE)
+                                - CAST(sj.s AS DOUBLE) * CAST(sj.s AS DOUBLE)))
+                        AS corr
+                    FROM pr JOIN st si ON pr.i = si.i
+                            JOIN st sj ON pr.j = sj.i)
+         SELECT dim_i, dim_j, corr, abs(corr) AS corr_abs
+         FROM c ORDER BY corr_abs DESC, dim_i, dim_j LIMIT 10""",
 
     "link_block_levenshtein" ->
       """WITH d AS (SELECT doc_id, lang, text, n_chars // 16 AS blk

@@ -67,6 +67,31 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dimension correlations match local quantized brute force") {
+    val out = SparkEntry.queries("emb_dim_correlation")(spark, sfDir)
+      .collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 65536.0)
+        .toLong).toArray)
+    val n = vecs.length.toDouble
+    def corr(i: Int, j: Int): Double = {
+      val (qi, qj) = (vecs.map(_(i)), vecs.map(_(j)))
+      val (si, sj) = (qi.sum, qj.sum)
+      val (ssi, ssj) = (qi.map(x => x * x).sum, qj.map(x => x * x).sum)
+      val sp = qi.zip(qj).map { case (a, b) => a * b }.sum
+      (n * sp.toDouble - si.toDouble * sj.toDouble) /
+        (math.sqrt(n * ssi.toDouble - si.toDouble * si.toDouble) *
+         math.sqrt(n * ssj.toDouble - sj.toDouble * sj.toDouble))
+    }
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (i, j) = (r.getAs[Long]("dim_i").toInt, r.getAs[Long]("dim_j").toInt)
+      assert(r.getAs[Double]("corr") == corr(i - 1, j - 1), s"($i,$j)")
+      assert(math.abs(r.getAs[Double]("corr")) <= 1.0)
+    }
+  }
+
   test("streak lengths match a local scan") {
     val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, sfDir))
       .select("event_type", "date", "close").collect()
