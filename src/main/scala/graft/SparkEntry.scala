@@ -640,6 +640,26 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // IR: inverted-index build — token -> posting statistics (document
+    // frequency, total term frequency, span, and an order-independent
+    // postings checksum so the full posting list is verified without
+    // emitting arrays). One explode + one partial-aggregable groupBy; at
+    // 100 TB this is the standard index-build shuffle keyed by token.
+    "text_inverted_index" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "token")))
+      toks.groupBy("token")
+        .agg(countDistinct("doc_id").as("df"),
+             count(lit(1)).as("total_tf"),
+             min("doc_id").as("first_doc"),
+             max("doc_id").as("last_doc"),
+             sum((col("doc_id") * lit(131071L) + col("pos"))
+               % lit(2147483647L)).as("postings_checksum"))
+        .orderBy(col("total_tf").desc, col("token").asc)
+        .limit(100)
+    }),
+
     // Embedding analytics: dimension-correlation matrix from one pass of
     // exact quantized sums (floor(x·2^16) — float→double→·2^16→floor are
     // all IEEE-exact, sums are BIGINT and order-independent), then a
@@ -2217,6 +2237,18 @@ object SparkEntry {
               exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
          SELECT token, exact_n, est_n FROM exact JOIN est USING (token)
          ORDER BY exact_n DESC, token ASC LIMIT 20""",
+
+    "text_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+                    FROM documents),
+              p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token
+                    FROM t, unnest(generate_series(1, len(toks))) AS u(i))
+         SELECT token, count(DISTINCT doc_id) AS df, count(*) AS total_tf,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                CAST(sum((doc_id * 131071 + pos) % 2147483647) AS BIGINT)
+                  AS postings_checksum
+         FROM p GROUP BY 1 ORDER BY total_tf DESC, token ASC LIMIT 100""",
 
     "emb_dim_correlation" ->
       """WITH dims AS (SELECT vec_id, i,
