@@ -702,16 +702,21 @@ object SparkEntry {
     // Record linkage: blocking + edit-distance verify (the fuzzy-match
     // pattern: a cheap equi-join block key bounds the candidate pairs,
     // then Levenshtein — available and identical in both engines — scores
-    // only the pairs that survive). Aggregated per language.
+    // only the pairs that survive). The block key is (lang, length
+    // bucket, first token): blocking must keep blocks small enough that
+    // the quadratic-per-block verify stays linear overall — the coarse
+    // (lang, length) key alone left ~100k pairs at sf0.1 (90 s of DP);
+    // adding the first token cuts that 30×. Aggregated per language.
     "link_block_levenshtein" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
-          expr("n_chars div 16").as("blk"))
+          expr("n_chars div 16").as("blk"),
+          substring_index(col("text"), " ", 1).as("ft"))
       val a = d.select(col("doc_id").as("id_a"), col("lang"), col("blk"),
-        col("text").as("text_a"))
+        col("ft"), col("text").as("text_a"))
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
-        col("text").as("text_b"))
-      a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
+        col("ft"), col("text").as("text_b"))
+      a.join(b, Seq("lang", "blk", "ft")).filter(col("id_a") < col("id_b"))
         .withColumn("lev", levenshtein(col("text_a"), col("text_b"))
           .cast("long"))
         .groupBy("lang")
@@ -2278,12 +2283,13 @@ object SparkEntry {
          FROM c ORDER BY corr_abs DESC, dim_i, dim_j LIMIT 10""",
 
     "link_block_levenshtein" ->
-      """WITH d AS (SELECT doc_id, lang, text, n_chars // 16 AS blk
+      """WITH d AS (SELECT doc_id, lang, text, n_chars // 16 AS blk,
+                           split_part(text, ' ', 1) AS ft
                     FROM documents),
               p AS (SELECT a.lang,
                       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
                     FROM d a JOIN d b
-                      ON a.lang = b.lang AND a.blk = b.blk
+                      ON a.lang = b.lang AND a.blk = b.blk AND a.ft = b.ft
                      AND a.doc_id < b.doc_id)
          SELECT lang, count(*) AS n_pairs, min(lev) AS min_lev,
                 CAST(sum(lev) AS BIGINT) AS sum_lev,
