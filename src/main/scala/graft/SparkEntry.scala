@@ -640,6 +640,49 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // The composed pretraining pipeline, end-to-end in ONE declarative
+    // plan: quality filter -> normalized dedup (keep min doc per key) ->
+    // deterministic train split -> 256-token sequence packing. Each stage
+    // is an already-verified operator; composing them costs no extra
+    // passes — Catalyst pipelines the filters/projections into the scans
+    // and the only shuffles are the dedup key, the split-survivor prefix
+    // sum, and the final per-sequence aggregate.
+    "pipeline_pretrain_e2e" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val kept = TextAnalysis.withTokenStats(Tables.documents(s, dir))
+        .withColumn("stop_ratio",
+          when(col("n_tokens") > 0,
+            col("n_stopwords").cast("double")
+              / col("n_tokens").cast("double")).otherwise(lit(0.0)))
+        .withColumn("distinct_ratio",
+          when(col("n_tokens") > 0,
+            size(array_distinct(TextAnalysis.tokens("text"))).cast("double")
+              / col("n_tokens").cast("double")).otherwise(lit(0.0)))
+        .filter(col("lang") === "en" && col("n_tokens").between(20, 500)
+          && col("stop_ratio") >= lit(0.05)
+          && col("distinct_ratio") >= lit(0.3))
+      val deduped = kept
+        .withColumn("norm_text", trim(regexp_replace(
+          translate(col("text"), TextAnalysis.asciiUpper,
+            TextAnalysis.asciiLower),
+          "[ \\t\\n\\r\\f\\x0B]+", " ")))
+        .withColumn("rn", row_number().over(
+          w.partitionBy("norm_text").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      val train = deduped
+        .filter((graft.olap.Sketch.spreadHash(col("doc_id")) % 100) < 90)
+        .select(col("doc_id"), col("n_tokens"))
+      graft.text.Packing
+        .packSequences(train, "doc_id", "n_tokens", seqLen = 256L,
+          bucketSize = 100L)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_overlap").as("n_tokens"),
+             min("doc_id").as("min_doc_id"),
+             max("doc_id").as("max_doc_id"))
+        .orderBy("seq_id")
+    }),
+
     // IR: inverted-index build — token -> posting statistics (document
     // frequency, total term frequency, span, and an order-independent
     // postings checksum so the full posting list is verified without
@@ -2242,6 +2285,61 @@ object SparkEntry {
               exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
          SELECT token, exact_n, est_n FROM exact JOIN est USING (token)
          ORDER BY exact_n DESC, token ASC LIMIT 20""",
+
+    "pipeline_pretrain_e2e" -> {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang, text,
+                       regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+                     FROM documents),
+              s AS (SELECT doc_id, lang, text,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(toks, t2 -> list_contains($stops, t2)))
+                        AS BIGINT) AS n_stop,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                    FROM t),
+              kept AS (SELECT doc_id, text, n_tokens FROM s
+                       WHERE lang = 'en' AND n_tokens BETWEEN 20 AND 500
+                         AND CASE WHEN n_tokens > 0
+                             THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                             ELSE CAST(0 AS DOUBLE) END >= CAST(0.05 AS DOUBLE)
+                         AND CASE WHEN n_tokens > 0
+                             THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                             ELSE CAST(0 AS DOUBLE) END >= CAST(0.3 AS DOUBLE)),
+              ded AS (SELECT doc_id, n_tokens,
+                        row_number() OVER (
+                          PARTITION BY trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))
+                          ORDER BY doc_id) AS rn
+                      FROM kept),
+              d1 AS (SELECT doc_id, n_tokens FROM ded WHERE rn = 1),
+              hf AS (SELECT doc_id, n_tokens,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                           ch -> CAST(ascii(ch) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                     FROM d1),
+              hm AS (SELECT doc_id, n_tokens,
+                       (((h0 * 1103515245 + 12345) % 2147483647)
+                        * ((h0 * 1103515245 + 12345) % 2147483647))
+                         % 2147483647 AS h2
+                     FROM hf),
+              train AS (SELECT doc_id, n_tokens AS n FROM hm
+                        WHERE ((h2 * 69069 + 362437) % 2147483647) % 100 < 90),
+              c AS (SELECT doc_id, n,
+                      CAST(sum(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n AS BIGINT) AS tok_start
+                    FROM train),
+              e AS (SELECT doc_id, n, tok_start,
+                      unnest(generate_series(tok_start // 256,
+                        (tok_start + n - 1) // 256)) AS seq_id
+                    FROM c WHERE n > 0)
+         SELECT seq_id, count(*) AS n_docs,
+                CAST(sum(least(tok_start + n, (seq_id + 1) * 256)
+                       - greatest(tok_start, seq_id * 256)) AS BIGINT)
+                  AS n_tokens,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM e GROUP BY 1 ORDER BY 1"""
+    },
 
     "text_inverted_index" ->
       """WITH t AS (SELECT doc_id,
