@@ -640,6 +640,43 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Mergeable approximate quantiles: invert the CDF of the fixed-width
+    // histogram (the histogram is additive across shards — the same merge
+    // contract as the KMV/CMS sketches — so p50/p90/p99 come from a
+    // bin-count frame thousands of times smaller than the data). Exact
+    // positional percentiles ride along for the error to be visible.
+    "sketch_histogram_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val binW = 1000L // cents: $10 bins
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("cents"))
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val cum = v
+        .groupBy(col("event_type"), expr(s"cents div $binW").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          w.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      val ps = n.select(col("event_type"), col("n"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+        .withColumn("k", expr("(n * p + 99) div 100"))
+      val est = cum.join(broadcast(ps), "event_type")
+        .filter(col("cum") >= col("k"))
+        .groupBy("event_type", "p").agg(min("bin").as("est_bin"))
+        .withColumn("est_value",
+          (col("est_bin") * binW + binW / 2).cast("double") / lit(100.0))
+      val exact = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("cents")))
+        .join(broadcast(ps), "event_type")
+        .filter(col("rn") === col("k"))
+        .select(col("event_type"), col("p"),
+          (col("cents").cast("double") / lit(100.0)).as("exact_value"))
+      est.join(exact, Seq("event_type", "p"))
+        .select("event_type", "p", "est_value", "exact_value")
+        .orderBy("event_type", "p")
+    }),
+
     // The composed pretraining pipeline, end-to-end in ONE declarative
     // plan: quality filter -> normalized dedup (keep min doc per key) ->
     // deterministic train split -> 256-token sequence packing. Each stage
@@ -2285,6 +2322,40 @@ object SparkEntry {
               exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
          SELECT token, exact_n, est_n FROM exact JOIN est USING (token)
          ORDER BY exact_n DESC, token ASC LIMIT 20""",
+
+    "sketch_histogram_quantiles" ->
+      """WITH v AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events),
+              n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+              hist AS (SELECT event_type, cents // 1000 AS bin,
+                         count(*) AS cnt
+                       FROM v GROUP BY 1, 2),
+              cum AS (SELECT event_type, bin,
+                        CAST(sum(cnt) OVER (PARTITION BY event_type
+                               ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+                      FROM hist),
+              ps AS (SELECT event_type, n, CAST(u.p AS BIGINT) AS p,
+                       (n * u.p + 99) // 100 AS k
+                     FROM n, unnest([50, 90, 99]) AS u(p)),
+              est AS (SELECT cum.event_type, p, min(bin) AS est_bin
+                      FROM cum JOIN ps USING (event_type)
+                      WHERE cum >= k GROUP BY 1, 2),
+              e2 AS (SELECT event_type, p,
+                       CAST(est_bin * 1000 + 500 AS DOUBLE)
+                         / CAST(100 AS DOUBLE) AS est_value
+                     FROM est),
+              r AS (SELECT event_type, cents,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY cents) AS rn
+                    FROM v),
+              ex AS (SELECT r.event_type, p,
+                       CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE)
+                         AS exact_value
+                     FROM r JOIN ps USING (event_type) WHERE rn = k)
+         SELECT event_type, p, est_value, exact_value
+         FROM e2 JOIN ex USING (event_type, p) ORDER BY 1, 2""",
 
     "pipeline_pretrain_e2e" -> {
       val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")

@@ -114,6 +114,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       cms.orderBy("r", "bucket").collect().toSeq)
   }
 
+  test("histogram quantiles bracket the exact percentile within one bin") {
+    val rows = SparkEntry.queries("sketch_histogram_quantiles")(spark, sf)
+      .collect()
+    assert(rows.length == 15) // 5 series x 3 percentiles
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_value")
+      val exact = r.getAs[Double]("exact_value")
+      // the estimate is the midpoint of the bin containing the exact
+      // percentile -> error is bounded by half the $10 bin width
+      assert(math.abs(est - exact) <= 5.0,
+        s"${r.getAs[String]("event_type")} p${r.getAs[Long]("p")}")
+    }
+  }
+
   test("audio windows cover the payload with the declared overlap") {
     import spark.implicits._
     import graft.multimodal.Media
