@@ -1175,6 +1175,24 @@ object SparkEntry {
           "value", gapSeconds = 1800)
         .orderBy("user_id", "session_seq")),
 
+    // The same gap sessionization through Spark's BUILT-IN session_window
+    // aggregate (one partial-aggregable pass with in-operator session
+    // merging — no lag/running-sum windows at all). The oracle is the
+    // composable lag+cumsum formulation, so this pins the built-in
+    // operator's semantics against the hand-rolled one bitwise.
+    "sessionize_builtin_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double")
+               .as("sum_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // North-star streaming: deduplication over an at-least-once stream —
     // the fixture replayed twice (union) collapses back to exact counts
     // via dropDuplicates on the event key (streaming form of I2).
@@ -3021,6 +3039,24 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sessionize_builtin_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              y AS (SELECT user_id, ts, value,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                    FROM x)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM y GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start""",
 
     // Byte-exact: enumerate the UTF-8 *bytes* of the payload (via hex
     // expansion), matching Spark's cast-to-binary — not codepoints, which
