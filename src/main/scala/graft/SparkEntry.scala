@@ -1300,6 +1300,30 @@ object SparkEntry {
                 "is_current")
         .orderBy("user_id", "version")),
 
+    // Point-in-time dimension join: facts pick the SCD2 version valid at
+    // fact time — expressed as an as-of join on valid_from and executed by
+    // the NATIVE AsOfJoinExec plan node (its second production context:
+    // same operator, warehouse semantics). The as-of pick automatically
+    // satisfies valid_from <= ts < valid_to since valid_to is the next
+    // version's valid_from.
+    "inc_scd2_pointintime" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = graft.inc.Scd2.history(
+          ev.filter(col("event_type") === "purchase" && col("user_id") < 50)
+            .select("user_id", "event_id", "ts", "value"),
+          keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+        .select(col("user_id").as("dim_user_id"), col("valid_from"),
+          col("version").as("dim_version"), col("value").as("dim_value"))
+      val facts = ev
+        .filter(col("event_type") === "view" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts")
+      graft.plans.AsOfJoinPlan.asOf(facts, dim,
+          Seq("user_id"), Seq("dim_user_id"), "ts", "valid_from")
+        .select("event_id", "user_id", "ts", "dim_version", "dim_value",
+          "valid_from")
+        .orderBy("event_id")
+    }),
+
     // Mergeable sketches: per-group KMV plus the union estimated ONLY from
     // the per-group sketch rows — the roll-up property that makes sketches
     // distributed primitives (per-partition → global, daily → monthly,
@@ -3039,6 +3063,22 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "inc_scd2_pointintime" ->
+      """WITH ch AS (SELECT user_id, event_id, ts, value FROM events
+                     WHERE event_type = 'purchase' AND user_id < 50),
+              d AS (SELECT user_id AS dim_user_id, ts AS valid_from,
+                      value AS dim_value,
+                      CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS dim_version
+                    FROM ch),
+              f AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view' AND user_id < 50)
+         SELECT f.event_id, f.user_id, f.ts, d.dim_version, d.dim_value,
+                d.valid_from
+         FROM f ASOF LEFT JOIN d
+           ON f.user_id = d.dim_user_id AND d.valid_from <= f.ts
+         ORDER BY f.event_id""",
 
     "sessionize_builtin_window" ->
       """WITH x AS (SELECT user_id, ts, value,

@@ -47,6 +47,29 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("point-in-time SCD2 pick lands inside the validity interval") {
+    val q = SparkEntry.queries("inc_scd2_pointintime")(spark, sfDir)
+    assert(q.queryExecution.executedPlan.toString.contains("AsOfJoinExec"))
+    val dim = graft.inc.Scd2.history(
+        Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase" && col("user_id") < 50)
+          .select("user_id", "event_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+      .select("user_id", "version", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), Option(r.getTimestamp(3))))
+      .toMap
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(3)))
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (user, ts) = (r.getLong(1), r.getTimestamp(2))
+      val (from, to) = dim((user, r.getLong(3)))
+      assert(!from.after(ts), s"version starts after fact: $r")
+      to.foreach(t => assert(ts.before(t), s"fact past version end: $r"))
+    }
+  }
+
   test("edge cases: no match, tie on time, null right time, empty right") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L),
