@@ -720,6 +720,25 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    // The pure-SQL entry path: the registered function surface
+    // (GraftExtensions.registerAll) driving a query through spark.sql —
+    // the engine's custom codegen expressions are first-class SQL
+    // citizens, not just DataFrame helpers. Same plan as the DataFrame
+    // formulation (the parser resolves to the identical expressions).
+    "sql_api_dedup_report" -> ((s, dir) => {
+      GraftExtensions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT simhash32(text) AS sh,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc_id,
+               min(doc_fingerprint(text)) AS min_fingerprint
+        FROM documents_v
+        GROUP BY simhash32(text)
+        ORDER BY n_docs DESC, sh ASC
+        LIMIT 25""")
+    }),
+
     // IR: inverted-index build — token -> posting statistics (document
     // frequency, total term frequency, span, and an order-independent
     // postings checksum so the full posting list is verified without
@@ -2453,6 +2472,20 @@ object SparkEntry {
                 min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          FROM e GROUP BY 1 ORDER BY 1"""
     },
+
+    "sql_api_dedup_report" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+              x AS (SELECT doc_id, $duckSimhash AS sh,
+                      CASE WHEN len(th) >= 3 THEN
+                        list_min(list_transform(generate_series(1, len(th) - 2), i ->
+                          ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647))
+                      ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                             (a, b) -> a * 31 + b) % 2147483647
+                      END AS fp
+                    FROM h)
+         SELECT sh, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+                min(fp) AS min_fingerprint
+         FROM x GROUP BY 1 ORDER BY n_docs DESC, sh ASC LIMIT 25""",
 
     "text_inverted_index" ->
       """WITH t AS (SELECT doc_id,
