@@ -321,6 +321,25 @@ object SparkEntry {
                             "Time Series FX (Daily)", withVolume = false)
         .orderBy("date")),
 
+    // §2.1 S1 as a full DataSource V2 connector: spark.read.format(
+    // "graft-series") plans one InputPartition per (symbol × month) — the
+    // unit a remote quote API pages by — pushes symbol/date predicates
+    // into partition pruning (server-side filtering in the live reading),
+    // and prunes columns in the reader. The deterministic generator
+    // (graft.sources.SeriesGen) stands in for the wire fetch; the oracle
+    // replays its exact integer arithmetic.
+    "source_dsv2_series" -> ((s, dir) =>
+      s.read.format("graft-series")
+        .option("symbols", "SPY,QQQ,IWM")
+        .option("start", "2026-01-05")
+        .option("end", "2026-03-31")
+        .load()
+        .filter(col("trade_date") >= lit("2026-02-02").cast("date") &&
+                col("symbol").isin("SPY", "QQQ"))
+        .select("symbol", "trade_date", "open", "high", "low", "close",
+                "volume")
+        .orderBy("symbol", "trade_date")),
+
     // JSON field extraction over a data column (events.props) + group-agg;
     // long sums are exact integer arithmetic on both engines.
     "json_props_extract" -> ((s, dir) =>
@@ -2068,6 +2087,55 @@ object SparkEntry {
                  CAST(j->>($path."4. close"') AS DOUBLE) AS close
           FROM k ORDER BY date"""
     },
+
+    // replays graft.sources.SeriesGen bit-for-bit: the affine→square→affine
+    // spread in exact BIGINT steps, prices as one int→double conversion +
+    // one correctly-rounded division (both IEEE-exact on each engine)
+    "source_dsv2_series" ->
+      """WITH syms AS (SELECT * FROM (VALUES ('SPY'), ('QQQ')) s(symbol)),
+              days AS (SELECT CAST(d AS DATE) AS trade_date
+                       FROM generate_series(DATE '2026-02-02', DATE '2026-03-31',
+                                            INTERVAL 1 DAY) t(d)
+                       WHERE isodow(CAST(d AS DATE)) <= 5),
+              b0 AS (SELECT symbol, trade_date,
+                       (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(symbol, ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+                          (h, c) -> (h * 31 + c) % 2147483647) * 31
+                        + (trade_date - DATE '1970-01-01')) % 2147483647 AS x
+                     FROM syms, days),
+              s1 AS (SELECT *, (x * 1103515245 + 12345) % 2147483647 AS t0 FROM b0),
+              s2 AS (SELECT symbol, trade_date,
+                       ((t0 * t0) % 2147483647 * 69069 + 362437) % 2147483647 AS seed
+                     FROM s1),
+              s3 AS (SELECT *,
+                       (((seed + 1) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t1,
+                       (((seed + 2) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t2,
+                       (((seed + 3) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t3,
+                       (((seed + 4) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t4
+                     FROM s2),
+              s4 AS (SELECT symbol, trade_date, seed,
+                       ((t1 * t1) % 2147483647 * 69069 + 362437) % 2147483647 AS m1,
+                       ((t2 * t2) % 2147483647 * 69069 + 362437) % 2147483647 AS m2,
+                       ((t3 * t3) % 2147483647 * 69069 + 362437) % 2147483647 AS m3,
+                       ((t4 * t4) % 2147483647 * 69069 + 362437) % 2147483647 AS m4
+                     FROM s3),
+              s5 AS (SELECT symbol, trade_date,
+                       10000 + seed % 90000 AS open_c,
+                       10000 + m1 % 90000 AS close_c,
+                       m2 % 500 AS hi_m, m3 % 500 AS lo_m,
+                       1000000 + m4 % 9000000 AS vol
+                     FROM s4),
+              s6 AS (SELECT *, greatest(open_c, close_c) + hi_m AS high_c,
+                       least(open_c, close_c) - lo_m AS low_c
+                     FROM s5)
+         SELECT symbol, trade_date,
+                CAST(open_c AS DOUBLE) / CAST(100 AS DOUBLE) AS open,
+                CAST(high_c AS DOUBLE) / CAST(100 AS DOUBLE) AS high,
+                CAST(low_c AS DOUBLE) / CAST(100 AS DOUBLE) AS low,
+                CAST(close_c AS DOUBLE) / CAST(100 AS DOUBLE) AS close,
+                CAST(vol AS BIGINT) AS volume
+         FROM s6 ORDER BY symbol, trade_date""",
 
     "json_props_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.time.{DayOfWeek, LocalDate}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic daily-bar generator shared by the connector, its spec, and
+  * the DuckDB oracle. All arithmetic is exact BIGINT (the engine's
+  * affine→square-mod-prime→affine spread, `graft.olap.Sketch`), and the final
+  * prices are `cents / 100.0` — one integer→double conversion (exact) and one
+  * correctly-rounded IEEE division, so DuckDB reproduces every double
+  * bit-for-bit from the same integer steps.
+  *
+  * This is the engine's stand-in for the reference's remote quote API
+  * (av_etl.py:64-76): the connector surface — partition planning, predicate
+  * pushdown, column pruning — is exactly what a live HTTP adapter would
+  * implement, with the wire fetch swapped for the deterministic generator
+  * (the container has no egress; same fixture-adapter contract as AvJson).
+  */
+object SeriesGen {
+  final val P = 2147483647L
+
+  def symbolHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+
+  /** Sketch.spreadHash on an integer seed: affine → square mod prime →
+    * affine, every intermediate < 2^62.
+    */
+  def mix(x: Long): Long = {
+    val t = ((x % P) * 1103515245L + 12345L) % P
+    ((t * t) % P * 69069L + 362437L) % P
+  }
+
+  def isWeekday(epochDay: Int): Boolean = {
+    val dow = LocalDate.ofEpochDay(epochDay.toLong).getDayOfWeek
+    dow != DayOfWeek.SATURDAY && dow != DayOfWeek.SUNDAY
+  }
+
+  /** (open, high, low, close, volume) in integer cents / shares. */
+  def barCents(symbol: String, epochDay: Int): (Long, Long, Long, Long, Long) = {
+    val seed = mix((symbolHash(symbol) * 31 + epochDay) % P)
+    val open = 10000L + seed % 90000L
+    val close = 10000L + mix(seed + 1) % 90000L
+    val high = math.max(open, close) + mix(seed + 2) % 500L
+    val low = math.min(open, close) - mix(seed + 3) % 500L
+    val volume = 1000000L + mix(seed + 4) % 9000000L
+    (open, high, low, close, volume)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("trade_date", DateType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false),
+    StructField("close", DoubleType, nullable = false),
+    StructField("volume", LongType, nullable = false)))
+
+  // ---- observability hooks for the plan-audit spec ----
+  @volatile var lastPlannedPartitions: Int = -1
+  @volatile var lastPushedFilters: Seq[Filter] = Nil
+  @volatile var lastReadSchema: StructType = schema
+}
+
+/** `spark.read.format("graft-series")` — a full DataSource V2 connector
+  * (SURVEY.md §2.1 S1 as a first-class source, not just a payload adapter):
+  *
+  *   - **partition planning**: one `InputPartition` per (symbol × calendar
+  *     month) — the unit a remote quote API pages by;
+  *   - **predicate pushdown** (`SupportsPushDownFilters`): `symbol`
+  *     equality/IN and `trade_date` range bounds prune whole input
+  *     partitions before any row is produced (server-side filtering in the
+  *     live-API reading); every filter is also left residual, so Spark's
+  *     exact evaluation still applies — pruning can only skip, never wrongly
+  *     keep;
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`): the reader
+  *     materializes only the projected columns.
+  *
+  * Options: `symbols` (comma list), `start`/`end` (ISO dates, inclusive).
+  */
+class SeriesSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-series"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeriesGen.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SeriesTable(properties.asScala.toMap)
+}
+
+class SeriesTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "graft_series"
+  override def schema(): StructType = SeriesGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new SeriesScanBuilder(options)
+}
+
+class SeriesScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SeriesGen.schema
+
+  private def understood(f: Filter): Boolean = f match {
+    case EqualTo("symbol", _) | In("symbol", _) => true
+    case EqualTo("trade_date", _) => true
+    case GreaterThan("trade_date", _) | GreaterThanOrEqual("trade_date", _) => true
+    case LessThan("trade_date", _) | LessThanOrEqual("trade_date", _) => true
+    case _ => false
+  }
+
+  /** Accept the prunable filters, but report ALL filters as residual: the
+    * source uses them only to skip partitions, so Spark must still evaluate
+    * each predicate exactly on the surviving rows.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(understood)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SeriesScan(options, pushed, required)
+}
+
+class SeriesScan(options: Map[String, String], pushed: Array[Filter],
+                 required: StructType) extends Scan with Batch {
+  import SeriesGen._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-series PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  private def toEpochDay(v: Any): Int = (v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: LocalDate => d.toEpochDay
+    case s: String => LocalDate.parse(s).toEpochDay
+    case i: Int => i.toLong
+    case l: Long => l
+  }).toInt
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val symbols = options("symbols").split(",").map(_.trim).filter(_.nonEmpty)
+    val start = LocalDate.parse(options("start"))
+    val end = LocalDate.parse(options("end"))
+
+    // conjunction of pushed bounds (pruning-only; exactness is Spark's
+    // residual filter)
+    var minDay = start.toEpochDay.toInt
+    var maxDay = end.toEpochDay.toInt
+    var symbolSet: Option[Set[String]] = None
+    pushed.foreach {
+      case EqualTo("symbol", v) =>
+        symbolSet = Some(symbolSet.getOrElse(Set(v.toString)) & Set(v.toString))
+      case In("symbol", vs) =>
+        val s = vs.map(_.toString).toSet
+        symbolSet = Some(symbolSet.map(_ & s).getOrElse(s))
+      case EqualTo("trade_date", v) =>
+        minDay = math.max(minDay, toEpochDay(v)); maxDay = math.min(maxDay, toEpochDay(v))
+      case GreaterThan("trade_date", v) => minDay = math.max(minDay, toEpochDay(v) + 1)
+      case GreaterThanOrEqual("trade_date", v) => minDay = math.max(minDay, toEpochDay(v))
+      case LessThan("trade_date", v) => maxDay = math.min(maxDay, toEpochDay(v) - 1)
+      case LessThanOrEqual("trade_date", v) => maxDay = math.min(maxDay, toEpochDay(v))
+      case _ =>
+    }
+
+    val keptSymbols = symbols.filter(s => symbolSet.forall(_.contains(s)))
+    val parts = for {
+      sym <- keptSymbols.toSeq
+      monthStart <- Iterator.iterate(start.withDayOfMonth(1))(_.plusMonths(1))
+        .takeWhile(!_.isAfter(end)).toSeq
+      lo = math.max(monthStart.toEpochDay.toInt, minDay)
+      hi = math.min(monthStart.plusMonths(1).minusDays(1).toEpochDay.toInt, maxDay)
+      if lo <= hi
+    } yield SeriesPartition(sym, lo, hi)
+
+    SeriesGen.lastPlannedPartitions = parts.size
+    SeriesGen.lastPushedFilters = pushed.toSeq
+    SeriesGen.lastReadSchema = required
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesReaderFactory(required)
+}
+
+case class SeriesPartition(symbol: String, startDay: Int, endDay: Int)
+  extends InputPartition
+
+class SeriesReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SeriesReader(partition.asInstanceOf[SeriesPartition], required)
+}
+
+class SeriesReader(p: SeriesPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import SeriesGen._
+
+  private var day = p.startDay - 1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    day += 1
+    while (day <= p.endDay && !isWeekday(day)) day += 1
+    if (day > p.endDay) return false
+    val (o, h, l, c, v) = barCents(p.symbol, day)
+    val values: Array[Any] = required.fieldNames.map {
+      case "symbol" => UTF8String.fromString(p.symbol)
+      case "trade_date" => day
+      case "open" => o.toDouble / 100.0
+      case "high" => h.toDouble / 100.0
+      case "low" => l.toDouble / 100.0
+      case "close" => c.toDouble / 100.0
+      case "volume" => v
+    }
+    row = InternalRow.fromSeq(values.toSeq)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

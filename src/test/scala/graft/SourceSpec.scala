@@ -1,0 +1,84 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SeriesGen
+
+/** The DataSource V2 connector: partition planning, predicate pushdown
+  * (partition pruning), column pruning, and bit-exact generator parity.
+  */
+class SourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def read(symbols: String = "SPY,QQQ,IWM") =
+    spark.read.format("graft-series")
+      .option("symbols", symbols)
+      .option("start", "2026-01-05")
+      .option("end", "2026-03-31")
+      .load()
+
+  test("unfiltered scan plans one partition per symbol x month") {
+    assert(read().count() === 3 * 62) // 62 weekdays in Jan 5 .. Mar 31 2026
+    assert(SeriesGen.lastPlannedPartitions === 9) // 3 symbols x 3 months
+    assert(SeriesGen.lastPushedFilters.isEmpty)
+  }
+
+  test("pushed symbol + date predicates prune input partitions") {
+    val df = read()
+      .filter(col("trade_date") >= lit("2026-02-02").cast("date") &&
+              col("symbol").isin("SPY", "QQQ"))
+    val n = df.count()
+    // 2 symbols x (Feb + Mar) — January pruned by the date bound
+    assert(SeriesGen.lastPlannedPartitions === 4)
+    assert(SeriesGen.lastPushedFilters.nonEmpty)
+    // pruning only skips; the residual Spark filter keeps exactness
+    assert(n === 2 * 42)
+  }
+
+  test("equality pushdown prunes to a single partition") {
+    val d = java.sql.Date.valueOf("2026-02-10")
+    val one = read().filter(col("symbol") === "QQQ" &&
+      col("trade_date") === lit(d)).collect()
+    assert(SeriesGen.lastPlannedPartitions === 1)
+    assert(one.length === 1 && one.head.getAs[String]("symbol") == "QQQ")
+  }
+
+  test("column pruning reaches the reader") {
+    read().select("symbol", "close").count()
+    assert(SeriesGen.lastReadSchema.fieldNames.toSet
+      .subsetOf(Set("symbol", "close")))
+  }
+
+  test("pushed filters are visible in the scan description") {
+    val df = read().filter(col("trade_date") >= lit("2026-03-01").cast("date"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-series PushedFilters"))
+  }
+
+  test("connector rows equal an independent local generation, bitwise") {
+    val got = read("SPY")
+      .orderBy("trade_date")
+      .select("trade_date", "open", "high", "low", "close", "volume")
+      .collect()
+    val days = Iterator.iterate(LocalDate.parse("2026-01-05"))(_.plusDays(1))
+      .takeWhile(!_.isAfter(LocalDate.parse("2026-03-31")))
+      .map(_.toEpochDay.toInt).filter(SeriesGen.isWeekday).toSeq
+    assert(got.length === days.length)
+    got.zip(days).foreach { case (row, day) =>
+      val (o, h, l, c, v) = SeriesGen.barCents("SPY", day)
+      assert(row.getAs[java.sql.Date]("trade_date").toLocalDate.toEpochDay == day)
+      // bit-exact double comparison (no tolerance)
+      assert(row.getAs[Double]("open") == o.toDouble / 100.0)
+      assert(row.getAs[Double]("high") == h.toDouble / 100.0)
+      assert(row.getAs[Double]("low") == l.toDouble / 100.0)
+      assert(row.getAs[Double]("close") == c.toDouble / 100.0)
+      assert(row.getAs[Long]("volume") == v)
+      assert(row.getAs[Double]("high") >= row.getAs[Double]("open"))
+      assert(row.getAs[Double]("low") <= row.getAs[Double]("close"))
+    }
+  }
+}
