@@ -349,6 +349,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // Bucketed-table layout (graft.olap.Layout): both join sides written
+    // bucketed+sorted on the key, so the equi-join plans with NO exchange
+    // on either side — the one-time-layout-cost vs per-query-shuffle
+    // trade that bucketing buys at 100 TB. The only shuffle left is the
+    // final 5-group aggregation (BucketingSpec pins exactly one Exchange
+    // in the whole plan; the remaining join-side sorts are
+    // partition-local).
+    "layout_bucketed_join" -> ((s, dir) => {
+      val sfx = math.abs(dir.hashCode).toString
+      val orders = graft.olap.Layout.writeBucketed(s,
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"orders_b_$sfx", "o_custkey", 8)
+      val cust = graft.olap.Layout.writeBucketed(s,
+        Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+        s"customer_b_$sfx", "c_custkey", 8)
+      orders.hint("merge")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+               .as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Hive-style partitioned layout: events written partitioned by
+    // event_type, read back with a partition predicate — the filter never
+    // touches row data, it prunes whole directories at planning time
+    // (PartitionFilters in the scan, 1 of 5 partitions read;
+    // BucketingSpec pins both). At 100 TB this is THE first-line scan
+    // reducer: partition by the column every query filters on.
+    "layout_partition_prune" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part_events").toString
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n"),
+             sum(Exact.cents(col("value"))).cast("double")./(lit(100.0))
+               .as("sum_value"))
+        .orderBy("event_date")
+    }),
+
     // Wide-scan grouped aggregation (TPC-H Q1 shape): full map-side partial
     // agg, 4-group shuffle, exact decimal sums. The scan reads only the 7
     // referenced columns (check ReadSchema in .explain).
@@ -2141,6 +2186,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the partitioned layout changes the SCAN, not the answer
+    "layout_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the bucketed layout changes the PLAN, not the answer: the oracle is
+    // the plain join+agg
+    "layout_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

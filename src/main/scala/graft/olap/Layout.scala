@@ -1,0 +1,43 @@
+package graft.olap
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed-table layout — the batch analog of co-partitioning.
+  *
+  * Pre-shuffling a table into K hash buckets sorted on the join key turns
+  * every subsequent equi-join on that key into an exchange-free sort-merge
+  * join: both scans come up already hash-clustered (`Bucketed: true`), so
+  * the only shuffle left in a join+agg plan is the final aggregation's. At
+  * 100 TB this converts the *recurring* join shuffle of a fact table into a
+  * *one-time* layout cost — the same contract as Hive/Iceberg bucketing.
+  * (The reference's analog is PostgreSQL's btree-on-date storing side,
+  * av_etl.py:161-185: pay at write time, join/lookup for free afterwards.)
+  */
+object Layout {
+
+  /** Persist `df` as an external bucketed+sorted table (under a fresh temp
+    * dir) and return the catalog-backed frame.
+    *
+    * The `repartition(buckets, key)` aligns write-task partitioning with
+    * the bucket function (both Murmur3 pmod), yielding ONE file per bucket
+    * instead of files-per-bucket × tasks. (Spark still plans a
+    * partition-local Sort on the join sides — sortBy metadata is not
+    * propagated to outputOrdering, SPARK-19256 — but that sort is
+    * exchange-free; the shuffle is what the layout eliminates.)
+    */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                    key: String, buckets: Int): DataFrame = {
+    val path = Files.createTempDirectory(s"graft_bucket_$table").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}
