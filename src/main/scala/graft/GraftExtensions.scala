@@ -77,7 +77,22 @@ object GraftExtensions {
     ("text_stats",
       info("text_stats", "text_stats(text) - fused token statistics struct (stopword list built in)"),
       (es: Seq[Expression]) => TextStatsExpr(es.head,
-        Seq(TextAnalysis.stopwords))))
+        Seq(TextAnalysis.stopwords))),
+    // HLL sketch family (graft.olap.Hll): native TypedImperativeAggregates
+    // + scalar register readers. The analyzer wraps the returned
+    // AggregateFunction into an AggregateExpression.
+    ("hll_sketch",
+      info("hll_sketch", "hll_sketch(spread_hash) - 512-register HyperLogLog sketch (BINARY)"),
+      (es: Seq[Expression]) => graft.olap.HllSketchAgg(es.head)),
+    ("hll_merge",
+      info("hll_merge", "hll_merge(sketch) - merge HLL sketches by bytewise max"),
+      (es: Seq[Expression]) => graft.olap.HllMergeAgg(es.head)),
+    ("hll_estimate",
+      info("hll_estimate", "hll_estimate(sketch) - raw HLL distinct estimate"),
+      (es: Seq[Expression]) => graft.olap.HllEstimateExpr(es.head)),
+    ("hll_zero_regs",
+      info("hll_zero_regs", "hll_zero_regs(sketch) - count of empty registers"),
+      (es: Seq[Expression]) => graft.olap.HllZeroRegsExpr(es.head)))
 
   private def foldIntArg(e: Expression): Int =
     e.eval(null) match {

@@ -433,6 +433,36 @@ object SparkEntry {
       graft.olap.Sketch.kmvDistinct(Tables.lineitem(s, dir),
         col("l_partkey"), k = 256)),
 
+    // HyperLogLog as a NATIVE Catalyst aggregate (graft.olap.Hll): 512
+    // one-byte registers per group, partial-aggregated map-side, merged by
+    // bytewise max. The ALL row is hll_merge over the per-group sketches —
+    // re-aggregation of STORED sketches, the property that lets 100 TB
+    // distinct counts run as daily sketch unions instead of re-scans. The
+    // oracle computes the ALL registers directly from all rows: max is
+    // associative, so merged == direct, bit-for-bit; exact counts ride
+    // along so the (raw-estimator) error stays visible.
+    "sketch_hll_distinct" -> ((s, dir) => {
+      import graft.olap.Hll
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+                graft.olap.Sketch.spreadHash(col("user_id")).as("hv"))
+      val perType = base.groupBy("event_type")
+        .agg(Hll.sketchAgg(col("hv")).as("sk"),
+             countDistinct(col("user_id")).as("n_exact"))
+      val per = perType.select(col("event_type").as("scope"),
+        Hll.estimate(col("sk")).as("hll_est"),
+        Hll.zeroRegs(col("sk")).as("zero_regs"),
+        col("n_exact"))
+      val merged = perType.agg(Hll.mergeAgg(col("sk")).as("sk"))
+      val globExact = base.agg(countDistinct(col("user_id")).as("n_exact"))
+      val all = merged.crossJoin(globExact) // 1-row × 1-row scalar combine
+        .select(lit("ALL").as("scope"),
+                Hll.estimate(col("sk")).as("hll_est"),
+                Hll.zeroRegs(col("sk")).as("zero_regs"),
+                col("n_exact"))
+      per.unionByName(all).orderBy("scope")
+    }),
+
     // Semi-join (EXISTS, TPC-H Q4 shape): priority counts over orders
     // having at least one returned lineitem. leftsemi materializes no
     // right-side columns and short-circuits per key — with the date
@@ -2225,6 +2255,59 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // HLL registers replayed exactly: same spread hash, bucket = hv mod 512,
+    // rho = 23 - bitlength(hv div 512) (bin() is minimal-width), registers
+    // as max(rho), estimate from the exact BIGINT S = sum 2^(32-r) with one
+    // int->double conversion + one IEEE division. The ALL row recomputes
+    // registers directly from all rows — max is associative, so the
+    // engine's hll_merge of group sketches must equal it bit-for-bit.
+    "sketch_hll_distinct" ->
+      """WITH f AS (SELECT event_type, user_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM events),
+              m1 AS (SELECT event_type, user_id,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT event_type, user_id, (h1 * h1) % 2147483647 AS h2
+                     FROM m1),
+              m3 AS (SELECT event_type, user_id,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              r AS (SELECT event_type, hv % 512 AS bucket,
+                      CASE WHEN hv // 512 = 0 THEN 23
+                           ELSE 23 - length(bin(hv // 512)) END AS rho
+                    FROM m3),
+              regs AS (SELECT event_type, bucket, max(rho) AS r
+                       FROM r GROUP BY 1, 2),
+              sq AS (SELECT event_type,
+                       CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT)
+                         + (512 - count(*)) * CAST(4294967296 AS BIGINT) AS s,
+                       512 - count(*) AS zero_regs
+                     FROM regs GROUP BY 1),
+              ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                     FROM events GROUP BY 1),
+              rall AS (SELECT bucket, max(rho) AS r FROM r GROUP BY 1),
+              sqall AS (SELECT
+                          CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT)
+                            + (512 - count(*)) * CAST(4294967296 AS BIGINT) AS s,
+                          512 - count(*) AS zero_regs
+                        FROM rall),
+              exall AS (SELECT count(DISTINCT user_id) AS n_exact FROM events),
+              u AS (SELECT sq.event_type AS scope, sq.s, sq.zero_regs,
+                           ex.n_exact
+                    FROM sq JOIN ex ON sq.event_type = ex.event_type
+                    UNION ALL
+                    SELECT 'ALL', sqall.s, sqall.zero_regs, exall.n_exact
+                    FROM sqall, exall)
+         SELECT scope,
+                (((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                    + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+                  * CAST(512 AS DOUBLE)) * CAST(512 AS DOUBLE))
+                  * CAST(4294967296 AS DOUBLE) / CAST(s AS DOUBLE) AS hll_est,
+                CAST(zero_regs AS BIGINT) AS zero_regs, n_exact
+         FROM u ORDER BY scope""",
 
     // identical estimator arithmetic: k smallest distinct portable hashes,
     // (k-1)*M/h_k in left-associated double ops on both engines

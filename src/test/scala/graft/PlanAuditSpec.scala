@@ -79,7 +79,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk",
       // 1-row scalar combines: node count N (init rank 1/N) and the
       // mixture bound M = min(count*10 div wt)
-      "graph_pagerank", "sample_mixture_balance")
+      "graph_pagerank", "sample_mixture_balance",
+      // merged global HLL sketch × global exact count (1-row × 1-row)
+      "sketch_hll_distinct")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
