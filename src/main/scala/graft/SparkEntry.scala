@@ -340,6 +340,38 @@ object SparkEntry {
                 "volume")
         .orderBy("symbol", "trade_date")),
 
+    // The SAME connector read as a micro-batch STREAM: the date range is
+    // revealed 10 days per trigger (a bounded replay of a live feed),
+    // complete-mode monthly aggregate converges to the batch answer —
+    // one declarative transform, two execution modes.
+    "stream_dsv2_source" -> ((s, dir) => {
+      val name = "graft_stream_dsv2"
+      val key = "spark.sql.shuffle.partitions"
+      val old = s.conf.get(key)
+      s.conf.set(key, "8")
+      try {
+        val q = s.readStream.format("graft-series")
+          .option("symbols", "SPY,QQQ")
+          .option("start", "2026-01-05")
+          .option("end", "2026-02-27")
+          .option("maxDaysPerTrigger", "10")
+          .load()
+          .groupBy(col("symbol"),
+                   date_trunc("month", col("trade_date")).cast("date")
+                     .as("month"))
+          .agg(count(lit(1)).as("n_days"),
+               sum(Exact.cents(col("close"))).cast("double")./(lit(100.0))
+                 .as("sum_close"),
+               min(col("low")).as("min_low"),
+               max(col("high")).as("max_high"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set(key, old)
+      s.table(name).orderBy("symbol", "month")
+    }),
+
     // JSON field extraction over a data column (events.props) + group-agg;
     // long sums are exact integer arithmetic on both engines.
     "json_props_extract" -> ((s, dir) =>
@@ -2167,50 +2199,20 @@ object SparkEntry {
     // spread in exact BIGINT steps, prices as one int→double conversion +
     // one correctly-rounded division (both IEEE-exact on each engine)
     "source_dsv2_series" ->
-      """WITH syms AS (SELECT * FROM (VALUES ('SPY'), ('QQQ')) s(symbol)),
-              days AS (SELECT CAST(d AS DATE) AS trade_date
-                       FROM generate_series(DATE '2026-02-02', DATE '2026-03-31',
-                                            INTERVAL 1 DAY) t(d)
-                       WHERE isodow(CAST(d AS DATE)) <= 5),
-              b0 AS (SELECT symbol, trade_date,
-                       (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                          list_transform(string_split(symbol, ''),
-                            ch -> CAST(ascii(ch) AS BIGINT))),
-                          (h, c) -> (h * 31 + c) % 2147483647) * 31
-                        + (trade_date - DATE '1970-01-01')) % 2147483647 AS x
-                     FROM syms, days),
-              s1 AS (SELECT *, (x * 1103515245 + 12345) % 2147483647 AS t0 FROM b0),
-              s2 AS (SELECT symbol, trade_date,
-                       ((t0 * t0) % 2147483647 * 69069 + 362437) % 2147483647 AS seed
-                     FROM s1),
-              s3 AS (SELECT *,
-                       (((seed + 1) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t1,
-                       (((seed + 2) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t2,
-                       (((seed + 3) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t3,
-                       (((seed + 4) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t4
-                     FROM s2),
-              s4 AS (SELECT symbol, trade_date, seed,
-                       ((t1 * t1) % 2147483647 * 69069 + 362437) % 2147483647 AS m1,
-                       ((t2 * t2) % 2147483647 * 69069 + 362437) % 2147483647 AS m2,
-                       ((t3 * t3) % 2147483647 * 69069 + 362437) % 2147483647 AS m3,
-                       ((t4 * t4) % 2147483647 * 69069 + 362437) % 2147483647 AS m4
-                     FROM s3),
-              s5 AS (SELECT symbol, trade_date,
-                       10000 + seed % 90000 AS open_c,
-                       10000 + m1 % 90000 AS close_c,
-                       m2 % 500 AS hi_m, m3 % 500 AS lo_m,
-                       1000000 + m4 % 9000000 AS vol
-                     FROM s4),
-              s6 AS (SELECT *, greatest(open_c, close_c) + hi_m AS high_c,
-                       least(open_c, close_c) - lo_m AS low_c
-                     FROM s5)
-         SELECT symbol, trade_date,
-                CAST(open_c AS DOUBLE) / CAST(100 AS DOUBLE) AS open,
-                CAST(high_c AS DOUBLE) / CAST(100 AS DOUBLE) AS high,
-                CAST(low_c AS DOUBLE) / CAST(100 AS DOUBLE) AS low,
-                CAST(close_c AS DOUBLE) / CAST(100 AS DOUBLE) AS close,
-                CAST(vol AS BIGINT) AS volume
-         FROM s6 ORDER BY symbol, trade_date""",
+      s"""WITH ${duckSeriesBars("('SPY'), ('QQQ')", "2026-02-02", "2026-03-31")}
+         SELECT symbol, trade_date, open, high, low, close, volume
+         FROM bars ORDER BY symbol, trade_date""",
+
+    // the streaming read of the same connector must converge to the batch
+    // semantics: monthly aggregate over the full revealed range
+    "stream_dsv2_source" ->
+      s"""WITH ${duckSeriesBars("('SPY'), ('QQQ')", "2026-01-05", "2026-02-27")}
+         SELECT symbol, date_trunc('month', trade_date) AS month,
+                count(*) AS n_days,
+                CAST(sum(CAST(round(close * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_close,
+                min(low) AS min_low, max(high) AS max_high
+         FROM bars GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "json_props_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -3956,6 +3958,58 @@ object SparkEntry {
     s"list_transform(generate_series(1, CAST(length($h) // 2 AS INT)), i -> " +
       s"CAST((strpos('0123456789ABCDEF', substr($h, 2 * i - 1, 1)) - 1) * 16 " +
       s"+ (strpos('0123456789ABCDEF', substr($h, 2 * i, 1)) - 1) AS BIGINT))"
+
+  /** DuckDB CTE chain replaying graft.sources.SeriesGen exactly: spread
+    * hash of (symbol fold * 31 + epoch day), five affine→square→affine
+    * mixes in exact BIGINT steps, prices as cents / 100 with one
+    * int→double conversion + one IEEE division. Terminal CTE is `bars`
+    * (symbol, trade_date, open, high, low, close, volume).
+    */
+  private def duckSeriesBars(symVals: String, start: String, end: String): String =
+    s"""syms AS (SELECT * FROM (VALUES $symVals) s(symbol)),
+              days AS (SELECT CAST(d AS DATE) AS trade_date
+                       FROM generate_series(DATE '$start', DATE '$end',
+                                            INTERVAL 1 DAY) t(d)
+                       WHERE isodow(CAST(d AS DATE)) <= 5),
+              b0 AS (SELECT symbol, trade_date,
+                       (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(symbol, ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+                          (h, c) -> (h * 31 + c) % 2147483647) * 31
+                        + (trade_date - DATE '1970-01-01')) % 2147483647 AS x
+                     FROM syms, days),
+              s1 AS (SELECT *, (x * 1103515245 + 12345) % 2147483647 AS t0 FROM b0),
+              s2 AS (SELECT symbol, trade_date,
+                       ((t0 * t0) % 2147483647 * 69069 + 362437) % 2147483647 AS seed
+                     FROM s1),
+              s3 AS (SELECT *,
+                       (((seed + 1) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t1,
+                       (((seed + 2) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t2,
+                       (((seed + 3) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t3,
+                       (((seed + 4) % 2147483647) * 1103515245 + 12345) % 2147483647 AS t4
+                     FROM s2),
+              s4 AS (SELECT symbol, trade_date, seed,
+                       ((t1 * t1) % 2147483647 * 69069 + 362437) % 2147483647 AS m1,
+                       ((t2 * t2) % 2147483647 * 69069 + 362437) % 2147483647 AS m2,
+                       ((t3 * t3) % 2147483647 * 69069 + 362437) % 2147483647 AS m3,
+                       ((t4 * t4) % 2147483647 * 69069 + 362437) % 2147483647 AS m4
+                     FROM s3),
+              s5 AS (SELECT symbol, trade_date,
+                       10000 + seed % 90000 AS open_c,
+                       10000 + m1 % 90000 AS close_c,
+                       m2 % 500 AS hi_m, m3 % 500 AS lo_m,
+                       1000000 + m4 % 9000000 AS vol
+                     FROM s4),
+              s6 AS (SELECT *, greatest(open_c, close_c) + hi_m AS high_c,
+                       least(open_c, close_c) - lo_m AS low_c
+                     FROM s5),
+              bars AS (SELECT symbol, trade_date,
+                       CAST(open_c AS DOUBLE) / CAST(100 AS DOUBLE) AS open,
+                       CAST(high_c AS DOUBLE) / CAST(100 AS DOUBLE) AS high,
+                       CAST(low_c AS DOUBLE) / CAST(100 AS DOUBLE) AS low,
+                       CAST(close_c AS DOUBLE) / CAST(100 AS DOUBLE) AS close,
+                       CAST(vol AS BIGINT) AS volume
+                     FROM s6)"""
 
   /** DuckDB fragment: per-token portable polynomial hashes of `text`. */
   private val duckTokHashes: String =

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,11 +98,12 @@ class SeriesSourceProvider extends TableProvider with DataSourceRegister {
     new SeriesTable(properties.asScala.toMap)
 }
 
-class SeriesTable(options: Map[String, String]) extends Table with SupportsRead {
+class SeriesTable(options0: Map[String, String]) extends Table with SupportsRead {
+  private val options = options0.map(kv => kv._1.toLowerCase -> kv._2)
   override def name(): String = "graft_series"
   override def schema(): StructType = SeriesGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new SeriesScanBuilder(options)
 }
@@ -198,6 +200,65 @@ class SeriesScan(options: Map[String, String], pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeriesReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeriesMicroBatchStream(options, pushed, required)
+}
+
+/** Streaming offset = last revealed epoch day (a quote feed's "how far the
+  * market has published").
+  */
+case class DayOffset(day: Int) extends Offset {
+  override def json(): String = day.toString
+}
+
+/** The SAME connector as a micro-batch streaming source: the declared
+  * date range is revealed `maxDaysPerTrigger` days per micro-batch (a
+  * bounded replay of how a live feed trickles in), one InputPartition per
+  * symbol per batch, reusing the batch reader and the pushed symbol
+  * pruning. Offsets are plain day counters, so restarts resume exactly.
+  */
+class SeriesMicroBatchStream(options: Map[String, String],
+                             pushed: Array[Filter], required: StructType)
+    extends MicroBatchStream {
+  import SeriesGen._
+
+  private val startDay = LocalDate.parse(options("start")).toEpochDay.toInt
+  private val endDay = LocalDate.parse(options("end")).toEpochDay.toInt
+  private val chunk = options.get("maxdayspertrigger").map(_.toInt)
+    .getOrElse(endDay - startDay + 1)
+  private val symbols: Seq[String] = {
+    var symbolSet: Option[Set[String]] = None
+    pushed.foreach {
+      case EqualTo("symbol", v) =>
+        symbolSet = Some(symbolSet.getOrElse(Set(v.toString)) & Set(v.toString))
+      case In("symbol", vs) =>
+        val s = vs.map(_.toString).toSet
+        symbolSet = Some(symbolSet.map(_ & s).getOrElse(s))
+      case _ =>
+    }
+    options("symbols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(s => symbolSet.forall(_.contains(s)))
+  }
+
+  @volatile private var revealed = startDay - 1
+
+  override def initialOffset(): Offset = DayOffset(startDay - 1)
+  override def latestOffset(): Offset = {
+    revealed = math.min(endDay, revealed + chunk)
+    DayOffset(revealed)
+  }
+  override def deserializeOffset(json: String): Offset = DayOffset(json.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[DayOffset].day + 1
+    val hi = end.asInstanceOf[DayOffset].day
+    if (lo > hi) Array.empty
+    else symbols.map(SeriesPartition(_, lo, hi)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SeriesPartition(symbol: String, startDay: Int, endDay: Int)

@@ -59,6 +59,37 @@ class SourceSpec extends AnyFunSuite {
     assert(plan.contains("graft-series PushedFilters"))
   }
 
+  test("micro-batch stream runs in chunks and converges to the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft-series")
+      .option("symbols", "SPY,QQQ")
+      .option("start", "2026-01-05")
+      .option("end", "2026-02-27")
+      .option("maxDaysPerTrigger", "10")
+      .load()
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), max(col("high")).as("max_high"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("series_stream_spec")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 54 calendar days revealed 10 per trigger => at least 5 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      s"expected chunked reveal, got ${q.recentProgress.length} batches")
+    val streamed = spark.table("series_stream_spec")
+      .orderBy("symbol").collect().toSeq
+    val batch = spark.read.format("graft-series")
+      .option("symbols", "SPY,QQQ")
+      .option("start", "2026-01-05")
+      .option("end", "2026-02-27")
+      .load()
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), max(col("high")).as("max_high"))
+      .orderBy("symbol").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("connector rows equal an independent local generation, bitwise") {
     val got = read("SPY")
       .orderBy("trade_date")
