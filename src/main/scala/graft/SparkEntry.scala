@@ -732,6 +732,30 @@ object SparkEntry {
     // Graph analytics: fixed-iteration PageRank over the part<->supplier
     // bipartite graph from lineitem (both directions), quantized-integer
     // accumulation for bitwise reproducibility (graft.olap.PageRank).
+    // Triangle counting with DEGREE-ORDERED ORIENTATION (the classic
+    // scalable formulation): each undirected edge is directed from its
+    // (degree, id)-smaller endpoint, so every triangle is generated by
+    // exactly one wedge at its smallest-degree corner and the per-node
+    // out-degree is bounded by ~sqrt(2m) — the wedge join cannot blow up
+    // on hubs the way a naive neighbor self-join does. Graph = parts
+    // co-purchased in the same order (order size is bounded, so edge
+    // generation is linear in lineitems). The edge frame is persisted:
+    // degrees, wedges, and closures all reuse one scan.
+    "graph_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .persist()
+      graft.olap.Triangles.stats(e)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+                (lit(3.0) * col("n_triangles").cast("double")
+                  / col("n_wedges").cast("double")).as("transitivity"))
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val pairs = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -2533,6 +2557,31 @@ object SparkEntry {
                   CAST(sum(CASE WHEN c4 THEN doc_id ELSE 0 END) AS BIGINT) FROM fl
          ) ORDER BY stage"""
     },
+
+    // the oracle counts triangles by the direct ordered triple join
+    // (u < v < w via the canonical edge direction) — a different
+    // algorithm from the engine's degree-ordered orientation, same count
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              deg AS (SELECT n, count(*) AS d
+                      FROM (SELECT u AS n FROM e
+                            UNION ALL SELECT v AS n FROM e)
+                      GROUP BY 1),
+              t AS (SELECT count(*) AS n_triangles
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              s AS (SELECT count(*) AS n_nodes,
+                           CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                    FROM deg),
+              m AS (SELECT count(*) AS n_edges FROM e)
+         SELECT s.n_nodes, m.n_edges, t.n_triangles,
+                CAST(3 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
+                  / CAST(s.n_wedges AS DOUBLE) AS transitivity
+         FROM s, m, t""",
 
     "graph_pagerank" -> {
       def iter(i: Int, prev: String): String =

@@ -72,6 +72,25 @@ class PackRankSpec extends AnyFunSuite {
     assert(r(1L) == 0.15 + 0.85 * 0.5)
   }
 
+  test("triangles: hand graphs with known counts") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = graft.olap.Triangles.stats(edges.toDF("u", "v")).collect()(0)
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+       r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    }
+    // K4: 4 nodes, 6 edges, C(3,2)*4 = 12 wedges, 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == ((4L, 6L, 12L, 4L)))
+    // K4 + pendant node: pendant adds 1 edge, 3 wedges (hub deg 4), 0 tris
+    assert(tri(k4 :+ (1L, 5L)) == ((5L, 7L, 15L, 4L)))
+    // a square (4-cycle): wedges but no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) ==
+      ((4L, 4L, 4L, 0L)))
+    // two triangles sharing an edge
+    assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))._4 == 2L)
+  }
+
   test("pagerank is bitwise partitioning-invariant on real data") {
     val pairs = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()

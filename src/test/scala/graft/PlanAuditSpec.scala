@@ -81,7 +81,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // mixture bound M = min(count*10 div wt)
       "graph_pagerank", "sample_mixture_balance",
       // merged global HLL sketch × global exact count (1-row × 1-row)
-      "sketch_hll_distinct")
+      "sketch_hll_distinct",
+      // node/edge/triangle 1-row summaries combined via crossJoin
+      "graph_triangles")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
