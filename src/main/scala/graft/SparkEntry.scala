@@ -7,10 +7,10 @@ import graft.cal.BusdayCount
 import graft.dedup.{MinHash, NgramJaccard, SimHash}
 import graft.inc.Watermark
 import graft.ingest.AvJson
-import graft.olap.Exact
+import graft.olap.{Exact, Skyline}
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
-import graft.ts.Ohlc
+import graft.ts.{Indicators, Intervals, Ohlc}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -210,6 +210,66 @@ object SparkEntry {
         .select(col("window.start").cast("date").as("window_start"),
                 col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+
+    // Running peak + percent drawdown per series — the prefix-max half of
+    // the indicator family (SMA = prefix average, returns = prefix delta).
+    // Keyed running-max window; two fixed-order IEEE ops for the percent.
+    "ts_drawdown" -> ((s, dir) =>
+      Indicators.withDrawdown(
+          Ohlc.dailyBars(Tables.events(s, dir))
+            .select("event_type", "date", "close"),
+          Seq("event_type"))
+        .orderBy("event_type", "date")),
+
+    // Monthly VWAP per series from daily bars: exact long Σ(cents·volume)
+    // and Σvolume (partial-aggregable groupBy — one row per series·month
+    // on the shuffle), one double division chain.
+    "ts_vwap_monthly" -> ((s, dir) =>
+      Indicators.vwap(
+          Ohlc.dailyBars(Tables.events(s, dir)),
+          date_trunc("month", col("date")).cast("date").as("month"),
+          Seq("event_type"))
+        .select("event_type", "month", "volume", "vwap")
+        .orderBy("event_type", "month")),
+
+    // Bollinger bands (20-day, 2σ): trailing mean ± k·population stddev
+    // from exact integer moment sums (Σc, Σc² as longs), sd via one
+    // correctly-rounded sqrt — bit-portable like agg_value_stats.
+    "ts_bollinger" -> ((s, dir) =>
+      Indicators.withBollinger(
+          Ohlc.dailyBars(Tables.events(s, dir))
+            .select("event_type", "date", "close"),
+          20, 2.0, Seq("event_type"))
+        .select("event_type", "date", "close",
+                "bb_mid", "bb_sd", "bb_upper", "bb_lower")
+        .orderBy("event_type", "date")),
+
+    // Cutler's RSI (14-day): trailing gain/loss split of exact cent
+    // deltas; the /n cancels so the result is one multiply + one divide.
+    "ts_rsi" -> ((s, dir) =>
+      Indicators.withRsi(
+          Ohlc.dailyBars(Tables.events(s, dir))
+            .select("event_type", "date", "close"),
+          14, Seq("event_type"))
+        .select("event_type", "date", "close", "rsi_14")
+        .orderBy("event_type", "date")),
+
+    // 2D skyline (Pareto frontier) per brand: maximize size, minimize
+    // price. Implemented as groupBy-reduce + one keyed running-min scan;
+    // the oracle keeps the O(n²) NOT-EXISTS dominance formulation — a
+    // different algorithm reaching the same set.
+    "olap_skyline_parts" -> ((s, dir) =>
+      Skyline.pareto2d(
+          Tables.part(s, dir).select("p_brand", "p_size", "p_retailprice"),
+          Seq("p_brand"), "p_size", "p_retailprice")
+        .orderBy("p_brand", "p_size")),
+
+    // Interval union / coverage per user: each event spans 30 min; merge
+    // overlapping-or-touching spans into islands (running-max-end), count
+    // them and sum covered time — exact epoch-microsecond longs.
+    "ts_interval_coverage" -> ((s, dir) =>
+      Intervals.coverage(Tables.events(s, dir), "user_id", "ts", 1800L)
+        .orderBy("user_id")),
 
     // §2.6 O2: sort + limit-k (top-k newest) — planned as
     // TakeOrderedAndProject (distributed per-partition top-k + merge,
@@ -2111,6 +2171,121 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
                   / 100.0 AS sum_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ts_drawdown" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, date, close,
+                max(close) OVER w AS peak,
+                (close - max(close) OVER w) / max(close) OVER w
+                  * CAST(100 AS DOUBLE) AS drawdown_pct
+         FROM b
+         WINDOW w AS (PARTITION BY event_type ORDER BY date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, date""",
+
+    "ts_vwap_monthly" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close, count(*) AS volume
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(date_trunc('month', date) AS DATE) AS month,
+                CAST(sum(volume) AS BIGINT) AS volume,
+                CAST(sum(CAST(round(close * 100, 0) AS BIGINT) * volume)
+                     AS DOUBLE)
+                  / CAST(sum(volume) AS DOUBLE) / CAST(100 AS DOUBLE) AS vwap
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ts_bollinger" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              c AS (SELECT event_type, date, close,
+                           CAST(round(close * 100, 0) AS BIGINT) AS cts
+                    FROM b),
+              m AS (SELECT event_type, date, close,
+                           count(*) OVER w AS cnt,
+                           sum(cts) OVER w AS sc,
+                           sum(cts * cts) OVER w AS sc2
+                    FROM c
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+              d AS (SELECT event_type, date, close, cnt,
+                           CAST(sc AS DOUBLE) / CAST(2000 AS DOUBLE) AS mid,
+                           sqrt(CAST(20 * sc2 - sc * sc AS DOUBLE))
+                             / CAST(2000 AS DOUBLE) AS sd
+                    FROM m)
+         SELECT event_type, date, close,
+                CASE WHEN cnt = 20 THEN mid END AS bb_mid,
+                CASE WHEN cnt = 20 THEN sd END AS bb_sd,
+                CASE WHEN cnt = 20
+                     THEN mid + CAST(2 AS DOUBLE) * sd END AS bb_upper,
+                CASE WHEN cnt = 20
+                     THEN mid - CAST(2 AS DOUBLE) * sd END AS bb_lower
+         FROM d ORDER BY event_type, date""",
+
+    "ts_rsi" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              c AS (SELECT event_type, date, close,
+                           CAST(round(close * 100, 0) AS BIGINT) AS cts
+                    FROM b),
+              d AS (SELECT event_type, date, close,
+                           cts - lag(cts, 1) OVER
+                             (PARTITION BY event_type ORDER BY date) AS delta
+                    FROM c),
+              g AS (SELECT event_type, date, close, delta,
+                           CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+                           CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+                    FROM d),
+              m AS (SELECT event_type, date, close,
+                           count(delta) OVER w AS cnt,
+                           sum(gain) OVER w AS sg,
+                           sum(loss) OVER w AS sl
+                    FROM g
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, date, close,
+                CASE WHEN cnt = 14 AND sg + sl <> 0
+                     THEN CAST(sg AS DOUBLE) * CAST(100 AS DOUBLE)
+                          / CAST(sg + sl AS DOUBLE)
+                END AS rsi_14
+         FROM m ORDER BY event_type, date""",
+
+    "olap_skyline_parts" ->
+      """WITH c AS (SELECT p_brand, p_size, min(p_retailprice) AS p_retailprice
+                    FROM part GROUP BY 1, 2)
+         SELECT p_brand, p_size, p_retailprice FROM c a
+         WHERE NOT EXISTS (SELECT 1 FROM c b
+                           WHERE b.p_brand = a.p_brand
+                             AND b.p_size >= a.p_size
+                             AND b.p_retailprice <= a.p_retailprice
+                             AND (b.p_size > a.p_size
+                                  OR b.p_retailprice < a.p_retailprice))
+         ORDER BY p_brand, p_size""",
+
+    "ts_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                            epoch_us(ts) + 1800000000 AS e
+                     FROM events),
+              m AS (SELECT user_id, s, e,
+                           max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm
+                    FROM iv),
+              i AS (SELECT user_id, s, e,
+                           sum(CASE WHEN pm IS NULL OR s > pm
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+                    FROM m),
+              g AS (SELECT user_id, island, min(s) AS st, max(e) AS en
+                    FROM i GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_intervals,
+                CAST(sum(en - st) AS BIGINT) AS covered_us
+         FROM g GROUP BY 1 ORDER BY user_id""",
 
     "sort_topk_newest" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,

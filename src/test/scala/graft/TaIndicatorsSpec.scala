@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ts.Indicators
+
+/** Pins the TA indicator family (drawdown / VWAP / Bollinger / RSI) against
+  * hand-computed values and a brute-force reimplementation using the same
+  * exact-integer-then-fixed-double contract, so any reassociation or frame
+  * drift shows up as a bitwise diff.
+  */
+class TaIndicatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def frame(closes: Seq[Double], key: String = "a") = {
+    import spark.implicits._
+    closes.zipWithIndex
+      .map { case (v, i) => (key, f"2024-01-${i + 1}%02d", v) }
+      .toDF("event_type", "d", "close")
+      .withColumn("date", to_date(col("d"))).drop("d")
+  }
+
+  test("withDrawdown: peak is running max, drawdown ≤ 0 and exact") {
+    val got = Indicators.withDrawdown(
+        frame(Seq(10.0, 12.0, 9.0, 12.0, 8.0)), Seq("event_type"))
+      .orderBy("date").collect()
+    assert(got.map(_.getAs[Double]("peak")).toSeq ==
+      Seq(10.0, 12.0, 12.0, 12.0, 12.0))
+    val dd = got.map(_.getAs[Double]("drawdown_pct"))
+    assert(dd(0) == 0.0 && dd(1) == 0.0 && dd(3) == 0.0)
+    assert(dd(2) == (9.0 - 12.0) / 12.0 * 100.0)
+    assert(dd(4) == (8.0 - 12.0) / 12.0 * 100.0)
+    assert(dd.forall(_ <= 0.0))
+  }
+
+  test("vwap: exact cents·volume over volume, per bucket") {
+    import spark.implicits._
+    val bars = Seq(
+      ("a", "2024-01-01", 10.00, 2L), ("a", "2024-01-02", 20.00, 6L),
+      ("a", "2024-02-01", 5.50, 4L))
+      .toDF("event_type", "d", "close", "volume")
+      .withColumn("date", to_date(col("d"))).drop("d")
+    val got = Indicators.vwap(bars,
+        date_trunc("month", col("date")).cast("date").as("month"),
+        Seq("event_type"))
+      .orderBy("month").collect()
+    // Jan: (1000·2 + 2000·6)/8/100 = 17.5 exactly
+    assert(got(0).getAs[Double]("vwap") == 14000.0 / 8.0 / 100.0)
+    assert(got(0).getAs[Long]("volume") == 8L)
+    assert(got(1).getAs[Double]("vwap") == 5.5)
+  }
+
+  test("withBollinger: NULL until full frame; matches brute force bitwise") {
+    val closes = Seq(10.0, 11.5, 9.25, 14.0, 8.0, 12.75, 10.1, 9.9)
+    val n = 3
+    val got = Indicators.withBollinger(frame(closes), n, 2.0,
+        Seq("event_type"))
+      .orderBy("date")
+      .select("bb_mid", "bb_sd", "bb_upper", "bb_lower").collect()
+    // brute force with the identical op order: long cents sums, one
+    // double division, correctly-rounded sqrt
+    val cents = closes.map(v => math.round(v * 100))
+    for (i <- closes.indices) {
+      if (i < n - 1) assert(got(i).isNullAt(0) && got(i).isNullAt(3))
+      else {
+        val win = cents.slice(i - n + 1, i + 1)
+        val sc = win.sum
+        val sc2 = win.map(c => c * c).sum
+        val mid = sc.toDouble / (n * 100.0)
+        val sd = math.sqrt((n * sc2 - sc * sc).toDouble) / (n * 100.0)
+        assert(got(i).getDouble(0) == mid)
+        assert(got(i).getDouble(1) == sd)
+        assert(got(i).getDouble(2) == mid + 2.0 * sd)
+        assert(got(i).getDouble(3) == mid - 2.0 * sd)
+      }
+    }
+  }
+
+  test("withRsi: gain/loss split, NULL before n deltas and on flat frames") {
+    // deltas (cents): +100, -50, +25, 0, +75
+    val closes = Seq(10.0, 11.0, 10.5, 10.75, 10.75, 11.5)
+    val got = Indicators.withRsi(frame(closes), 3, Seq("event_type"))
+      .orderBy("date").select("rsi_3").collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0) && got(2).isNullAt(0))
+    // rows 3..5 have 3 trailing deltas each
+    val expect3 = 125.0 * 100.0 / 175.0 // gains 100+25, losses 50
+    assert(got(3).getDouble(0) == 125.0 * 100.0 / 175.0 && expect3 > 0)
+    assert(got(4).getDouble(0) == 25.0 * 100.0 / 75.0)
+    assert(got(5).getDouble(0) == 100.0 * 100.0 / 100.0)
+    // all-flat series -> denominator 0 -> NULL once frame is full
+    val flat = Indicators.withRsi(frame(Seq(5.0, 5.0, 5.0, 5.0, 5.0)), 3,
+        Seq("event_type"))
+      .orderBy("date").select("rsi_3").collect()
+    assert(flat.forall(_.isNullAt(0)))
+  }
+}
