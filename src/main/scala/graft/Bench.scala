@@ -25,7 +25,12 @@ object Bench {
     catch { case _: Throwable => () }
     // min of 2 runs per query: steady-state timing, robust to shared-host
     // noise and first-run JIT of query-specific generated code
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma list of query-name substrings (dev loop only;
+    // the driver always calls with no args = full run)
+    val only = args.headOption.map(_.split(",").toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.contains))
+    val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

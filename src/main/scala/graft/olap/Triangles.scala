@@ -3,15 +3,24 @@ package graft.olap
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.dedup.NgramJaccard
+
 /** Triangle counting by degree-ordered orientation.
   *
   * Direct each undirected edge from its (degree, id)-smaller endpoint:
   * every triangle then has exactly ONE node with out-edges to the other
-  * two, so one wedge join + one closure semi-join counts each triangle
-  * once — and the out-degree under this orientation is bounded by
-  * ~sqrt(2m), so hub nodes cannot explode the wedge join the way a naive
-  * neighbor self-join does (the standard scalable formulation; cf. the
-  * "forward" algorithm of Schank & Wagner 2005).
+  * two, and the out-degree under this orientation is bounded by ~sqrt(2m),
+  * so hub nodes cannot explode the closure the way a naive neighbor
+  * self-join does (the "forward" algorithm of Schank & Wagner 2005).
+  *
+  * The closure itself is the compact-forward refinement: build each node's
+  * sorted out-neighbor list once, then per oriented edge (a→b) count
+  * |N⁺(a) ∩ N⁺(b)| with the codegen'd linear-merge intersect — no wedge
+  * frame is ever materialized. Versus the wedge-join + semi-join
+  * formulation this removes the O(Σ C(outdeg,2)) intermediate (tens of
+  * millions of rows on a co-purchase graph) and its shuffle + hash build;
+  * what remains is one groupBy to build adjacency and one equi-join probe
+  * whose per-row cost is a merge over two bounded lists.
   */
 object Triangles {
 
@@ -32,13 +41,18 @@ object Triangles {
           .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
       .persist()
-    val wedges = oriented.as("x")
-      .join(oriented.as("y"),
-            col("x.a") === col("y.a") && col("x.b") < col("y.b"))
-      .select(least(col("x.b"), col("y.b")).as("u"),
-              greatest(col("x.b"), col("y.b")).as("v"))
-    val tri = wedges.join(e, Seq("u", "v"), "leftsemi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val adj = oriented.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    // every oriented edge's source has an adjacency row (inner join is
+    // lossless); the target may have none (left join, counts 0)
+    val tri = oriented
+      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")),
+            Seq("b"), "left")
+      .agg(coalesce(
+        sum(when(col("nb").isNull, lit(0L)).otherwise(
+          NgramJaccard.intersect_count_sorted(col("na"), col("nb")))),
+        lit(0L)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val edges = e.agg(count(lit(1)).as("n_edges"))
