@@ -254,6 +254,59 @@ object SparkEntry {
         .select("event_type", "date", "close", "rsi_14")
         .orderBy("event_type", "date")),
 
+    // Misra-Gries heavy hitters over the token stream: per-partition O(k)
+    // summaries whose union is a guaranteed superset of all items with
+    // freq > n/k (pigeonhole), then an exact verify over only the
+    // candidates — the two-pass shape that never aggregates the full
+    // vocabulary. Threshold test in exact integers (freq·k > n).
+    "sketch_mg_heavy" -> ((s, dir) =>
+      graft.olap.Frequent.heavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(TextAnalysis.tokens("text")).as("token")),
+          "token", 40)
+        .orderBy(col("freq").desc, col("item").asc)),
+
+    // Typed Dataset surface: case-class rows, groupByKey + custom
+    // Aggregator (partial-aggregable typed buffer in exact cents) —
+    // bitwise-equal to the SQL formulation.
+    "ds_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.olap.TypedAgg
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+                col("l_quantity"), col("l_extendedprice"))
+        .as[TypedAgg.LiRow]
+        .filter((r: TypedAgg.LiRow) => r.l_quantity > 10.0)
+        .groupByKey(r => (r.l_returnflag, r.l_linestatus))
+        .agg(TypedAgg.flagStats.toColumn)
+        .map { case ((f, st), v) =>
+          (f, st, v.n_items, v.qty_cents.toDouble / 100.0,
+           v.price_cents.toDouble / 100.0)
+        }
+        .toDF("l_returnflag", "l_linestatus", "n_items", "sum_qty",
+              "sum_price")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Deterministic weighted (probability-proportional-to-size) sample:
+    // priority = spread_hash(id)/weight, k smallest per stratum — seedless,
+    // mergeable (k smallest of a union = k smallest of per-shard k
+    // smallest), and bitwise-portable (one IEEE division; ties totalized
+    // by doc_id).
+    "sample_weighted_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("priority").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("priority",
+          graft.olap.Sketch.spreadHash(col("doc_id")).cast("double") /
+            col("n_chars").cast("double"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars", "priority")
+        .orderBy("lang", "doc_id")
+    }),
+
     // 2D skyline (Pareto frontier) per brand: maximize size, minimize
     // price. Implemented as groupBy-reduce + one keyed running-min scan;
     // the oracle keeps the O(n²) NOT-EXISTS dominance formulation — a
@@ -2252,6 +2305,44 @@ object SparkEntry {
                           / CAST(sg + sl AS DOUBLE)
                 END AS rsi_14
          FROM m ORDER BY event_type, date""",
+
+    "sketch_mg_heavy" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS item
+                    FROM documents),
+              n AS (SELECT count(*) AS tot FROM t)
+         SELECT item, count(*) AS freq
+         FROM t, n GROUP BY item, tot
+         HAVING count(*) * 40 > tot
+         ORDER BY freq DESC, item ASC""",
+
+    "ds_typed_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS sum_price
+         FROM lineitem WHERE l_quantity > 10.0
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sample_weighted_topk" ->
+      """WITH f AS (SELECT lang, doc_id, n_chars,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM documents),
+              m1 AS (SELECT lang, doc_id, n_chars,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT lang, doc_id, n_chars,
+                       (h1 * h1) % 2147483647 AS h2 FROM m1),
+              h AS (SELECT lang, doc_id, n_chars,
+                      CAST((h2 * 69069 + 362437) % 2147483647 AS DOUBLE)
+                        / CAST(n_chars AS DOUBLE) AS priority FROM m2),
+              r AS (SELECT lang, doc_id, n_chars, priority,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY priority, doc_id) AS rn FROM h)
+         SELECT lang, doc_id, n_chars, priority FROM r WHERE rn <= 10
+         ORDER BY lang, doc_id""",
 
     "olap_skyline_parts" ->
       """WITH c AS (SELECT p_brand, p_size, min(p_retailprice) AS p_retailprice
