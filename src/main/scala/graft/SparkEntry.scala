@@ -254,6 +254,42 @@ object SparkEntry {
         .select("event_type", "date", "close", "rsi_14")
         .orderBy("event_type", "date")),
 
+    // 7-day sliding distinct users: each event lands in the 7 windows
+    // ending on days d..d+6 (explode of a constant offset range — linear,
+    // no self-join), then an exact distinct per window end. At 100 TB the
+    // scale path replaces countDistinct with merged daily HLL sketches
+    // (sketch_hll_distinct) — same window explode, mergeable state.
+    "ts_sliding_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .select(col("user_id"),
+                explode(sequence(lit(0), lit(6))).as("off"), col("d"))
+        .select(col("user_id"), date_add(col("d"), col("off")).as("wend"))
+        .groupBy("wend")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("wend")),
+
+    // BPE merge-candidate table: adjacent pre-token pair frequencies
+    // across the corpus — the count step of one BPE merge iteration.
+    // One explode + partial-aggregable groupBy; top-k as ordered limit.
+    "text_bpe_pair_counts" -> ((s, dir) => {
+      import graft.text.TextAnalysis.{asciiLower, asciiUpper}
+      val pieces = regexp_extract_all(
+        translate(col("text"), asciiUpper, asciiLower),
+        lit("[a-z]+|[0-9]+|[.,;:!?()/_-]+"), lit(0))
+      Tables.documents(s, dir)
+        .withColumn("pieces", pieces)
+        .select(explode(transform(
+          slice(col("pieces"), lit(1),
+                greatest(size(col("pieces")) - 1, lit(0))),
+          (x, i) => concat_ws(" ", x, element_at(col("pieces"), i + 2))))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(50)
+    }),
+
     // Misra-Gries heavy hitters over the token stream: per-partition O(k)
     // summaries whose union is a guaranteed superset of all items with
     // freq > n/k (pigeonhole), then an exact verify over only the
@@ -2305,6 +2341,25 @@ object SparkEntry {
                           / CAST(sg + sl AS DOUBLE)
                 END AS rsi_14
          FROM m ORDER BY event_type, date""",
+
+    "ts_sliding_distinct_users" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+              x AS (SELECT user_id, d + off AS wend
+                    FROM e CROSS JOIN
+                         (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off) t)
+         SELECT wend, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM x GROUP BY 1 ORDER BY 1""",
+
+    "text_bpe_pair_counts" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[.,;:!?()/_-]+') AS pieces
+                    FROM documents)
+         SELECT pair, count(*) AS freq FROM (
+           SELECT unnest(list_transform(range(1, len(pieces)),
+             i -> pieces[i] || ' ' || pieces[i + 1])) AS pair
+           FROM t)
+         GROUP BY 1 ORDER BY freq DESC, pair ASC LIMIT 50""",
 
     "sketch_mg_heavy" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS item

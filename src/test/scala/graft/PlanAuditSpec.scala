@@ -36,8 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // rank-filter patterns must push the per-group limit below the
     // window sort (per-partition heaps of k rows shuffle, not the full
     // partition) — the distributed top-k shape
-    for (q <- Seq("sample_stratified", "sim_bruteforce_topk",
-                  "text_tfidf_topk")) {
+    for (q <- Seq("sample_stratified", "sample_weighted_topk",
+                  "sim_bruteforce_topk", "text_tfidf_topk")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(p.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit")
@@ -83,7 +83,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // merged global HLL sketch × global exact count (1-row × 1-row)
       "sketch_hll_distinct",
       // node/edge/triangle 1-row summaries combined via crossJoin
-      "graph_triangles")
+      "graph_triangles",
+      // 1-row total-count scalar joined into the candidate verify
+      "sketch_mg_heavy")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
@@ -95,6 +97,42 @@ class PlanAuditSpec extends AnyFunSuite {
           l.contains("Window [") && l.contains("windowspecdefinition()")),
         s"$name: unpartitioned window")
     }
+  }
+
+  test("triangle closure runs the merge intersect, not a wedge join") {
+    val p = SparkEntry.queries("graph_triangles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("intersect_count_sorted"),
+      "closure must count via the codegen'd sorted-merge intersect")
+    // the wedge formulation's signature was a join keyed on the wedge
+    // endpoints (u, v) against the edge list — absent in compact-forward
+    assert(!p.contains("LeftSemi"),
+      "no wedge semi-join may remain in the triangle plan")
+  }
+
+  test("skyline plans as reduce + one keyed window, no dominance join") {
+    val p = SparkEntry.queries("olap_skyline_parts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      "the NOT-EXISTS dominance check must collapse to the sorted scan")
+    assert(p.contains("partial_min"),
+      "per-size reduction must partial-aggregate map-side")
+  }
+
+  test("MG heavy-hitter verify semi-joins candidates via broadcast") {
+    val p = SparkEntry.queries("sketch_mg_heavy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate filter must be a broadcast semi-join on the token stream")
+  }
+
+  test("typed Aggregator partial-aggregates map-side") {
+    val p = SparkEntry.queries("ds_typed_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_flagstats") ||
+           p.toLowerCase.contains("partial_typed") ||
+           p.contains("ObjectHashAggregate"),
+      s"typed aggregation must show a partial stage: ${p.take(400)}")
   }
 
   test("audit plans") {
