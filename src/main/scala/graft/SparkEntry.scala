@@ -1396,6 +1396,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Product quantization, encode step: 4 subspaces × 16 codewords; one
+    // explode + broadcast codebook join + partial-aggregable argmax (cost
+    // independent of m). Codewords = designated corpus vectors;
+    // sim_kmeans_update is the training step a production codebook adds.
+    "sim_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqEncode(emb, emb.filter(col("vec_id") < 16), 4, 16)
+        .orderBy("vec_id", "sub_id")
+    }),
+
+    // PQ asymmetric-distance top-k: query scored against the 64-entry
+    // codebook once (broadcast LUT); corpus vectors ranked by the sum of
+    // their m table entries — embeddings never touched at query time.
+    // Subspace contributions summed in fixed order (bitwise-portable).
+    "sim_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cw = emb.filter(col("vec_id") < 16)
+      Similarity.pqAdcTopK(Similarity.pqEncode(emb, cw, 4, 16), cw,
+          emb.filter(col("vec_id") < 10), 4, 16, 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // North-star similarity: random-hyperplane LSH bucketing (the cosine
     // analog of the minhash band join) — bucket sizes of the sign-bit
     // signature space.
@@ -3762,6 +3784,59 @@ object SparkEntry {
                    / (count(*) * 1000000.0) AS mean_val
           FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "sim_pq_codes" ->
+      s"""WITH sub AS (SELECT unnest([0, 1, 2, 3]) AS sub_id),
+              cb AS (SELECT e.vec_id AS code_id, s.sub_id, e.embedding AS ce
+                     FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 16),
+              cs AS (SELECT e.vec_id, s.sub_id, e.embedding AS ve
+                     FROM embeddings e CROSS JOIN sub s),
+              d AS (SELECT cs.vec_id, cs.sub_id, cb.code_id,
+                      ${duckDotSub("ve", "ce", "cs.sub_id * 16")} AS dot
+                    FROM cs JOIN cb ON cb.sub_id = cs.sub_id),
+              r AS (SELECT vec_id, sub_id, code_id,
+                      row_number() OVER (PARTITION BY vec_id, sub_id
+                        ORDER BY dot DESC, code_id ASC) AS rn FROM d)
+         SELECT vec_id, sub_id, code_id FROM r WHERE rn = 1
+         ORDER BY vec_id, sub_id""",
+
+    "sim_pq_adc_topk" ->
+      s"""WITH sub AS (SELECT unnest([0, 1, 2, 3]) AS sub_id),
+              cb AS (SELECT e.vec_id AS code_id, s.sub_id, e.embedding AS ce
+                     FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 16),
+              cs AS (SELECT e.vec_id, s.sub_id, e.embedding AS ve
+                     FROM embeddings e CROSS JOIN sub s),
+              d AS (SELECT cs.vec_id, cs.sub_id, cb.code_id,
+                      ${duckDotSub("ve", "ce", "cs.sub_id * 16")} AS dot
+                    FROM cs JOIN cb ON cb.sub_id = cs.sub_id),
+              codes AS (SELECT vec_id, sub_id, code_id FROM (
+                          SELECT vec_id, sub_id, code_id,
+                            row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY dot DESC, code_id ASC) AS rn FROM d)
+                        WHERE rn = 1),
+              q AS (SELECT e.vec_id AS query_id, s.sub_id,
+                           e.embedding AS qe
+                    FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 10),
+              lut AS (SELECT q.query_id, q.sub_id, cb.code_id,
+                        ${duckDotSub("qe", "ce", "q.sub_id * 16")} AS dot
+                      FROM q JOIN cb ON cb.sub_id = q.sub_id),
+              est AS (SELECT l.query_id, c.vec_id,
+                        max(CASE WHEN c.sub_id = 0 THEN l.dot END) AS s0,
+                        max(CASE WHEN c.sub_id = 1 THEN l.dot END) AS s1,
+                        max(CASE WHEN c.sub_id = 2 THEN l.dot END) AS s2,
+                        max(CASE WHEN c.sub_id = 3 THEN l.dot END) AS s3
+                      FROM codes c JOIN lut l ON l.sub_id = c.sub_id
+                                            AND l.code_id = c.code_id
+                      WHERE l.query_id <> c.vec_id
+                      GROUP BY 1, 2),
+              r AS (SELECT query_id, vec_id,
+                      s0 + s1 + s2 + s3 AS est_sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY s0 + s1 + s2 + s3 DESC, vec_id ASC)
+                        AS rank
+                    FROM est)
+         SELECT query_id, rank, vec_id, est_sim FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
     "sim_ivf_assign" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec
                      FROM embeddings WHERE vec_id < 8),
@@ -4407,4 +4482,13 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** 16-element subspace dot at 0-based element offset `off` into two
+    * full vectors — same ascending fold as duckDot / VecOps.dot.
+    */
+  private def duckDotSub(a: String, b: String, off: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, 16), i -> " +
+      s"CAST($a[$off + i] AS DOUBLE) * CAST($b[$off + i] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
 }

@@ -124,6 +124,81 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Splits a d-dim vector into `m` contiguous subspaces of `dsub` dims:
+    * array of (sub_id, sub_vec) structs, explode-ready. slice is 1-based.
+    */
+  private def subspaces(v: org.apache.spark.sql.Column, m: Int, dsub: Int) =
+    array((0 until m).map(s =>
+      struct(lit(s).as("sub_id"),
+             slice(v, s * dsub + 1, dsub).as("sub_vec"))): _*)
+
+  /** Product-quantization codes: per vector, per subspace, the id of the
+    * inner-product-nearest codeword (ties to the lower code id). One
+    * explode (m rows per vector) + one broadcast join against the m·2^b
+    * codebook + one partial-aggregable argmax — the join/agg cost does not
+    * grow with m. Codewords here are subspace slices of designated corpus
+    * vectors (deterministic; a production codebook comes from k-means per
+    * subspace — `kmeansUpdate` is that training step).
+    */
+  def pqEncode(corpus: DataFrame, codewords: DataFrame,
+               m: Int, dsub: Int): DataFrame = {
+    val cb = codewords
+      .select(col("vec_id").as("code_id"),
+              explode(subspaces(col("embedding"), m, dsub)).as("c"))
+      .select(col("code_id"), col("c.sub_id").as("sub_id"),
+              col("c.sub_vec").as("code_vec"))
+    corpus
+      .select(col("vec_id"), explode(subspaces(col("embedding"), m, dsub))
+        .as("x"))
+      .select(col("vec_id"), col("x.sub_id").as("sub_id"),
+              col("x.sub_vec").as("sub_vec"))
+      .join(broadcast(cb), Seq("sub_id"))
+      .withColumn("dot", VecOps.dot(col("sub_vec"), col("code_vec")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(max_by(col("code_id"),
+        struct(col("dot"), (-col("code_id")).as("neg"))).as("code_id"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query is scored
+    * against every CODEWORD once (the m·2^b lookup table — broadcast), and
+    * each corpus vector's estimated similarity is the sum of its m table
+    * entries. The corpus embeddings are never touched at query time —
+    * that is the point of PQ: the scan reads b·m bits per vector.
+    *
+    * Bitwise contract: each subspace contribution is selected (max over a
+    * single-row group), then summed in fixed subspace order s0+s1+…, so
+    * the estimate is one deterministic IEEE chain on both engines.
+    */
+  def pqAdcTopK(codes: DataFrame, codewords: DataFrame, queries: DataFrame,
+                m: Int, dsub: Int, k: Int): DataFrame = {
+    val cb = codewords
+      .select(col("vec_id").as("code_id"),
+              explode(subspaces(col("embedding"), m, dsub)).as("c"))
+      .select(col("code_id"), col("c.sub_id").as("sub_id"),
+              col("c.sub_vec").as("code_vec"))
+    val lut = queries
+      .select(col("vec_id").as("query_id"),
+              explode(subspaces(col("embedding"), m, dsub)).as("x"))
+      .select(col("query_id"), col("x.sub_id").as("sub_id"),
+              col("x.sub_vec").as("sub_vec"))
+      .join(cb, Seq("sub_id"))
+      .withColumn("dot", VecOps.dot(col("sub_vec"), col("code_vec")))
+      .select("query_id", "sub_id", "code_id", "dot")
+    val subCols = (0 until m).map(s =>
+      max(when(col("sub_id") === s, col("dot"))).as(s"s$s"))
+    val est = codes.join(broadcast(lut), Seq("sub_id", "code_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subCols.head, subCols.tail: _*)
+      .withColumn("est_sim",
+        (0 until m).map(s => col(s"s$s")).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_sim").desc, col("vec_id").asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "est_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range (the
     * exact-pairwise oracle path; LSH/IVF prunes the same computation at
     * scale).

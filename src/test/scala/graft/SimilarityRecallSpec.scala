@@ -60,4 +60,35 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(feats(1).getSeq[Float](feats(1).fieldIndex("features"))
       .forall(_ == 0.0f))
   }
+
+  test("PQ codes and ADC estimates match a local brute force bitwise") {
+    val emb = Tables.embeddings(spark, sf)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def subDot(a: Array[Float], b: Array[Float], s: Int): Double = {
+      var acc = 0.0
+      var i = s * 16
+      while (i < s * 16 + 16) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cwIds = all.keys.filter(_ < 16).toSeq.sorted
+    // local encode: argmax subspace dot, ties to lower code id
+    def encode(v: Array[Float], s: Int): Long =
+      cwIds.map(c => (subDot(v, all(c), s), -c)).zip(cwIds)
+        .maxBy(_._1)._2
+    val codes = SparkEntry.queries("sim_pq_codes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size == all.size * 4)
+    for ((vid, v) <- all.toSeq.sortBy(_._1).take(40); s <- 0 until 4)
+      assert(codes((vid, s)) == encode(v, s), s"code mismatch vec $vid sub $s")
+    // local ADC: per query, estimate = fixed-order sum of LUT entries
+    val adc = SparkEntry.queries("sim_pq_adc_topk")(spark, sf).collect()
+    assert(adc.length == 10 * 5)
+    adc.foreach { r =>
+      val (q, vid, est) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val expect = (0 until 4).map(s =>
+        subDot(all(q), all(codes((vid, s))), s)).reduce(_ + _)
+      assert(est == expect, s"ADC mismatch query $q vec $vid")
+    }
+  }
 }
