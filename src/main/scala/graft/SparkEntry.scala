@@ -905,6 +905,23 @@ object SparkEntry {
                   / col("n_wedges").cast("double")).as("transitivity"))
     }),
 
+    // k-core peeling, 3 fixed rounds at k = median degree of the input
+    // graph (exact positional order statistic): repeated degree count +
+    // induced-subgraph semi-joins over a shrinking edge list — the
+    // bounded-iteration shape shared with graph_pagerank.
+    "graph_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .persist()
+      graft.olap.KCore.peelStats(e, 3).orderBy("round")
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val pairs = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -2925,6 +2942,54 @@ object SparkEntry {
                 CAST(3 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
                   / CAST(s.n_wedges AS DOUBLE) AS transitivity
          FROM s, m, t""",
+
+    "graph_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+                     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              d0 AS (SELECT n, count(*) AS d FROM
+                       (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+                     GROUP BY 1),
+              kv AS (SELECT d AS kth FROM
+                       (SELECT d, n, row_number() OVER (ORDER BY d, n) AS rn,
+                               count(*) OVER () AS cnt FROM d0)
+                     WHERE rn = (cnt + 1) // 2),
+              k1 AS (SELECT n FROM d0, kv WHERE d >= kth),
+              e1 AS (SELECT u, v FROM e0
+                     WHERE u IN (SELECT n FROM k1)
+                       AND v IN (SELECT n FROM k1)),
+              d1 AS (SELECT n, count(*) AS d FROM
+                       (SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1)
+                     GROUP BY 1),
+              k2 AS (SELECT n FROM d1, kv WHERE d >= kth),
+              e2 AS (SELECT u, v FROM e1
+                     WHERE u IN (SELECT n FROM k2)
+                       AND v IN (SELECT n FROM k2)),
+              d2 AS (SELECT n, count(*) AS d FROM
+                       (SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2)
+                     GROUP BY 1),
+              k3 AS (SELECT n FROM d2, kv WHERE d >= kth),
+              e3 AS (SELECT u, v FROM e2
+                     WHERE u IN (SELECT n FROM k3)
+                       AND v IN (SELECT n FROM k3))
+         SELECT 0 AS round,
+                (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e0
+                   UNION ALL SELECT v AS n FROM e0)) AS n_nodes,
+                (SELECT count(*) FROM e0) AS n_edges
+         UNION ALL
+         SELECT 1, (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e1
+                      UNION ALL SELECT v AS n FROM e1)),
+                (SELECT count(*) FROM e1)
+         UNION ALL
+         SELECT 2, (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e2
+                      UNION ALL SELECT v AS n FROM e2)),
+                (SELECT count(*) FROM e2)
+         UNION ALL
+         SELECT 3, (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e3
+                      UNION ALL SELECT v AS n FROM e3)),
+                (SELECT count(*) FROM e3)
+         ORDER BY round""",
 
     "graph_pagerank" -> {
       def iter(i: Int, prev: String): String =

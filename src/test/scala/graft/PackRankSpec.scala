@@ -91,6 +91,18 @@ class PackRankSpec extends AnyFunSuite {
     assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))._4 == 2L)
   }
 
+  test("k-core peel cascades on a hand graph with known median degree") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3-4-5. degrees (d,n)-sorted:
+    // (1,5)(2,1)(2,2)(2,4)(3,3) -> median k=2. peel 1 drops node 5,
+    // peel 2 drops the now-degree-1 node 4, peel 3 is stable (triangle).
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = graft.olap.KCore.peelStats(e, 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 5L, 5L), (1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+  }
+
   test("pagerank is bitwise partitioning-invariant on real data") {
     val pairs = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()

@@ -85,7 +85,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // node/edge/triangle 1-row summaries combined via crossJoin
       "graph_triangles",
       // 1-row total-count scalar joined into the candidate verify
-      "sketch_mg_heavy")
+      "sketch_mg_heavy",
+      // 1-row median-degree threshold + 1-row per-round stat combines
+      "graph_kcore")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
