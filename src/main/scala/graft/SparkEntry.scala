@@ -343,6 +343,76 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Ratio-to-report: per (series, month) value share within the month
+    // and of the grand total — numerators and denominators all exact long
+    // cents (order-independent), one fixed double division each.
+    "agg_share_of_total" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+                 date_trunc("month", col("ts")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"), sum(Exact.cents(col("value"))).as("c"))
+      val wMonth = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("month"))
+      val tot = m.agg(sum(col("c")).as("tc"))
+      m.withColumn("mc", sum(col("c")).over(wMonth))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("month"), col("n"),
+          (col("c").cast("double") / lit(100.0)).as("sum_value"),
+          (col("c").cast("double") / col("mc").cast("double"))
+            .as("share_of_month"),
+          (col("c").cast("double") / col("tc").cast("double"))
+            .as("share_of_total"))
+        .orderBy("event_type", "month")
+    }),
+
+    // Cross-sectional daily rank: each day, rank the series by simple
+    // return — the per-date window is the transpose of the per-series
+    // return window (two keyed exchanges). First-day NULL returns are
+    // filtered before ranking: engines disagree on default NULL ordering.
+    "ts_cross_sectional_rank" -> ((s, dir) => {
+      val ret = Ohlc.withReturns(
+          Ohlc.dailyBars(Tables.events(s, dir))
+            .select("event_type", "date", "close"),
+          Seq("event_type"))
+        .filter(col("return_pct").isNotNull)
+      val wDate = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("date"))
+        .orderBy(col("return_pct").desc, col("event_type").asc)
+      ret.withColumn("day_rank", rank().over(wDate))
+        .select("date", "event_type", "return_pct", "day_rank")
+        .orderBy("date", "event_type")
+    }),
+
+    // Rolling 20-day correlation of the purchase and view series: all six
+    // moment sums exact longs over the trailing window, one fixed-order
+    // double formula (sqrt correctly rounded) — the pairwise cousin of
+    // emb_dim_correlation, NULL until the frame fills or when degenerate.
+    "ts_rolling_corr" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+      val x = bars.filter(col("event_type") === "purchase")
+        .select(col("date"), Exact.cents(col("close")).as("cx"))
+      val y = bars.filter(col("event_type") === "view")
+        .select(col("date"), Exact.cents(col("close")).as("cy"))
+      val j = x.join(y, Seq("date"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(true)).orderBy(col("date")).rowsBetween(-19, 0)
+      val n = count(lit(1)).over(w)
+      val sx = sum(col("cx")).over(w)
+      val sy = sum(col("cy")).over(w)
+      val sxx = sum(col("cx") * col("cx")).over(w)
+      val syy = sum(col("cy") * col("cy")).over(w)
+      val sxy = sum(col("cx") * col("cy")).over(w)
+      val num = lit(20L) * sxy - sx * sy
+      val dx = lit(20L) * sxx - sx * sx
+      val dy = lit(20L) * syy - sy * sy
+      j.withColumn("corr_20",
+          when(n === 20 && dx > 0L && dy > 0L,
+            num.cast("double") /
+              (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))))
+        .select("date", "corr_20")
+        .orderBy("date")
+    }),
+
     // 2D skyline (Pareto frontier) per brand: maximize size, minimize
     // price. Implemented as groupBy-reduce + one keyed running-min scan;
     // the oracle keeps the O(n²) NOT-EXISTS dominance formulation — a
@@ -2437,6 +2507,67 @@ object SparkEntry {
                         ORDER BY priority, doc_id) AS rn FROM h)
          SELECT lang, doc_id, n_chars, priority FROM r WHERE rn <= 10
          ORDER BY lang, doc_id""",
+
+    "agg_share_of_total" ->
+      """WITH m AS (SELECT event_type,
+                           CAST(date_trunc('month', ts) AS DATE) AS month,
+                           count(*) AS n,
+                           sum(CAST(round(value * 100, 0) AS BIGINT)) AS c
+                    FROM events GROUP BY 1, 2),
+              w AS (SELECT event_type, month, n, c,
+                           sum(c) OVER (PARTITION BY month) AS mc,
+                           sum(c) OVER () AS tc
+                    FROM m)
+         SELECT event_type, month, n,
+                CAST(c AS DOUBLE) / 100.0 AS sum_value,
+                CAST(c AS DOUBLE) / CAST(mc AS DOUBLE) AS share_of_month,
+                CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) AS share_of_total
+         FROM w ORDER BY event_type, month""",
+
+    "ts_cross_sectional_rank" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, close,
+                           lag(close, 1) OVER (PARTITION BY event_type
+                                               ORDER BY date) AS prev_close
+                    FROM b),
+              p AS (SELECT event_type, date,
+                           (close - prev_close) / prev_close * 100.0
+                             AS return_pct
+                    FROM r WHERE prev_close IS NOT NULL)
+         SELECT date, event_type, return_pct,
+                rank() OVER (PARTITION BY date
+                             ORDER BY return_pct DESC, event_type ASC)
+                  AS day_rank
+         FROM p ORDER BY date, event_type""",
+
+    "ts_rolling_corr" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              x AS (SELECT date, CAST(round(close * 100, 0) AS BIGINT) AS cx
+                    FROM b WHERE event_type = 'purchase'),
+              y AS (SELECT date, CAST(round(close * 100, 0) AS BIGINT) AS cy
+                    FROM b WHERE event_type = 'view'),
+              j AS (SELECT x.date, cx, cy FROM x JOIN y USING (date)),
+              m AS (SELECT date,
+                           count(*) OVER w AS n,
+                           sum(cx) OVER w AS sx, sum(cy) OVER w AS sy,
+                           sum(cx * cx) OVER w AS sxx,
+                           sum(cy * cy) OVER w AS syy,
+                           sum(cx * cy) OVER w AS sxy
+                    FROM j
+                    WINDOW w AS (ORDER BY date
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT date,
+                CASE WHEN n = 20 AND 20 * sxx - sx * sx > 0
+                              AND 20 * syy - sy * sy > 0
+                     THEN CAST(20 * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(20 * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(20 * syy - sy * sy AS DOUBLE)))
+                END AS corr_20
+         FROM m ORDER BY date""",
 
     "olap_skyline_parts" ->
       """WITH c AS (SELECT p_brand, p_size, min(p_retailprice) AS p_retailprice

@@ -77,6 +77,29 @@ class TaIndicatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("share/rank/corr window queries hold their invariants on real data") {
+    val sf = "/root/testdata/sf0.001"
+    // shares: within each month the shares sum to 1 exactly in cents space
+    val share = SparkEntry.queries("agg_share_of_total")(spark, sf).collect()
+    share.groupBy(_.getAs[java.sql.Date]("month")).values.foreach { rows =>
+      val s = rows.map(_.getAs[Double]("share_of_month")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"month shares sum to $s")
+    }
+    assert(math.abs(share.map(_.getAs[Double]("share_of_total")).sum - 1.0)
+      < 1e-9)
+    // cross-sectional ranks: a permutation with rank 1 present every date
+    val ranks = SparkEntry.queries("ts_cross_sectional_rank")(spark, sf)
+      .collect()
+    ranks.groupBy(_.getAs[java.sql.Date]("date")).values.foreach { rows =>
+      val rs = rows.map(_.getAs[Int]("day_rank"))
+      assert(rs.min == 1 && rs.max <= rows.size)
+    }
+    // rolling correlation: bounded by [-1, 1] wherever defined
+    SparkEntry.queries("ts_rolling_corr")(spark, sf).collect()
+      .filterNot(_.isNullAt(1))
+      .foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
+  }
+
   test("withRsi: gain/loss split, NULL before n deltas and on flat frames") {
     // deltas (cents): +100, -50, +25, 0, +75
     val closes = Seq(10.0, 11.0, 10.5, 10.75, 10.75, 11.5)
