@@ -559,6 +559,24 @@ object SparkEntry {
                 "volume")
         .orderBy("symbol", "trade_date")),
 
+    // DSv2 aggregate pushdown (SupportsPushDownAggregates, COMPLETE
+    // pushdown): groupBy(symbol) count/min/max evaluate inside the
+    // source — one partition per symbol, one emitted row per group, NO
+    // Aggregate node in the plan (the quote-API summary-endpoint shape).
+    // Sound because each group is computed wholly inside one reader.
+    "source_dsv2_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft-series")
+        .option("symbols", "SPY,QQQ,IWM")
+        .option("start", "2026-01-05")
+        .option("end", "2026-03-31")
+        .load()
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_days"),
+             min(col("low")).as("min_low"),
+             max(col("high")).as("max_high"),
+             max(col("volume")).as("max_volume"))
+        .orderBy("symbol")),
+
     // The SAME connector read as a micro-batch STREAM: the date range is
     // revealed 10 days per trigger (a bounded replay of a live feed),
     // complete-mode monthly aggregate converges to the batch answer —
@@ -2717,6 +2735,12 @@ object SparkEntry {
       s"""WITH ${duckSeriesBars("('SPY'), ('QQQ')", "2026-02-02", "2026-03-31")}
          SELECT symbol, trade_date, open, high, low, close, volume
          FROM bars ORDER BY symbol, trade_date""",
+
+    "source_dsv2_agg_pushdown" ->
+      s"""WITH ${duckSeriesBars("('SPY'), ('QQQ'), ('IWM')", "2026-01-05", "2026-03-31")}
+         SELECT symbol, count(*) AS n_days, min(low) AS min_low,
+                max(high) AS max_high, max(volume) AS max_volume
+         FROM bars GROUP BY 1 ORDER BY 1""",
 
     // the streaming read of the same connector must converge to the batch
     // semantics: monthly aggregate over the full revealed range

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -71,7 +72,11 @@ object SeriesGen {
   @volatile var lastPlannedPartitions: Int = -1
   @volatile var lastPushedFilters: Seq[Filter] = Nil
   @volatile var lastReadSchema: StructType = schema
+  @volatile var lastPushedAggregation: Option[String] = None
 }
+
+/** One pushed aggregate column: kind ∈ count_star | min | max. */
+case class SeriesAgg(kind: String, field: String)
 
 /** `spark.read.format("graft-series")` — a full DataSource V2 connector
   * (SURVEY.md §2.1 S1 as a first-class source, not just a payload adapter):
@@ -109,10 +114,50 @@ class SeriesTable(options0: Map[String, String]) extends Table with SupportsRead
 }
 
 class SeriesScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeriesGen.schema
+  private var aggCols: Option[Seq[SeriesAgg]] = None
+
+  private def fieldOf(e: Expression): Option[String] = e match {
+    case nr: NamedReference => nr.fieldNames match {
+      case Array(n) => Some(n)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def translate(f: AggregateFunc): Option[SeriesAgg] = f match {
+    case _: CountStar => Some(SeriesAgg("count_star", ""))
+    case m: Min => fieldOf(m.column).map(SeriesAgg("min", _))
+    case m: Max => fieldOf(m.column).map(SeriesAgg("max", _))
+    case _ => None
+  }
+
+  private def understoodAgg(agg: Aggregation): Option[Seq[SeriesAgg]] = {
+    val groupOk = agg.groupByExpressions.toSeq.map(fieldOf) ==
+      Seq(Some("symbol"))
+    val cols = agg.aggregateExpressions.toSeq.map(translate)
+    if (groupOk && cols.forall(_.isDefined)) Some(cols.flatten) else None
+  }
+
+  /** Complete pushdown is sound because the aggregated scan plans ONE
+    * partition per symbol spanning the whole requested range — each group
+    * is computed entirely inside one reader, so the scan's rows ARE the
+    * final results (the quote-API "summary endpoint" shape). Spark only
+    * attempts this when no residual filter remains, and every filter this
+    * source accepts stays residual, so filtered reads keep the row path.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    understoodAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    understoodAgg(agg) match {
+      case Some(cols) => aggCols = Some(cols); true
+      case None => false
+    }
 
   private def understood(f: Filter): Boolean = f match {
     case EqualTo("symbol", _) | In("symbol", _) => true
@@ -133,10 +178,122 @@ class SeriesScanBuilder(options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // in aggregate mode the output schema is fixed by the pushed agg
+    if (aggCols.isEmpty) required = requiredSchema
 
-  override def build(): Scan =
-    new SeriesScan(options, pushed, required)
+  override def build(): Scan = aggCols match {
+    case Some(cols) => new SeriesAggScan(options, pushed, cols)
+    case None => new SeriesScan(options, pushed, required)
+  }
+}
+
+/** Aggregated scan: one InputPartition per symbol, whole requested range;
+  * the reader folds the generator stream and emits ONE row per group.
+  */
+class SeriesAggScan(options: Map[String, String], pushed: Array[Filter],
+                    aggs: Seq[SeriesAgg]) extends Scan with Batch {
+  import SeriesGen._
+
+  private val aggSchema = StructType(
+    StructField("symbol", StringType, nullable = false) +:
+      aggs.zipWithIndex.map { case (a, i) =>
+        val dt = a.kind match {
+          case "count_star" => LongType
+          case _ => schema(schema.fieldIndex(a.field)).dataType
+        }
+        StructField(s"agg_$i", dt, nullable = false)
+      })
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-series PushedAggregates: " +
+      s"[${aggs.map(a => s"${a.kind}(${a.field})").mkString(", ")}], " +
+      s"GroupBy: [symbol]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val symbols = options("symbols").split(",").map(_.trim).filter(_.nonEmpty)
+    val start = LocalDate.parse(options("start")).toEpochDay.toInt
+    val end = LocalDate.parse(options("end")).toEpochDay.toInt
+    SeriesGen.lastPlannedPartitions = symbols.length
+    SeriesGen.lastPushedAggregation = Some(description())
+    symbols.map(SeriesPartition(_, start, end)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesAggReaderFactory(aggs)
+}
+
+class SeriesAggReaderFactory(aggs: Seq[SeriesAgg])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SeriesAggReader(partition.asInstanceOf[SeriesPartition], aggs)
+}
+
+/** Computes the pushed aggregates in one generator pass, same arithmetic as
+  * the row reader (cents/100.0 per value), so results are bitwise-identical
+  * to aggregating the un-pushed rows.
+  */
+class SeriesAggReader(p: SeriesPartition, aggs: Seq[SeriesAgg])
+    extends PartitionReader[InternalRow] {
+  import SeriesGen._
+
+  private var emitted = false
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = {
+    var n = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    def upd(m: scala.collection.mutable.Map[String, Any], f: String, v: Any,
+            lt: (Any, Any) => Boolean): Unit =
+      m.get(f) match {
+        case Some(cur) => if (lt(v, cur)) m(f) = v
+        case None => m(f) = v
+      }
+    val fields = aggs.collect { case SeriesAgg(k, f) if k != "count_star" => f }
+    var day = p.startDay
+    while (day <= p.endDay) {
+      if (isWeekday(day)) {
+        n += 1
+        if (fields.nonEmpty) {
+          val (o, h, l, c, v) = barCents(p.symbol, day)
+          def value(f: String): Any = f match {
+            case "trade_date" => day
+            case "open" => o.toDouble / 100.0
+            case "high" => h.toDouble / 100.0
+            case "low" => l.toDouble / 100.0
+            case "close" => c.toDouble / 100.0
+            case "volume" => v
+          }
+          def less(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Int, y: Int) => x < y
+            case (x: Long, y: Long) => x < y
+            case (x: Double, y: Double) => x < y
+            case _ => false
+          }
+          fields.foreach { f =>
+            upd(mins, f, value(f), less)
+            upd(maxs, f, value(f), (a, b) => less(b, a))
+          }
+        }
+      }
+      day += 1
+    }
+    val out: Seq[Any] = UTF8String.fromString(p.symbol) +: aggs.map {
+      case SeriesAgg("count_star", _) => n
+      case SeriesAgg("min", f) => mins(f)
+      case SeriesAgg("max", f) => maxs(f)
+    }
+    InternalRow.fromSeq(out)
+  }
+
+  override def close(): Unit = ()
 }
 
 class SeriesScan(options: Map[String, String], pushed: Array[Filter],

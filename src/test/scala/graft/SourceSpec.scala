@@ -90,6 +90,45 @@ class SourceSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("aggregate pushdown: no Aggregate node, one partition per symbol, " +
+       "bitwise equal to the row path") {
+    val agg = read()
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), min(col("low")).as("min_low"),
+           max(col("high")).as("max_high"),
+           max(col("volume")).as("max_volume"))
+      .orderBy("symbol")
+    SeriesGen.lastPushedAggregation = None
+    val rows = agg.collect()
+    // complete pushdown: the source computed the groups...
+    assert(SeriesGen.lastPushedAggregation.exists(_.contains("count_star")))
+    assert(SeriesGen.lastPlannedPartitions === 3) // one per symbol, not 9
+    // ...and no aggregate exec remains in the physical plan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"no pushdown:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate exec remains despite complete pushdown:\n$plan")
+    // a residual filter blocks the pushdown -> row path; results bitwise
+    val rowPath = read()
+      .filter(col("trade_date") >= lit("2026-01-05").cast("date"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), min(col("low")).as("min_low"),
+           max(col("high")).as("max_high"),
+           max(col("volume")).as("max_volume"))
+      .orderBy("symbol")
+    assert(rowPath.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+    val expect = rowPath.collect()
+    assert(rows.length == 3 && rows.length == expect.length)
+    rows.zip(expect).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getDouble(2) == b.getDouble(2))
+      assert(a.getDouble(3) == b.getDouble(3))
+      assert(a.getLong(4) == b.getLong(4))
+    }
+  }
+
   test("connector rows equal an independent local generation, bitwise") {
     val got = read("SPY")
       .orderBy("trade_date")
