@@ -211,6 +211,26 @@ object SparkEntry {
                 col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // MACD (12/26/9): the EMA prefix fold composed three times — fast and
+    // slow EMAs of close, then the signal EMA over the derived MACD
+    // sequence itself. Alphas are 2/(n+1) computed as one IEEE division
+    // on both engines (identical bits), folds are step-for-step identical.
+    "ts_macd" -> ((s, dir) => {
+      import graft.ts.Ema
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select("event_type", "date", "close")
+      val e12 = Ema.withEma(bars, 2.0 / 13.0, Seq("event_type"))
+        .withColumnRenamed("ema", "ema12")
+      val e26 = Ema.withEma(e12, 2.0 / 27.0, Seq("event_type"))
+        .withColumnRenamed("ema", "ema26")
+      val m = e26.withColumn("macd", col("ema12") - col("ema26"))
+      Ema.withEma(m, 2.0 / 10.0, Seq("event_type"), closeCol = "macd")
+        .withColumnRenamed("ema", "signal")
+        .withColumn("histogram", col("macd") - col("signal"))
+        .select("event_type", "date", "macd", "signal", "histogram")
+        .orderBy("event_type", "date")
+    }),
+
     // Running peak + percent drawdown per series — the prefix-max half of
     // the indicator family (SMA = prefix average, returns = prefix delta).
     // Keyed running-max window; two fixed-order IEEE ops for the percent.
@@ -288,6 +308,27 @@ object SparkEntry {
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair").asc)
         .limit(50)
+    }),
+
+    // Small-file compaction (OPTIMIZE): fragment events into 64 splinter
+    // files, compact to right-sized ones, read the compacted layout back
+    // and prove content integrity against the base table. File-count
+    // assertions live in BucketingSpec; the oracle checks the data
+    // survived the rewrite bit-for-bit.
+    "layout_compact_small_files" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      Tables.events(s, dir).select("event_id", "event_type", "value")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      graft.olap.Layout.compactSmallFiles(
+        s, s.read.parquet(s"$base/frag"), s"$base/compact", 100000L)
+      s.read.parquet(s"$base/compact")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             (sum(Exact.cents(col("value"))).cast("double") / lit(100.0))
+               .as("sum_value"))
+        .orderBy("event_type")
     }),
 
     // Misra-Gries heavy hitters over the token stream: per-partition O(k)
@@ -2388,6 +2429,40 @@ object SparkEntry {
                   / 100.0 AS sum_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "ts_macd" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, date, close,
+                           list(close) OVER (PARTITION BY event_type
+                             ORDER BY date ROWS UNBOUNDED PRECEDING) AS cl
+                    FROM b),
+              m AS (SELECT event_type, date,
+                      list_reduce(cl, (a, x) ->
+                          a * (CAST(1 AS DOUBLE)
+                               - CAST(2 AS DOUBLE) / CAST(13 AS DOUBLE))
+                        + x * (CAST(2 AS DOUBLE) / CAST(13 AS DOUBLE)))
+                      - list_reduce(cl, (a, x) ->
+                          a * (CAST(1 AS DOUBLE)
+                               - CAST(2 AS DOUBLE) / CAST(27 AS DOUBLE))
+                        + x * (CAST(2 AS DOUBLE) / CAST(27 AS DOUBLE)))
+                        AS macd
+                    FROM l),
+              sl AS (SELECT event_type, date, macd,
+                            list(macd) OVER (PARTITION BY event_type
+                              ORDER BY date ROWS UNBOUNDED PRECEDING) AS ml
+                     FROM m),
+              sg AS (SELECT event_type, date, macd,
+                       list_reduce(ml, (a, x) ->
+                           a * (CAST(1 AS DOUBLE)
+                                - CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE))
+                         + x * (CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE)))
+                         AS signal
+                     FROM sl)
+         SELECT event_type, date, macd, signal,
+                macd - signal AS histogram
+         FROM sg ORDER BY event_type, date""",
+
     "ts_drawdown" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
                            arg_max(value, ts) AS close
@@ -2487,6 +2562,12 @@ object SparkEntry {
              i -> pieces[i] || ' ' || pieces[i + 1])) AS pair
            FROM t)
          GROUP BY 1 ORDER BY freq DESC, pair ASC LIMIT 50""",
+
+    "layout_compact_small_files" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "sketch_mg_heavy" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS item

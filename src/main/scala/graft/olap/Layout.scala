@@ -40,4 +40,26 @@ object Layout {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** Small-file compaction (the OPTIMIZE primitive): rewrite a fragmented
+    * dataset into ceil(rows / targetFileRows) right-sized files. Small
+    * files are the classic 100 TB operational failure — every file costs a
+    * task, a footer read, and a namenode entry, so a day of streaming
+    * micro-batches can turn one logical partition into 10⁴ splinters; the
+    * fix is this rewrite, run partition-by-partition. The count() action
+    * prices the rewrite before paying for it (one metadata-cheap pass),
+    * round-robin repartition levels file sizes, and maxRecordsPerFile
+    * caps any residual task skew. Returns the number of files written.
+    */
+  def compactSmallFiles(spark: SparkSession, df: DataFrame, outDir: String,
+                        targetFileRows: Long): Int = {
+    val n = df.count()
+    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    df.repartition(files)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetFileRows)
+      .parquet(outDir)
+    new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+  }
 }

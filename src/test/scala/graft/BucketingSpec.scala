@@ -68,6 +68,30 @@ class BucketingSpec extends AnyFunSuite {
       s"predicate must prune partitions, not rows: '$pushed'")
   }
 
+  test("compaction collapses splinter files and preserves content exactly") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/frag") == 64)
+    val rows = ev.count()
+    val target = 400L // sf0.001 events = 1000 rows -> expect 3 files
+    val written = graft.olap.Layout.compactSmallFiles(
+      spark, spark.read.parquet(s"$base/frag"), s"$base/compact", target)
+    val expectFiles = ((rows + target - 1) / target).toInt
+    assert(written == expectFiles && written < 64,
+      s"wrote $written files, expected $expectFiles")
+    assert(parquetFiles(s"$base/compact") == written)
+    // content integrity: identical multiset of rows
+    val a = ev.orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(s"$base/compact")
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bucketed join result equals the plain join, bitwise") {
     val plain = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf),
