@@ -1719,6 +1719,32 @@ object SparkEntry {
         .toDF()
         .orderBy("media_id", "frame_idx")),
 
+    // Scene-cut segmentation over the sampled frames: a cut where the
+    // frame-delta (|checksum_t − checksum_{t−1}|, the STUB stand-in for a
+    // visual difference metric) exceeds threshold, then gaps-and-islands
+    // into scenes — the shot-boundary pass a video training pipeline runs
+    // after frame sampling. Keyed windows + partial-aggregable groupBy.
+    "mm_scene_cuts" -> ((s, dir) => {
+      val frames = graft.multimodal.Media.sampleFrames(
+          graft.multimodal.Media.asMedia(Tables.documents(s, dir),
+            "doc_id", "text"), frameBytes = 256)
+        .toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      val prev = lag(col("checksum"), 1).over(w)
+      val isCut = when(prev.isNull ||
+        abs(col("checksum") - prev) > lit(20000L), 1L).otherwise(0L)
+      frames
+        .withColumn("scene_idx",
+          sum(isCut).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("media_id", "scene_idx")
+        .agg(min(col("frame_idx")).as("start_frame"),
+             max(col("frame_idx")).as("end_frame"),
+             count(lit(1)).as("n_frames"))
+        .orderBy("media_id", "scene_idx")
+    }),
+
     // North-star multimodal: audio-style overlapping sample windows —
     // the STFT/feature-frame fan-out (64-sample windows every 32), exact
     // integer energy per window. Same explode parallelism as frames, with
@@ -3815,6 +3841,41 @@ object SparkEntry {
                 CAST(list_sum(${duckHexBytes("ch")}) % 2147483647
                      AS BIGINT) AS checksum
          FROM c ORDER BY media_id, frame_idx""",
+
+    // same byte-exact frame chunking as mm_frame_sample, then lag-delta
+    // cuts and rank-free islands over the checksum stream
+    "mm_scene_cuts" ->
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents WHERE octet_length(encode(text)) > 0),
+             f AS (SELECT media_id, h,
+                          CAST(unnest(generate_series(0,
+                            CAST(floor((nb - 1) / 256.0) AS INT)))
+                            AS INT) AS frame_idx
+                   FROM hx),
+             c AS (SELECT media_id, frame_idx,
+                          substr(h, frame_idx * 512 + 1, 512) AS ch
+                   FROM f),
+             k AS (SELECT media_id, frame_idx,
+                          CAST(list_sum(${duckHexBytes("ch")}) % 2147483647
+                               AS BIGINT) AS checksum
+                   FROM c),
+             d AS (SELECT media_id, frame_idx, checksum,
+                          lag(checksum) OVER (PARTITION BY media_id
+                                              ORDER BY frame_idx) AS prev
+                   FROM k),
+             s AS (SELECT media_id, frame_idx,
+                          sum(CASE WHEN prev IS NULL
+                                     OR abs(checksum - prev) > 20000
+                                   THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY media_id ORDER BY frame_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS scene_idx
+                   FROM d)
+         SELECT media_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+                min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+                count(*) AS n_frames
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "sim_ivf_probe_topk" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec
