@@ -1604,6 +1604,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: the EARLIEST view at-or-after each purchase — the
+    // mirror traversal of the backward join (descending window, identical
+    // one-shuffle asymptotics). DuckDB's native ASOF with v.ts >= p.ts
+    // cross-checks the direction semantics.
+    "asof_join_next_view" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      graft.ts.AsOfJoin.asOfForward(purchases, views, Seq("user_id"), "ts",
+          Seq("value"))
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+        .orderBy("event_id")
+    }),
+
     // As-of with a match tolerance (pandas merge_asof(tolerance=...)):
     // the latest view older than 30 minutes is no match — asof_* go NULL.
     "asof_join_tolerance" -> ((s, dir) => {
@@ -4020,6 +4036,17 @@ object SparkEntry {
                 v.ts AS asof_ts, v.value AS asof_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
+
+    "asof_join_next_view" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+                v.ts AS asof_ts, v.value AS asof_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts >= p.ts
          ORDER BY p.event_id""",
 
     "asof_join_tolerance" ->

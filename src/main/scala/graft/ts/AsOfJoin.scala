@@ -27,7 +27,22 @@ object AsOfJoin {
     *                    right row is at or before the left row's time
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           timeCol: String, payloadCols: Seq[String]): DataFrame = {
+           timeCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, keyCols, timeCol, payloadCols, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.time >= left.time ("the next quote at or after t"). The mirror
+    * traversal of the backward join: the same union + one keyed window,
+    * ordered descending, so the linear-pass asymptotics are identical.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  timeCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, keyCols, timeCol, payloadCols, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+                       keyCols: Seq[String], timeCol: String,
+                       payloadCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     val sideCol = "__graft_is_left"
     val packCol = "__graft_asof_pack"
     val leftType = left.schema.map(f => f.name -> f.dataType).toMap
@@ -54,9 +69,12 @@ object AsOfJoin {
       .withColumn(sideCol, lit(0))
       .withColumn(timeCol, col(packCol).getField(timeCol))
       .select(l.columns.map(col): _*)
-    // order right rows before left rows at equal time => `<=` semantics
+    // order right rows before left rows at equal time, so equality
+    // matches in both directions: ascending traversal gives `<=`
+    // (latest at-or-before), descending gives `>=` (earliest at-or-after)
+    val timeOrd = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col(sideCol).asc)
+      .orderBy(timeOrd, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .withColumn(packCol, last(col(packCol), ignoreNulls = true).over(w))

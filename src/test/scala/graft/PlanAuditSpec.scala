@@ -87,7 +87,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row total-count scalar joined into the candidate verify
       "sketch_mg_heavy",
       // 1-row median-degree threshold + 1-row per-round stat combines
-      "graph_kcore")
+      "graph_kcore",
+      // 1-row grand-total scalar joined into the ratio projection
+      "agg_share_of_total")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

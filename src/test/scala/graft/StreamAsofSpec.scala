@@ -31,6 +31,30 @@ class StreamAsofSpec extends AnyFunSuite {
                             3L -> None, 4L -> Some(5.0)))
   }
 
+  test("asOfForward picks the earliest right row at-or-after, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // next right is 11:30
+      (2L, 10L, ts("2024-01-01 12:00:00")), // after all right rows -> NULL
+      (3L, 20L, ts("2024-01-01 09:00:00")), // matches the 23:00 row
+      (4L, 30L, ts("2024-01-01 10:00:00"))  // exactly at a right row (>=)
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 11:30:00"), 2.0),
+      (20L, ts("2024-01-01 23:00:00"), 9.0),
+      (30L, ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.asOfForward(left, right, Seq("user_id"), "ts",
+        Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(1L -> Some(2.0), 2L -> None,
+                            3L -> Some(9.0), 4L -> Some(5.0)))
+  }
+
   test("asOf: a latest right row with NULL payload yields NULL, not an older row") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 12:00:00")))
