@@ -384,6 +384,44 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Winsorization: clamp values at the exact positional p05/p95 per
+    // group (k = ceil(q·n) in integer math, same rank both engines) and
+    // report clamp counts + the winsorized mean — the outlier-capping
+    // cleaning pass, exact end to end.
+    "agg_winsorize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                Exact.cents(col("value")).as("cents"))
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val bounds = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("cents", "event_id")))
+        .join(broadcast(n), "event_type")
+        .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
+                col("rn") === expr("(n * 95 + 99) div 100"))
+        .groupBy("event_type")
+        .agg(min(col("cents")).as("p05_cents"),
+             max(col("cents")).as("p95_cents"))
+      v.join(broadcast(bounds), "event_type")
+        .withColumn("cl",
+          greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
+        .groupBy("event_type", "p05_cents", "p95_cents")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("cents") < col("p05_cents"), 1L).otherwise(0L))
+               .as("n_clamped_low"),
+             sum(when(col("cents") > col("p95_cents"), 1L).otherwise(0L))
+               .as("n_clamped_high"),
+             sum(col("cl")).as("sc"))
+        .select(col("event_type"), col("n"),
+          (col("p05_cents").cast("double") / lit(100.0)).as("p05"),
+          (col("p95_cents").cast("double") / lit(100.0)).as("p95"),
+          col("n_clamped_low"), col("n_clamped_high"),
+          (col("sc").cast("double") / col("n").cast("double") / lit(100.0))
+            .as("winsorized_mean"))
+        .orderBy("event_type")
+    }),
+
     // Ratio-to-report: per (series, month) value share within the month
     // and of the grand total — numerators and denominators all exact long
     // cents (order-independent), one fixed double division each.
@@ -2648,6 +2686,35 @@ object SparkEntry {
                         ORDER BY priority, doc_id) AS rn FROM h)
          SELECT lang, doc_id, n_chars, priority FROM r WHERE rn <= 10
          ORDER BY lang, doc_id""",
+
+    "agg_winsorize" ->
+      """WITH v AS (SELECT event_type, event_id,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events),
+              nn AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+              r AS (SELECT v.event_type, v.cents, nn.n,
+                           row_number() OVER (PARTITION BY v.event_type
+                             ORDER BY cents, event_id) AS rn
+                    FROM v JOIN nn USING (event_type)),
+              b AS (SELECT event_type, min(cents) AS p05_cents,
+                           max(cents) AS p95_cents
+                    FROM r WHERE rn = (n * 5 + 99) // 100
+                       OR rn = (n * 95 + 99) // 100
+                    GROUP BY 1),
+              c AS (SELECT v.event_type, cents, p05_cents, p95_cents,
+                           greatest(least(cents, p95_cents), p05_cents) AS cl
+                    FROM v JOIN b USING (event_type))
+         SELECT event_type, count(*) AS n,
+                CAST(p05_cents AS DOUBLE) / 100.0 AS p05,
+                CAST(p95_cents AS DOUBLE) / 100.0 AS p95,
+                CAST(sum(CASE WHEN cents < p05_cents THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clamped_low,
+                CAST(sum(CASE WHEN cents > p95_cents THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clamped_high,
+                CAST(sum(cl) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+                  AS winsorized_mean
+         FROM c GROUP BY event_type, p05_cents, p95_cents
+         ORDER BY event_type""",
 
     "agg_share_of_total" ->
       """WITH m AS (SELECT event_type,
