@@ -1627,6 +1627,14 @@ object SparkEntry {
       graft.streaming.EventStream.runTumblingDaily(s, dir)
         .orderBy("date", "event_type")),
 
+    // Sliding windows in streaming: the batch ts_sliding_window_2d shape
+    // declared against the unbounded source — each event in two open
+    // windows, state watermark-bounded, streamed == batch bitwise (same
+    // oracle SQL as the batch query).
+    "stream_sliding_2d" -> ((s, dir) =>
+      graft.streaming.EventStream.runSlidingTwoDay(s, dir)
+        .orderBy("window_start", "event_type")),
+
     // §2.4 extension: as-of join — for each purchase, the user's latest
     // view at or before it (merge-style union + keyed window; one shuffle,
     // no O(|L|·|R|) range-join blowup).
@@ -4073,6 +4081,17 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_sliding_2d" ->
+      """WITH e AS (SELECT event_type, value,
+                           unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                                   date_trunc('day', ts)]) AS wstart
+                    FROM events)
+         SELECT CAST(wstart AS DATE) AS window_start, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "stream_stream_join" ->
       """SELECT p.event_id, p.user_id, p.ts,

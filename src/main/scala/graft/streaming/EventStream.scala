@@ -210,4 +210,33 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Sliding event-time windows in streaming (2-day windows, 1-day step):
+    * each event lands in two open windows, so the state holds two window
+    * rows per (series, day) — still bounded by the watermark, which
+    * finalizes a window only after BOTH its overlapping successors have
+    * seen the horizon pass. Identical declaration to the batch
+    * `ts_sliding_window_2d`; exact long-cent sums, so streamed == batch
+    * bitwise.
+    */
+  def slidingTwoDay(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col("value") * lit(100), 0).cast("long"))
+             .cast("double") / lit(100.0)).as("sum_value"))
+      .select(col("window.start").cast("date").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  def runSlidingTwoDay(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_sliding"
+    val q = slidingTwoDay(readEvents(spark, dir), "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
