@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's signature contract, pinned across this session's new
+  * operator families: results are BITWISE identical under different
+  * partitionings and shuffle widths — exact-integer accumulation plus
+  * fixed-order double projections leave nothing for reassociation, AQE
+  * re-planning, or speculative retries to change.
+  */
+class BitwiseInvarianceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  // queries whose inputs flow through Tables.*; re-running under a
+  // different shuffle width exercises different partitionings end to end
+  private val targets = Seq(
+    "ts_bollinger", "ts_rsi", "ts_drawdown", "ts_vwap_monthly", "ts_macd",
+    "ts_rolling_corr", "agg_winsorize", "agg_share_of_total",
+    "olap_skyline_parts", "ts_interval_coverage", "sketch_mg_heavy",
+    "sim_pq_adc_topk", "graph_kcore")
+
+  test("new operator families are bitwise partitioning-invariant") {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    for (q <- targets) {
+      val narrow =
+        try { spark.conf.set(key, "1"); rows(SparkEntry.queries(q)(spark, sf)) }
+        finally spark.conf.set(key, old)
+      val wide =
+        try { spark.conf.set(key, "13"); rows(SparkEntry.queries(q)(spark, sf)) }
+        finally spark.conf.set(key, old)
+      assert(narrow == wide, s"$q differs across shuffle widths")
+      assert(narrow.nonEmpty, s"$q returned no rows")
+    }
+  }
+}
