@@ -182,6 +182,44 @@ object SparkEntry {
         .orderBy("ship_date")
     }),
 
+    // Backfill planner: calendar-spine anti-join finds the date gaps an
+    // incremental pipeline must re-fetch — the complement of the
+    // missing-suffix watermark (holes INSIDE history, not just the tail).
+    // Spine from one 2-value aggregate, explode, left-anti on distinct
+    // present dates, monthly rollup.
+    "inc_backfill_missing" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("d"))
+      val b = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val spine = b.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(o.distinct(), Seq("d"), "left_anti")
+        .groupBy(date_trunc("month", col("d")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_missing"),
+             min(col("d")).as("first_missing"),
+             max(col("d")).as("last_missing"))
+        .orderBy("month")
+    }),
+
+    // Window value-position family: first/last/nth over the full frame
+    // plus symmetric lead/lag offsets — completes the window-function
+    // surface next to the rank family (window_rank_suite). Order is
+    // tie-free (date unique per series), so every engine agrees.
+    "window_value_positions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("date"))
+      val wf = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select("event_type", "date", "close")
+        .withColumn("first_close", first(col("close")).over(wf))
+        .withColumn("last_close", last(col("close")).over(wf))
+        .withColumn("third_close", nth_value(col("close"), 3).over(wf))
+        .withColumn("lead2", lead(col("close"), 2).over(w))
+        .withColumn("lag2", lag(col("close"), 2).over(w))
+        .orderBy("event_type", "date")
+    }),
+
     // §2.8 I3: derived-table incremental rebuild — the ccy-derive join over
     // ONLY the missing suffix: the watermark predicate lands on both source
     // scans (filter-below-join), so the rebuild touches k days, not
@@ -1463,6 +1501,14 @@ object SparkEntry {
         .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
                 "predicted_lang")
         .orderBy("doc_id")),
+
+    // Language-router QA: confusion matrix of declared vs predicted
+    // language — one partial-aggregable groupBy over the langid pass.
+    "text_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")),
 
     // North-star text analysis: rolling-hash document fingerprint over
     // word 3-shingles (portable polynomial hash, no engine-specific hash).
@@ -3749,6 +3795,62 @@ object SparkEntry {
                  ELSE 'und' END AS predicted_lang
           FROM sc ORDER BY doc_id"""
     },
+
+    "text_lang_confusion" -> {
+      def markers(lang: String) = TextAnalysis.langMarkers.toMap.apply(lang)
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.langMarkers.map { case (lang, _) =>
+        s"CAST(len(list_filter(toks, t -> list_contains(${markers(lang)}, t))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n                 ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cascade = langs.map { lang =>
+        val beats = langs.filter(_ != lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
+      }.mkString("\n                 ")
+      s"""WITH t AS (SELECT doc_id, lang,
+                            regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+                     FROM documents),
+               sc AS (SELECT doc_id, lang,
+                 $scoreCols
+                 FROM t),
+               p AS (SELECT lang,
+                       CASE $cascade
+                       ELSE 'und' END AS predicted_lang
+                     FROM sc)
+          SELECT lang, predicted_lang, count(*) AS n
+          FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "inc_backfill_missing" ->
+      """WITH o AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+                    FROM orders),
+              b AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+              spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+                               INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+              m AS (SELECT d FROM spine
+                    WHERE d NOT IN (SELECT d FROM o))
+         SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+                count(*) AS n_missing, min(d) AS first_missing,
+                max(d) AS last_missing
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    "window_value_positions" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, date, close,
+                first_value(close) OVER wf AS first_close,
+                last_value(close) OVER wf AS last_close,
+                nth_value(close, 3) OVER wf AS third_close,
+                lead(close, 2) OVER w AS lead2,
+                lag(close, 2) OVER w AS lag2
+         FROM b
+         WINDOW w AS (PARTITION BY event_type ORDER BY date),
+                wf AS (PARTITION BY event_type ORDER BY date
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+         ORDER BY event_type, date""",
 
     "text_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents)
