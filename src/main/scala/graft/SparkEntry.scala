@@ -2373,6 +2373,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Streaming point-in-time enrichment: streamed purchases as-of join
+    // a static view history per micro-batch — batch boundaries can't
+    // change any row's match, so streamed == batch as-of bitwise (the
+    // oracle is DuckDB's native ASOF, same as the batch query).
+    "stream_asof_enrich" -> ((s, dir) => {
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_asof_sink").toString
+      graft.streaming.EventStream.runAsOfEnrich(s, dir, sink)
+        .orderBy("event_id")
+    }),
+
     // The full rank-function family in one keyed window pass: rank /
     // dense_rank / percent_rank / cume_dist over the value order (tie
     // semantics exercised — gaps, plateaus, inclusive fractions), ntile
@@ -4216,6 +4227,17 @@ object SparkEntry {
          ORDER BY p.event_id""",
 
     "asof_join_exec" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+                v.ts AS asof_ts, v.value AS asof_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
+
+    "stream_asof_enrich" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'purchase'),
               v AS (SELECT user_id, ts, value FROM events

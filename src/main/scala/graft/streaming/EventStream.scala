@@ -195,6 +195,37 @@ object EventStream {
              .as("sum_value"))
   }
 
+  /** Streaming point-in-time enrichment: each streamed purchase is
+    * as-of joined (latest view at-or-before its timestamp) against a
+    * STATIC reference side inside `foreachBatch`. Sound because each
+    * left row's match depends only on itself and the complete static
+    * side — micro-batch boundaries can't change any answer, so the
+    * streamed result equals the batch as-of bitwise (the oracle).
+    * This is the serving-time feature-join shape: events arrive, each
+    * picks up the feature value that was current at its event time.
+    */
+  def runAsOfEnrich(spark: SparkSession, dir: String,
+                    sinkDir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val views = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val q = purchases.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ts.AsOfJoin.asOf(batch, views, Seq("user_id"), "ts",
+            Seq("value"))
+          .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+          .write.mode("append").parquet(sinkDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sinkDir)
+  }
+
   /** Run the daily aggregation over the fixture as a bounded streaming
     * query (complete mode → memory sink) and return the result table.
     * Append-mode watermark semantics are exercised in the spec with a
