@@ -422,6 +422,50 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Gini coefficient per group from the rank formula
+    // G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over ascending cents — the
+    // numerator and denominator are exact longs (value-equal rank swaps
+    // cannot change Σ i·xᵢ), one final division.
+    "agg_gini" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                Exact.cents(col("value")).as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("cents")).as("sx"),
+             sum(col("rn") * col("cents")).as("six"))
+        .select(col("event_type"), col("n"),
+          ((lit(2L) * col("six") - (col("n") + 1L) * col("sx"))
+            .cast("double") / (col("n") * col("sx")).cast("double"))
+            .as("gini"))
+        .orderBy("event_type")
+    }),
+
+    // Day-of-week seasonality: per-series ISO-dow average close vs the
+    // series overall average — exact cent sums, two fixed division
+    // chains, ratio > 1 means the weekday trades rich.
+    "ts_seasonality_dow" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("cents"))
+      val dow = bars.groupBy(col("event_type"),
+          (weekday(col("date")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val tot = bars.groupBy("event_type")
+        .agg(count(lit(1)).as("tn"), sum(col("cents")).as("tc"))
+      val avgDow = col("sc").cast("double") / col("n").cast("double") /
+        lit(100.0)
+      val avgAll = col("tc").cast("double") / col("tn").cast("double") /
+        lit(100.0)
+      dow.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          avgDow.as("avg_close"), (avgDow / avgAll).as("ratio_to_mean"))
+        .orderBy("event_type", "dow")
+    }),
+
     // Winsorization: clamp values at the exact positional p05/p95 per
     // group (k = ceil(q·n) in integer math, same rank both engines) and
     // report clamp counts + the winsorized mean — the outlier-capping
@@ -1558,6 +1602,20 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 1, bands = 2)
       graft.dedup.Components.canonicalLabels(pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
+    }),
+
+    // Corpus duplication report: cluster-size histogram over the CC
+    // near-dup clusters + how many docs dedup would drop — the "how much
+    // of my corpus is duplicated" summary a pipeline emits after
+    // clustering. Two partial-aggregable groupBys over the label frame.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val pairs = SimHash.bandedNearDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 1, bands = 2)
+      graft.dedup.Components.canonicalLabels(pairs, "doc_a", "doc_b")
+        .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_to_drop", (col("sz") - 1) * col("n_clusters"))
+        .orderBy("sz")
     }),
 
     // SimHash near-dup pairs by Hamming distance over a bounded id range.
@@ -3968,6 +4026,72 @@ object SparkEntry {
               SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
           SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
           FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE
+            h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+            lbl AS (SELECT n AS doc_id, min(m) AS canonical_id
+                    FROM reach GROUP BY 1),
+            cz AS (SELECT canonical_id, count(*) AS sz FROM lbl GROUP BY 1)
+          SELECT sz, count(*) AS n_clusters,
+                 CAST((sz - 1) * count(*) AS BIGINT) AS docs_to_drop
+          FROM cz GROUP BY 1 ORDER BY 1""",
+
+    "agg_gini" ->
+      """WITH v AS (SELECT event_type, event_id,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events),
+              r AS (SELECT event_type, cents,
+                           CAST(row_number() OVER (PARTITION BY event_type
+                             ORDER BY cents, event_id) AS BIGINT) AS rn
+                    FROM v),
+              g AS (SELECT event_type, count(*) AS n, sum(cents) AS sx,
+                           sum(rn * cents) AS six
+                    FROM r GROUP BY 1)
+         SELECT event_type, n,
+                CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                  / CAST(n * sx AS DOUBLE) AS gini
+         FROM g ORDER BY 1""",
+
+    "ts_seasonality_dow" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS cents
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, isodow(date) AS dow, count(*) AS n,
+                           sum(cents) AS sc
+                    FROM b GROUP BY 1, 2),
+              t AS (SELECT event_type, count(*) AS tn, sum(cents) AS tc
+                    FROM b GROUP BY 1)
+         SELECT d.event_type, d.dow, d.n,
+                CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS avg_close,
+                (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+                  / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0)
+                  AS ratio_to_mean
+         FROM d JOIN t ON d.event_type = t.event_type
+         ORDER BY d.event_type, d.dow""",
 
     "dedup_simhash_pairs" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th
