@@ -422,6 +422,46 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Herfindahl concentration index per month: Σ share² of event-type
+    // revenue — deliberately the RATIONAL concentration metric (entropy
+    // needs ln, which is not bit-portable); exact long numerator Σcᵢ²
+    // and denominator (Σc)², one division.
+    "agg_concentration_hhi" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("month", col("ts")).cast("date").as("month"),
+                 col("event_type"))
+        .agg(sum(Exact.cents(col("value"))).as("c"))
+        // quantize per-type revenue to whole dollars (exact integer DIV)
+        // before squaring: keeps s1² far from Long.Max at any SF while
+        // numerator and denominator stay exact integers
+        .withColumn("d", expr("c DIV 100"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_types"),
+             sum(col("d") * col("d")).as("s2"),
+             sum(col("d")).as("s1"))
+        .select(col("month"), col("n_types"),
+          (col("s2").cast("double") / (col("s1") * col("s1")).cast("double"))
+            .as("hhi"))
+        .orderBy("month")),
+
+    // RANGE window frame (value-distance, not row-count): per series, how
+    // many bars close within ±50 cents of each bar, and their exact cent
+    // sum — the frame type ROWS cannot express; completes the window
+    // frame surface (ROWS bounded/unbounded + RANGE now covered).
+    "window_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+        .rangeBetween(-50L, 50L)
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("cents"))
+        .withColumn("n_near", count(lit(1)).over(w))
+        .withColumn("sum_near", sum(col("cents")).over(w))
+        .select(col("event_type"), col("date"), col("cents"),
+                col("n_near"), col("sum_near"))
+        .orderBy("event_type", "date")
+    }),
+
     // Gini coefficient per group from the rank formula
     // G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over ascending cents — the
     // numerator and denominator are exact longs (value-equal rank swaps
@@ -4058,6 +4098,30 @@ object SparkEntry {
           SELECT sz, count(*) AS n_clusters,
                  CAST((sz - 1) * count(*) AS BIGINT) AS docs_to_drop
           FROM cz GROUP BY 1 ORDER BY 1""",
+
+    "agg_concentration_hhi" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+                           event_type,
+                           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                AS BIGINT) // 100 AS d
+                    FROM events GROUP BY 1, 2)
+         SELECT month, count(*) AS n_types,
+                CAST(sum(d * d) AS DOUBLE)
+                  / CAST(sum(d) * sum(d) AS DOUBLE) AS hhi
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    "window_range_frame" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS cents
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, date, cents,
+                count(*) OVER w AS n_near,
+                CAST(sum(cents) OVER w AS BIGINT) AS sum_near
+         FROM b
+         WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                      RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING)
+         ORDER BY event_type, date""",
 
     "agg_gini" ->
       """WITH v AS (SELECT event_type, event_id,
