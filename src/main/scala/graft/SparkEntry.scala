@@ -431,10 +431,12 @@ object SparkEntry {
         .groupBy(date_trunc("month", col("ts")).cast("date").as("month"),
                  col("event_type"))
         .agg(sum(Exact.cents(col("value"))).as("c"))
-        // quantize per-type revenue to whole dollars (exact integer DIV)
-        // before squaring: keeps s1² far from Long.Max at any SF while
-        // numerator and denominator stay exact integers
-        .withColumn("d", expr("c DIV 100"))
+        // quantize per-type revenue to whole dollars before squaring:
+        // keeps s1² far from Long.Max at any SF while numerator and
+        // denominator stay exact integers. FLOOR division, spelled out in
+        // integers (Spark DIV truncates toward zero; DuckDB // floors —
+        // they differ on negative cent sums, so match the oracle exactly)
+        .withColumn("d", expr("(c - ((c % 100) + 100) % 100) DIV 100"))
         .groupBy("month")
         .agg(count(lit(1)).as("n_types"),
              sum(col("d") * col("d")).as("s2"),
@@ -639,10 +641,11 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
                 to_date(col("l_shipdate")).as("ship_date"),
                 col("l_extendedprice"))
-        // all four output columns in the sort: the limit boundary must
-        // not depend on tie order between duplicate (orderkey, linenumber)
+        // (l_orderkey, l_linenumber) is the lineitem primary key, so the
+        // sort is already total — extendedprice in the key would only add
+        // comparator work to every heap sift in TakeOrderedAndProject
         .orderBy(col("ship_date").desc, col("l_orderkey").asc,
-                 col("l_linenumber").asc, col("l_extendedprice").asc)
+                 col("l_linenumber").asc)
         .limit(100)),
 
     // §2.5 F3/F4: busday_count with holiday calendar — custom Catalyst
@@ -1208,7 +1211,11 @@ object SparkEntry {
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
         .persist()
-      graft.olap.KCore.peelStats(e, 3).orderBy("round")
+      // peelStats is eager (per-round 1-row collects), so the base edge
+      // cache can be released before returning the tiny result frame
+      val out = graft.olap.KCore.peelStats(e, 3).orderBy("round")
+      e.unpersist(false)
+      out
     }),
 
     "graph_pagerank" -> ((s, dir) => {
@@ -1914,6 +1921,35 @@ object SparkEntry {
     "mm_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.mediaMeta(s, Tables.documents(s, dir))
         .orderBy("media_id")),
+
+    // North-star multimodal: REAL image codec round-trip — encode each
+    // doc's deterministic grayscale raster as actual compressed PNG bytes
+    // (javax.imageio, in the JDK), then decode them back through the real
+    // decoder and emit the decoded header dims + pixel sum. Grayscale PNG
+    // is lossless, so the oracle recomputes the decoded checksum
+    // arithmetically without any codec — the stub contract is retired for
+    // images. Both stages are batched mapPartitions (codec init amortizes
+    // per partition), zero shuffle.
+    "mm_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            graft.multimodal.Media.MediaRow(id,
+              graft.multimodal.Media.PngCodec.encodeGray(w, h,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt),
+              "png")
+          }
+        }
+      graft.multimodal.Media.extractMeta(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+                col("checksum"))
+        .orderBy("media_id")
+    }),
 
     // North-star multimodal: frame sampling — one media row fans out to
     // per-frame rows (fixed 256-byte chunks standing in for keyframes),
@@ -2978,8 +3014,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
                 l_extendedprice
          FROM lineitem
-         ORDER BY ship_date DESC, l_orderkey ASC, l_linenumber ASC,
-                  l_extendedprice ASC
+         ORDER BY ship_date DESC, l_orderkey ASC, l_linenumber ASC
          LIMIT 100""",
 
     "cal_busday_count" ->
@@ -4547,6 +4582,27 @@ object SparkEntry {
                           THEN list_sum(bytes) % 2147483647
                           ELSE 0 END AS BIGINT) AS checksum
          FROM b ORDER BY media_id""",
+
+    // PNG is lossless: the decoded raster equals the encoded pixel
+    // function, so the round-trip checksum is plain arithmetic here
+    "mm_png_decode" ->
+      """WITH dims AS (SELECT doc_id,
+                              CAST(1 + doc_id % 8 AS INT) AS width,
+                              CAST(1 + n_chars % 8 AS INT) AS height
+                       FROM documents),
+              xs AS (SELECT doc_id, width, height,
+                            unnest(range(0, CAST(width AS BIGINT))) AS x
+                     FROM dims),
+              xy AS (SELECT doc_id, x,
+                            unnest(range(0, CAST(height AS BIGINT))) AS y
+                     FROM xs),
+              px AS (SELECT doc_id,
+                            sum((doc_id * 31 + x * 7 + y * 13) % 256) AS s
+                     FROM xy GROUP BY 1)
+         SELECT d.doc_id AS media_id, d.width, d.height,
+                CAST(p.s % 2147483647 AS BIGINT) AS checksum
+         FROM dims d JOIN px p ON p.doc_id = d.doc_id
+         ORDER BY media_id""",
 
     "sim_kmeans_update" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec

@@ -1,7 +1,6 @@
 package graft.olap
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-round k-core peeling: repeatedly delete nodes of degree < k and
@@ -19,46 +18,73 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Exact positional median degree (the value at rank (n+1) DIV 2 under
+    * (d, n) ordering) via a degree histogram + cumulative-rank pick.
+    *
+    * The value at rank r of the sorted degree multiset is the smallest d
+    * whose cumulative node count reaches r, so the per-node tie-break
+    * column never needs to be sorted: one partial-aggregable groupBy(d)
+    * reduces the node frame to O(distinct degrees) rows, and the
+    * cumulative count is a broadcast triangular self-join over that tiny
+    * histogram. No window, no single-partition sort over the node frame —
+    * the shape that scales where a positional row_number() over all nodes
+    * would not.
+    */
+  def medianDegree(d0: DataFrame): DataFrame = {
+    val hist = d0.groupBy("d").agg(count(lit(1)).as("c"))
+    val cum = hist.as("a")
+      .join(broadcast(hist.as("b")), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d")).agg(sum(col("b.c")).as("cum"))
+    val rank = hist.agg(expr("CAST((sum(c) + 1) DIV 2 AS BIGINT)").as("r"))
+    cum.join(broadcast(rank))
+      .filter(col("cum") >= col("r"))
+      .agg(min(col("d")).as("kth"))
+  }
+
   /** Per-round survivor stats. Round 0 = input graph; round r>0 = after r
     * peels at k = median degree of round 0. Output: (round, n_nodes,
     * n_edges), nodes = distinct endpoints of surviving edges.
+    *
+    * EAGER by design: each round's survivor frame is materialized into its
+    * own cache by the round's 1-row stat collect, after which the previous
+    * round's cache is released — the driver only ever sees one (round,
+    * n_nodes, n_edges) triple per round, and cached edge frames no longer
+    * accumulate across invocations (bench runs every query twice). This is
+    * the same per-round scalar-collect discipline as
+    * [[graft.dedup.Components]].
     */
   def peelStats(e0: DataFrame, rounds: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-    // positional median over (d, n): constant-partitioned window keeps the
-    // plan a partitioned WindowExec (input is one row per node — already
-    // reduced); the single-partition sort is over node-count rows, not
-    // edges
-    val d0 = degrees(e0)
-    val w = Window.partitionBy(lit(true)).orderBy(col("d"), col("n"))
-    val kth = d0
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(lit(true))))
-      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
-      .select(col("d").as("kth"))
-    def stats(e: DataFrame, round: Int): DataFrame =
-      e.agg(count(lit(1)).as("n_edges")).crossJoin(
+    def stats(e: DataFrame, round: Int): (Int, Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n_edges")).crossJoin(
         e.select(explode(array(col("u"), col("v"))).as("n"))
-          .agg(countDistinct(col("n")).as("n_nodes")))
-        .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+          .agg(countDistinct(col("n")).as("n_nodes"))).collect()(0)
+      (round, r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    }
+    val kth = medianDegree(degrees(e0)).collect()(0).getLong(0)
+    var out = List(stats(e0, 0))
     var e = e0
-    var out = stats(e0, 0)
+    var prev: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      val keep = degrees(e).crossJoin(broadcast(kth))
-        .filter(col("d") >= col("kth")).select("n")
-      e = e
+      val keep = degrees(e).filter(col("d") >= lit(kth)).select("n")
+      val next = e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "leftsemi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "leftsemi")
         .select("u", "v")
-        // each round's survivors are read 4+ times (next round's degree
-        // count + both semi-join probes + two stat aggregates); without a
-        // cache the lineage re-executes every prior round per read and
-        // the plan cost goes exponential in the round count
+        // the survivor frame is read 4+ times (next round's degree count +
+        // both semi-join probes + two stat aggregates); without a cache the
+        // lineage re-executes every prior round per read
         .persist()
-      out = out.unionAll(stats(e, r))
+      out = out :+ stats(next, r) // materializes `next`'s cache
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      e = next
     }
-    out
+    prev.foreach(_.unpersist(false))
+    out.toDF("round", "n_nodes", "n_edges")
   }
 }

@@ -103,6 +103,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore median is a degree histogram pick — no window over the node frame") {
+    import spark.implicits._
+    // degrees of the PackRankSpec hand graph: (d,n)-sorted
+    // (1,5)(2,1)(2,2)(2,4)(3,3) → positional median (rank 3) = 2
+    val d0 = Seq((5L, 1L), (1L, 2L), (2L, 2L), (4L, 2L), (3L, 3L))
+      .toDF("n", "d")
+    val kth = graft.olap.KCore.medianDegree(d0)
+    val p = kth.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "median must come from the histogram cumulative pick, not a " +
+      "positional window over all nodes")
+    assert(kth.collect()(0).getLong(0) == 2L)
+    // even ranks pick the lower-middle value, matching (n+1) DIV 2:
+    // degrees (1,2,3,4) → rank 2 → 2
+    val even = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("n", "d")
+    assert(graft.olap.KCore.medianDegree(even).collect()(0).getLong(0) == 2L)
+  }
+
   test("triangle closure runs the merge intersect, not a wedge join") {
     val p = SparkEntry.queries("graph_triangles")(spark, sf)
       .queryExecution.executedPlan.toString
