@@ -59,7 +59,11 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetFileRows)
       .parquet(outDir)
-    new java.io.File(outDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // Hadoop FileSystem API, not java.io.File: the out dir is a URI that
+    // may live on hdfs:// or s3:// — the local-File form silently breaks
+    // off the local filesystem, at odds with the operator's purpose
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -232,7 +232,9 @@ class SeriesAggReaderFactory(aggs: Seq[SeriesAgg])
 
 /** Computes the pushed aggregates in one generator pass, same arithmetic as
   * the row reader (cents/100.0 per value), so results are bitwise-identical
-  * to aggregating the un-pushed rows.
+  * to aggregating the un-pushed rows — including the empty case: a range
+  * with zero weekdays yields zero rows (the un-pushed groupBy emits no
+  * group for an empty partition, so neither may the pushed path).
   */
 class SeriesAggReader(p: SeriesPartition, aggs: Seq[SeriesAgg])
     extends PartitionReader[InternalRow] {
@@ -243,7 +245,12 @@ class SeriesAggReader(p: SeriesPartition, aggs: Seq[SeriesAgg])
   override def next(): Boolean = {
     if (emitted) return false
     emitted = true
-    true
+    var day = p.startDay
+    while (day <= p.endDay) {
+      if (isWeekday(day)) return true
+      day += 1
+    }
+    false // empty group: no row, so min/max never read an empty fold
   }
 
   override def get(): InternalRow = {

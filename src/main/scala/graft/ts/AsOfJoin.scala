@@ -71,10 +71,14 @@ object AsOfJoin {
       .select(l.columns.map(col): _*)
     // order right rows before left rows at equal time, so equality
     // matches in both directions: ascending traversal gives `<=`
-    // (latest at-or-before), descending gives `>=` (earliest at-or-after)
+    // (latest at-or-before), descending gives `>=` (earliest at-or-after).
+    // The packed struct is the final sort key: when several right rows
+    // share (key, time), the winning payload is the lexicographically
+    // greatest struct on every engine and partitioning, instead of
+    // whichever row the shuffle happened to order last.
     val timeOrd = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(timeOrd, col(sideCol).asc)
+      .orderBy(timeOrd, col(sideCol).asc, col(packCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .withColumn(packCol, last(col(packCol), ignoreNulls = true).over(w))

@@ -129,6 +129,33 @@ class SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate pushdown over a zero-row range emits no group, like the " +
+       "row path") {
+    // 2026-01-03/04 is a weekend: the generator yields no bars, so the
+    // un-pushed groupBy produces no group — the complete-pushdown path
+    // must also emit zero rows (not a count=0 row, and min/max must not
+    // throw on the empty fold)
+    def weekend() = spark.read.format("graft-series")
+      .option("symbols", "SPY,QQQ")
+      .option("start", "2026-01-03")
+      .option("end", "2026-01-04")
+      .load()
+    val agg = weekend()
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), min(col("low")).as("min_low"),
+           max(col("high")).as("max_high"))
+    SeriesGen.lastPushedAggregation = None
+    val rows = agg.collect()
+    assert(SeriesGen.lastPushedAggregation.isDefined,
+      "the empty-range check must exercise the pushed path")
+    assert(rows.isEmpty, "empty partitions must emit no group row")
+    // row path agrees
+    val rowPath = weekend()
+      .filter(col("trade_date") >= lit("2026-01-01").cast("date"))
+      .groupBy("symbol").agg(count(lit(1)).as("n_days"))
+    assert(rowPath.collect().isEmpty)
+  }
+
   test("connector rows equal an independent local generation, bitwise") {
     val got = read("SPY")
       .orderBy("trade_date")

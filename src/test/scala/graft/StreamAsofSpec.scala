@@ -70,6 +70,29 @@ class StreamAsofSpec extends AnyFunSuite {
       == ts("2024-01-01 11:00:00"))
   }
 
+  test("asOf resolves equal-timestamp right rows deterministically") {
+    import spark.implicits._
+    // three right rows share (key, time): the winner must be the
+    // lexicographically greatest packed payload, on every input order
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val ties = Seq(
+      (10L, ts("2024-01-01 11:00:00"), 2.0),
+      (10L, ts("2024-01-01 11:00:00"), 9.0),
+      (10L, ts("2024-01-01 11:00:00"), 5.0))
+    for (perm <- ties.permutations) {
+      val right = perm.toDF("user_id", "ts", "value")
+      val got = AsOfJoin.asOf(left, right, Seq("user_id"), "ts",
+          Seq("value")).collect()(0)
+      assert(got.getAs[Double]("asof_value") == 9.0,
+        s"input order $perm must not change the matched payload")
+      val fwd = AsOfJoin.asOfForward(left.withColumn("ts",
+          lit(ts("2024-01-01 10:00:00"))), right, Seq("user_id"), "ts",
+          Seq("value")).collect()(0)
+      assert(fwd.getAs[Double]("asof_value") == 9.0)
+    }
+  }
+
   test("sessionize splits on gaps > threshold only") {
     import spark.implicits._
     val ev = Seq(
@@ -160,6 +183,29 @@ class StreamAsofSpec extends AnyFunSuite {
       .orderBy("event_id", "view_ts", "view_value").collect()
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("png codec: real encode→decode round-trip recovers dims and pixels") {
+    import graft.multimodal.Media
+    import spark.implicits._
+    // hand raster: 3×2 gradient; PNG is lossless so decode must return
+    // the exact pixels, not a byte-stream fake
+    val bytes = Media.PngCodec.encodeGray(3, 2, (x, y) => 10 * x + 100 * y)
+    assert(Media.PngCodec.isPng(bytes))
+    assert(!Media.PngCodec.isPng("not a png".getBytes))
+    val (w, h, sum) = Media.PngCodec.decode(bytes)
+    assert((w, h) == ((3, 2)))
+    assert(sum == (0 + 10 + 20) + (100 + 110 + 120))
+    // pixel values mask to a byte (the encoder's documented contract)
+    val (_, _, masked) = Media.PngCodec.decode(
+      Media.PngCodec.encodeGray(1, 1, (_, _) => 256 + 7))
+    assert(masked == 7)
+    // extractMeta dispatches on payload magic: a PNG payload goes through
+    // the real decoder (pixel sum), not the byte-sum fake
+    val media = Seq(Media.MediaRow(1L, bytes, "png")).toDS()
+    val meta = Media.extractMeta(media).collect()(0)
+    assert(meta.width == 3 && meta.height == 2 && meta.checksum == 360L)
+    assert(meta.n_bytes == bytes.length.toLong)
   }
 
   test("media meta: byte-level decode plumbing on crafted payloads") {
