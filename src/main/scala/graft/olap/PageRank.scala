@@ -70,7 +70,18 @@ object PageRank {
             * (coalesce(col("sc"), lit(0L)).cast("double")
                / lit(Scale.toDouble)))
         .select("node_id", "rank")
+        // truncate lineage each iteration (same discipline as
+        // graft.dedup.Components): without this the plan chains through
+        // every prior iteration, and analysis/optimization cost grows
+        // with depth — fine at 3 iterations, a hazard when a caller asks
+        // for 20. Checkpointing keeps per-iteration plan depth constant,
+        // so wall time stays flat in the iteration count.
+        .localCheckpoint()
     }
+    // the checkpointed result no longer references their lineage, so the
+    // iteration-scoped caches can be released instead of accumulating
+    // across invocations (bench runs every query twice)
+    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
     ranks
   }
 }

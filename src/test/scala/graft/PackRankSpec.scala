@@ -72,6 +72,33 @@ class PackRankSpec extends AnyFunSuite {
     assert(r(1L) == 0.15 + 0.85 * 0.5)
   }
 
+  test("pagerank: deep iteration keeps plan depth constant and converges") {
+    import spark.implicits._
+    // star into a hub plus a 2-cycle: checkpoint discipline must keep the
+    // per-iteration plan flat, so 12 iterations is as analyzable as 3
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = graft.olap.PageRank.run(edges, "src", "dst", iterations = 12)
+    // lineage is truncated: the returned frame scans a checkpointed RDD,
+    // not a 12-deep join chain
+    val logical = r.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LogicalRDD") || logical.contains("Scan"),
+      s"expected a checkpoint scan, got:\n$logical")
+    assert(!logical.contains("Join"),
+      "deep-iteration plan must not chain joins through all iterations")
+    val ranks = r.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // mass conservation within quantization: total rank ≈ n*base/(1-d)
+    // is not exact, but all ranks are positive and the hub dominates
+    assert(ranks.size == 4)
+    assert(ranks(9L) > ranks(1L) && ranks(1L) > ranks(3L))
+    assert(ranks.values.forall(v => v >= 0.15 && v.isFinite))
+    // determinism: a second run at different partitioning is bitwise equal
+    val again = graft.olap.PageRank
+      .run(edges.repartition(7), "src", "dst", iterations = 12)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again == ranks)
+  }
+
   test("triangles: hand graphs with known counts") {
     import spark.implicits._
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
