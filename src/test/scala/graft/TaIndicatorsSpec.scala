@@ -21,6 +21,42 @@ class TaIndicatorsSpec extends AnyFunSuite {
       .withColumn("date", to_date(col("d"))).drop("d")
   }
 
+  test("one-pass EMA is bitwise-equal to the declarative prefix fold") {
+    import graft.ts.Ema
+    // real data, multiple keys, awkward partitioning: the scale variant
+    // must reproduce the window fold's doubles exactly, bit for bit
+    val bars = graft.ts.Ohlc
+      .dailyBars(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select("event_type", "date", "close")
+      .repartition(13) // deliberately unaligned input layout
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("date").toString)
+    val declarative = Ema.withEma(bars, 0.25, Seq("event_type"))
+      .collect().map(r => key(r) ->
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("ema"))).toMap
+    val onePass = Ema.withEmaOnePass(bars, 0.25, Seq("event_type"))
+      .collect().map(r => key(r) ->
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("ema"))).toMap
+    assert(declarative.nonEmpty && onePass == declarative)
+    // null handling: null rows carry the prior EMA forward, leading nulls
+    // stay null (the declarative form cannot run this case — ANSI
+    // element_at errors on the empty leading prefix — so the one-pass
+    // variant is strictly more tolerant; pin its behavior directly)
+    import spark.implicits._
+    val withNulls = Seq(("a", "2024-01-01", None),
+                        ("a", "2024-01-02", Some(10.0)),
+                        ("a", "2024-01-03", None),
+                        ("a", "2024-01-04", Some(20.0)))
+      .toDF("event_type", "d", "close")
+      .withColumn("date", to_date(col("d"))).drop("d")
+    val gotN = Ema.withEmaOnePass(withNulls, 0.25, Seq("event_type"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("ema"))) None
+                else Some(r.getAs[Double]("ema")))
+    assert(gotN.toSeq == Seq(None, Some(10.0), Some(10.0),
+                             Some(10.0 * 0.75 + 20.0 * 0.25)))
+  }
+
   test("withDrawdown: peak is running max, drawdown ≤ 0 and exact") {
     val got = Indicators.withDrawdown(
         frame(Seq(10.0, 12.0, 9.0, 12.0, 8.0)), Seq("event_type"))
