@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC store adapter — the reference's actual persistence layer
+  * (`/root/reference/av_etl.py:30-38,161-185`: a PostgreSQL table with a
+  * primary key, appended to idempotently by relying on PK rejection).
+  *
+  * Re-expressed for Spark: `spark.read/write.format("jdbc")` with the
+  * PK-reject semantics made explicit as a keyed anti-join before the
+  * append (Spark's JDBC writer has no per-row conflict handling — batch
+  * inserts are all-or-nothing, so "insert and let the PK reject dupes"
+  * does not distribute; "filter the dupes, then append" is the same
+  * contract and scales). Filter pushdown to the database is Spark's JDBC
+  * relation doing its normal job — spec-asserted, not reimplemented.
+  *
+  * Exercised end-to-end in `JdbcSpec` against embedded Apache Derby (a
+  * real SQL database + JDBC driver that ships inside Spark's own jars —
+  * zero new dependencies, no network). The PostgreSQL-only specifics the
+  * sandbox cannot reach (dialect quirks, real PK race under concurrent
+  * writers) remain documented limitations in SURVEY §8.
+  */
+object JdbcStore {
+
+  /** Read a JDBC table as a DataFrame (filters pushed by Spark's JDBC
+    * relation; partitioned reads available via the standard
+    * partitionColumn/lowerBound/upperBound options when `opts` asks).
+    */
+  def read(spark: SparkSession, url: String, table: String,
+           opts: Map[String, String] = Map.empty): DataFrame =
+    opts.foldLeft(
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+
+  private def tableExists(spark: SparkSession, url: String,
+                          table: String): Boolean =
+    try { read(spark, url, table).limit(1).count() >= 0 }
+    catch { case _: Throwable => false }
+
+  /** Keyed idempotent append (the reference's PK-reject insert): first
+    * write creates the table, later writes append only rows whose key is
+    * not already present. Running it twice equals running it once.
+    *
+    * `writeOpts` passes through standard JDBC writer options — notably
+    * `createTableColumnTypes` to pin key columns to comparable SQL types
+    * (dialects that default strings to CLOB/TEXT cannot compare them in
+    * the anti-join's pushed predicates).
+    */
+  def appendIdempotent(spark: SparkSession, incoming: DataFrame, url: String,
+                       table: String, keys: Seq[String],
+                       writeOpts: Map[String, String] = Map.empty): Unit = {
+    def writer(df: DataFrame) =
+      writeOpts.foldLeft(
+        df.write.format("jdbc")
+          .option("url", url).option("dbtable", table)) {
+        case (w, (k, v)) => w.option(k, v)
+      }
+    if (!tableExists(spark, url, table))
+      writer(incoming).mode(SaveMode.ErrorIfExists).save()
+    else
+      writer(graft.inc.Watermark
+          .dedupAgainst(incoming, read(spark, url, table), keys))
+        .mode(SaveMode.Append).save()
+  }
+
+  /** High-watermark probe against the store (reference av_etl.py:12-19):
+    * max(key) — Catalyst folds this to a 1-row aggregate over the JDBC
+    * scan; with only the key column required, column pruning reaches the
+    * database query.
+    */
+  def highWatermark(spark: SparkSession, url: String, table: String,
+                    keyCol: String): DataFrame =
+    graft.inc.Watermark.highWatermark(
+      read(spark, url, table).select(keyCol), keyCol)
+}
