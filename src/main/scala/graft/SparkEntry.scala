@@ -1104,6 +1104,27 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    // North-star mixture temperature resampling (the multilingual
+    // upsampling rule: p_l^α with α = 0.5): per-language weight relative
+    // to the LARGEST language — sqrt(n)/sqrt(n_max) is a fixed IEEE chain
+    // (two sqrts + one division, no cross-group double sum whose
+    // accumulation order could differ between engines), so weights and
+    // the derived integer targets are bitwise-portable. One
+    // partial-aggregable groupBy + a broadcast 1-row max.
+    "sample_temperature" -> ((s, dir) => {
+      val n = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val m = n.agg(max(col("n_docs")).as("nmax"))
+      n.crossJoin(broadcast(m))
+        .withColumn("rel_weight",
+          sqrt(col("n_docs").cast("double"))
+            / sqrt(col("nmax").cast("double")))
+        .select(col("lang"), col("n_docs"), col("rel_weight"),
+          floor(lit(1000.0) * col("rel_weight")).cast("long")
+            .as("target_docs"))
+        .orderBy("lang")
+    }),
+
     // North-star mixture balancing: the largest corpus that matches the
     // target per-language proportions exactly (pure integer arithmetic:
     // M = min over strata of count*10 div weight; quota = weight*M div
@@ -1216,6 +1237,25 @@ object SparkEntry {
       val out = graft.olap.KCore.peelStats(e, 3).orderBy("round")
       e.unpersist(false)
       out
+    }),
+
+    // Label-propagation community detection over the bipartite
+    // part–supplier graph, 2 fixed rounds: most-frequent neighbor label,
+    // ties to the smallest — per round one keyed join + two
+    // partial-aggregable aggregates (the max_by packs (count, −label) so
+    // the tie-break rides inside the lexicographic max). Output is the
+    // community-size histogram.
+    "graph_label_prop" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("src"),
+                           (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                               (col("l_partkey") * 2).as("dst")))
+      graft.olap.LabelProp.labels(e, 2)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("community")
     }),
 
     "graph_pagerank" -> ((s, dir) => {
@@ -1440,6 +1480,37 @@ object SparkEntry {
 
     // Gaps-and-islands: longest up/down streak of daily closes per series
     // via the rank-difference trick (two keyed row_numbers, no iteration).
+    // Changepoint detection per series: the point where the prefix sum
+    // deviates most from uniform drift — argmax_i |n·S_i − i·S_n| over
+    // exact cent integers (the CUSUM-style statistic with the mean
+    // factored out so no division ever happens; ties → earliest date).
+    // Keyed window prefix sum + partial-aggregable argmax; magnitudes
+    // bounded by n·S_n ≈ 10¹³ at sf0.1, far inside BIGINT even at 100×.
+    "ts_changepoint" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("cents"))
+      val p = bars
+        .withColumn("i", row_number().over(
+          w.partitionBy("event_type").orderBy("date")).cast("long"))
+        .withColumn("s", sum(col("cents")).over(
+          w.partitionBy("event_type").orderBy("date")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      val t = p.groupBy("event_type")
+        .agg(max(col("i")).as("n"), sum(col("cents")).as("sn"))
+      p.join(t, "event_type")
+        .withColumn("stat", abs(col("n") * col("s") - col("i") * col("sn")))
+        .withColumn("d", datediff(col("date"), lit("1970-01-01")))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_days"),
+             max_by(col("date"), struct(col("stat"), negate(col("d"))))
+               .as("change_date"),
+             max(col("stat")).as("max_stat"))
+        .orderBy("event_type")
+    }),
+
     "ts_streaks" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
       val bars = Ohlc.dailyBars(Tables.events(s, dir))
@@ -1607,6 +1678,36 @@ object SparkEntry {
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+
+    // Training-data hygiene: PII detection + redaction. The synthetic
+    // corpus carries no natural PII, so deterministic emails/phones are
+    // injected first (identically in the oracle), then detected with
+    // regexp_count and scrubbed with regexp_replace — all codegen'd
+    // string expressions, zero shuffle, linear per-row work. Patterns
+    // stay in the RE2∩Java-regex common subset so both engines compile
+    // them identically.
+    "text_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+      Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+                   lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-867-"),
+                   lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).cast("long")
+            .as("n_emails"),
+          regexp_count(col("raw"), lit(phoneRe)).cast("long")
+            .as("n_phones"),
+          length(regexp_replace(
+              regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
 
     // North-star dedup: MinHash+LSH near-dup pairs — shingle→minhash→band→
     // bucket-join; the only shuffle is the (band,key) self-join.
@@ -1951,6 +2052,38 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // North-star multimodal: REAL audio codec round-trip — synthesize each
+    // doc's deterministic 8-bit PCM signal, wrap it in an actual WAV
+    // container (javax.sound.sampled, in the JDK), decode it back through
+    // the real audio API and emit the decoded header fields + exact
+    // sample energy. PCM is uncompressed, so the oracle recomputes the
+    // decoded energy arithmetically — the audio stub is retired alongside
+    // the PNG image stub.
+    "mm_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (32 + id % 64).toInt
+            val samples = Array.tabulate(n)(i =>
+              ((id * 17 + i * 29) % 256).toByte)
+            graft.multimodal.Media.MediaRow(id,
+              graft.multimodal.Media.WavCodec.encodePcm8(8000, samples),
+              "wav")
+          }
+        }
+      media.mapPartitions { it =>
+        it.map { m =>
+          val (rate, ch, n, e) =
+            graft.multimodal.Media.WavCodec.decode(m.payload)
+          (m.media_id, rate, ch, n, e)
+        }
+      }.toDF("media_id", "sample_rate", "channels", "n_samples", "energy")
+        .orderBy("media_id")
+    }),
+
     // North-star multimodal: frame sampling — one media row fans out to
     // per-frame rows (fixed 256-byte chunks standing in for keyframes),
     // turning per-media work into per-frame parallelism.
@@ -2002,6 +2135,26 @@ object SparkEntry {
     // Cube (full grouping-sets lattice — rollup's superset): every
     // (flag, status) combination plus both one-dimension margins plus the
     // grand total in one pass, levels tagged by grouping_id.
+    // The general GROUPING SETS form (cube/rollup are its specializations,
+    // both covered): an explicit, non-hierarchical set list — exactly the
+    // shape a reporting layer asks for ("by lang, by source, by both,
+    // grand total" without the unused (source-only-within-lang) stratum a
+    // cube would add). grouping() markers disambiguate rollup NULLs from
+    // data NULLs; Spark expands the sets into one Expand + one aggregate,
+    // so the scan stays single-pass.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_gs")
+      s.sql("""SELECT lang, source,
+                      CAST(grouping(lang) AS BIGINT) AS g_lang,
+                      CAST(grouping(source) AS BIGINT) AS g_source,
+                      count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+               FROM graft_docs_gs
+               GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+               ORDER BY g_lang, g_source,
+                        coalesce(lang, ''), coalesce(source, '')""")
+    }),
+
     "agg_cube_counts" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -3386,6 +3539,18 @@ object SparkEntry {
                 min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          FROM e GROUP BY 1 ORDER BY 1""",
 
+    "sample_temperature" ->
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents
+                    GROUP BY 1),
+              m AS (SELECT max(n_docs) AS nmax FROM n)
+         SELECT lang, n_docs,
+                sqrt(CAST(n_docs AS DOUBLE)) / sqrt(CAST(nmax AS DOUBLE))
+                  AS rel_weight,
+                CAST(floor(1000.0 * (sqrt(CAST(n_docs AS DOUBLE))
+                       / sqrt(CAST(nmax AS DOUBLE)))) AS BIGINT)
+                  AS target_docs
+         FROM n, m ORDER BY lang""",
+
     "sample_mixture_balance" ->
       """WITH f AS (SELECT doc_id, lang,
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3485,6 +3650,30 @@ object SparkEntry {
                 CAST(3 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
                   / CAST(s.n_wedges AS DOUBLE) AS transitivity
          FROM s, m, t""",
+
+    "graph_label_prop" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+              c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                     FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+              l1 AS (SELECT node, label FROM
+                       (SELECT node, label,
+                               row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) AS rn
+                        FROM c1) WHERE rn = 1),
+              c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                     FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+              l2 AS (SELECT node, label FROM
+                       (SELECT node, label,
+                               row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) AS rn
+                        FROM c2) WHERE rn = 1)
+         SELECT label AS community, count(*) AS n_nodes
+         FROM l2 GROUP BY 1 ORDER BY 1""",
 
     "graph_kcore" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
@@ -3756,6 +3945,32 @@ object SparkEntry {
                   AS n_close
          FROM p GROUP BY 1 ORDER BY 1""",
 
+    "ts_changepoint" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS cents
+                    FROM events GROUP BY 1, 2),
+              p AS (SELECT event_type, date, cents,
+                           CAST(row_number() OVER w AS BIGINT) AS i,
+                           CAST(sum(cents) OVER (PARTITION BY event_type
+                             ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS s
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              t AS (SELECT event_type, max(i) AS n,
+                           CAST(sum(cents) AS BIGINT) AS sn
+                    FROM p GROUP BY 1),
+              j AS (SELECT p.event_type, p.date, t.n,
+                           abs(t.n * p.s - p.i * t.sn) AS stat
+                    FROM p JOIN t ON t.event_type = p.event_type),
+              r AS (SELECT event_type, date, n, stat,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY stat DESC, date ASC) AS rn
+                    FROM j)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                date AS change_date, CAST(stat AS BIGINT) AS max_stat
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
     "ts_streaks" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
                            arg_max(value, ts) AS close
@@ -3995,6 +4210,29 @@ object SparkEntry {
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND UNBOUNDED FOLLOWING)
          ORDER BY event_type, date""",
+
+    "text_pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-867-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS raw
+              FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}'))
+                  AS BIGINT) AS n_phones,
+                CAST(length(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g'), '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'))
+                  AS BIGINT) AS clean_len
+         FROM raw ORDER BY doc_id""",
 
     "text_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents)
@@ -4604,6 +4842,22 @@ object SparkEntry {
          FROM dims d JOIN px p ON p.doc_id = d.doc_id
          ORDER BY media_id""",
 
+    // PCM is uncompressed: decoded samples equal the synthesized signal,
+    // so the decoded energy is plain arithmetic here
+    "mm_wav_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(32 + doc_id % 64 AS BIGINT) AS n
+                    FROM documents),
+              sx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+              e AS (SELECT doc_id,
+                           sum(((doc_id * 17 + i * 29) % 256 - 128)
+                               * ((doc_id * 17 + i * 29) % 256 - 128))
+                             AS energy
+                    FROM sx GROUP BY 1)
+         SELECT d.doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+                d.n AS n_samples, CAST(e.energy AS BIGINT) AS energy
+         FROM d JOIN e ON e.doc_id = d.doc_id
+         ORDER BY media_id""",
+
     "sim_kmeans_update" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec
                      FROM embeddings WHERE vec_id < 8),
@@ -4720,6 +4974,17 @@ object SparkEntry {
                   j -> (bytes[j] - 128) * (bytes[j] - 128)))
                   AS BIGINT) AS energy
          FROM c ORDER BY media_id, window_idx""",
+
+    "agg_grouping_sets" ->
+      """SELECT lang, source,
+                CAST(grouping(lang) AS BIGINT) AS g_lang,
+                CAST(grouping(source) AS BIGINT) AS g_source,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+         ORDER BY g_lang, g_source, coalesce(lang, ''),
+                  coalesce(source, '')""",
 
     "agg_cube_counts" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -97,6 +97,55 @@ object Media {
     }
   }
 
+  /** REAL audio codec for WAV/PCM payloads via `javax.sound.sampled` (in
+    * the JDK — no new dependency), closing the codec stub for audio the
+    * same way [[PngCodec]] closes it for images: PCM is uncompressed, so
+    * the decoded samples are bit-identical to what was encoded and an
+    * external SQL oracle can check a full encode→decode round-trip
+    * arithmetically.
+    */
+  object WavCodec {
+    def isWav(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E'
+
+    /** Encode unsigned 8-bit mono PCM samples as a real WAV container. */
+    def encodePcm8(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode: true sample rate / channel count / frame count from the WAV
+      * header, energy = Σ(sample−128)² over the decoded unsigned 8-bit
+      * samples — the same exact integer statistic as [[audioWindows]], so
+      * decoded-vs-synthesized energies are directly comparable.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Long, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      var e = 0L
+      var i = 0
+      while (i < data.length) {
+        val s = (data(i) & 0xff) - 128
+        e += s.toLong * s
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels,
+       data.length.toLong / math.max(1, fmt.getFrameSize), e)
+    }
+  }
+
   /** Wrap any table with a string column as binary media (fixture adapter:
     * the documents table stands in for a media corpus; payload bytes are
     * the UTF-8 encoding).

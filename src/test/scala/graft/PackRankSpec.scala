@@ -118,6 +118,25 @@ class PackRankSpec extends AnyFunSuite {
     assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))._4 == 2L)
   }
 
+  test("label propagation: hand graph, deterministic tie-breaks") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-applying
+    // "most frequent neighbor label, ties to smallest" for 2 rounds:
+    // r1 = {1→2, 2→1, 3→1, 4→3, 5→4, 6→4}
+    // r2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3}
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+                   (4L, 6L), (5L, 6L))
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val got = graft.olap.LabelProp.labels(sym, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // partitioning invariance: shuffled input, same labels
+    val again = graft.olap.LabelProp.labels(sym.repartition(11), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("k-core peel cascades on a hand graph with known median degree") {
     import spark.implicits._
     // triangle {1,2,3} + tail 3-4-5. degrees (d,n)-sorted:

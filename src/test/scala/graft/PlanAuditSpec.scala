@@ -77,9 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_update",
       // 1-row aggregate summaries combined via crossJoin (scalar probes)
       "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk",
-      // 1-row scalar combines: node count N (init rank 1/N) and the
-      // mixture bound M = min(count*10 div wt)
-      "graph_pagerank", "sample_mixture_balance",
+      // 1-row scalar combines: node count N (init rank 1/N), the
+      // mixture bound M = min(count*10 div wt), and the temperature
+      // resampler's 1-row language max
+      "graph_pagerank", "sample_mixture_balance", "sample_temperature",
       // merged global HLL sketch × global exact count (1-row × 1-row)
       "sketch_hll_distinct",
       // node/edge/triangle 1-row summaries combined via crossJoin

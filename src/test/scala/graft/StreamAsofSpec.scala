@@ -208,6 +208,18 @@ class StreamAsofSpec extends AnyFunSuite {
     assert(meta.n_bytes == bytes.length.toLong)
   }
 
+  test("wav codec: real encode→decode round-trip recovers format and samples") {
+    import graft.multimodal.Media
+    // known signal: 4 samples around the 128 midpoint
+    val samples = Array[Byte](128.toByte, 130.toByte, 126.toByte, 228.toByte)
+    val bytes = Media.WavCodec.encodePcm8(8000, samples)
+    assert(Media.WavCodec.isWav(bytes))
+    assert(!Media.WavCodec.isWav("RIFFnope".getBytes))
+    val (rate, ch, n, e) = Media.WavCodec.decode(bytes)
+    assert((rate, ch, n) == ((8000, 1, 4L)))
+    assert(e == 0L + 2 * 2 + 2 * 2 + 100 * 100)
+  }
+
   test("media meta: byte-level decode plumbing on crafted payloads") {
     import graft.multimodal.Media
     import spark.implicits._
