@@ -1239,6 +1239,22 @@ object SparkEntry {
       out
     }),
 
+    // Bounded BFS from the smallest node id over the bipartite
+    // part–supplier graph: exact-distance frontier counts for 3 hops —
+    // per hop one keyed join + distinct + anti-join vs visited, eagerly
+    // materialized per round (the KCore discipline) so finished frontiers
+    // release their caches.
+    "graph_bfs_reach" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("src"),
+                           (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                               (col("l_partkey") * 2).as("dst")))
+      val source = e.agg(min(col("src")).as("node"))
+      graft.olap.Bfs.distanceCounts(e, source, 3).orderBy("distance")
+    }),
+
     // Label-propagation community detection over the bipartite
     // part–supplier graph, 2 fixed rounds: most-frequent neighbor label,
     // ties to the smallest — per round one keyed join + two
@@ -1480,6 +1496,30 @@ object SparkEntry {
 
     // Gaps-and-islands: longest up/down streak of daily closes per series
     // via the rank-difference trick (two keyed row_numbers, no iteration).
+    // Calendar completeness audit per series: expected weekdays between
+    // the series' own first and last bar vs the weekday bars actually
+    // present — the missing-bar count a market-data QA job alerts on.
+    // The per-series day range explodes from a 1-row-per-series bound
+    // frame (sequence + explode), never from the bar rows themselves.
+    "ts_calendar_gaps" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"))
+      val isWeekday = !dayofweek(col("day")).isin(1, 7)
+      val bounds = bars.groupBy("event_type")
+        .agg(min(col("date")).as("dmin"), max(col("date")).as("dmax"),
+             countDistinct(when(!dayofweek(col("date")).isin(1, 7),
+               col("date"))).as("n_observed"))
+      bounds
+        .withColumn("day", explode(sequence(col("dmin"), col("dmax"))))
+        .filter(isWeekday)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_expected"),
+             max(col("n_observed")).as("n_observed"))
+        .select(col("event_type"), col("n_expected"), col("n_observed"),
+                (col("n_expected") - col("n_observed")).as("n_missing"))
+        .orderBy("event_type")
+    }),
+
     // Changepoint detection per series: the point where the prefix sum
     // deviates most from uniform drift — argmax_i |n·S_i − i·S_n| over
     // exact cent integers (the CUSUM-style statistic with the mean
@@ -2135,6 +2175,29 @@ object SparkEntry {
     // Cube (full grouping-sets lattice — rollup's superset): every
     // (flag, status) combination plus both one-dimension margins plus the
     // grand total in one pass, levels tagged by grouping_id.
+    // Data-quality table profiler: per-column null count + exact distinct
+    // cardinality + the table row count, all from ONE scan (the multiple
+    // exact countDistincts plan as a single Expand + aggregate — one pass
+    // over the data, the standard exact shape; the 100 TB variant swaps
+    // the exact distincts for the engine's mergeable HLL sketches, same
+    // output schema, see sketch_hll_distinct). Wide-to-long via stack().
+    "dq_profile_table" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")))
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
+      Tables.orders(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          expr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(column_name, n_nulls, n_distinct)"),
+          col("n_rows"))
+        .orderBy("column_name")
+    }),
+
     // The general GROUPING SETS form (cube/rollup are its specializations,
     // both covered): an explicit, non-hierarchical set list — exactly the
     // shape a reporting layer asks for ("by lang, by source, by both,
@@ -3651,6 +3714,31 @@ object SparkEntry {
                   / CAST(s.n_wedges AS DOUBLE) AS transitivity
          FROM s, m, t""",
 
+    "graph_bfs_reach" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              d0 AS (SELECT min(src) AS node FROM e),
+              d1 AS (SELECT DISTINCT e.dst AS node
+                     FROM e JOIN d0 ON e.src = d0.node
+                     WHERE e.dst NOT IN (SELECT node FROM d0)),
+              d2 AS (SELECT DISTINCT e.dst AS node
+                     FROM e JOIN d1 ON e.src = d1.node
+                     WHERE e.dst NOT IN (SELECT node FROM d0)
+                       AND e.dst NOT IN (SELECT node FROM d1)),
+              d3 AS (SELECT DISTINCT e.dst AS node
+                     FROM e JOIN d2 ON e.src = d2.node
+                     WHERE e.dst NOT IN (SELECT node FROM d0)
+                       AND e.dst NOT IN (SELECT node FROM d1)
+                       AND e.dst NOT IN (SELECT node FROM d2))
+         SELECT 0 AS distance, count(*) AS n_nodes FROM d0
+         UNION ALL SELECT 1, count(*) FROM d1
+         UNION ALL SELECT 2, count(*) FROM d2
+         UNION ALL SELECT 3, count(*) FROM d3
+         ORDER BY distance""",
+
     "graph_label_prop" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
               e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -3944,6 +4032,25 @@ object SparkEntry {
                 CAST(sum(CASE WHEN lev <= 64 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_close
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "ts_calendar_gaps" ->
+      """WITH b AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS date
+                    FROM events),
+              bounds AS (SELECT event_type, min(date) AS dmin,
+                                max(date) AS dmax,
+                                CAST(count(DISTINCT CASE WHEN isodow(date) <= 5
+                                  THEN date END) AS BIGINT) AS n_observed
+                         FROM b GROUP BY 1),
+              days AS (SELECT event_type, n_observed,
+                              CAST(unnest(generate_series(dmin, dmax,
+                                INTERVAL 1 DAY)) AS DATE) AS day
+                       FROM bounds),
+              exp AS (SELECT event_type, count(*) AS n_expected,
+                             max(n_observed) AS n_observed
+                      FROM days WHERE isodow(day) <= 5 GROUP BY 1)
+         SELECT event_type, n_expected, n_observed,
+                n_expected - n_observed AS n_missing
+         FROM exp ORDER BY event_type""",
 
     "ts_changepoint" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
@@ -4974,6 +5081,47 @@ object SparkEntry {
                   j -> (bytes[j] - 128) * (bytes[j] - 128)))
                   AS BIGINT) AS energy
          FROM c ORDER BY media_id, window_idx""",
+
+    "dq_profile_table" ->
+      """WITH prof AS (
+           SELECT 'o_orderkey' AS column_name,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey',
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  CAST(count(DISTINCT o_custkey) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus',
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice',
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  CAST(count(DISTINCT o_totalprice) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate',
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  CAST(count(DISTINCT o_orderdate) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority',
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+           FROM orders)
+         SELECT p.column_name, p.n_nulls, p.n_distinct,
+                (SELECT count(*) FROM orders) AS n_rows
+         FROM prof p ORDER BY column_name""",
 
     "agg_grouping_sets" ->
       """SELECT lang, source,

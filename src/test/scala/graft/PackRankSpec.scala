@@ -137,6 +137,21 @@ class PackRankSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("bounded BFS: exact distances on a hand graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus chord 2-4: distances from 1 are
+    // {1:0, 2:1, 3:2, 4:2 (via chord), 5:3}
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L))
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val got = graft.olap.Bfs.distanceCounts(sym, src, 3)
+      .orderBy("distance").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((0, 1L), (1, 1L), (2, 2L), (3, 1L)))
+    // hop bound respected: with maxHops=1 only two rows come back
+    assert(graft.olap.Bfs.distanceCounts(sym, src, 1).count() == 2)
+  }
+
   test("k-core peel cascades on a hand graph with known median degree") {
     import spark.implicits._
     // triangle {1,2,3} + tail 3-4-5. degrees (d,n)-sorted:
