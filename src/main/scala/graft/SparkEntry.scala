@@ -1427,6 +1427,38 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Matryoshka-style prefix-dimension retrieval QA: does the top-1
+    // neighbor under the first-16-dims cosine agree with the full-dim
+    // top-1? The MRL question every embedding-truncation rollout asks.
+    // Broadcast query set × corpus scan (the sim_bruteforce shape), both
+    // argmaxes as partial-aggregable max_by with (cosine, −vec_id) ties —
+    // no windows over the corpus.
+    "emb_matryoshka_agreement" -> ((s, dir) => {
+      import graft.functions.VecOps
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("embedding").as("e"))
+      val qp = slice(col("qe"), 1, 16)
+      val ep = slice(col("e"), 1, 16)
+      c.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+          VecOps.cosine(col("qe"), col("e")).as("cos_full"),
+          (VecOps.dot(qp, ep)
+            / (sqrt(VecOps.dot(qp, qp)) * sqrt(VecOps.dot(ep, ep))))
+            .as("cos_pre"))
+        .groupBy("q_id")
+        .agg(
+          max_by(col("vec_id"), struct(col("cos_full"), negate(col("vec_id"))))
+            .as("top1_full"),
+          max_by(col("vec_id"), struct(col("cos_pre"), negate(col("vec_id"))))
+            .as("top1_prefix"))
+        .select(col("q_id"), col("top1_full"), col("top1_prefix"),
+                (col("top1_full") === col("top1_prefix")).as("agree"))
+        .orderBy("q_id")
+    }),
+
     // Embedding analytics: dimension-correlation matrix from one pass of
     // exact quantized sums (floor(x·2^16) — float→double→·2^16→floor are
     // all IEEE-exact, sums are BIGINT and order-independent), then a
@@ -1491,6 +1523,32 @@ object SparkEntry {
              min("lev").as("min_lev"),
              sum("lev").as("sum_lev"),
              sum(when(col("lev") <= 64, 1L).otherwise(0L)).as("n_close"))
+        .orderBy("lang")
+    }),
+
+    // Record linkage with the unrestricted Damerau–Levenshtein distance —
+    // a custom codegen Catalyst expression (Spark ships only plain
+    // levenshtein); same prune-then-verify blocking as
+    // link_block_levenshtein, and the integer distances cross-check
+    // bitwise against DuckDB's built-in damerau_levenshtein on every
+    // surviving pair.
+    "link_block_damerau" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          expr("n_chars div 16").as("blk"),
+          substring_index(col("text"), " ", 1).as("ft"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("blk"),
+        col("ft"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
+        col("ft"), col("text").as("text_b"))
+      a.join(b, Seq("lang", "blk", "ft")).filter(col("id_a") < col("id_b"))
+        .withColumn("dl", graft.functions.DamerauLevenshtein
+          .damerau_levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+             min("dl").as("min_dl"),
+             sum("dl").as("sum_dl"),
+             sum(when(col("dl") <= 64, 1L).otherwise(0L)).as("n_close"))
         .orderBy("lang")
     }),
 
@@ -3991,6 +4049,34 @@ object SparkEntry {
                   AS postings_checksum
          FROM p GROUP BY 1 ORDER BY total_tf DESC, token ASC LIMIT 100""",
 
+    "emb_matryoshka_agreement" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id, embedding AS e
+                    FROM embeddings WHERE vec_id >= 8),
+              s AS (SELECT q.q_id, c.vec_id,
+                      ${duckDot("qe", "e")}
+                        / (sqrt(${duckDot("qe", "qe")})
+                           * sqrt(${duckDot("e", "e")})) AS cos_full,
+                      ${duckDotSub("qe", "e", "0")}
+                        / (sqrt(${duckDotSub("qe", "qe", "0")})
+                           * sqrt(${duckDotSub("e", "e", "0")})) AS cos_pre
+                    FROM q, c),
+              f AS (SELECT q_id, vec_id FROM
+                      (SELECT q_id, vec_id, row_number() OVER
+                         (PARTITION BY q_id
+                          ORDER BY cos_full DESC, vec_id ASC) AS rn
+                       FROM s) WHERE rn = 1),
+              p AS (SELECT q_id, vec_id FROM
+                      (SELECT q_id, vec_id, row_number() OVER
+                         (PARTITION BY q_id
+                          ORDER BY cos_pre DESC, vec_id ASC) AS rn
+                       FROM s) WHERE rn = 1)
+         SELECT f.q_id, f.vec_id AS top1_full, p.vec_id AS top1_prefix,
+                f.vec_id = p.vec_id AS agree
+         FROM f JOIN p ON p.q_id = f.q_id
+         ORDER BY f.q_id""",
+
     "emb_dim_correlation" ->
       """WITH dims AS (SELECT vec_id, i,
                         CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
@@ -4030,6 +4116,22 @@ object SparkEntry {
          SELECT lang, count(*) AS n_pairs, min(lev) AS min_lev,
                 CAST(sum(lev) AS BIGINT) AS sum_lev,
                 CAST(sum(CASE WHEN lev <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_close
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    "link_block_damerau" ->
+      """WITH d AS (SELECT doc_id, lang, text, n_chars // 16 AS blk,
+                           split_part(text, ' ', 1) AS ft
+                    FROM documents),
+              p AS (SELECT a.lang,
+                      CAST(damerau_levenshtein(a.text, b.text) AS BIGINT)
+                        AS dl
+                    FROM d a JOIN d b
+                      ON a.lang = b.lang AND a.blk = b.blk AND a.ft = b.ft
+                     AND a.doc_id < b.doc_id)
+         SELECT lang, count(*) AS n_pairs, min(dl) AS min_dl,
+                CAST(sum(dl) AS BIGINT) AS sum_dl,
+                CAST(sum(CASE WHEN dl <= 64 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_close
          FROM p GROUP BY 1 ORDER BY 1""",
 

@@ -90,4 +90,47 @@ class TextOlapSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("damerau-levenshtein: unrestricted variant, hand cases, codegen") {
+    import graft.functions.DamerauLevenshtein.{damerau_levenshtein, distance}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // the discriminator: unrestricted DL allows editing inside a
+    // transposed block — dl("ca","abc") = 2 where OSA would give 3
+    assert(distance(u("ca"), u("abc")) == 2)
+    assert(distance(u("ab"), u("ba")) == 1)         // one transposition
+    assert(distance(u("spark"), u("sprak")) == 1)
+    assert(distance(u("kitten"), u("sitting")) == 3)
+    assert(distance(u("abcdef"), u("abcfad")) == 3)
+    assert(distance(u(""), u("abc")) == 3 && distance(u("abc"), u("")) == 3)
+    assert(distance(u("same"), u("same")) == 0)
+    // triangle-ish sanity: never exceeds plain levenshtein
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+                    ("flaw", "lawn"), ("gumbo", "gambol"))
+      .toDF("a", "b")
+      .select(col("a"), col("b"),
+        damerau_levenshtein(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).as("lev"))
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getAs[Int]("dl") <= r.getAs[Int]("lev")))
+    assert(rows.head.getAs[Int]("dl") == 1) // martha->marhta: transposition
+    // codegen path: on a real scan (a local Seq constant-folds into a
+    // LocalTableScan before any codegen), the expression runs inside a
+    // whole-stage codegen span
+    val q = SparkEntry.queries("link_block_damerau")(
+      spark, "/root/testdata/sf0.001")
+    q.collect() // finalize the AQE plan on THIS QueryExecution
+    val qplan = q.queryExecution.executedPlan.toString
+    assert(qplan.contains("damerau_levenshtein"))
+    // `*(n)` is the whole-stage-codegen marker in the finalized AQE plan:
+    // the distance must run inside a codegen stage, not interpreted
+    assert(qplan.linesIterator.exists(l =>
+      l.contains("damerau_levenshtein") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
+      s"distance not in a codegen stage:\n$qplan")
+    // null propagation
+    val withNull = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(damerau_levenshtein(col("a"), col("b")).as("dl")).collect()
+    assert(withNull(0).isNullAt(0))
+  }
 }
