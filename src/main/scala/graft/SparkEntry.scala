@@ -1578,6 +1578,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Theil–Sen robust trend per series: the positional median of all
+    // pairwise slopes (y_j−y_i)/(j−i) over the daily bars — the
+    // outlier-immune counterpart of ts_linreg_trend's OLS. Slopes are one
+    // IEEE division of exact integers (deterministic bits on any engine);
+    // the median is a keyed positional pick with (slope, i, j) totalized.
+    // O(n²) pairs per series, bounded by daily-bar counts (same posture
+    // as the EMA prefix form: 10³ bars/decade regardless of tick volume),
+    // and the window is keyed by series — never global.
+    "ts_theil_sen" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val b = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("cents"))
+        .withColumn("i", row_number().over(
+          w.partitionBy("event_type").orderBy("date")))
+      val x = b.select(col("event_type"), col("i").as("ia"),
+                       col("cents").as("ca"))
+      val y = b.select(col("event_type"), col("i").as("ib"),
+                       col("cents").as("cb"))
+      val pairs = x.join(y, Seq("event_type")).filter(col("ia") < col("ib"))
+        .select(col("event_type"), col("ia"), col("ib"),
+          ((col("cb") - col("ca")).cast("double")
+            / (col("ib") - col("ia")).cast("double")).as("slope"))
+      val ws = w.partitionBy("event_type")
+        .orderBy(col("slope"), col("ia"), col("ib"))
+      pairs
+        .withColumn("rn", row_number().over(ws))
+        .withColumn("m", count(lit(1)).over(w.partitionBy("event_type")))
+        .filter(col("rn") === expr("(m + 1) DIV 2"))
+        .select(col("event_type"), col("slope").as("theil_sen_slope"),
+                col("m").as("n_pairs"))
+        .orderBy("event_type")
+    }),
+
     // Changepoint detection per series: the point where the prefix sum
     // deviates most from uniform drift — argmax_i |n·S_i − i·S_n| over
     // exact cent integers (the CUSUM-style statistic with the mean
@@ -2011,6 +2045,22 @@ object SparkEntry {
       val views = ev.filter(col("event_type") === "view")
         .select("user_id", "ts", "value")
       graft.ts.AsOfJoin.asOfForward(purchases, views, Seq("user_id"), "ts",
+          Seq("value"))
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+        .orderBy("event_id")
+    }),
+
+    // As-of nearest (pandas merge_asof(direction='nearest')): the view
+    // with the smallest |view.ts − purchase.ts|, equidistant ties going
+    // backward — both traversals share one shuffle (two window passes
+    // over the same union frame), then a µs-exact comparison picks.
+    "asof_join_nearest_view" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      graft.ts.AsOfJoin.asOfNearest(purchases, views, Seq("user_id"), "ts",
           Seq("value"))
         .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
         .orderBy("event_id")
@@ -4154,6 +4204,30 @@ object SparkEntry {
                 n_expected - n_observed AS n_missing
          FROM exp ORDER BY event_type""",
 
+    "ts_theil_sen" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, cents,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY date) AS i
+                    FROM b),
+              p AS (SELECT x.event_type, x.i AS ia, y.i AS ib,
+                           CAST(y.cents - x.cents AS DOUBLE)
+                             / CAST(y.i - x.i AS DOUBLE) AS slope
+                    FROM r x JOIN r y
+                      ON x.event_type = y.event_type AND x.i < y.i),
+              k AS (SELECT event_type, ia, ib, slope,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY slope, ia, ib) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS m
+                    FROM p)
+         SELECT event_type, slope AS theil_sen_slope,
+                CAST(m AS BIGINT) AS n_pairs
+         FROM k WHERE rn = (m + 1) // 2
+         ORDER BY event_type""",
+
     "ts_changepoint" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
                            CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
@@ -4928,6 +5002,32 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.ts >= p.ts
          ORDER BY p.event_id""",
+
+    "asof_join_nearest_view" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view'),
+              bk AS (SELECT p.event_id, p.user_id, p.ts,
+                            b.ts AS bts, b.value AS bval
+                     FROM p ASOF LEFT JOIN v b
+                       ON p.user_id = b.user_id AND b.ts <= p.ts),
+              fw AS (SELECT p.event_id, f.ts AS fts, f.value AS fval
+                     FROM p ASOF LEFT JOIN v f
+                       ON p.user_id = f.user_id AND f.ts >= p.ts)
+         SELECT bk.event_id, bk.user_id, bk.ts,
+                CASE WHEN bk.bts IS NULL THEN fw.fts
+                     WHEN fw.fts IS NULL THEN bk.bts
+                     WHEN epoch_us(bk.ts) - epoch_us(bk.bts)
+                          <= epoch_us(fw.fts) - epoch_us(bk.ts)
+                     THEN bk.bts ELSE fw.fts END AS asof_ts,
+                CASE WHEN bk.bts IS NULL THEN fw.fval
+                     WHEN fw.fts IS NULL THEN bk.bval
+                     WHEN epoch_us(bk.ts) - epoch_us(bk.bts)
+                          <= epoch_us(fw.fts) - epoch_us(bk.ts)
+                     THEN bk.bval ELSE fw.fval END AS asof_value
+         FROM bk JOIN fw ON fw.event_id = bk.event_id
+         ORDER BY bk.event_id""",
 
     "asof_join_tolerance" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

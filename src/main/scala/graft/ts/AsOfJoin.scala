@@ -39,19 +39,57 @@ object AsOfJoin {
                   timeCol: String, payloadCols: Seq[String]): DataFrame =
     asOfImpl(left, right, keyCols, timeCol, payloadCols, forward = true)
 
-  private def asOfImpl(left: DataFrame, right: DataFrame,
-                       keyCols: Seq[String], timeCol: String,
-                       payloadCols: Seq[String],
-                       forward: Boolean): DataFrame = {
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`): the right
+    * row with the smallest |right.time − left.time| per key; equidistant
+    * ties resolve BACKWARD (the at-or-before row), matching pandas. One
+    * union frame, two keyed window passes (the backward and forward
+    * traversals share the shuffle), one comparison — not two separate
+    * joins stitched by a second shuffle.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  timeCol: String, payloadCols: Seq[String]): DataFrame = {
     val sideCol = "__graft_is_left"
     val packCol = "__graft_asof_pack"
+    val backCol = "__graft_asof_back"
+    val fwdCol = "__graft_asof_fwd"
+    val (l, r, carriedSrc) =
+      packedSides(left, right, keyCols, timeCol, payloadCols,
+        sideCol, packCol)
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(sideCol).asc, col(packCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).desc, col(sideCol).asc, col(packCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .withColumn(backCol, last(col(packCol), ignoreNulls = true).over(wb))
+      .withColumn(fwdCol, last(col(packCol), ignoreNulls = true).over(wf))
+      .filter(col(sideCol) === 1)
+    // exact µs distances; equidistant → backward, like pandas
+    val backT = unix_micros(col(backCol).getField(timeCol))
+    val fwdT = unix_micros(col(fwdCol).getField(timeCol))
+    val t = unix_micros(col(timeCol))
+    val chosen = when(col(backCol).isNull, col(fwdCol))
+      .when(col(fwdCol).isNull, col(backCol))
+      .when(t - backT <= fwdT - t, col(backCol))
+      .otherwise(col(fwdCol))
+    carriedSrc.foldLeft(filled.withColumn(packCol, chosen)) { (df, c) =>
+        df.withColumn(s"asof_$c", col(packCol).getField(c))
+      }
+      .drop(sideCol, packCol, backCol, fwdCol)
+  }
+
+  /** Builds the packed union sides shared by every as-of variant: left
+    * rows tagged side=1 with a NULL pack, right rows reduced to
+    * (keys, pack) and reshaped to the left schema with side=0.
+    */
+  private def packedSides(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String], timeCol: String,
+                          payloadCols: Seq[String], sideCol: String,
+                          packCol: String)
+      : (DataFrame, DataFrame, Seq[String]) = {
     val leftType = left.schema.map(f => f.name -> f.dataType).toMap
     val carriedSrc = timeCol +: payloadCols
-    // the carried right-side columns ride in ONE struct: the struct itself
-    // is non-null for every right row, so last(ignoreNulls) always lands on
-    // the latest right row — per-column last() would skip a latest row
-    // whose payload value happens to be NULL and wrongly surface an older
-    // one. (Also: one window function instead of N.)
     val packType = org.apache.spark.sql.types.StructType(
       carriedSrc.map(c => right.schema(c)))
     val l = left
@@ -60,7 +98,6 @@ object AsOfJoin {
     val r0 = right.select(
       keyCols.map(col) :+
         struct(carriedSrc.map(col): _*).cast(packType).as(packCol): _*)
-    // right rows get the left schema's shape: missing left columns as null
     val extraLeftCols = l.columns.filterNot(c =>
       keyCols.contains(c) || c == packCol || c == sideCol)
     val r = extraLeftCols.foldLeft(r0) { (df, c) =>
@@ -69,6 +106,23 @@ object AsOfJoin {
       .withColumn(sideCol, lit(0))
       .withColumn(timeCol, col(packCol).getField(timeCol))
       .select(l.columns.map(col): _*)
+    (l, r, carriedSrc)
+  }
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+                       keyCols: Seq[String], timeCol: String,
+                       payloadCols: Seq[String],
+                       forward: Boolean): DataFrame = {
+    val sideCol = "__graft_is_left"
+    val packCol = "__graft_asof_pack"
+    // the carried right-side columns ride in ONE struct: the struct itself
+    // is non-null for every right row, so last(ignoreNulls) always lands on
+    // the latest right row — per-column last() would skip a latest row
+    // whose payload value happens to be NULL and wrongly surface an older
+    // one. (Also: one window function instead of N.)
+    val (l, r, carriedSrc) =
+      packedSides(left, right, keyCols, timeCol, payloadCols,
+        sideCol, packCol)
     // order right rows before left rows at equal time, so equality
     // matches in both directions: ascending traversal gives `<=`
     // (latest at-or-before), descending gives `>=` (earliest at-or-after).

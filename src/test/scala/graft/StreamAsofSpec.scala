@@ -70,6 +70,32 @@ class StreamAsofSpec extends AnyFunSuite {
       == ts("2024-01-01 11:00:00"))
   }
 
+  test("asOfNearest picks the closer side, equidistant ties go backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 9:00 (1h) vs fwd 10:30 (30m) -> fwd
+      (2L, 10L, ts("2024-01-01 11:30:00")), // back 10:30 (1h) vs fwd 12:30 (1h) -> tie -> back
+      (3L, 20L, ts("2024-01-01 09:00:00")), // only forward exists
+      (4L, 30L, ts("2024-01-01 09:00:00")), // only backward exists
+      (5L, 40L, ts("2024-01-01 09:00:00"))  // no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1.0),
+      (10L, ts("2024-01-01 10:30:00"), 2.0),
+      (10L, ts("2024-01-01 12:30:00"), 3.0),
+      (20L, ts("2024-01-01 23:00:00"), 9.0),
+      (30L, ts("2024-01-01 01:00:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.asOfNearest(left, right, Seq("user_id"), "ts",
+        Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(1L -> Some(2.0), 2L -> Some(2.0),
+      3L -> Some(9.0), 4L -> Some(7.0), 5L -> None))
+  }
+
   test("asOf resolves equal-timestamp right rows deterministically") {
     import spark.implicits._
     // three right rows share (key, time): the winner must be the
