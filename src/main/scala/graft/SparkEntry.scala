@@ -2011,6 +2011,16 @@ object SparkEntry {
       graft.streaming.EventStream.runTumblingDaily(s, dir)
         .orderBy("date", "event_type")),
 
+    // The mergeable HLL sketch maintained by streaming state: per-day
+    // distinct-user estimates where the TypedImperativeAggregate's
+    // serialized registers ARE the state rows — sketches at 100 TB are
+    // only useful if the stream can keep them, and this pins that the
+    // custom aggregate survives incremental merge + state round-trips
+    // with the estimator's bitwise-portable arithmetic intact.
+    "stream_hll_daily" -> ((s, dir) =>
+      graft.streaming.EventStream.runHllDaily(s, dir)
+        .orderBy("date")),
+
     // Sliding windows in streaming: the batch ts_sliding_window_2d shape
     // declared against the unbounded source — each event in two open
     // windows, state watermark-bounded, streamed == batch bitwise (same
@@ -4938,6 +4948,39 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same register arithmetic as sketch_hll_distinct, grouped per day
+    "stream_hll_daily" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS date, user_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM events),
+              m1 AS (SELECT date, user_id,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT date, user_id, (h1 * h1) % 2147483647 AS h2
+                     FROM m1),
+              m3 AS (SELECT date, user_id,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              r AS (SELECT date, hv % 512 AS bucket,
+                      CASE WHEN hv // 512 = 0 THEN 23
+                           ELSE 23 - length(bin(hv // 512)) END AS rho
+                    FROM m3),
+              regs AS (SELECT date, bucket, max(rho) AS r
+                       FROM r GROUP BY 1, 2),
+              sq AS (SELECT date,
+                       CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT)
+                         + (512 - count(*)) * CAST(4294967296 AS BIGINT) AS s,
+                       512 - count(*) AS zero_regs
+                     FROM regs GROUP BY 1)
+         SELECT date,
+                (((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                    + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+                  * CAST(512 AS DOUBLE)) * CAST(512 AS DOUBLE))
+                  * CAST(4294967296 AS DOUBLE) / CAST(s AS DOUBLE) AS hll_est,
+                CAST(zero_regs AS BIGINT) AS zero_regs
+         FROM sq ORDER BY date""",
 
     "stream_sliding_2d" ->
       """WITH e AS (SELECT event_type, value,

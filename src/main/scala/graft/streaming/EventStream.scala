@@ -71,6 +71,36 @@ object EventStream {
       .select(to_date(col("window.start")).as("date"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Daily distinct-user cardinality via the engine's mergeable HLL
+    * sketch, running INSIDE streaming state: the
+    * TypedImperativeAggregate's serialized registers are the state rows,
+    * merged incrementally per micro-batch — the sketch the batch
+    * `sketch_hll_distinct` query builds, now maintained by the stream.
+    * The estimator is bitwise-portable by design, so the streamed result
+    * equals the batch/oracle arithmetic exactly.
+    */
+  def hllDaily(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        graft.olap.Sketch.spreadHash(col("user_id")).as("hv"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.olap.Hll.sketchAgg(col("hv")).as("sk"))
+      .select(to_date(col("window.start")).as("date"),
+              graft.olap.Hll.estimate(col("sk")).as("hll_est"),
+              graft.olap.Hll.zeroRegs(col("sk")).as("zero_regs"))
+
+  def runHllDaily(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_hll"
+    val q = hllDaily(readEvents(spark, dir), "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming deduplication (the exactly-once repair for at-least-once
     * delivery): duplicate deliveries collapse on the event key before
     * aggregation; with a watermark, Spark bounds the dedup state the same
