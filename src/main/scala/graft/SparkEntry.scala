@@ -1239,6 +1239,34 @@ object SparkEntry {
       out
     }),
 
+    // Market-basket mining: top co-occurring part pairs across orders
+    // with association confidence. Pair generation is a per-order
+    // self-join — bounded by items-per-order (TPC-H ≈ 4, never corpus
+    // size), the blocking that keeps basket mining feasible at any scale;
+    // support and confidence are exact counts + one division each.
+    "mine_frequent_pairs" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+      pairs
+        .join(itemCnt.select(col("pk").as("part_a"),
+          col("n_item").as("n_a")), Seq("part_a"))
+        .join(itemCnt.select(col("pk").as("part_b"),
+          col("n_item").as("n_b")), Seq("part_b"))
+        .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"),
+          col("n_b"),
+          (col("n_pair").cast("double") / col("n_a").cast("double"))
+            .as("conf_a_b"))
+        .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    }),
+
     // Bounded BFS from the smallest node id over the bipartite
     // part–supplier graph: exact-distance frontier counts for 3 hops —
     // per hop one keyed join + distinct + anti-join vs visited, eagerly
@@ -3831,6 +3859,23 @@ object SparkEntry {
                 CAST(3 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
                   / CAST(s.n_wedges AS DOUBLE) AS transitivity
          FROM s, m, t""",
+
+    "mine_frequent_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+              ic AS (SELECT pk, count(*) AS n_item FROM items GROUP BY 1),
+              p AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                           count(*) AS n_pair
+                    FROM items a JOIN items b
+                      ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY 1, 2)
+         SELECT p.part_a, p.part_b, p.n_pair,
+                ia.n_item AS n_a, ib.n_item AS n_b,
+                CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+                  AS conf_a_b
+         FROM p JOIN ic ia ON ia.pk = p.part_a
+                JOIN ic ib ON ib.pk = p.part_b
+         ORDER BY p.n_pair DESC, p.part_a, p.part_b LIMIT 50""",
 
     "graph_bfs_reach" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -79,4 +79,90 @@ class PropertySpec extends AnyFunSuite {
       assert(arr == arr.sorted && arr.distinct == arr)
     }
   }
+
+  // recursive optimal-string-alignment (adjacent transpose, block never
+  // re-edited) — NOT the unrestricted DL, but its proven upper bound:
+  // osa/2 <= dl <= osa, with equality whenever no re-editing of a
+  // transposed block helps
+  private def osaBrute(a: String, b: String): Int = {
+    val memo = scala.collection.mutable.Map.empty[(String, String), Int]
+    def go(x: String, y: String): Int = memo.getOrElseUpdate((x, y), {
+      if (x.isEmpty) y.length
+      else if (y.isEmpty) x.length
+      else {
+        var best = math.min(
+          go(x.tail, y) + 1,
+          math.min(go(x, y.tail) + 1,
+            go(x.tail, y.tail) + (if (x.head == y.head) 0 else 1)))
+        if (x.length >= 2 && y.length >= 2 &&
+            x(0) == y(1) && x(1) == y(0))
+          best = math.min(best, go(x.drop(2), y.drop(2)) + 1)
+        best
+      }
+    })
+    go(a, b)
+  }
+
+  test("damerau-levenshtein is bounded by OSA on short strings") {
+    import graft.functions.DamerauLevenshtein.distance
+    val short = Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    var diverged = 0
+    forAllN(Gen.zip(short, short), n = 300) { case (a, b) =>
+      val dl = distance(UTF8String.fromString(a), UTF8String.fromString(b))
+      val osa = osaBrute(a, b)
+      assert(dl <= osa, s"dl('$a','$b')=$dl exceeds osa=$osa")
+      assert(2 * dl >= osa, s"dl('$a','$b')=$dl below osa/2 (osa=$osa)")
+      if (dl != osa) diverged += 1
+    }
+    // the two variants genuinely differ on this alphabet (else the bound
+    // test would be vacuous) — and where they differ, DuckDB's built-in
+    // (the oracle for link_block_damerau) sides with the unrestricted
+    // value, e.g. dl('abbaba','bcaacb') = 4 vs osa 5, probed directly
+    assert(diverged > 0)
+    assert(distance(UTF8String.fromString("abbaba"),
+                    UTF8String.fromString("bcaacb")) == 4)
+  }
+
+  test("damerau-levenshtein metric properties") {
+    import graft.functions.DamerauLevenshtein.distance
+    def d(a: String, b: String) =
+      distance(UTF8String.fromString(a), UTF8String.fromString(b))
+    val s = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    forAllN(Gen.zip(s, s)) { case (a, b) =>
+      assert(d(a, b) == d(b, a))                    // symmetry
+      assert(d(a, b) >= 0 && (d(a, b) == 0) == (a == b))
+      assert(d(a, b) <= math.max(a.length, b.length)) // upper bound
+    }
+  }
+
+  test("wav codec round-trips arbitrary sample buffers exactly") {
+    import graft.multimodal.Media.WavCodec
+    val bytes = Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    forAllN(bytes, n = 60) { samples =>
+      val wav = WavCodec.encodePcm8(8000, samples)
+      assert(WavCodec.isWav(wav))
+      val (rate, ch, n, e) = WavCodec.decode(wav)
+      assert(rate == 8000 && ch == 1 && n == samples.length.toLong)
+      val expected = samples.map { s =>
+        val v = (s & 0xff) - 128; v.toLong * v }.sum
+      assert(e == expected)
+    }
+  }
+
+  test("png codec round-trips arbitrary small rasters exactly") {
+    import graft.multimodal.Media.PngCodec
+    val dims = Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9),
+                       Gen.choose(0L, Long.MaxValue / 2))
+    forAllN(dims, n = 40) { case (w, h, seed) =>
+      def pixel(x: Int, y: Int): Int =
+        (((seed + x * 31 + y * 131) % 256) + 256).toInt % 256
+      val png = PngCodec.encodeGray(w, h, pixel)
+      assert(PngCodec.isPng(png))
+      val (dw, dh, sum) = PngCodec.decode(png)
+      assert(dw == w && dh == h)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield pixel(x, y).toLong).sum % 2147483647L
+      assert(sum == expected)
+    }
+  }
 }
