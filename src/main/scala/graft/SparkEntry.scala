@@ -1839,6 +1839,29 @@ object SparkEntry {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
+    // LM-flavored quality signal: token surprisal in EXACT integer bits —
+    // per token, B = 32 − floor(log2(corpus_frequency)) (rare tokens
+    // contribute more bits), summed per document. floor(log2 n) is
+    // length(bin(n)) − 1 on both engines (the HLL oracle's proven
+    // portable idiom), so this perplexity proxy needs no floating log at
+    // all. One token-keyed join (the frequency table is vocabulary-sized,
+    // orders smaller than the token stream) + one partial-aggregable sum.
+    "text_surprisal_bits" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens("text")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      toks.join(freq, "tok")
+        .withColumn("bits", lit(32L) - (length(bin(col("tf"))) - 1))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(col("bits")).as("sum_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_bits"))
+        .orderBy("doc_id")
+    }),
+
     // Training-data hygiene: PII detection + redaction. The synthetic
     // corpus carries no natural PII, so deterministic emails/phones are
     // injected first (identically in the oracle), then detected with
@@ -4420,6 +4443,22 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_shared_grams
          FROM corp JOIN bench USING (gram)
          GROUP BY 1 ORDER BY 1""",
+
+    "text_surprisal_bits" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(translate(text,
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                  'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS tok
+              FROM documents),
+              freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+              j AS (SELECT t.doc_id,
+                           32 - (length(bin(f.tf)) - 1) AS bits
+                    FROM toks t JOIN freq f ON f.tok = t.tok)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(bits) AS BIGINT) AS sum_bits,
+                CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS mean_bits
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (
