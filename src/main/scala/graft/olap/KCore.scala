@@ -60,9 +60,15 @@ object KCore {
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
     def stats(e: DataFrame, round: Int): (Int, Long, Long) = {
-      val r = e.agg(count(lit(1)).as("n_edges")).crossJoin(
-        e.select(explode(array(col("u"), col("v"))).as("n"))
-          .agg(countDistinct(col("n")).as("n_nodes"))).collect()(0)
+      // ONE aggregate job: explode both endpoints, distinct-count nodes,
+      // halve the exploded row count for edges — no scalar cross join.
+      // (Deriving stats from a CACHED degree frame was tried and is 2×
+      // slower: the keep-set filter loses size estimates behind the
+      // InMemoryRelation and the semi-joins stop broadcasting.)
+      val r = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .agg(countDistinct(col("n")).as("n_nodes"),
+             expr("count(1) DIV 2").as("n_edges"))
+        .collect()(0)
       (round, r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
     }
     val kth = medianDegree(degrees(e0)).collect()(0).getLong(0)
