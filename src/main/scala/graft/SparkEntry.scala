@@ -1839,6 +1839,81 @@ object SparkEntry {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
+    // Contamination-safe train/val/test split: hash the near-dup
+    // CLUSTER id, not the document id, so every member of a duplicate
+    // cluster lands in the same split — the leakage bug (train/test
+    // near-dups) that plain per-doc hashing bakes into an eval set.
+    // Composition: banded SimHash pairs → connected components →
+    // canonical-id hash split; singletons are their own canonical.
+    "sample_dedup_aware_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = SimHash.bandedNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 1, bands = 2)
+      val labels = graft.dedup.Components
+        .canonicalLabels(pairs, "doc_a", "doc_b")
+      docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+        .withColumn("canonical_id",
+          coalesce(col("canonical_id"), col("doc_id")))
+        .withColumn("bucket",
+          (graft.olap.Sketch.spreadHash(col("canonical_id")) % 100)
+            .cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "validation")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("canonical_id")).as("n_clusters"),
+             min(col("doc_id")).as("min_doc_id"),
+             max(col("doc_id")).as("max_doc_id"))
+        .orderBy("split")
+    }),
+
+    // The admission gate every training pipeline runs: ordered accept/
+    // reject rules over the engine's own quality signals (first failing
+    // rule wins, so reject reasons are deterministic and auditable).
+    // Pure composition — length, quality score, language agreement — in
+    // one pass over the corpus; the gate summary is one partial-
+    // aggregable groupBy.
+    "pipeline_quality_gate" -> ((s, dir) => {
+      val scored = TextAnalysis.withLangId(
+        TextAnalysis.withQuality(Tables.documents(s, dir)))
+      scored
+        .withColumn("reason",
+          when(col("n_chars") < 50, "too_short")
+            .when(col("quality_score") < 0.5, "low_quality")
+            .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
+            .otherwise("accept"))
+        .groupBy("lang", "reason")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "reason")
+    }),
+
+    // N-gram novelty: the fraction of a document's distinct token
+    // 2-grams not seen in ANY lower-id document — the dedup-adjacent
+    // freshness signal a crawl pipeline scores before admitting a page.
+    // "Seen earlier" distributes as first-occurrence: one groupBy(gram)
+    // min(doc_id), then a gram-keyed join back; a gram is novel for
+    // exactly the doc that owns its minimum. No sequential scan, no
+    // window over the corpus.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.dedup.NgramJaccard.gram_hashes(col("text"), 2))
+            .as("g"))
+      val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // LM-flavored quality signal: token surprisal in EXACT integer bits —
     // per token, B = 32 − floor(log2(corpus_frequency)) (rare tokens
     // contribute more bits), summed per document. floor(log2 n) is
@@ -4442,6 +4517,124 @@ object SparkEntry {
              corp AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20)
          SELECT doc_id, count(*) AS n_shared_grams
          FROM corp JOIN bench USING (gram)
+         GROUP BY 1 ORDER BY 1""",
+
+    "sample_dedup_aware_split" ->
+      s"""WITH RECURSIVE
+            h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+            lab AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT)
+                      AS canonical_id
+                    FROM reach GROUP BY 1),
+            allx AS (SELECT d.doc_id,
+                            coalesce(l.canonical_id, d.doc_id)
+                              AS canonical_id
+                     FROM documents d
+                     LEFT JOIN lab l ON l.doc_id = d.doc_id),
+            f AS (SELECT doc_id, canonical_id,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                        string_split(CAST(canonical_id AS VARCHAR), ''),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                  FROM allx),
+            m1 AS (SELECT doc_id, canonical_id,
+                     (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+            m2 AS (SELECT doc_id, canonical_id,
+                     (h1 * h1) % 2147483647 AS h2 FROM m1),
+            bk AS (SELECT doc_id, canonical_id,
+                     ((h2 * 69069 + 362437) % 2147483647) % 100 AS bucket
+                   FROM m2)
+         SELECT CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'validation'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM bk GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_quality_gate" -> {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      def markers(lang: String) = TextAnalysis.langMarkers.toMap.apply(lang)
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.langMarkers.map { case (lang, _) =>
+        s"CAST(len(list_filter(toks, t -> list_contains(${markers(lang)}, t))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n                 ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cascade = langs.map { lang =>
+        val beats = langs.filter(_ != lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
+      }.mkString("\n                 ")
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
+                regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+              FROM documents),
+              q AS (SELECT doc_id, lang, n_chars,
+                           CAST(len(toks) AS BIGINT) AS n_tokens,
+                           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                             AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                             AS punct_ratio,
+                           CASE WHEN len(toks) > 0 THEN
+                             CAST(len(list_filter(toks,
+                               t -> list_contains($stops, t))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                           ELSE 0.0 END AS stopword_ratio,
+                           $scoreCols
+                    FROM t),
+              g AS (SELECT doc_id, lang, n_chars,
+                           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                             + (1.0 - punct_ratio) * 0.3
+                             + stopword_ratio * 0.3 AS quality_score,
+                           CASE $cascade
+                           ELSE 'und' END AS predicted_lang
+                    FROM q),
+              rr AS (SELECT lang, n_chars,
+                            CASE WHEN n_chars < 50 THEN 'too_short'
+                                 WHEN quality_score < 0.5 THEN 'low_quality'
+                                 WHEN predicted_lang <> lang
+                                   THEN 'lang_mismatch'
+                                 ELSE 'accept' END AS reason
+                     FROM g)
+         SELECT lang, reason, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM rr GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "text_ngram_novelty" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                             generate_series(1, len(th) - 1), i ->
+                               (th[i] * 31 + th[i+1]) % 2147483647))) AS g
+                    FROM h),
+              f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         SELECT gg.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         FROM g gg JOIN f ON f.g = gg.g
          GROUP BY 1 ORDER BY 1""",
 
     "text_surprisal_bits" ->
