@@ -1606,6 +1606,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Sequential pattern matching (the MATCH_RECOGNIZE shape): count
+    // down-down-up reversals per series via a lag chain over exact
+    // cents — keyed window, three comparisons, one partial-aggregable
+    // summary; ties (flat days) count as neither down nor up.
+    "ts_pattern_ddu" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("c1", lag(col("c"), 1).over(w))
+        .withColumn("c2", lag(col("c"), 2).over(w))
+        .withColumn("c3", lag(col("c"), 3).over(w))
+        .withColumn("is_ddu",
+          when(col("c3").isNotNull &&
+               col("c2") < col("c3") && col("c1") < col("c2") &&
+               col("c") > col("c1"), 1L)
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("is_ddu")).as("n_patterns"),
+             min(when(col("is_ddu") === 1, col("date"))).as("first_hit"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust trend per series: the positional median of all
     // pairwise slopes (y_j−y_i)/(j−i) over the daily bars — the
     // outlier-immune counterpart of ts_linreg_trend's OLS. Slopes are one
@@ -2419,6 +2444,23 @@ object SparkEntry {
     // Cube (full grouping-sets lattice — rollup's superset): every
     // (flag, status) combination plus both one-dimension margins plus the
     // grand total in one pass, levels tagged by grouping_id.
+    // Benford first-digit audit (the classic fabricated-data screen):
+    // distribution of leading digits of order totals. The digit comes
+    // from the integer-cent string — never from double formatting, which
+    // differs across engines — so the whole audit is exact.
+    "dq_benford_digits" -> ((s, dir) => {
+      val cents = Exact.cents(col("o_totalprice"))
+      val total = Tables.orders(s, dir).agg(count(lit(1)).as("n_total"))
+      Tables.orders(s, dir)
+        .select(substring(cents.cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+        .orderBy("digit")
+    }),
+
     // Data-quality table profiler: per-column null count + exact distinct
     // cardinality + the table row count, all from ONE scan (the multiple
     // exact countDistincts plan as a single Expand + aggregate — one pass
@@ -4357,6 +4399,27 @@ object SparkEntry {
                 n_expected - n_observed AS n_missing
          FROM exp ORDER BY event_type""",
 
+    "ts_pattern_ddu" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER w AS c1,
+                           lag(c, 2) OVER w AS c2,
+                           lag(c, 3) OVER w AS c3
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              m AS (SELECT event_type, date,
+                           CASE WHEN c3 IS NOT NULL AND c2 < c3
+                                 AND c1 < c2 AND c > c1
+                                THEN 1 ELSE 0 END AS is_ddu
+                    FROM l)
+         SELECT event_type, count(*) AS n_days,
+                CAST(sum(is_ddu) AS BIGINT) AS n_patterns,
+                min(CASE WHEN is_ddu = 1 THEN date END) AS first_hit
+         FROM m GROUP BY 1 ORDER BY 1""",
+
     "ts_theil_sen" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
                            CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
@@ -5603,6 +5666,16 @@ object SparkEntry {
                   j -> (bytes[j] - 128) * (bytes[j] - 128)))
                   AS BIGINT) AS energy
          FROM c ORDER BY media_id, window_idx""",
+
+    "dq_benford_digits" ->
+      """WITH c AS (SELECT substr(CAST(CAST(round(o_totalprice * 100, 0)
+                      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+                    FROM orders),
+              t AS (SELECT count(*) AS n_total FROM orders)
+         SELECT digit, count(*) AS n,
+                CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                  AS share
+         FROM c, t GROUP BY digit, t.n_total ORDER BY digit""",
 
     "dq_profile_table" ->
       """WITH prof AS (
