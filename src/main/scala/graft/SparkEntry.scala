@@ -1606,6 +1606,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Regular-grid resample + forward fill (pandas resample().ffill()):
+    // project each series onto a uniform 6-hour grid spanning its own
+    // range, carrying the last event value at-or-before each grid point
+    // via the engine's as-of join. The grid explodes from a
+    // 1-row-per-series bounds frame, so grid generation is never
+    // proportional to event rows; the fill is one keyed as-of shuffle.
+    "ts_resample_grid_ffill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("value"))
+      val grid = ev.groupBy("event_type")
+        .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+        .withColumn("ts", explode(sequence(
+          date_trunc("hour", col("tmin")),
+          col("tmax"), expr("INTERVAL 6 HOURS"))))
+        .select("event_type", "ts")
+      graft.ts.AsOfJoin.asOf(grid, ev, Seq("event_type"), "ts",
+          Seq("value"))
+        .select(col("event_type"), col("ts"),
+                col("asof_ts"), col("asof_value"))
+        .orderBy("event_type", "ts")
+    }),
+
     // Sequential pattern matching (the MATCH_RECOGNIZE shape): count
     // down-down-up reversals per series via a lag chain over exact
     // cents — keyed window, three comparisons, one partial-aggregable
@@ -2444,6 +2466,23 @@ object SparkEntry {
     // Cube (full grouping-sets lattice — rollup's superset): every
     // (flag, status) combination plus both one-dimension margins plus the
     // grand total in one pass, levels tagged by grouping_id.
+    // Mode (most frequent value) per group with deterministic ties
+    // (smallest value wins) — expressed window-free as count → per-group
+    // max → equality join back → min, every stage partial-aggregable;
+    // engines disagree on native mode() tie-breaking, so the explicit
+    // form is both portable and the scale shape.
+    "agg_mode_per_group" -> ((s, dir) => {
+      val c = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = c.groupBy("o_orderstatus").agg(max(col("cnt")).as("mx"))
+      c.join(m, "o_orderstatus").filter(col("cnt") === col("mx"))
+        .groupBy("o_orderstatus")
+        .agg(min(col("o_orderpriority")).as("mode_priority"),
+             max(col("mx")).as("n_mode"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Benford first-digit audit (the classic fabricated-data screen):
     // distribution of leading digits of order totals. The digit comes
     // from the integer-cent string — never from double formatting, which
@@ -4399,6 +4438,19 @@ object SparkEntry {
                 n_expected - n_observed AS n_missing
          FROM exp ORDER BY event_type""",
 
+    "ts_resample_grid_ffill" ->
+      """WITH ev AS (SELECT event_type, ts, value FROM events),
+              b AS (SELECT event_type, min(ts) AS tmin, max(ts) AS tmax
+                    FROM ev GROUP BY 1),
+              g AS (SELECT event_type,
+                           unnest(generate_series(date_trunc('hour', tmin),
+                             tmax, INTERVAL 6 HOUR)) AS ts
+                    FROM b)
+         SELECT g.event_type, g.ts, e.ts AS asof_ts, e.value AS asof_value
+         FROM g ASOF LEFT JOIN ev e
+           ON g.event_type = e.event_type AND e.ts <= g.ts
+         ORDER BY g.event_type, g.ts""",
+
     "ts_pattern_ddu" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
                            CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
@@ -5666,6 +5718,19 @@ object SparkEntry {
                   j -> (bytes[j] - 128) * (bytes[j] - 128)))
                   AS BIGINT) AS energy
          FROM c ORDER BY media_id, window_idx""",
+
+    "agg_mode_per_group" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                           count(*) AS cnt
+                    FROM orders GROUP BY 1, 2),
+              m AS (SELECT o_orderstatus, max(cnt) AS mx
+                    FROM c GROUP BY 1)
+         SELECT c.o_orderstatus,
+                min(c.o_orderpriority) AS mode_priority,
+                CAST(max(m.mx) AS BIGINT) AS n_mode
+         FROM c JOIN m ON m.o_orderstatus = c.o_orderstatus
+                      AND c.cnt = m.mx
+         GROUP BY 1 ORDER BY 1""",
 
     "dq_benford_digits" ->
       """WITH c AS (SELECT substr(CAST(CAST(round(o_totalprice * 100, 0)
