@@ -1487,6 +1487,41 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // Embedding drift monitor: L2 distance between per-language centroids
+    // of two corpus halves (doc-id parity split) — the "did my embedding
+    // distribution move" check a pipeline runs between snapshots. All
+    // arithmetic is exact until one final sqrt: quantized BIGINT sums per
+    // (lang, dim), the mean difference cross-multiplied to the common
+    // denominator (s1·n2 − s2·n1, squared in DECIMAL(38,0) so 64-dim sums
+    // cannot overflow), one cast + sqrt + division at the end.
+    "emb_centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      val dims = emb
+        .select(col("lang"), (col("vec_id") % 2 === 0).as("h1"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("lang"), col("h1"), col("i"),
+          floor(col("x").cast("double") * lit(65536.0)).cast("long")
+            .as("q"))
+      val perDim = dims.groupBy("lang", "i")
+        .agg(sum(when(col("h1"), col("q")).otherwise(0L)).as("s1"),
+             sum(when(!col("h1"), col("q")).otherwise(0L)).as("s2"),
+             sum(when(col("h1"), 1L).otherwise(0L)).as("n1"),
+             sum(when(!col("h1"), 1L).otherwise(0L)).as("n2"))
+        .withColumn("d",
+          (col("s1") * col("n2") - col("s2") * col("n1"))
+            .cast("decimal(38,0)"))
+      perDim.groupBy("lang")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+             sum(col("d") * col("d")).as("sd2"))
+        .select(col("lang"), col("n1"), col("n2"),
+          (sqrt(col("sd2").cast("double"))
+            / (col("n1") * col("n2")).cast("double")
+            / lit(65536.0)).as("drift"))
+        .orderBy("lang")
+    }),
+
     // Embedding analytics: dimension-correlation matrix from one pass of
     // exact quantized sums (floor(x·2^16) — float→double→·2^16→floor are
     // all IEEE-exact, sums are BIGINT and order-independent), then a
@@ -4332,6 +4367,39 @@ object SparkEntry {
                 CAST(sum((doc_id * 131071 + pos) % 2147483647) AS BIGINT)
                   AS postings_checksum
          FROM p GROUP BY 1 ORDER BY total_tf DESC, token ASC LIMIT 100""",
+
+    "emb_centroid_drift" ->
+      """WITH base AS (SELECT em.vec_id, d.lang, em.embedding
+                       FROM embeddings em
+                       JOIN documents d ON d.doc_id = em.vec_id),
+              dims AS (SELECT lang, vec_id % 2 = 0 AS h1,
+                              unnest(generate_series(1, 64)) AS i,
+                              embedding
+                       FROM base),
+              q AS (SELECT lang, h1, i,
+                           CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
+                             AS BIGINT) AS q
+                    FROM dims),
+              pd AS (SELECT lang, i,
+                       CAST(sum(CASE WHEN h1 THEN q ELSE 0 END) AS BIGINT)
+                         AS s1,
+                       CAST(sum(CASE WHEN NOT h1 THEN q ELSE 0 END)
+                         AS BIGINT) AS s2,
+                       CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n1,
+                       CAST(sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n2
+                     FROM q GROUP BY 1, 2),
+              dd AS (SELECT lang, n1, n2,
+                            CAST(s1 * n2 - s2 * n1 AS HUGEINT) AS d
+                     FROM pd),
+              ag AS (SELECT lang, max(n1) AS n1, max(n2) AS n2,
+                            sum(d * d) AS sd2
+                     FROM dd GROUP BY 1)
+         SELECT lang, n1, n2,
+                sqrt(CAST(sd2 AS DOUBLE)) / CAST(n1 * n2 AS DOUBLE)
+                  / CAST(65536 AS DOUBLE) AS drift
+         FROM ag ORDER BY lang""",
 
     "emb_matryoshka_agreement" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
