@@ -650,6 +650,28 @@ object SparkEntry {
 
     // §2.5 F3/F4: busday_count with holiday calendar — custom Catalyst
     // Expression with codegen (graft.cal.BusdayCountExpr).
+    // numpy busday_offset(roll='forward') companion to busday_count:
+    // shift each date +10 business days in closed form — roll weekend
+    // starts to Monday, then result = rolled + n + 2·((w0 + n) DIV 5)
+    // calendar days, where w0 = Monday-based weekday. Pure integer date
+    // arithmetic, identical on both engines; no generator, no join.
+    "cal_busday_offset" -> ((s, dir) => {
+      val n = 10
+      Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("start_date")).distinct()
+        .withColumn("rolled",
+          when(weekday(col("start_date")) >= 5,
+            date_add(col("start_date"),
+              lit(7) - weekday(col("start_date"))))
+            .otherwise(col("start_date")))
+        .withColumn("busday10",
+          date_add(col("rolled"),
+            (lit(n) + lit(2) * expr(s"(weekday(rolled) + $n) DIV 5"))
+              .cast("int")))
+        .select("start_date", "busday10")
+        .orderBy("start_date")
+    }),
+
     "cal_busday_count" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(to_date(col("o_orderdate")).as("start_date")).distinct()
@@ -1237,6 +1259,41 @@ object SparkEntry {
       val out = graft.olap.KCore.peelStats(e, 3).orderBy("round")
       e.unpersist(false)
       out
+    }),
+
+    // Degree assortativity (Newman's r): do high-degree nodes attach to
+    // high-degree nodes? Pearson correlation over the (deg(u), deg(v))
+    // pairs of every directed edge — all sums are exact BIGINTs over
+    // integer degrees (partial-aggregable; DECIMAL(38,0) where products
+    // of sums appear), a single fixed IEEE chain at the end. Two keyed
+    // joins to attach endpoint degrees, one global aggregate.
+    "graph_assortativity" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("u"),
+                           (col("l_suppkey") * 2 + 1).as("v"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
+                               (col("l_partkey") * 2).as("v")))
+      val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.select(col("n").as("u"), col("d").as("ju")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("kv")), "v")
+      val agg = withDeg.agg(
+        count(lit(1)).as("m"),
+        sum(col("ju") * col("kv")).as("sjk"),
+        sum(col("ju") + col("kv")).as("sj"),
+        sum(col("ju") * col("ju") + col("kv") * col("kv")).as("sj2"))
+      // r = (4·m·Σjk − (Σ(j+k))²) / (2·m·Σ(j²+k²) − (Σ(j+k))²), the
+      // standard formula cleared of fractions — every product taken in
+      // DECIMAL(38,0) BEFORE any overflow can occur, one division
+      val md = col("m").cast("decimal(38,0)")
+      val sjd = col("sj").cast("decimal(38,0)")
+      agg.select(col("m"),
+        ((lit(4).cast("decimal(38,0)") * md * col("sjk") - sjd * sjd)
+          .cast("double")
+          / (lit(2).cast("decimal(38,0)") * md * col("sj2") - sjd * sjd)
+            .cast("double"))
+          .as("assortativity"))
     }),
 
     // Market-basket mining: top co-occurring part pairs across orders
@@ -3593,6 +3650,21 @@ object SparkEntry {
          ORDER BY ship_date DESC, l_orderkey ASC, l_linenumber ASC
          LIMIT 100""",
 
+    "cal_busday_offset" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS start_date
+                    FROM orders),
+              r AS (SELECT start_date,
+                           CASE WHEN isodow(start_date) - 1 >= 5
+                                THEN start_date
+                                  + CAST(7 - (isodow(start_date) - 1)
+                                         AS INT)
+                                ELSE start_date END AS rolled
+                    FROM d)
+         SELECT start_date,
+                rolled + CAST(10 + 2 * (((isodow(rolled) - 1) + 10) // 5)
+                              AS INT) AS busday10
+         FROM r ORDER BY start_date""",
+
     "cal_busday_count" ->
       """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS start_date
                     FROM orders),
@@ -4073,6 +4145,26 @@ object SparkEntry {
                 CAST(3 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
                   / CAST(s.n_wedges AS DOUBLE) AS transitivity
          FROM s, m, t""",
+
+    "graph_assortativity" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              deg AS (SELECT u AS n, count(*) AS d FROM e GROUP BY 1),
+              wd AS (SELECT du.d AS ju, dv.d AS kv
+                     FROM e JOIN deg du ON du.n = e.u
+                            JOIN deg dv ON dv.n = e.v),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                            CAST(sum(ju * kv) AS HUGEINT) AS sjk,
+                            CAST(sum(ju + kv) AS HUGEINT) AS sj,
+                            CAST(sum(ju * ju + kv * kv) AS HUGEINT) AS sj2
+                     FROM wd)
+         SELECT m,
+                CAST(4 * m * sjk - sj * sj AS DOUBLE)
+                  / CAST(2 * m * sj2 - sj * sj AS DOUBLE) AS assortativity
+         FROM ag""",
 
     "mine_frequent_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

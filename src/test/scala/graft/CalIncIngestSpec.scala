@@ -12,6 +12,31 @@ class CalIncIngestSpec extends AnyFunSuite {
   private def day(s: String): Int =
     java.time.LocalDate.parse(s).toEpochDay.toInt
 
+  test("busday_offset closed form matches np.busday_offset goldens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // np.busday_offset(d, 10, roll='forward'), pinned from a direct run:
+    val goldens = Seq(
+      ("2026-01-02", "2026-01-16"), // Friday start
+      ("2026-01-03", "2026-01-19"), // Saturday rolls to Monday
+      ("2026-01-04", "2026-01-19"), // Sunday rolls to Monday
+      ("2026-01-05", "2026-01-19"), // Monday start
+      ("2026-02-27", "2026-03-13")) // month boundary
+    val got = goldens.map(_._1).toDF("d")
+      .withColumn("start_date", to_date(col("d")))
+      .withColumn("rolled",
+        when(weekday(col("start_date")) >= 5,
+          date_add(col("start_date"), lit(7) - weekday(col("start_date"))))
+          .otherwise(col("start_date")))
+      .withColumn("busday10",
+        date_add(col("rolled"),
+          (lit(10) + lit(2) * expr("(weekday(rolled) + 10) DIV 5"))
+            .cast("int")))
+      .select("d", "busday10").collect()
+      .map(r => r.getString(0) -> r.getDate(1).toString).toMap
+    goldens.foreach { case (d, want) => assert(got(d) == want, s"from $d") }
+  }
+
   test("busday_count matches np.busday_count golden vectors") {
     val h = BusdayCount.defaultHolidays
     // golden values generated with np.busday_count against the same
