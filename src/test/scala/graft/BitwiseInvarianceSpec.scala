@@ -22,7 +22,13 @@ class BitwiseInvarianceSpec extends AnyFunSuite {
     "ts_bollinger", "ts_rsi", "ts_drawdown", "ts_vwap_monthly", "ts_macd",
     "ts_rolling_corr", "agg_winsorize", "agg_share_of_total",
     "olap_skyline_parts", "ts_interval_coverage", "sketch_mg_heavy",
-    "sim_pq_adc_topk", "graph_kcore")
+    "sim_pq_adc_topk", "graph_kcore",
+    // round-4 families: exact-sum drift, positional slope median,
+    // histogram-pick changepoint, LPA argmax ties, decimal assortativity,
+    // surprisal join, cluster-keyed split
+    "emb_centroid_drift", "ts_theil_sen", "ts_changepoint",
+    "graph_label_prop", "graph_assortativity", "text_surprisal_bits",
+    "sample_dedup_aware_split")
 
   test("new operator families are bitwise partitioning-invariant") {
     val key = "spark.sql.shuffle.partitions"
