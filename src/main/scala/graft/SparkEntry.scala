@@ -1745,6 +1745,53 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Per-series market beta — the reference domain's flagship analytic:
+    // β = cov(series, market) / var(market) over daily returns, with the
+    // market as the equal-weight basket of all series. Returns are
+    // quantized once (floor(r·2²⁰), a fixed IEEE chain), so every
+    // covariance term is an exact BIGINT sum; with m the per-date SUM of
+    // quantized returns (n·mean), β = n·(TΣxm − ΣxΣm)/(TΣm² − (Σm)²) —
+    // products of sums in DECIMAL(38,0), one final division.
+    "ts_beta" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("date"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("rq"))
+      val nSeries = rq.agg(countDistinct(col("event_type")).as("n"))
+      // market: per-date sum over ALL series, kept only where every
+      // series traded (so n is a constant scale, not a per-date one)
+      val mkt = rq.groupBy("date")
+        .agg(sum(col("rq")).as("m"), count(lit(1)).as("k"))
+        .crossJoin(broadcast(nSeries))
+        .filter(col("k") === col("n"))
+        .select(col("date"), col("m"), col("n"))
+      rq.join(mkt, "date")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("t"),
+             sum(col("rq") * col("m")).as("sxm"),
+             sum(col("rq")).as("sx"),
+             sum(col("m")).as("sm"),
+             sum(col("m") * col("m")).as("smm"),
+             max(col("n")).as("n"))
+        .select(col("event_type"), col("t"),
+          (col("n").cast("decimal(38,0)")
+            * (col("t").cast("decimal(38,0)") * col("sxm")
+               - col("sx").cast("decimal(38,0)") * col("sm")))
+            .cast("double")
+            ./((col("t").cast("decimal(38,0)") * col("smm")
+                - col("sm").cast("decimal(38,0)") * col("sm"))
+              .cast("double"))
+            .as("beta"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust trend per series: the positional median of all
     // pairwise slopes (y_j−y_i)/(j−i) over the daily bars — the
     // outlier-immune counterpart of ts_linreg_trend's OLS. Slopes are one
@@ -4631,6 +4678,40 @@ object SparkEntry {
                 CAST(sum(is_ddu) AS BIGINT) AS n_patterns,
                 min(CASE WHEN is_ddu = 1 THEN date END) AS first_hit
          FROM m GROUP BY 1 ORDER BY 1""",
+
+    "ts_beta" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER (PARTITION BY event_type
+                                           ORDER BY date) AS prev
+                    FROM b),
+              q AS (SELECT event_type, date,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS rq
+                    FROM r WHERE prev IS NOT NULL),
+              nn AS (SELECT count(DISTINCT event_type) AS n FROM q),
+              mk AS (SELECT date, CAST(sum(rq) AS BIGINT) AS m,
+                            count(*) AS k
+                     FROM q GROUP BY 1),
+              mkt AS (SELECT mk.date, mk.m, nn.n
+                      FROM mk, nn WHERE mk.k = nn.n),
+              ag AS (SELECT q.event_type,
+                            CAST(count(*) AS HUGEINT) AS t,
+                            CAST(sum(q.rq * mkt.m) AS HUGEINT) AS sxm,
+                            CAST(sum(q.rq) AS HUGEINT) AS sx,
+                            CAST(sum(mkt.m) AS HUGEINT) AS sm,
+                            CAST(sum(mkt.m * mkt.m) AS HUGEINT) AS smm,
+                            CAST(max(mkt.n) AS HUGEINT) AS n
+                     FROM q JOIN mkt ON mkt.date = q.date
+                     GROUP BY 1)
+         SELECT event_type, CAST(t AS BIGINT) AS t,
+                CAST(n * (t * sxm - sx * sm) AS DOUBLE)
+                  / CAST(t * smm - sm * sm AS DOUBLE) AS beta
+         FROM ag ORDER BY event_type""",
 
     "ts_theil_sen" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,

@@ -90,7 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row median-degree threshold + 1-row per-round stat combines
       "graph_kcore",
       // 1-row grand-total scalar joined into the ratio projection
-      "agg_share_of_total", "dq_benford_digits")
+      "agg_share_of_total", "dq_benford_digits",
+      // 1-row series-count scalar gating the market basket dates
+      "ts_beta")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
