@@ -3191,6 +3191,16 @@ object SparkEntry {
     // a static view history per micro-batch — batch boundaries can't
     // change any row's match, so streamed == batch as-of bitwise (the
     // oracle is DuckDB's native ASOF, same as the batch query).
+    // The admission gate running per micro-batch over a document file
+    // stream: row-local rules mean per-batch partial summaries ADD, so
+    // streamed == batch bitwise — same oracle as pipeline_quality_gate.
+    "stream_quality_gate" -> ((s, dir) => {
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_gate_sink").toString
+      graft.streaming.EventStream.runQualityGate(s, dir, sink)
+        .orderBy("lang", "reason")
+    }),
+
     "stream_asof_enrich" -> ((s, dir) => {
       val sink = java.nio.file.Files
         .createTempDirectory("graft_asof_sink").toString
@@ -4930,52 +4940,11 @@ object SparkEntry {
                 min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          FROM bk GROUP BY 1 ORDER BY 1""",
 
-    "pipeline_quality_gate" -> {
-      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      def markers(lang: String) = TextAnalysis.langMarkers.toMap.apply(lang)
-        .map(s => s"'$s'").mkString("[", ", ", "]")
-      val scoreCols = TextAnalysis.langMarkers.map { case (lang, _) =>
-        s"CAST(len(list_filter(toks, t -> list_contains(${markers(lang)}, t))) AS BIGINT) AS score_$lang"
-      }.mkString(",\n                 ")
-      val langs = TextAnalysis.langMarkers.map(_._1)
-      val cascade = langs.map { lang =>
-        val beats = langs.filter(_ != lang)
-          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
-        s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
-      }.mkString("\n                 ")
-      s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
-                regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
-              FROM documents),
-              q AS (SELECT doc_id, lang, n_chars,
-                           CAST(len(toks) AS BIGINT) AS n_tokens,
-                           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-                             AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                             AS punct_ratio,
-                           CASE WHEN len(toks) > 0 THEN
-                             CAST(len(list_filter(toks,
-                               t -> list_contains($stops, t))) AS DOUBLE)
-                               / CAST(len(toks) AS DOUBLE)
-                           ELSE 0.0 END AS stopword_ratio,
-                           $scoreCols
-                    FROM t),
-              g AS (SELECT doc_id, lang, n_chars,
-                           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-                             + (1.0 - punct_ratio) * 0.3
-                             + stopword_ratio * 0.3 AS quality_score,
-                           CASE $cascade
-                           ELSE 'und' END AS predicted_lang
-                    FROM q),
-              rr AS (SELECT lang, n_chars,
-                            CASE WHEN n_chars < 50 THEN 'too_short'
-                                 WHEN quality_score < 0.5 THEN 'low_quality'
-                                 WHEN predicted_lang <> lang
-                                   THEN 'lang_mismatch'
-                                 ELSE 'accept' END AS reason
-                     FROM g)
-         SELECT lang, reason, count(*) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM rr GROUP BY 1, 2 ORDER BY 1, 2"""
-    },
+    "pipeline_quality_gate" -> qualityGateOracle,
+
+    // identical semantics streamed per micro-batch (row-local rules, so
+    // partial summaries add): same oracle
+    "stream_quality_gate" -> qualityGateOracle,
 
     "text_ngram_novelty" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
@@ -6635,6 +6604,56 @@ object SparkEntry {
     * the same accumulation order as graft.functions.VecOps.dotProduct, so
     * the doubles agree bitwise.
     */
+  /** Shared oracle for the admission gate: identical semantics for
+    * the batch query and its per-micro-batch streamed form.
+    */
+  private lazy val qualityGateOracle: String = {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      def markers(lang: String) = TextAnalysis.langMarkers.toMap.apply(lang)
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.langMarkers.map { case (lang, _) =>
+        s"CAST(len(list_filter(toks, t -> list_contains(${markers(lang)}, t))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n                 ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cascade = langs.map { lang =>
+        val beats = langs.filter(_ != lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
+      }.mkString("\n                 ")
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
+                regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+              FROM documents),
+              q AS (SELECT doc_id, lang, n_chars,
+                           CAST(len(toks) AS BIGINT) AS n_tokens,
+                           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                             AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                             AS punct_ratio,
+                           CASE WHEN len(toks) > 0 THEN
+                             CAST(len(list_filter(toks,
+                               t -> list_contains($stops, t))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                           ELSE 0.0 END AS stopword_ratio,
+                           $scoreCols
+                    FROM t),
+              g AS (SELECT doc_id, lang, n_chars,
+                           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                             + (1.0 - punct_ratio) * 0.3
+                             + stopword_ratio * 0.3 AS quality_score,
+                           CASE $cascade
+                           ELSE 'und' END AS predicted_lang
+                    FROM q),
+              rr AS (SELECT lang, n_chars,
+                            CASE WHEN n_chars < 50 THEN 'too_short'
+                                 WHEN quality_score < 0.5 THEN 'low_quality'
+                                 WHEN predicted_lang <> lang
+                                   THEN 'lang_mismatch'
+                                 ELSE 'accept' END AS reason
+                     FROM g)
+         SELECT lang, reason, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM rr GROUP BY 1, 2 ORDER BY 1, 2"""
+    }
+
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), i -> " +

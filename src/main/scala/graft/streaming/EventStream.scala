@@ -71,6 +71,46 @@ object EventStream {
       .select(to_date(col("window.start")).as("date"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** The LLM admission pipeline over streaming ingest: documents arrive
+    * as an unbounded file stream and every micro-batch runs the SAME
+    * quality gate the batch pipeline runs (length → quality score →
+    * language agreement, first failing rule wins). The gate is row-local
+    * — no cross-batch state — so per-batch summaries ADD and streamed ==
+    * batch exactly; the foreachBatch sink appends per-batch partial
+    * summaries which the read-back aggregates (the mergeable-summary
+    * shape a 100 TB ingest job checkpoints).
+    */
+  def runQualityGate(spark: SparkSession, dir: String,
+                     sinkDir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    import graft.text.TextAnalysis
+    val docsSchema = graft.Tables.documents(spark, dir).schema
+    val src = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.withLangId(TextAnalysis.withQuality(batch))
+          .withColumn("reason",
+            when(col("n_chars") < 50, "too_short")
+              .when(col("quality_score") < 0.5, "low_quality")
+              .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
+              .otherwise("accept"))
+          .groupBy("lang", "reason")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("sum_chars"))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // partial per-batch summaries are mergeable: counts and exact sums add
+    spark.read.parquet(sinkDir)
+      .groupBy("lang", "reason")
+      .agg(sum(col("n_docs")).as("n_docs"),
+           sum(col("sum_chars")).as("sum_chars"))
+  }
+
   /** Daily distinct-user cardinality via the engine's mergeable HLL
     * sketch, running INSIDE streaming state: the
     * TypedImperativeAggregate's serialized registers are the state rows,
