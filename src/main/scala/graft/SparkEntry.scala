@@ -3121,6 +3121,39 @@ object SparkEntry {
     // squared cents both fit BIGINT), converted to doubles once in a
     // fixed expression order — mean/variance/stddev reproducible bitwise
     // under any partitioning (a naive double sum would drift).
+    // Higher central moments, exactly: skewness and excess kurtosis per
+    // group from raw power sums Σd..Σd⁴ over DOLLAR-quantized values
+    // (explicit integer floor division, the HHI idiom). Dollars, not
+    // cents, on purpose: it keeps Σd⁴ under 2⁶³, where BOTH engines'
+    // integer→double conversions are a single correctly-rounded step —
+    // DuckDB's HUGEINT→DOUBLE above 2⁶⁴ rounds TWICE (upper·2⁶⁴ + lower)
+    // and loses the last bits. Final formulas are one fixed IEEE chain
+    // with m2·sqrt(m2) instead of pow(x, 1.5) — pow is not
+    // correctly-rounded across engines, sqrt is.
+    "agg_skew_kurtosis" -> ((s, dir) => {
+      val agg = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .withColumn("d", expr("(cc - ((cc % 100) + 100) % 100) DIV 100"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+             sum(col("d") * col("d")).as("s2"),
+             sum(col("d") * col("d") * col("d")).as("s3"),
+             sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1").cast("double") / nd
+      val e2 = col("s2").cast("double") / nd
+      val e3 = col("s3").cast("double") / nd
+      val e4 = col("s4").cast("double") / nd
+      val m2 = e2 - m * m
+      agg.select(col("event_type"), col("n"),
+        ((e3 - lit(3.0) * m * e2 + lit(2.0) * m * m * m)
+          / (m2 * sqrt(m2))).as("skewness"),
+        ((e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2
+           - lit(3.0) * m * m * m * m) / (m2 * m2) - lit(3.0))
+          .as("excess_kurtosis"))
+        .orderBy("event_type")
+    }),
+
     "agg_value_stats" -> ((s, dir) => {
       val c = Exact.cents(col("value"))
       Tables.events(s, dir)
@@ -6408,6 +6441,37 @@ object SparkEntry {
 
     // exact BIGINT moment sums; identical double expression order for the
     // final mean/variance/stddev projection on both engines
+    "agg_skew_kurtosis" ->
+      """WITH cc AS (SELECT event_type,
+                            CAST(round(value * 100, 0) AS BIGINT) AS cc
+                     FROM events),
+              c AS (SELECT event_type,
+                           (cc - ((cc % 100) + 100) % 100) // 100 AS c
+                    FROM cc),
+              a AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(c) AS BIGINT) AS s1,
+                           CAST(sum(c * c) AS BIGINT) AS s2,
+                           CAST(sum(c * c * c) AS BIGINT) AS s3,
+                           CAST(sum(c * c * c * c) AS BIGINT) AS s4
+                    FROM c GROUP BY 1),
+              d AS (SELECT event_type, n,
+                           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+                    FROM a)
+         SELECT event_type, n,
+                (e3 - CAST(3 AS DOUBLE) * m * e2
+                  + CAST(2 AS DOUBLE) * m * m * m)
+                  / ((e2 - m * m) * sqrt(e2 - m * m)) AS skewness,
+                (e4 - CAST(4 AS DOUBLE) * m * e3
+                  + CAST(6 AS DOUBLE) * m * m * e2
+                  - CAST(3 AS DOUBLE) * m * m * m * m)
+                  / ((e2 - m * m) * (e2 - m * m)) - CAST(3 AS DOUBLE)
+                  AS excess_kurtosis
+         FROM d ORDER BY event_type""",
+
     "agg_value_stats" ->
       """WITH a AS (SELECT event_type, count(*) AS n,
                       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sc,
