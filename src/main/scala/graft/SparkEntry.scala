@@ -1745,6 +1745,42 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Running distinct users per series — the cumulative-cardinality
+    // curve, computed WITHOUT any running distinct state: a user's first
+    // (series, date) is one groupBy min, the per-date first-seen counts
+    // are partial-aggregable, and the running sum is a keyed window over
+    // date rows (one per series·day). The trick that turns an O(n·d)
+    // distinct-scan into two aggregates + a tiny window.
+    "ts_running_distinct_users" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val firstSeen = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+                col("ts").cast("date").as("date"))
+        .groupBy("event_type", "user_id")
+        .agg(min(col("date")).as("first_date"))
+      firstSeen.groupBy(col("event_type"), col("first_date").as("date"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_distinct_users", sum(col("n_new")).over(w))
+        .orderBy("event_type", "date")
+    }),
+
+    // Data freshness report — the staleness check an incremental
+    // pipeline alerts on: per series, last event time and its lag behind
+    // the globally freshest series, in exact microseconds.
+    "wm_freshness_report" -> ((s, dir) => {
+      val last = Tables.events(s, dir)
+        .groupBy("event_type").agg(max(col("ts")).as("last_event"))
+      val global = last.agg(max(col("last_event")).as("global_max"))
+      last.crossJoin(broadcast(global))
+        .select(col("event_type"), col("last_event"),
+          expr("(unix_micros(global_max) - unix_micros(last_event)) " +
+               "DIV 1000000").as("lag_seconds"))
+        .orderBy("event_type")
+    }),
+
     // Per-series market beta — the reference domain's flagship analytic:
     // β = cov(series, market) / var(market) over daily returns, with the
     // market as the equal-weight basket of all series. Returns are
@@ -4721,6 +4757,28 @@ object SparkEntry {
                 CAST(sum(is_ddu) AS BIGINT) AS n_patterns,
                 min(CASE WHEN is_ddu = 1 THEN date END) AS first_hit
          FROM m GROUP BY 1 ORDER BY 1""",
+
+    "ts_running_distinct_users" ->
+      """WITH fs AS (SELECT event_type, user_id,
+                            min(CAST(ts AS DATE)) AS first_date
+                     FROM events GROUP BY 1, 2),
+              nn AS (SELECT event_type, first_date AS date,
+                            count(*) AS n_new
+                     FROM fs GROUP BY 1, 2)
+         SELECT event_type, date, n_new,
+                CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_distinct_users
+         FROM nn ORDER BY event_type, date""",
+
+    "wm_freshness_report" ->
+      """WITH l AS (SELECT event_type, max(ts) AS last_event
+                    FROM events GROUP BY 1),
+              g AS (SELECT max(last_event) AS global_max FROM l)
+         SELECT l.event_type, l.last_event,
+                (epoch_us(g.global_max) - epoch_us(l.last_event)) // 1000000
+                  AS lag_seconds
+         FROM l, g ORDER BY l.event_type""",
 
     "ts_beta" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,

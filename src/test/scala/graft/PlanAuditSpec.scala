@@ -92,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row grand-total scalar joined into the ratio projection
       "agg_share_of_total", "dq_benford_digits",
       // 1-row series-count scalar gating the market basket dates
-      "ts_beta")
+      "ts_beta",
+      // 1-row global-max scalar joined into the staleness projection
+      "wm_freshness_report")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
