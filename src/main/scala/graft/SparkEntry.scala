@@ -1781,6 +1781,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Lag-1 autocorrelation of daily returns per series (the momentum /
+    // mean-reversion diagnostic): Pearson r over (return_t, return_{t-1})
+    // pairs with the same once-quantized returns as ts_beta — every
+    // cross-sum exact BIGINT, products of sums in DECIMAL(38,0), one
+    // final fixed IEEE chain (two sqrts + a division).
+    "ts_autocorr_lag1" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("date"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("x"))
+      val pairs = rq
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+      val agg = pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      agg.select(col("event_type"), col("n"),
+        ((nd * col("sxy") - d(col("sx")) * col("sy")).cast("double")
+          / (sqrt((nd * col("sxx") - d(col("sx")) * col("sx"))
+               .cast("double"))
+             * sqrt((nd * col("syy") - d(col("sy")) * col("sy"))
+               .cast("double"))))
+          .as("autocorr_lag1"))
+        .orderBy("event_type")
+    }),
+
     // Per-series market beta — the reference domain's flagship analytic:
     // β = cov(series, market) / var(market) over daily returns, with the
     // market as the equal-weight basket of all series. Returns are
@@ -4779,6 +4816,39 @@ object SparkEntry {
                 (epoch_us(g.global_max) - epoch_us(l.last_event)) // 1000000
                   AS lag_seconds
          FROM l, g ORDER BY l.event_type""",
+
+    "ts_autocorr_lag1" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER w AS prev
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              q AS (SELECT event_type, date,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS x
+                    FROM r WHERE prev IS NOT NULL),
+              p AS (SELECT event_type, x,
+                           lag(x, 1) OVER (PARTITION BY event_type
+                                           ORDER BY date) AS y
+                    FROM q),
+              ag AS (SELECT event_type,
+                            CAST(count(*) AS HUGEINT) AS n,
+                            CAST(sum(x) AS HUGEINT) AS sx,
+                            CAST(sum(y) AS HUGEINT) AS sy,
+                            CAST(sum(x * y) AS HUGEINT) AS sxy,
+                            CAST(sum(x * x) AS HUGEINT) AS sxx,
+                            CAST(sum(y * y) AS HUGEINT) AS syy
+                     FROM p WHERE y IS NOT NULL GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  AS autocorr_lag1
+         FROM ag ORDER BY event_type""",
 
     "ts_beta" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
