@@ -1781,6 +1781,46 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Cross-series return correlation matrix (the portfolio risk
+    // diagonal's off-diagonal): Pearson r for every series pair over
+    // date-aligned quantized returns — the ts_beta template applied
+    // pairwise, exact BIGINT cross-sums, DECIMAL products of sums, one
+    // fixed final chain per pair. The date equi-join aligns pairs; pair
+    // count is (k choose 2) over a handful of series, never data-sized.
+    "ts_corr_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("date"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("r"))
+      val a = rq.select(col("event_type").as("type_a"), col("date"),
+                        col("r").as("x"))
+      val b = rq.select(col("event_type").as("type_b"), col("date"),
+                        col("r").as("y"))
+      val agg = a.join(b, "date").filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      agg.select(col("type_a"), col("type_b"), col("n"),
+        ((nd * col("sxy") - d(col("sx")) * col("sy")).cast("double")
+          / (sqrt((nd * col("sxx") - d(col("sx")) * col("sx"))
+               .cast("double"))
+             * sqrt((nd * col("syy") - d(col("sy")) * col("sy"))
+               .cast("double"))))
+          .as("corr"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Lag-1 autocorrelation of daily returns per series (the momentum /
     // mean-reversion diagnostic): Pearson r over (return_t, return_{t-1})
     // pairs with the same once-quantized returns as ts_beta — every
@@ -4325,8 +4365,9 @@ object SparkEntry {
                             CAST(sum(ju * ju + kv * kv) AS HUGEINT) AS sj2
                      FROM wd)
          SELECT m,
-                CAST(4 * m * sjk - sj * sj AS DOUBLE)
-                  / CAST(2 * m * sj2 - sj * sj AS DOUBLE) AS assortativity
+                CAST(CAST(4 * m * sjk - sj * sj AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(2 * m * sj2 - sj * sj AS BIGINT) AS DOUBLE)
+                  AS assortativity
          FROM ag""",
 
     "mine_frequent_pairs" ->
@@ -4817,6 +4858,39 @@ object SparkEntry {
                   AS lag_seconds
          FROM l, g ORDER BY l.event_type""",
 
+    "ts_corr_matrix" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER (PARTITION BY event_type
+                                           ORDER BY date) AS prev
+                    FROM b),
+              q AS (SELECT event_type, date,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS r
+                    FROM r WHERE prev IS NOT NULL),
+              p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                           x.r AS x, y.r AS y
+                    FROM q x JOIN q y ON x.date = y.date
+                     AND x.event_type < y.event_type),
+              ag AS (SELECT type_a, type_b,
+                            CAST(count(*) AS HUGEINT) AS n,
+                            CAST(sum(x) AS HUGEINT) AS sx,
+                            CAST(sum(y) AS HUGEINT) AS sy,
+                            CAST(sum(x * y) AS HUGEINT) AS sxy,
+                            CAST(sum(x * x) AS HUGEINT) AS sxx,
+                            CAST(sum(y * y) AS HUGEINT) AS syy
+                     FROM p GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
+                CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+                     * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT)
+                                 AS DOUBLE))) AS corr
+         FROM ag ORDER BY type_a, type_b""",
+
     "ts_autocorr_lag1" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
                            CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
@@ -4844,9 +4918,10 @@ object SparkEntry {
                             CAST(sum(y * y) AS HUGEINT) AS syy
                      FROM p WHERE y IS NOT NULL GROUP BY 1)
          SELECT event_type, CAST(n AS BIGINT) AS n,
-                CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+                     * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT)
+                                 AS DOUBLE)))
                   AS autocorr_lag1
          FROM ag ORDER BY event_type""",
 
@@ -4880,8 +4955,9 @@ object SparkEntry {
                      FROM q JOIN mkt ON mkt.date = q.date
                      GROUP BY 1)
          SELECT event_type, CAST(t AS BIGINT) AS t,
-                CAST(n * (t * sxm - sx * sm) AS DOUBLE)
-                  / CAST(t * smm - sm * sm AS DOUBLE) AS beta
+                CAST(CAST(n * (t * sxm - sx * sm) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(t * smm - sm * sm AS BIGINT) AS DOUBLE)
+                  AS beta
          FROM ag ORDER BY event_type""",
 
     "ts_theil_sen" ->
