@@ -1023,6 +1023,37 @@ object SparkEntry {
     // 6-way star join (TPC-H Q5 shape): region/nation/supplier broadcast,
     // customer⋈orders⋈lineitem shuffle on their keys, nation-local
     // supplier constraint, exact revenue per nation.
+    // Percent-of-parent hierarchy report (the drill-down table every BI
+    // layer renders): order revenue per nation, each nation's share of
+    // its region, each region's share of the grand total — exact cent
+    // sums at the leaf level, parents by re-aggregation (never a second
+    // scan), shares as one division each. Dims broadcast.
+    "olap_percent_of_parent" -> ((s, dir) => {
+      val geo = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val perNation = Tables.orders(s, dir)
+        .select(col("o_custkey"), Exact.cents(col("o_totalprice")).as("c"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("c")).as("nation_cents"))
+      val perRegion = perNation.groupBy("r_name")
+        .agg(sum(col("nation_cents")).as("region_cents"))
+      val total = perRegion.agg(sum(col("region_cents")).as("total_cents"))
+      perNation.join(perRegion, "r_name")
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"),
+          col("nation_cents"), col("region_cents"),
+          (col("nation_cents").cast("double")
+            / col("region_cents").cast("double")).as("share_in_region"),
+          (col("region_cents").cast("double")
+            / col("total_cents").cast("double")).as("region_share"))
+        .orderBy("r_name", "n_name")
+    }),
+
     "join_region_revenue" -> ((s, dir) => {
       val nat = Tables.nation(s, dir).join(
         broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
@@ -2187,6 +2218,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang", "reason")
+    }),
+
+    // Passage-level exact dedup (the sub-document pass corpus pipelines
+    // run after doc-level dedup): split every document into fixed
+    // 64-char passages, find passages occurring in more than one place
+    // corpus-wide, and score each doc by its duplicated-passage ratio.
+    // Chunking explodes from per-doc arithmetic (never a cross join);
+    // duplicate detection is one groupBy on the passage itself.
+    "dedup_passage_exact" -> ((s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ((col("n_chars") - 1) / lit(64)).cast("int"))).as("i"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id")
+        .select(col("doc_id"),
+          col("text").substr(col("i") * 64 + 1, lit(64)).as("chunk"))
+        .filter(length(col("chunk")) > 0)
+      val dupCount = chunks.groupBy("chunk")
+        .agg(count(lit(1)).as("occ"))
+      chunks.join(dupCount, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_chunks").cast("double"))
+            .as("dup_ratio"))
+        .orderBy("doc_id")
     }),
 
     // N-gram novelty: the fraction of a document's distinct token
@@ -4156,6 +4215,29 @@ object SparkEntry {
           ORDER BY revenue DESC, l_orderkey ASC
           LIMIT 10""",
 
+    "olap_percent_of_parent" ->
+      """WITH pn AS (SELECT r.r_name, n.n_name,
+                            CAST(sum(CAST(round(o.o_totalprice * 100, 0)
+                              AS BIGINT)) AS BIGINT) AS nation_cents
+                     FROM orders o
+                     JOIN customer c ON c.c_custkey = o.o_custkey
+                     JOIN nation n ON n.n_nationkey = c.c_nationkey
+                     JOIN region r ON r.r_regionkey = n.n_regionkey
+                     GROUP BY 1, 2),
+              pr AS (SELECT r_name,
+                            CAST(sum(nation_cents) AS BIGINT)
+                              AS region_cents
+                     FROM pn GROUP BY 1),
+              t AS (SELECT CAST(sum(region_cents) AS BIGINT)
+                      AS total_cents FROM pr)
+         SELECT pn.r_name, pn.n_name, pn.nation_cents, pr.region_cents,
+                CAST(pn.nation_cents AS DOUBLE)
+                  / CAST(pr.region_cents AS DOUBLE) AS share_in_region,
+                CAST(pr.region_cents AS DOUBLE)
+                  / CAST(t.total_cents AS DOUBLE) AS region_share
+         FROM pn JOIN pr ON pr.r_name = pn.r_name, t
+         ORDER BY pn.r_name, pn.n_name""",
+
     "join_region_revenue" ->
       s"""SELECT n_name, CAST(sum(${Exact.revenueSql}) AS DOUBLE) AS revenue
           FROM lineitem
@@ -5182,6 +5264,25 @@ object SparkEntry {
     // identical semantics streamed per micro-batch (row-local rules, so
     // partial summaries add): same oracle
     "stream_quality_gate" -> qualityGateOracle,
+
+    "dedup_passage_exact" ->
+      """WITH ch AS (SELECT doc_id,
+                            unnest(range(0, (n_chars + 63) // 64)) AS i,
+                            text
+                     FROM documents),
+              c AS (SELECT doc_id,
+                           substr(text, CAST(i * 64 + 1 AS INT), 64)
+                             AS chunk
+                    FROM ch),
+              cc AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+              d AS (SELECT chunk, count(*) AS occ FROM cc GROUP BY 1)
+         SELECT cc.doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN d.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup,
+                CAST(sum(CASE WHEN d.occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_ratio
+         FROM cc JOIN d ON d.chunk = cc.chunk
+         GROUP BY 1 ORDER BY 1""",
 
     "text_ngram_novelty" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),

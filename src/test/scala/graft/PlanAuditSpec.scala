@@ -94,7 +94,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row series-count scalar gating the market basket dates
       "ts_beta",
       // 1-row global-max scalar joined into the staleness projection
-      "wm_freshness_report")
+      "wm_freshness_report",
+      // 1-row grand-total scalar joined into the hierarchy shares
+      "olap_percent_of_parent")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
