@@ -1751,6 +1751,44 @@ object SparkEntry {
         .orderBy("event_type", "ts")
     }),
 
+    // Regular-grid resample + LINEAR INTERPOLATION (pandas
+    // resample().interpolate()): each 6-hour grid point takes
+    // prev + (next − prev)·(t − t_prev)/(t_next − t_prev) between its
+    // surrounding events — backward and forward as-of joins supply the
+    // brackets, the fraction is µs-exact integers divided once. Grid
+    // boundary rows (no bracket on one side) carry the available side.
+    "ts_resample_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("value"))
+      val grid = ev.groupBy("event_type")
+        .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+        .withColumn("ts", explode(sequence(
+          date_trunc("hour", col("tmin")),
+          col("tmax"), expr("INTERVAL 6 HOURS"))))
+        .select("event_type", "ts")
+      val back = graft.ts.AsOfJoin.asOf(grid, ev, Seq("event_type"), "ts",
+          Seq("value"))
+        .select(col("event_type"), col("ts"),
+                col("asof_ts").as("bt"), col("asof_value").as("bv"))
+      val fwd = graft.ts.AsOfJoin.asOfForward(grid, ev, Seq("event_type"),
+          "ts", Seq("value"))
+        .select(col("event_type"), col("ts"),
+                col("asof_ts").as("ft"), col("asof_value").as("fv"))
+      val t = unix_micros(col("ts"))
+      val bt = unix_micros(col("bt"))
+      val ft = unix_micros(col("ft"))
+      back.join(fwd, Seq("event_type", "ts"))
+        .withColumn("interp",
+          when(col("bt").isNull, col("fv"))
+            .when(col("ft").isNull, col("bv"))
+            .when(col("ft") === col("bt"), col("bv"))
+            .otherwise(col("bv") + (col("fv") - col("bv"))
+              * ((t - bt).cast("double") / (ft - bt).cast("double"))))
+        .select(col("event_type"), col("ts"), col("bt"), col("ft"),
+                col("interp"))
+        .orderBy("event_type", "ts")
+    }),
+
     // Sequential pattern matching (the MATCH_RECOGNIZE shape): count
     // down-down-up reversals per series via a lag chain over exact
     // cents — keyed window, three comparisons, one partial-aggregable
@@ -4883,6 +4921,33 @@ object SparkEntry {
          SELECT event_type, n_expected, n_observed,
                 n_expected - n_observed AS n_missing
          FROM exp ORDER BY event_type""",
+
+    "ts_resample_interpolate" ->
+      """WITH ev AS (SELECT event_type, ts, value FROM events),
+              b AS (SELECT event_type, min(ts) AS tmin, max(ts) AS tmax
+                    FROM ev GROUP BY 1),
+              g AS (SELECT event_type,
+                           unnest(generate_series(date_trunc('hour', tmin),
+                             tmax, INTERVAL 6 HOUR)) AS ts
+                    FROM b),
+              bk AS (SELECT g.event_type, g.ts, e.ts AS bt, e.value AS bv
+                     FROM g ASOF LEFT JOIN ev e
+                       ON g.event_type = e.event_type AND e.ts <= g.ts),
+              fw AS (SELECT g.event_type, g.ts, e.ts AS ft, e.value AS fv
+                     FROM g ASOF LEFT JOIN ev e
+                       ON g.event_type = e.event_type AND e.ts >= g.ts)
+         SELECT bk.event_type, bk.ts, bk.bt, fw.ft,
+                CASE WHEN bk.bt IS NULL THEN fw.fv
+                     WHEN fw.ft IS NULL THEN bk.bv
+                     WHEN fw.ft = bk.bt THEN bk.bv
+                     ELSE bk.bv + (fw.fv - bk.bv)
+                       * (CAST(epoch_us(bk.ts) - epoch_us(bk.bt) AS DOUBLE)
+                          / CAST(epoch_us(fw.ft) - epoch_us(bk.bt)
+                                 AS DOUBLE))
+                END AS interp
+         FROM bk JOIN fw ON fw.event_type = bk.event_type
+                        AND fw.ts = bk.ts
+         ORDER BY bk.event_type, bk.ts""",
 
     "ts_resample_grid_ffill" ->
       """WITH ev AS (SELECT event_type, ts, value FROM events),
