@@ -3364,6 +3364,34 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Quantity-weighted median price per return flag: the exact weighted
+    // order statistic (first value whose cumulative weight reaches half
+    // the total) — cumulative weights by a keyed window over a totalized
+    // (price, pk) order, the pick a partial-aggregable min over the
+    // qualifying suffix. All integers until the final /100.
+    "agg_weighted_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("cents", "ok", "ln")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+                Exact.cents(col("l_extendedprice")).as("cents"),
+                col("l_quantity").cast("long").as("qty"),
+                col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val tot = li.groupBy("flag").agg(sum(col("qty")).as("total_qty"))
+      li.withColumn("cum", sum(col("qty")).over(w))
+        .join(tot, "flag")
+        .filter(col("cum") * 2 >= col("total_qty"))
+        .groupBy("flag")
+        .agg(max(col("total_qty")).as("total_qty"),
+             min(col("cents")).as("median_cents"))
+        .select(col("flag"), col("total_qty"),
+          (col("median_cents").cast("double") / lit(100.0))
+            .as("weighted_median_price"))
+        .orderBy("flag")
+    }),
+
     "agg_value_stats" -> ((s, dir) => {
       val c = Exact.cents(col("value"))
       Tables.events(s, dir)
@@ -6811,6 +6839,28 @@ object SparkEntry {
 
     // exact BIGINT moment sums; identical double expression order for the
     // final mean/variance/stddev projection on both engines
+    "agg_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+                            CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                              AS cents,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            l_orderkey AS ok, l_linenumber AS ln
+                     FROM lineitem),
+              t AS (SELECT flag, CAST(sum(qty) AS BIGINT) AS total_qty
+                    FROM li GROUP BY 1),
+              c AS (SELECT flag, cents,
+                           CAST(sum(qty) OVER (PARTITION BY flag
+                             ORDER BY cents, ok, ln
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM li)
+         SELECT c.flag, max(t.total_qty) AS total_qty,
+                CAST(min(c.cents) AS DOUBLE) / CAST(100 AS DOUBLE)
+                  AS weighted_median_price
+         FROM c JOIN t ON t.flag = c.flag
+         WHERE c.cum * 2 >= t.total_qty
+         GROUP BY 1 ORDER BY 1""",
+
     "agg_skew_kurtosis" ->
       """WITH cc AS (SELECT event_type,
                             CAST(round(value * 100, 0) AS BIGINT) AS cc
