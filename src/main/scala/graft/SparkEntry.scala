@@ -1974,6 +1974,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Min-max feature scaling per series (the preprocessing normalizer):
+    // scaled = (c − min)/(max − min) from exact cents, one division per
+    // row against broadcast per-series bounds; constant series scale to
+    // 0.5 by convention (not NaN).
+    "ts_minmax_scale" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+      val bounds = bars.groupBy("event_type")
+        .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+      bars.join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("date"),
+          when(col("cmax") === col("cmin"), lit(0.5))
+            .otherwise((col("c") - col("cmin")).cast("double")
+              / (col("cmax") - col("cmin")).cast("double"))
+            .as("scaled"))
+        .orderBy("event_type", "date")
+    }),
+
     // Theil–Sen robust trend per series: the positional median of all
     // pairwise slopes (y_j−y_i)/(j−i) over the daily bars — the
     // outlier-immune counterpart of ts_linreg_trend's OLS. Slopes are one
@@ -2309,6 +2328,22 @@ object SparkEntry {
             .as("novelty"))
         .orderBy("doc_id")
     }),
+
+    // Sequence-length histogram in log₂ buckets — the distribution a
+    // packing/batching layer sizes itself from. Bucket = floor(log2
+    // n_chars) via the portable length(bin(n))−1 idiom; one
+    // partial-aggregable groupBy.
+    "text_length_log_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("bucket", (length(bin(col("n_chars"))) - 1)
+          .cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket")),
 
     // LM-flavored quality signal: token surprisal in EXACT integer bits —
     // per token, B = 32 − floor(log2(corpus_frequency)) (rare tokens
@@ -5392,6 +5427,28 @@ object SparkEntry {
                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
          FROM g gg JOIN f ON f.g = gg.g
          GROUP BY 1 ORDER BY 1""",
+
+    "text_length_log_histogram" ->
+      """SELECT length(bin(n_chars)) - 1 AS bucket,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents WHERE n_chars > 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "ts_minmax_scale" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, min(c) AS cmin, max(c) AS cmax
+                    FROM b GROUP BY 1)
+         SELECT b.event_type, b.date,
+                CASE WHEN m.cmax = m.cmin THEN CAST(0.5 AS DOUBLE)
+                     ELSE CAST(b.c - m.cmin AS DOUBLE)
+                          / CAST(m.cmax - m.cmin AS DOUBLE) END AS scaled
+         FROM b JOIN m ON m.event_type = b.event_type
+         ORDER BY b.event_type, b.date""",
 
     "text_surprisal_bits" ->
       """WITH toks AS (SELECT doc_id,
