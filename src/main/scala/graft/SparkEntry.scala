@@ -1023,6 +1023,38 @@ object SparkEntry {
     // 6-way star join (TPC-H Q5 shape): region/nation/supplier broadcast,
     // customer⋈orders⋈lineitem shuffle on their keys, nation-local
     // supplier constraint, exact revenue per nation.
+    // ABC / Pareto classification of parts by cumulative revenue share
+    // (A ≤ 80%, B ≤ 95%, C rest) — the inventory-analysis classic. The
+    // cumulative walk runs over PART-LEVEL aggregates (dimension-sized,
+    // like the k-core degree histogram — never the fact table), ordered
+    // totally by (revenue desc, partkey); thresholds compare exact
+    // integers (cum·100 vs total·k), no percent doubles in the cut.
+    "olap_abc_classification" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(true))
+        .orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val rev = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("cents"))
+      val total = rev.agg(sum(col("cents")).as("total_cents"))
+      rev.withColumn("cum", sum(col("cents")).over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("total_cents") * 80, "A")
+            .when(col("cum") * 100 <= col("total_cents") * 95, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+             sum(col("cents")).as("class_cents"),
+             max(col("total_cents")).as("total_cents"))
+        .select(col("abc_class"), col("n_parts"), col("class_cents"),
+          (col("class_cents").cast("double")
+            / col("total_cents").cast("double")).as("revenue_share"))
+        .orderBy("abc_class")
+    }),
+
     // Percent-of-parent hierarchy report (the drill-down table every BI
     // layer renders): order revenue per nation, each nation's share of
     // its region, each region's share of the grand total — exact cent
@@ -4315,6 +4347,32 @@ object SparkEntry {
           GROUP BY 1, 2, 3
           ORDER BY revenue DESC, l_orderkey ASC
           LIMIT 10""",
+
+    "olap_abc_classification" ->
+      """WITH rev AS (SELECT l_partkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                               AS BIGINT)) AS BIGINT) AS cents
+                      FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents
+                    FROM rev),
+              c AS (SELECT l_partkey, cents,
+                           CAST(sum(cents) OVER (ORDER BY cents DESC,
+                             l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM rev),
+              k AS (SELECT c.cents,
+                           CASE WHEN c.cum * 100 <= t.total_cents * 80
+                                THEN 'A'
+                                WHEN c.cum * 100 <= t.total_cents * 95
+                                THEN 'B'
+                                ELSE 'C' END AS abc_class,
+                           t.total_cents
+                    FROM c, t)
+         SELECT abc_class, count(*) AS n_parts,
+                CAST(sum(cents) AS BIGINT) AS class_cents,
+                CAST(sum(cents) AS DOUBLE) / CAST(max(total_cents) AS DOUBLE)
+                  AS revenue_share
+         FROM k GROUP BY 1 ORDER BY 1""",
 
     "olap_percent_of_parent" ->
       """WITH pn AS (SELECT r.r_name, n.n_name,

@@ -95,8 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ts_beta",
       // 1-row global-max scalar joined into the staleness projection
       "wm_freshness_report",
-      // 1-row grand-total scalar joined into the hierarchy shares
-      "olap_percent_of_parent")
+      // 1-row grand-total scalars joined into hierarchy/Pareto shares
+      "olap_percent_of_parent", "olap_abc_classification")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
