@@ -1324,6 +1324,24 @@ object SparkEntry {
       out
     }),
 
+    // Degree distribution in log₂ buckets — the first diagnostic run on
+    // any production graph (power-law or not?): one degree count + one
+    // bucket groupBy, both partial-aggregable, portable floor(log2).
+    "graph_degree_distribution" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("u"),
+                           (col("l_suppkey") * 2 + 1).as("v"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
+                               (col("l_partkey") * 2).as("v")))
+      e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+        .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_degree"),
+             max(col("d")).as("max_degree"))
+        .orderBy("bucket")
+    }),
+
     // Degree assortativity (Newman's r): do high-degree nodes attach to
     // high-degree nodes? Pearson correlation over the (deg(u), deg(v))
     // pairs of every directed edge — all sums are exact BIGINTs over
@@ -1920,6 +1938,29 @@ object SparkEntry {
                .cast("double"))))
           .as("corr"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // Realized volatility per series: sqrt(Σ r²) over the once-quantized
+    // daily returns — the exact-integer sum of squares makes the whole
+    // statistic one sqrt + one division from a BIGINT.
+    "ts_realized_vol" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("rq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("rq") * col("rq")).as("s2"))
+        .select(col("event_type"), col("n"),
+          (sqrt(col("s2").cast("double")) / lit(1048576.0))
+            .as("realized_vol"))
+        .orderBy("event_type")
     }),
 
     // Lag-1 autocorrelation of daily returns per series (the momentum /
@@ -4589,6 +4630,37 @@ object SparkEntry {
                 CAST(3 AS DOUBLE) * CAST(t.n_triangles AS DOUBLE)
                   / CAST(s.n_wedges AS DOUBLE) AS transitivity
          FROM s, m, t""",
+
+    "graph_degree_distribution" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              deg AS (SELECT u AS n, count(*) AS d FROM e GROUP BY 1)
+         SELECT length(bin(d)) - 1 AS bucket, count(*) AS n_nodes,
+                CAST(min(d) AS BIGINT) AS min_degree,
+                CAST(max(d) AS BIGINT) AS max_degree
+         FROM deg GROUP BY 1 ORDER BY 1""",
+
+    "ts_realized_vol" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, c,
+                           lag(c, 1) OVER (PARTITION BY event_type
+                                           ORDER BY date) AS prev
+                    FROM b),
+              q AS (SELECT event_type,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS rq
+                    FROM r WHERE prev IS NOT NULL)
+         SELECT event_type, count(*) AS n,
+                sqrt(CAST(CAST(sum(rq * rq) AS BIGINT) AS DOUBLE))
+                  / CAST(1048576 AS DOUBLE) AS realized_vol
+         FROM q GROUP BY 1 ORDER BY 1""",
 
     "graph_assortativity" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
