@@ -1886,6 +1886,37 @@ object SparkEntry {
         .orderBy("event_type", "date")
     }),
 
+    // Right-to-erasure propagation (the GDPR deletion sweep): a
+    // deterministic erasure list (user_id ≡ 0 mod 97) anti-joins through
+    // every user-keyed table; the report shows per-table rows erased vs
+    // retained — the audit evidence a deletion job must emit. Broadcast
+    // erasure set, one anti/semi-join pair per table, no full rewrite in
+    // the query (the write is the sink's idempotent append of survivors).
+    "inc_gdpr_erasure" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val erase = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 97 === 0)
+      val evErased = ev.join(broadcast(erase), Seq("user_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_erased"))
+      val evKept = ev.join(broadcast(erase), Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"))
+      val sess = graft.ts.Sessionize
+        .sessions(ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value", 1800)
+      val seErased = sess.join(broadcast(erase), Seq("user_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_erased"))
+      val seKept = sess.join(broadcast(erase), Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"))
+      val s1 = evErased.crossJoin(evKept)
+        .select(lit("events").as("table_name"), col("n_erased"),
+                col("n_kept"))
+      val s2 = seErased.crossJoin(seKept)
+        .select(lit("view_sessions").as("table_name"), col("n_erased"),
+                col("n_kept"))
+      s1.unionByName(s2).orderBy("table_name")
+    }),
+
     // Data freshness report — the staleness check an incremental
     // pipeline alerts on: per series, last event time and its lag behind
     // the globally freshest series, in exact microseconds.
@@ -6317,6 +6348,38 @@ object SparkEntry {
            ON v.user_id = p.user_id
           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
          GROUP BY 1 ORDER BY 1""",
+
+    "inc_gdpr_erasure" ->
+      """WITH erase AS (SELECT DISTINCT user_id FROM events
+                       WHERE user_id % 97 = 0),
+              ev AS (SELECT 'events' AS table_name,
+                CAST(count(*) FILTER (WHERE user_id IN
+                  (SELECT user_id FROM erase)) AS BIGINT) AS n_erased,
+                CAST(count(*) FILTER (WHERE user_id NOT IN
+                  (SELECT user_id FROM erase)) AS BIGINT) AS n_kept
+                FROM events),
+              x AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events WHERE event_type = 'view'
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sess AS (SELECT user_id,
+                         CAST(sum(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_seq
+                       FROM x),
+              sg AS (SELECT user_id, session_seq FROM sess
+                     GROUP BY 1, 2),
+              se AS (SELECT 'view_sessions' AS table_name,
+                CAST(count(*) FILTER (WHERE user_id IN
+                  (SELECT user_id FROM erase)) AS BIGINT) AS n_erased,
+                CAST(count(*) FILTER (WHERE user_id NOT IN
+                  (SELECT user_id FROM erase)) AS BIGINT) AS n_kept
+                FROM sg)
+         SELECT * FROM ev UNION ALL SELECT * FROM se
+         ORDER BY table_name""",
 
     "sessionize_events" ->
       """WITH x AS (SELECT user_id, ts, value,

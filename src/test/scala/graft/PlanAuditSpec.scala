@@ -96,7 +96,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row global-max scalar joined into the staleness projection
       "wm_freshness_report",
       // 1-row grand-total scalars joined into hierarchy/Pareto shares
-      "olap_percent_of_parent", "olap_abc_classification")
+      "olap_percent_of_parent", "olap_abc_classification",
+      // 1-row erased x kept audit scalars per table
+      "inc_gdpr_erasure")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
