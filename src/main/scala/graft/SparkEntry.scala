@@ -422,6 +422,21 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // 2-D histogram (value decile band × ISO weekday): the heatmap feed
+    // a monitoring dashboard renders — two integer bucketings, one
+    // partial-aggregable groupBy, exact cent sums per cell.
+    "agg_heatmap_2d" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .select(
+          expr("(cc - ((cc % 10000) + 10000) % 10000) DIV 10000")
+            .as("value_band"),
+          (weekday(col("ts").cast("date")) + 1).cast("long").as("dow"),
+          col("cc"))
+        .groupBy("value_band", "dow")
+        .agg(count(lit(1)).as("n"), sum(col("cc")).as("sum_cents"))
+        .orderBy("value_band", "dow")),
+
     // Herfindahl concentration index per month: Σ share² of event-type
     // revenue — deliberately the RATIONAL concentration metric (entropy
     // needs ln, which is not bit-portable); exact long numerator Σcᵢ²
@@ -6199,6 +6214,16 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_heatmap_2d" ->
+      """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cc,
+                           isodow(CAST(ts AS DATE)) AS dow
+                    FROM events)
+         SELECT (cc - ((cc % 10000) + 10000) % 10000) // 10000
+                  AS value_band,
+                CAST(dow AS BIGINT) AS dow, count(*) AS n,
+                CAST(sum(cc) AS BIGINT) AS sum_cents
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // same register arithmetic as sketch_hll_distinct, grouped per day
     "stream_hll_daily" ->
