@@ -3673,6 +3673,109 @@ object SparkEntry {
         .withColumn("jaccard_exact",
           col("n_inter").cast("double") / col("n_union").cast("double"))
     }),
+
+    // Local clustering coefficient distribution: per-node triangle counts
+    // from the degree-ordered orientation (each triangle materialized once,
+    // credited to all three corners — 3·T rows, never wedge-count rows),
+    // then cc = 2t/(d(d-1)) bucketed into deciles with EXACT integer floor
+    // division; sum_cc_micro is the per-node floor(2t·10⁶/(d(d-1))) summed
+    // as BIGINT, so the distribution's mass is order-independent and
+    // bitwise-portable. Nodes with d < 2 (cc undefined) land in bucket -1.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      graft.olap.Triangles.perNodeCounts(e)
+        .select(
+          when(col("d") < 2, lit(-1L)).otherwise(
+            least(expr("(20 * t) DIV (d * (d - 1))"), lit(9L)))
+            .as("cc_decile"),
+          when(col("d") < 2, lit(0L)).otherwise(
+            expr("(2000000 * t) DIV (d * (d - 1))")).as("ccm"),
+          col("t"))
+        .groupBy("cc_decile")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_tri"),
+             sum(col("ccm")).as("sum_cc_micro"))
+        .orderBy("cc_decile")
+    }),
+
+    // Common-neighbor link prediction: for every non-adjacent node pair,
+    // count shared neighbors and keep the top 20 candidates. Wedges are
+    // generated per CENTER via a keyed self-join on the symmetrized edge
+    // list, with hub centers above the documented degree cap excluded —
+    // the standard bound that keeps wedge volume Σ C(min(d,cap),2) linear
+    // ish instead of quadratic in hub degree at 100 TB (super-hub centers
+    // add near-zero signal to common-neighbor scores). Existing edges are
+    // removed by an anti-join on the canonical form; the limit boundary is
+    // made deterministic by the (cn desc, x, y) total order.
+    "graph_common_neighbors" -> ((s, dir) => {
+      val cap = 256L
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .persist()
+      val sym = e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      val okc = sym.groupBy("c").agg(count(lit(1)).as("dc"))
+        .filter(col("dc") <= cap).select("c")
+      val wedges = sym.join(okc, Seq("c"), "leftsemi").as("s1")
+        .join(sym.join(okc, Seq("c"), "leftsemi").as("s2"), Seq("c"))
+        .filter(col("s1.x") < col("s2.x"))
+        .select(col("s1.x").as("x"), col("s2.x").as("y"))
+      wedges.groupBy("x", "y").agg(count(lit(1)).as("cn"))
+        .join(e, col("x") === col("u") && col("y") === col("v"), "leftanti")
+        .orderBy(col("cn").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
+    // Referential-integrity audit across the star schema: per FK relation,
+    // child rows, distinct / null keys, and orphan keys+rows (non-null key
+    // with no parent). Child keys are pre-aggregated per key BEFORE the
+    // parent anti-join, so the join input is |distinct keys| not |rows|,
+    // and small parents broadcast. The audit-over-clean-data output (zero
+    // orphans here) is the point: it is the certification a 100 TB
+    // warehouse runs after every load.
+    "dq_referential_integrity" -> ((s, dir) => {
+      def audit(rel: String, child: DataFrame, key: org.apache.spark.sql.Column,
+                parent: DataFrame, pkey: org.apache.spark.sql.Column) = {
+        val keyed = child.select(key.as("k"))
+        val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+        val orphans = counts.filter(col("k").isNotNull)
+          .join(broadcast(parent.select(pkey.as("k")).distinct()),
+                Seq("k"), "leftanti")
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n_orphan_keys"),
+               coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"))
+        keyed.agg(count(lit(1)).as("n_child_rows"),
+            count_distinct(col("k")).as("n_distinct_keys"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+          .crossJoin(orphans)
+          .select(lit(rel).as("relation"), col("n_child_rows"),
+                  col("n_distinct_keys"), col("n_null_keys"),
+                  col("n_orphan_keys"), col("n_orphan_rows"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      audit("lineitem.orderkey->orders", li, col("l_orderkey"),
+            o, col("o_orderkey"))
+        .unionByName(audit("lineitem.partkey->part", li, col("l_partkey"),
+            Tables.part(s, dir), col("p_partkey")))
+        .unionByName(audit("lineitem.suppkey->supplier", li, col("l_suppkey"),
+            Tables.supplier(s, dir), col("s_suppkey")))
+        .unionByName(audit("orders.custkey->customer", o, col("o_custkey"),
+            Tables.customer(s, dir), col("c_custkey")))
+        .unionByName(audit("events.user_id->customer",
+            Tables.events(s, dir), col("user_id"),
+            Tables.customer(s, dir), col("c_custkey")))
+        .orderBy("relation")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7277,6 +7380,149 @@ object SparkEntry {
                 CAST((SELECT n_inter FROM ni) AS DOUBLE)
                   / CAST((SELECT n_union FROM nu) AS DOUBLE)
                   AS jaccard_exact""",
+
+    // per-node triangle counts from the ordered triple join (u < v < w,
+    // each triangle exactly once, credited to all three corners) — a
+    // different algorithm from the engine's oriented-intersect explode
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              deg AS (SELECT n, count(*) AS d
+                      FROM (SELECT u AS n FROM e
+                            UNION ALL SELECT v AS n FROM e)
+                      GROUP BY 1),
+              t3 AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+                     FROM e e1
+                     JOIN e e2 ON e2.u = e1.v
+                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              corners AS (SELECT u AS n FROM t3
+                          UNION ALL SELECT v FROM t3
+                          UNION ALL SELECT w FROM t3),
+              tc AS (SELECT n, count(*) AS t FROM corners GROUP BY 1),
+              nd AS (SELECT deg.n, deg.d, coalesce(tc.t, 0) AS t
+                     FROM deg LEFT JOIN tc USING (n)),
+              b AS (SELECT CASE WHEN d < 2 THEN -1
+                                ELSE least((20 * t) // (d * (d - 1)), 9)
+                           END AS cc_decile,
+                           CASE WHEN d < 2 THEN 0
+                                ELSE (2000000 * t) // (d * (d - 1))
+                           END AS ccm, t
+                    FROM nd)
+         SELECT CAST(cc_decile AS BIGINT) AS cc_decile,
+                count(*) AS n_nodes,
+                CAST(sum(t) AS BIGINT) AS sum_tri,
+                CAST(sum(ccm) AS BIGINT) AS sum_cc_micro
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "graph_common_neighbors" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              sym AS (SELECT u AS c, v AS x FROM e
+                      UNION ALL SELECT v, u FROM e),
+              okc AS (SELECT c FROM (SELECT c, count(*) AS dc FROM sym
+                                     GROUP BY 1)
+                      WHERE dc <= 256),
+              w AS (SELECT s1.x AS x, s2.x AS y
+                    FROM sym s1
+                    JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
+                    WHERE s1.c IN (SELECT c FROM okc)),
+              cn AS (SELECT x, y, count(*) AS cn FROM w GROUP BY 1, 2),
+              nz AS (SELECT cn.x, cn.y, cn.cn FROM cn
+                     WHERE NOT EXISTS (SELECT 1 FROM e
+                                       WHERE e.u = cn.x AND e.v = cn.y))
+         SELECT x, y, cn FROM nz
+         ORDER BY cn DESC, x, y LIMIT 20""",
+
+    "dq_referential_integrity" ->
+      """WITH a1 AS (SELECT 'lineitem.orderkey->orders' AS relation,
+                            count(*) AS n_child_rows,
+                            count(DISTINCT l_orderkey) AS n_distinct_keys,
+                            CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1
+                                          ELSE 0 END) AS BIGINT)
+                              AS n_null_keys,
+                            (SELECT count(*) FROM
+                              (SELECT l_orderkey AS k FROM lineitem
+                               WHERE l_orderkey IS NOT NULL GROUP BY 1) ck
+                             WHERE NOT EXISTS (SELECT 1 FROM orders
+                                               WHERE o_orderkey = ck.k))
+                              AS n_orphan_keys,
+                            (SELECT count(*) FROM lineitem
+                             WHERE l_orderkey IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM orders
+                                     WHERE o_orderkey = l_orderkey))
+                              AS n_orphan_rows
+                     FROM lineitem),
+              a2 AS (SELECT 'lineitem.partkey->part',
+                            count(*),
+                            count(DISTINCT l_partkey),
+                            CAST(sum(CASE WHEN l_partkey IS NULL THEN 1
+                                          ELSE 0 END) AS BIGINT),
+                            (SELECT count(*) FROM
+                              (SELECT l_partkey AS k FROM lineitem
+                               WHERE l_partkey IS NOT NULL GROUP BY 1) ck
+                             WHERE NOT EXISTS (SELECT 1 FROM part
+                                               WHERE p_partkey = ck.k)),
+                            (SELECT count(*) FROM lineitem
+                             WHERE l_partkey IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM part
+                                     WHERE p_partkey = l_partkey))
+                     FROM lineitem),
+              a3 AS (SELECT 'lineitem.suppkey->supplier',
+                            count(*),
+                            count(DISTINCT l_suppkey),
+                            CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1
+                                          ELSE 0 END) AS BIGINT),
+                            (SELECT count(*) FROM
+                              (SELECT l_suppkey AS k FROM lineitem
+                               WHERE l_suppkey IS NOT NULL GROUP BY 1) ck
+                             WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                               WHERE s_suppkey = ck.k)),
+                            (SELECT count(*) FROM lineitem
+                             WHERE l_suppkey IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM supplier
+                                     WHERE s_suppkey = l_suppkey))
+                     FROM lineitem),
+              a4 AS (SELECT 'orders.custkey->customer',
+                            count(*),
+                            count(DISTINCT o_custkey),
+                            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1
+                                          ELSE 0 END) AS BIGINT),
+                            (SELECT count(*) FROM
+                              (SELECT o_custkey AS k FROM orders
+                               WHERE o_custkey IS NOT NULL GROUP BY 1) ck
+                             WHERE NOT EXISTS (SELECT 1 FROM customer
+                                               WHERE c_custkey = ck.k)),
+                            (SELECT count(*) FROM orders
+                             WHERE o_custkey IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM customer
+                                     WHERE c_custkey = o_custkey))
+                     FROM orders),
+              a5 AS (SELECT 'events.user_id->customer',
+                            count(*),
+                            count(DISTINCT user_id),
+                            CAST(sum(CASE WHEN user_id IS NULL THEN 1
+                                          ELSE 0 END) AS BIGINT),
+                            (SELECT count(*) FROM
+                              (SELECT user_id AS k FROM events
+                               WHERE user_id IS NOT NULL GROUP BY 1) ck
+                             WHERE NOT EXISTS (SELECT 1 FROM customer
+                                               WHERE c_custkey = ck.k)),
+                            (SELECT count(*) FROM events
+                             WHERE user_id IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM customer
+                                     WHERE c_custkey = user_id))
+                     FROM events)
+         SELECT * FROM (
+           SELECT * FROM a1 UNION ALL SELECT * FROM a2
+           UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+           UNION ALL SELECT * FROM a5)
+           t(relation, n_child_rows, n_distinct_keys, n_null_keys,
+             n_orphan_keys, n_orphan_rows)
+         ORDER BY relation""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

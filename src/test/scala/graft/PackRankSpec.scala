@@ -118,6 +118,35 @@ class PackRankSpec extends AnyFunSuite {
     assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))._4 == 2L)
   }
 
+  test("per-node triangle counts: hand graphs, partitioning invariance") {
+    import spark.implicits._
+    def counts(edges: Seq[(Long, Long)], parts: Int = 1): Map[Long, (Long, Long)] =
+      graft.olap.Triangles
+        .perNodeCounts(edges.toDF("u", "v").repartition(parts))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // K4: every node degree 3, in all C(3,2) = 3 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(counts(k4) == (1L to 4L).map(_ -> (3L, 3L)).toMap)
+    // K4 + pendant off node 1: pendant has degree 1, zero triangles;
+    // node 1's triangle count unchanged
+    val p = counts(k4 :+ (1L, 5L))
+    assert(p(5L) == ((1L, 0L)) && p(1L) == ((4L, 3L)))
+    // two triangles sharing edge (1,2): shared nodes in 2, others in 1
+    val shared = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(counts(shared) ==
+      Map(1L -> (3L, 2L), 2L -> (3L, 2L), 3L -> (2L, 1L), 4L -> (2L, 1L)))
+    // square: wedges but no triangles — every node present with t = 0
+    assert(counts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+      .values.forall(_ == ((2L, 0L))))
+    // same answers regardless of input partitioning
+    assert(counts(shared, parts = 13) == counts(shared))
+    // conservation: corner credits sum to 3 × total triangle count
+    val t4 = graft.olap.Triangles.stats(k4.toDF("u", "v")).collect()(0)
+      .getAs[Long]("n_triangles")
+    assert(counts(k4).values.map(_._2).sum == 3 * t4)
+  }
+
   test("label propagation: hand graph, deterministic tie-breaks") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-applying

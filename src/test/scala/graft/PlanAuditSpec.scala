@@ -98,7 +98,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row grand-total scalars joined into hierarchy/Pareto shares
       "olap_percent_of_parent", "olap_abc_classification",
       // 1-row erased x kept audit scalars per table
-      "inc_gdpr_erasure")
+      "inc_gdpr_erasure",
+      // per-relation 1-row child-stats x 1-row orphan-stats combines
+      "dq_referential_integrity")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
