@@ -3776,6 +3776,100 @@ object SparkEntry {
             Tables.customer(s, dir), col("c_custkey")))
         .orderBy("relation")
     }),
+
+    // Multi-lag autocorrelation function (ACF lags 1-3) per series — the
+    // generalization of ts_autocorr_lag1: ONE keyed window pass computes
+    // all three lagged partners, stack() unpivots to (lag, x, y) rows, and
+    // each (series, lag) Pearson is the exact quantized-moment formula
+    // (floor(r·2²⁰) once, BIGINT/DECIMAL sums, one final double chain).
+    // One window exchange + one partial-aggregable groupBy regardless of
+    // the lag count.
+    "ts_acf_multilag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("date"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("x"))
+      val pairs = rq
+        .withColumn("y1", lag(col("x"), 1).over(w))
+        .withColumn("y2", lag(col("x"), 2).over(w))
+        .withColumn("y3", lag(col("x"), 3).over(w))
+        .select(col("event_type"), col("x"),
+          expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"))
+        .filter(col("y").isNotNull)
+      val agg = pairs.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      agg.select(col("event_type"), col("lag"), col("n"),
+        ((nd * col("sxy") - d(col("sx")) * col("sy")).cast("double")
+          / (sqrt((nd * col("sxx") - d(col("sx")) * col("sx"))
+               .cast("double"))
+             * sqrt((nd * col("syy") - d(col("sy")) * col("sy"))
+               .cast("double"))))
+          .as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Turning-point census per series: strict local maxima/minima and
+    // flat steps of the daily close, from one keyed window pass
+    // (lag + lead on exact cents — integer comparisons, no doubles).
+    // The shape statistic behind peak/trough detection and trend-quality
+    // screens; series ends (no two-sided neighborhood) are excluded by
+    // the null filter.
+    "ts_turning_points" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("p", lag(col("c"), 1).over(w))
+        .withColumn("nx", lead(col("c"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("p").isNotNull && col("nx").isNotNull &&
+                   col("p") < col("c") && col("c") > col("nx"), 1L)
+            .otherwise(0L)).as("n_maxima"),
+          sum(when(col("p").isNotNull && col("nx").isNotNull &&
+                   col("p") > col("c") && col("c") < col("nx"), 1L)
+            .otherwise(0L)).as("n_minima"),
+          sum(when(col("p").isNotNull && col("p") === col("c"), 1L)
+            .otherwise(0L)).as("n_flat"))
+        .orderBy("event_type")
+    }),
+
+    // CDC apply with delete semantics: events are a change stream where
+    // event_type = 'error' marks a key deletion and everything else
+    // upserts (documented synthetic mapping). The final state per key is
+    // decided by the LAST op in (ts, event_id) order — computed with a
+    // partial-aggregable max_by over the packed op struct (no window, no
+    // full-history shuffle beyond the one keyed aggregate), then delete
+    // finals drop out. This is MERGE INTO semantics as one aggregate —
+    // the shape that survives a 100 TB changelog.
+    "inc_cdc_apply" -> ((s, dir) => {
+      val fin = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"), Exact.cents(col("value")).as("vc"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ops"),
+          max_by(struct(col("event_type").as("et"), col("event_id").as("eid"),
+                        col("vc")),
+                 struct(col("ts"), col("event_id"))).as("last"))
+      fin.filter(col("last.et") =!= "error")
+        .select(col("user_id"), col("n_ops"),
+                col("last.eid").as("last_event_id"),
+                col("last.vc").as("last_value_cents"))
+        .orderBy("user_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7523,6 +7617,85 @@ object SparkEntry {
            t(relation, n_child_rows, n_distinct_keys, n_null_keys,
              n_orphan_keys, n_orphan_rows)
          ORDER BY relation""",
+
+    "ts_acf_multilag" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER w AS prev
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              q AS (SELECT event_type, date,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS x
+                    FROM r WHERE prev IS NOT NULL),
+              p0 AS (SELECT event_type, x,
+                            lag(x, 1) OVER w AS y1,
+                            lag(x, 2) OVER w AS y2,
+                            lag(x, 3) OVER w AS y3
+                     FROM q
+                     WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              p AS (SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y
+                    FROM p0
+                    UNION ALL
+                    SELECT event_type, 2, x, y2 FROM p0
+                    UNION ALL
+                    SELECT event_type, 3, x, y3 FROM p0),
+              ag AS (SELECT event_type, lag,
+                            CAST(count(*) AS HUGEINT) AS n,
+                            CAST(sum(x) AS HUGEINT) AS sx,
+                            CAST(sum(y) AS HUGEINT) AS sy,
+                            CAST(sum(x * y) AS HUGEINT) AS sxy,
+                            CAST(sum(x * x) AS HUGEINT) AS sxx,
+                            CAST(sum(y * y) AS HUGEINT) AS syy
+                     FROM p WHERE y IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, lag, CAST(n AS BIGINT) AS n,
+                CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+                     * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT)
+                                 AS DOUBLE)))
+                  AS acf
+         FROM ag ORDER BY event_type, lag""",
+
+    "ts_turning_points" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, c,
+                           lag(c, 1) OVER w AS p,
+                           lead(c, 1) OVER w AS nx
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date))
+         SELECT event_type,
+                count(*) AS n_days,
+                CAST(sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                               AND p < c AND c > nx THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_maxima,
+                CAST(sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                               AND p > c AND c < nx THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_minima,
+                CAST(sum(CASE WHEN p IS NOT NULL AND p = c THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_flat
+         FROM r GROUP BY 1 ORDER BY event_type""",
+
+    // final op per key via the positional window (a different algorithm
+    // from the engine's partial-aggregable max_by)
+    "inc_cdc_apply" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+                           CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC,
+                                                       event_id DESC) AS rn,
+                           count(*) OVER (PARTITION BY user_id) AS n_ops
+                    FROM events)
+         SELECT user_id, n_ops, event_id AS last_event_id,
+                vc AS last_value_cents
+         FROM o WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -136,6 +136,71 @@ class TaIndicatorsSpec extends AnyFunSuite {
       .foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
   }
 
+  test("acf multilag: lag-1 row is bitwise-identical to ts_autocorr_lag1") {
+    val sf = "/root/testdata/sf0.001"
+    val multi = SparkEntry.queries("ts_acf_multilag")(spark, sf)
+      .filter(col("lag") === 1L).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("acf"))))).toMap
+    val single = SparkEntry.queries("ts_autocorr_lag1")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), java.lang.Double.doubleToLongBits(
+          r.getAs[Double]("autocorr_lag1"))))).toMap
+    assert(multi.nonEmpty && multi == single)
+    // and every ACF is a correlation: |acf| ≤ 1 at all lags
+    assert(SparkEntry.queries("ts_acf_multilag")(spark, sf).collect()
+      .forall(r => math.abs(r.getAs[Double]("acf")) <= 1.0))
+  }
+
+  test("turning points: strict extrema alternate on a hand series") {
+    import spark.implicits._
+    // closes: 1 3 2 4 4 1 5 — strict maxima at 3 (idx1), strict minima at
+    // 2 (idx2) and 1 (idx5); the 4,4 plateau is one flat step, and the
+    // plateau's second 4 is NOT a strict max (prev == c)
+    val bars = frame(Seq(1.0, 3.0, 2.0, 4.0, 4.0, 1.0, 5.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("date")
+    val r = bars
+      .select(col("event_type"),
+        graft.olap.Exact.cents(col("close")).as("c"),
+        lag(graft.olap.Exact.cents(col("close")), 1).over(w).as("p"),
+        lead(graft.olap.Exact.cents(col("close")), 1).over(w).as("nx"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("p").isNotNull && col("nx").isNotNull &&
+                 col("p") < col("c") && col("c") > col("nx"), 1L)
+          .otherwise(0L)).as("mx"),
+        sum(when(col("p").isNotNull && col("nx").isNotNull &&
+                 col("p") > col("c") && col("c") < col("nx"), 1L)
+          .otherwise(0L)).as("mn"),
+        sum(when(col("p").isNotNull && col("p") === col("c"), 1L)
+          .otherwise(0L)).as("fl"))
+      .collect()(0)
+    assert((r.getAs[Long]("mx"), r.getAs[Long]("mn"), r.getAs[Long]("fl"))
+      == ((1L, 2L, 1L)))
+  }
+
+  test("cdc apply: delete finals drop out, survivors carry the last op") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("inc_cdc_apply")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("last_event_id")).toMap
+    // independent reference: positional window over the raw events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val ref = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+                 r.getAs[Long]("event_id")))
+    val expect = ref.filter(_._2 != "error").map(t => t._1 -> t._3).toMap
+    assert(got.nonEmpty && got == expect)
+    // deleted keys really are absent
+    assert(ref.filter(_._2 == "error").forall(t => !got.contains(t._1)))
+  }
+
   test("withRsi: gain/loss split, NULL before n deltas and on flat frames") {
     // deltas (cents): +100, -50, +25, 0, +75
     val closes = Seq(10.0, 11.0, 10.5, 10.75, 10.75, 11.5)
