@@ -3870,6 +3870,38 @@ object SparkEntry {
                 col("last.vc").as("last_value_cents"))
         .orderBy("user_id")
     }),
+
+    // Token co-occurrence mining: top pairs of long tokens (length ≥ 4,
+    // the noise bound) appearing in the same document. Document-level
+    // DISTINCT token sets first (so a pair counts once per doc), then a
+    // keyed self-join on doc_id with a < b — pair volume is Σ C(k_doc, 2),
+    // bounded by document length exactly like the co-purchase edge gen,
+    // never corpus-quadratic. Deterministic (n_docs desc, a, b) top-30
+    // boundary. The collocation signal behind phrase mining and
+    // compound-token vocabulary induction.
+    "text_cooccurrence_topk" -> ((s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"),
+                explode(graft.text.TextAnalysis.tokens("text")).as("token"))
+        .filter(length(col("token")) >= 4)
+        .distinct()
+      tk.select(col("doc_id"), col("token").as("tok_a")).as("a")
+        .join(tk.select(col("doc_id"), col("token").as("tok_b")).as("b"),
+              Seq("doc_id"))
+        .filter(col("tok_a") < col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
+        .limit(30)
+    }),
+
+    // Streaming windowed top-k: per-day event-type counts maintained by
+    // the watermarked tumbling aggregation, deterministic per-day top-3
+    // rank applied to the finalized sink table (see
+    // EventStream.runWindowedTopk for why the rank lives sink-side).
+    "stream_windowed_topk" -> ((s, dir) =>
+      graft.streaming.EventStream.runWindowedTopk(s, dir)
+        .orderBy("date", "rnk")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7696,6 +7728,32 @@ object SparkEntry {
                 vc AS last_value_cents
          FROM o WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
+
+    "text_cooccurrence_topk" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, t AS token FROM (
+                       SELECT doc_id,
+                              unnest(regexp_extract_all(translate(text,
+                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                'abcdefghijklmnopqrstuvwxyz'),
+                                '[a-z0-9]+')) AS t
+                       FROM documents)
+                     WHERE length(t) >= 4)
+         SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_docs
+         FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.token < b.token
+         GROUP BY 1, 2
+         ORDER BY n_docs DESC, tok_a, tok_b LIMIT 30""",
+
+    "stream_windowed_topk" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS date, event_type,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT date, event_type, n,
+                           row_number() OVER (PARTITION BY date
+                                              ORDER BY n DESC,
+                                                       event_type) AS rnk
+                    FROM c)
+         SELECT date, event_type, n, rnk FROM r
+         WHERE rnk <= 3 ORDER BY date, rnk""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -312,6 +312,30 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Windowed top-k in streaming: the stream maintains per-(day, series)
+    * counts (the same watermark-bounded tumbling aggregation as
+    * runTumblingDaily); the deterministic per-day top-3 rank runs on the
+    * finalized sink table. That split is deliberate and is what a
+    * production job does at scale: a per-window rank is only meaningful
+    * once the window is final, and sink-side it is a keyed window over
+    * day-sized groups — never global state in the stream.
+    */
+  def runWindowedTopk(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_wtopk"
+    val q = tumblingDaily(readEvents(spark, dir), "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("date").orderBy(col("n").desc, col("event_type").asc)
+    spark.table(name)
+      .select(col("date"), col("event_type"), col("n"),
+              row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
   /** Sliding event-time windows in streaming (2-day windows, 1-day step):
     * each event lands in two open windows, so the state holds two window
     * rows per (series, day) — still bounded by the watermark, which

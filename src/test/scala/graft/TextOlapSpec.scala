@@ -91,6 +91,39 @@ class TextOlapSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("token co-occurrence: hand docs + df bound on real data") {
+    import spark.implicits._
+    // hand corpus: pair counts once per doc (doc 1 repeats 'alpha bravo'),
+    // short tokens (< 4 chars) excluded, a < b canonical order
+    val docs = Seq(
+      (1L, "alpha bravo alpha bravo charlie"),
+      (2L, "alpha bravo"),
+      (3L, "alpha delta ab cd")).toDF("doc_id", "text")
+    val tk = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("t"))
+      .filter(length(col("t")) >= 4).distinct()
+    val pairs = tk.select(col("doc_id"), col("t").as("a"))
+      .join(tk.select(col("doc_id"), col("t").as("b")), Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(
+      ("alpha", "bravo") -> 2L, ("alpha", "charlie") -> 1L,
+      ("bravo", "charlie") -> 1L, ("alpha", "delta") -> 1L))
+    // real data: co-occurrence count can never exceed either doc frequency
+    val top = SparkEntry.queries("text_cooccurrence_topk")(spark, sf)
+      .collect()
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("t"))
+      .filter(length(col("t")) >= 4).distinct()
+      .groupBy("t").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top.nonEmpty && top.forall { r =>
+      val n = r.getAs[Long]("n_docs")
+      n <= df(r.getAs[String]("tok_a")) && n <= df(r.getAs[String]("tok_b"))
+    })
+  }
+
   test("damerau-levenshtein: unrestricted variant, hand cases, codegen") {
     import graft.functions.DamerauLevenshtein.{damerau_levenshtein, distance}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
