@@ -3902,6 +3902,108 @@ object SparkEntry {
     "stream_windowed_topk" -> ((s, dir) =>
       graft.streaming.EventStream.runWindowedTopk(s, dir)
         .orderBy("date", "rnk")),
+
+    // Newman modularity of the label-propagation partition — the quality
+    // score that closes the community-detection loop. Q = ΣL_c/m −
+    // Σd_c²/(4m²) is computed as ONE exact rational: q_num = 4m·ΣL_c −
+    // Σd_c² and q_den = 4m² in BIGINT (all sums partial-aggregable), one
+    // final double division. The labels frame is computed once and
+    // persisted for its two consumers (intra-edge count + degree mass);
+    // magnitudes stay < 2⁵³ so the double conversion is exact on both
+    // engines.
+    "graph_modularity" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .persist()
+      val e = pairs.select((col("l_partkey") * 2).as("src"),
+                           (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                               (col("l_partkey") * 2).as("dst")))
+      val lab = graft.olap.LabelProp.labels(e, 2).persist()
+      val m = pairs.agg(count(lit(1)).as("m_edges"))
+      val intra = pairs
+        .join(lab.select((col("node")).as("pn"), col("label").as("la")),
+              col("pn") === col("l_partkey") * 2)
+        .join(lab.select(col("node").as("sn"), col("label").as("lb")),
+              col("sn") === col("l_suppkey") * 2 + 1)
+        .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .as("intra_edges"))
+      val dc = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .join(lab, col("src") === col("node"))
+        .groupBy("label").agg(sum(col("d")).as("dsum"))
+      val dstats = dc.agg(count(lit(1)).as("n_communities"),
+                          sum(col("dsum") * col("dsum")).as("sum_dc2"))
+      m.crossJoin(intra).crossJoin(dstats)
+        .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+          (lit(4L) * col("m_edges") * col("intra_edges") - col("sum_dc2"))
+            .as("q_num"),
+          (lit(4L) * col("m_edges") * col("m_edges")).as("q_den"))
+        .withColumn("modularity",
+          col("q_num").cast("double") / col("q_den").cast("double"))
+    }),
+
+    // Sequential pattern mining: the top event-type trigrams users emit
+    // (behavioral path analysis). Per-user strict (ts, event_id) order,
+    // two leads from ONE keyed window pass, then a partial-aggregable
+    // trigram count with a deterministic top-10 boundary. The shape
+    // behind funnel discovery — where sessionize_funnel checks a GIVEN
+    // path, this MINES the paths.
+    "mine_event_trigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    }),
+
+    // Duplicate-rate report by source: the per-origin contamination view
+    // over the SAME normalization key as dedup_normalized (fold case,
+    // collapse whitespace), so the numbers reconcile with the global
+    // dedup. One scan, one partial-aggregable groupBy; the distinct
+    // count is per (source, norm) — no global distinct state.
+    "dedup_rate_by_source" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          trim(regexp_replace(
+            translate(col("text"), TextAnalysis.asciiUpper,
+              TextAnalysis.asciiLower),
+            "[ \\t\\n\\r\\f\\x0B]+", " ")).as("norm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             count_distinct(col("norm")).as("n_distinct"))
+        .withColumn("n_dupes", col("n_docs") - col("n_distinct"))
+        .withColumn("dup_rate",
+          col("n_dupes").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")),
+
+    // Inter-event gap histogram: per-user gaps in EXACT integer seconds
+    // (unix_micros diffs floor-divided — no timestamp-to-double), log₂
+    // buckets via the portable length(bin(n+1))−1 trick, one keyed window
+    // pass + one partial-aggregable groupBy. The arrival-process
+    // diagnostic behind session-timeout and watermark-delay tuning.
+    "ts_gap_histogram" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(expr("(us - prev_us) DIV 1000000").as("gap_s"))
+        .select((length(bin(col("gap_s") + 1)) - 1).cast("long")
+          .as("gap_bucket"), col("gap_s"))
+        .groupBy("gap_bucket")
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+             max(col("gap_s")).as("max_gap_s"))
+        .orderBy("gap_bucket")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7754,6 +7856,90 @@ object SparkEntry {
                     FROM c)
          SELECT date, event_type, n, rnk FROM r
          WHERE rnk <= 3 ORDER BY date, rnk""",
+
+    // the same 2-round LPA unroll as graph_label_prop, extended with the
+    // exact rational modularity of the resulting partition
+    "graph_modularity" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+              c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                     FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+              l1 AS (SELECT node, label FROM
+                       (SELECT node, label,
+                               row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) AS rn
+                        FROM c1) WHERE rn = 1),
+              c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                     FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+              l2 AS (SELECT node, label FROM
+                       (SELECT node, label,
+                               row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) AS rn
+                        FROM c2) WHERE rn = 1),
+              mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM pairs),
+              intra AS (SELECT CAST(sum(CASE WHEN la.label = lb.label
+                                             THEN 1 ELSE 0 END) AS BIGINT)
+                               AS intra_edges
+                        FROM pairs p
+                        JOIN l2 la ON la.node = p.l_partkey * 2
+                        JOIN l2 lb ON lb.node = p.l_suppkey * 2 + 1),
+              deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+              dc AS (SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+                     FROM l2 l JOIN deg ON deg.node = l.node GROUP BY 1),
+              ds AS (SELECT count(*) AS n_communities,
+                            CAST(sum(dsum * dsum) AS BIGINT) AS sum_dc2
+                     FROM dc)
+         SELECT ds.n_communities, mm.m_edges, intra.intra_edges,
+                CAST(4 * mm.m_edges * intra.intra_edges - ds.sum_dc2
+                     AS BIGINT) AS q_num,
+                CAST(4 * mm.m_edges * mm.m_edges AS BIGINT) AS q_den,
+                CAST(CAST(4 * mm.m_edges * intra.intra_edges - ds.sum_dc2
+                          AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(4 * mm.m_edges * mm.m_edges AS BIGINT)
+                         AS DOUBLE) AS modularity
+         FROM mm, intra, ds""",
+
+    "mine_event_trigrams" ->
+      """WITH s AS (SELECT event_type AS e1,
+                           lead(event_type, 1) OVER w AS e2,
+                           lead(event_type, 2) OVER w AS e3
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+         SELECT e1, e2, e3, count(*) AS n FROM s
+         WHERE e3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, e1, e2, e3 LIMIT 10""",
+
+    "dedup_rate_by_source" ->
+      """WITH n AS (SELECT source,
+                           trim(regexp_replace(translate(text,
+                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz'),
+                             '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+                    FROM documents)
+         SELECT source, count(*) AS n_docs,
+                count(DISTINCT norm) AS n_distinct,
+                count(*) - count(DISTINCT norm) AS n_dupes,
+                CAST(count(*) - count(DISTINCT norm) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_rate
+         FROM n GROUP BY 1 ORDER BY source""",
+
+    "ts_gap_histogram" ->
+      """WITH g AS (SELECT (epoch_us(ts) - lag(epoch_us(ts), 1)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000000
+                             AS gap_s
+                    FROM events)
+         SELECT length(bin(gap_s + 1)) - 1 AS gap_bucket,
+                count(*) AS n_gaps,
+                min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         FROM g WHERE gap_s IS NOT NULL
+         GROUP BY 1 ORDER BY gap_bucket""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -147,6 +147,21 @@ class PackRankSpec extends AnyFunSuite {
     assert(counts(k4).values.map(_._2).sum == 3 * t4)
   }
 
+  test("modularity: exact rational arithmetic and cross-query consistency") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("graph_modularity")(spark, sf).collect()(0)
+    val (m, intra) = (r.getAs[Long]("m_edges"), r.getAs[Long]("intra_edges"))
+    val (num, den) = (r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
+    // the rational IS the formula: den = 4m², num consistent with intra
+    assert(den == 4 * m * m && intra <= m && intra >= 0)
+    val q = r.getAs[Double]("modularity")
+    assert(q == num.toDouble / den.toDouble && q >= -0.5 && q <= 1.0)
+    // same partition as graph_label_prop: community count agrees
+    val nComm = SparkEntry.queries("graph_label_prop")(spark, sf)
+      .count()
+    assert(r.getAs[Long]("n_communities") == nComm)
+  }
+
   test("label propagation: hand graph, deterministic tie-breaks") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-applying

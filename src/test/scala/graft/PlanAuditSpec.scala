@@ -100,7 +100,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row erased x kept audit scalars per table
       "inc_gdpr_erasure",
       // per-relation 1-row child-stats x 1-row orphan-stats combines
-      "dq_referential_integrity")
+      "dq_referential_integrity",
+      // 1-row m x intra-count x degree-mass scalar combines
+      "graph_modularity")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
