@@ -4004,6 +4004,98 @@ object SparkEntry {
              max(col("gap_s")).as("max_gap_s"))
         .orderBy("gap_bucket")
     }),
+
+    // REAL image resize: encode the deterministic gradient corpus as
+    // actual compressed PNGs, then decode each through javax.imageio and
+    // nearest-neighbor downsample 2× (source index = 2·target index) in
+    // the same batched mapPartitions pass. The oracle recomputes the
+    // sampled checksums arithmetically from the synthesis formula —
+    // a full encode → real decode → resample round-trip, not a stub.
+    "mm_png_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            graft.multimodal.Media.MediaRow(id,
+              graft.multimodal.Media.PngCodec.encodeGray(w, h,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt),
+              "png")
+          }
+        }
+      graft.multimodal.Media.resizeMeta(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+                col("checksum"))
+        .orderBy("media_id")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic (click vs view value
+    // distributions) — EXACT: D = max|F₁−F₂| is computed on the integer
+    // lattice as max|n₂·cum₁(v) − n₁·cum₂(v)| over the merged support,
+    // one final division. The cumulative counts use the two-level
+    // distributed prefix sum (graft.text.Packing) — value-bucketed level
+    // 1 in parallel, #buckets-row level 2 — NEVER a single-partition
+    // window over the support. The distribution-drift test a 100 TB
+    // feature pipeline runs between snapshots.
+    "agg_ks_statistic" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), Exact.cents(col("value")).as("v"))
+      val counts = ev.groupBy("v")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+               .as("c1"),
+             sum(when(col("event_type") === "view", 1L).otherwise(0L))
+               .as("c2"))
+      val cum1 = graft.text.Packing.withStreamOffset(
+        counts, "v", "c1", "cum1x", bucketSize = 1000L)
+      val cum = graft.text.Packing.withStreamOffset(
+        cum1, "v", "c2", "cum2x", bucketSize = 1000L)
+        .select(col("v"),
+          (col("cum1x") + col("c1")).as("cum1"),
+          (col("cum2x") + col("c2")).as("cum2"))
+      val n = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      cum.crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"), col("v"),
+          abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dn"))
+        .groupBy("n1", "n2")
+        .agg(max(col("dn")).as("d_num"),
+             max_by(col("v"), struct(col("dn"), (-col("v")).as("nv")))
+               .as("ks_at_value"))
+        .withColumn("d_stat", col("d_num").cast("double")
+          / (col("n1") * col("n2")).cast("double"))
+        .select("n1", "n2", "d_num", "ks_at_value", "d_stat")
+    }),
+
+    // Schema evolution on read: two parquet snapshots written with
+    // DIFFERENT schemas (the second adds a column), unified by
+    // mergeSchema — the missing column surfaces as NULLs for old
+    // snapshot rows. The report certifies the merged read: per-parity
+    // row counts, nulls in the late-added column, exact cent sums.
+    // The append-only schema-drift story every long-lived 100 TB table
+    // eventually needs.
+    "inc_schema_evolution" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo").toString
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/snap=0")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/snap=1")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy((col("o_orderkey") % 2).as("parity"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("n_null_priority"),
+          sum(Exact.cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy("parity")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7940,6 +8032,72 @@ object SparkEntry {
                 min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
          FROM g WHERE gap_s IS NOT NULL
          GROUP BY 1 ORDER BY gap_bucket""",
+
+    // stride-2 nearest-neighbor: sampled pixel (x,y) of the resized image
+    // is source pixel (2x, 2y) of the synthesis formula
+    "mm_png_resize" ->
+      """WITH dims AS (SELECT doc_id,
+                              CAST(1 + doc_id % 8 AS INT) AS width,
+                              CAST(1 + n_chars % 8 AS INT) AS height
+                       FROM documents),
+              t AS (SELECT doc_id,
+                           CAST((width + 1) // 2 AS INT) AS tw,
+                           CAST((height + 1) // 2 AS INT) AS th
+                    FROM dims),
+              xs AS (SELECT doc_id, tw, th,
+                            unnest(range(0, CAST(tw AS BIGINT))) AS x
+                     FROM t),
+              xy AS (SELECT doc_id, x,
+                            unnest(range(0, CAST(th AS BIGINT))) AS y
+                     FROM xs),
+              px AS (SELECT doc_id,
+                            sum((doc_id * 31 + 2 * x * 7 + 2 * y * 13) % 256)
+                              AS s
+                     FROM xy GROUP BY 1)
+         SELECT t.doc_id AS media_id, t.tw AS width, t.th AS height,
+                CAST(p.s % 2147483647 AS BIGINT) AS checksum
+         FROM t JOIN px p ON p.doc_id = t.doc_id
+         ORDER BY media_id""",
+
+    "agg_ks_statistic" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(round(value * 100, 0) AS BIGINT) AS v
+                     FROM events WHERE event_type IN ('click', 'view')),
+              c AS (SELECT v,
+                           sum(CASE WHEN event_type = 'click' THEN 1
+                                    ELSE 0 END) AS c1,
+                           sum(CASE WHEN event_type = 'view' THEN 1
+                                    ELSE 0 END) AS c2
+                    FROM ev GROUP BY 1),
+              cc AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+                            sum(c2) OVER (ORDER BY v) AS cum2
+                     FROM c),
+              n AS (SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n1,
+                           CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n2
+                    FROM ev),
+              d AS (SELECT n.n1, n.n2, cc.v,
+                           CAST(abs(n.n2 * cc.cum1 - n.n1 * cc.cum2)
+                                AS BIGINT) AS dn,
+                           row_number() OVER (
+                             ORDER BY abs(n.n2 * cc.cum1 - n.n1 * cc.cum2)
+                               DESC, cc.v ASC) AS rn
+                    FROM cc, n)
+         SELECT n1, n2, dn AS d_num, v AS ks_at_value,
+                CAST(dn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
+         FROM d WHERE rn = 1""",
+
+    // parity 0 rows were written WITHOUT the priority column, so the
+    // merged read surfaces NULL for every one of them
+    "inc_schema_evolution" ->
+      """SELECT o_orderkey % 2 AS parity, count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1
+                              WHEN o_orderpriority IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_null_priority,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1 ORDER BY parity""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -78,6 +78,29 @@ object Media {
       (w, h, sum % 2147483647L)
     }
 
+    /** Decode + nearest-neighbor 2× downsample in one pass: a REAL
+      * imageio decode of the compressed PNG, then every other pixel per
+      * axis (target (⌈w/2⌉, ⌈h/2⌉), source index = 2·target index — the
+      * exact-arithmetic nearest-neighbor convention, so an external
+      * oracle can recompute the sampled checksum from the synthesis
+      * formula). Returns (new_w, new_h, checksum of sampled band-0).
+      */
+    def decodeHalf(payload: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) { sum += raster.getSample(2 * x, 2 * y, 0); x += 1 }
+        y += 1
+      }
+      (tw, th, sum % 2147483647L)
+    }
+
     /** Encode a w×h 8-bit grayscale image (pixel(x, y) masked to a byte)
       * as real compressed PNG bytes.
       */
@@ -180,6 +203,25 @@ object Media {
 
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMeta(asMedia(docs, "doc_id", "text")).toDF()
+
+  /** Batched decode-and-resize over PNG payloads: the same per-partition
+    * batch shape as [[extractMeta]], but each image goes through the real
+    * decode → downsample path ([[PngCodec.decodeHalf]]). Non-PNG payloads
+    * are passed through the fake codec untouched (resize is undefined for
+    * them) — dispatch is by payload magic, as everywhere.
+    */
+  def resizeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, checksum) =
+          if (PngCodec.isPng(m.payload)) PngCodec.decodeHalf(m.payload)
+          else FakeCodec.decode(m.payload)
+        MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, checksum)
+      }
+    }
+  }
 
   /** A sampled frame: fixed-stride chunk of the payload (what video frame
     * sampling looks like to the engine: one media row fans out to many

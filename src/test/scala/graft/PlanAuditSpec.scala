@@ -102,7 +102,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // per-relation 1-row child-stats x 1-row orphan-stats combines
       "dq_referential_integrity",
       // 1-row m x intra-count x degree-mass scalar combines
-      "graph_modularity")
+      "graph_modularity",
+      // broadcast 1-row (n1, n2) scalar into the lattice projection
+      "agg_ks_statistic")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

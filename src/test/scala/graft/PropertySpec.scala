@@ -165,4 +165,25 @@ class PropertySpec extends AnyFunSuite {
       assert(sum == expected)
     }
   }
+
+  test("png decodeHalf: stride-2 sample of the decoded raster, any parity") {
+    import graft.multimodal.Media.PngCodec
+    val dims = Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9),
+                       Gen.choose(0L, Long.MaxValue / 2))
+    forAllN(dims, n = 40) { case (w, h, seed) =>
+      def pixel(x: Int, y: Int): Int =
+        (((seed + x * 31 + y * 131) % 256) + 256).toInt % 256
+      val png = PngCodec.encodeGray(w, h, pixel)
+      val (tw, th, sum) = PngCodec.decodeHalf(png)
+      assert(tw == (w + 1) / 2 && th == (h + 1) / 2)
+      val expected = (for (y <- 0 until th; x <- 0 until tw)
+        yield pixel(2 * x, 2 * y).toLong).sum % 2147483647L
+      assert(sum == expected)
+      // 1x1 stays 1x1 and keeps its single pixel
+      val (ow, oh, os) = PngCodec.decodeHalf(
+        PngCodec.encodeGray(1, 1, (_, _) => pixel(0, 0)))
+      assert(ow == 1 && oh == 1 && os == pixel(0, 0).toLong % 2147483647L)
+    }
+  }
+
 }

@@ -201,6 +201,30 @@ class TaIndicatorsSpec extends AnyFunSuite {
     assert(ref.filter(_._2 == "error").forall(t => !got.contains(t._1)))
   }
 
+  test("two-sample KS: engine matches the local exact lattice") {
+    // the exact-integer KS lattice: D_num = max|n2*cum1 - n1*cum2|
+    def dnum(a: Seq[Long], b: Seq[Long]): Long = {
+      val support = (a ++ b).distinct.sorted
+      val (n1, n2) = (a.size.toLong, b.size.toLong)
+      support.map { v =>
+        math.abs(n2 * a.count(_ <= v) - n1 * b.count(_ <= v))
+      }.max
+    }
+    assert(dnum(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0L)
+    // disjoint supports: all of a precedes b -> D = 1 = n1*n2/(n1*n2)
+    assert(dnum(Seq(1L, 2L), Seq(10L, 11L, 12L)) == 2L * 3L)
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("agg_ks_statistic")(spark, sf).collect()(0)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val a = ev.filter(_._1 == "click").map(_._2).toSeq
+    val b = ev.filter(_._1 == "view").map(_._2).toSeq
+    assert(r.getAs[Long]("n1") == a.size && r.getAs[Long]("n2") == b.size)
+    assert(r.getAs[Long]("d_num") == dnum(a, b))
+  }
+
   test("withRsi: gain/loss split, NULL before n deltas and on flat frames") {
     // deltas (cents): +100, -50, +25, 0, +75
     val closes = Seq(10.0, 11.0, 10.5, 10.75, 10.75, 11.5)
