@@ -4096,6 +4096,65 @@ object SparkEntry {
           sum(Exact.cents(col("o_totalprice"))).as("sum_cents"))
         .orderBy("parity")
     }),
+
+    // Audience overlap matrix: distinct users shared by every event-type
+    // pair, with exact Jaccard. Membership is reduced to distinct
+    // (user, type) pairs FIRST (one partial-aggregable distinct), so the
+    // keyed self-join on user_id fans out C(types_per_user, 2) ≤ C(5,2)
+    // rows per user — bounded by the type-universe, never by event
+    // volume. The segmentation-overlap report behind audience targeting.
+    "olap_audience_overlap" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct().persist()
+      val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
+      val ov = m.select(col("user_id"), col("event_type").as("type_a"))
+        .join(m.select(col("user_id"), col("event_type").as("type_b")),
+              Seq("user_id"))
+        .filter(col("type_a") <= col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_shared"))
+      ov.join(broadcast(sizes.select(col("event_type").as("type_a"),
+                                     col("sz").as("sz_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+                                     col("sz").as("sz_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Temporal train/test split with a purge gap (leakage hygiene for
+    // time-series ML): the boundary is the DATA-DEPENDENT exact 70th
+    // percentile day, found with the same histogram + broadcast
+    // cumulative pick as KCore's median (O(distinct days), no window,
+    // nothing event-sized single-partition); a 2-day purge zone between
+    // train and test absorbs look-ahead from windowed features. Split
+    // sizes, user reach, and day bounds certify the cut.
+    "sample_time_purged_split" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+                expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val hist = ev.groupBy("day").agg(count(lit(1)).as("c"))
+      val cum = hist.as("a")
+        .join(broadcast(hist.as("b")), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day")).agg(sum(col("b.c")).as("cum"))
+      val rank = hist.agg(
+        expr("CAST((sum(c) * 7 + 9) DIV 10 AS BIGINT)").as("r"))
+      val d70 = cum.join(broadcast(rank))
+        .filter(col("cum") >= col("r"))
+        .agg(min(col("day")).as("d70"))
+      ev.crossJoin(broadcast(d70))
+        .select(col("user_id"), col("event_id"), col("day"),
+          when(col("day") < col("d70"), "1_train")
+            .when(col("day") < col("d70") + 2, "2_purged")
+            .otherwise("3_test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+             count_distinct(col("user_id")).as("n_users"),
+             min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy("split")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8098,6 +8157,41 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
                      AS BIGINT) AS sum_cents
          FROM orders GROUP BY 1 ORDER BY parity""",
+
+    "olap_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+              sz AS (SELECT event_type, count(*) AS sz FROM m GROUP BY 1),
+              ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                            count(*) AS n_shared
+                     FROM m a JOIN m b ON a.user_id = b.user_id
+                     WHERE a.event_type <= b.event_type
+                     GROUP BY 1, 2)
+         SELECT ov.type_a, ov.type_b, ov.n_shared,
+                CAST(ov.n_shared AS DOUBLE)
+                  / CAST(sa.sz + sb.sz - ov.n_shared AS DOUBLE) AS jaccard
+         FROM ov
+         JOIN sz sa ON sa.event_type = ov.type_a
+         JOIN sz sb ON sb.event_type = ov.type_b
+         ORDER BY type_a, type_b""",
+
+    "sample_time_purged_split" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+              h AS (SELECT day, count(*) AS c FROM ev GROUP BY 1),
+              cum AS (SELECT day, sum(c) OVER (ORDER BY day) AS cum FROM h),
+              r AS (SELECT (sum(c) * 7 + 9) // 10 AS r FROM h),
+              d70 AS (SELECT min(day) AS d70 FROM cum, r
+                      WHERE cum.cum >= r.r),
+              s AS (SELECT user_id, event_id, day,
+                           CASE WHEN day < d70 THEN '1_train'
+                                WHEN day < d70 + 2 THEN '2_purged'
+                                ELSE '3_test' END AS split
+                    FROM ev, d70)
+         SELECT split, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                min(day) AS min_day, max(day) AS max_day
+         FROM s GROUP BY 1 ORDER BY split""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

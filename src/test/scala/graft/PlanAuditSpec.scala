@@ -104,7 +104,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row m x intra-count x degree-mass scalar combines
       "graph_modularity",
       // broadcast 1-row (n1, n2) scalar into the lattice projection
-      "agg_ks_statistic")
+      "agg_ks_statistic",
+      // broadcast 1-row histogram-rank and boundary-day scalars
+      "sample_time_purged_split")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

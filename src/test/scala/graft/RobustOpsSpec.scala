@@ -12,6 +12,45 @@ class RobustOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("time-purged split: ordered non-overlapping zones covering all events") {
+    val rows = SparkEntry.queries("sample_time_purged_split")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("min_day"),
+          r.getAs[Long]("max_day")))).toMap
+    val (train, test) = (rows("1_train"), rows("3_test"))
+    // strict temporal order train < purged < test with a <=2-day purge zone
+    assert(train._3 < test._2)
+    rows.get("2_purged").foreach { p =>
+      assert(train._3 < p._2 && p._3 < test._2 && p._3 - p._2 <= 1)
+    }
+    // the three zones partition the table
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.values.map(_._1).sum == total)
+    // ~70% lands in train (exact ceil-rank boundary, so >= 70% cumulative
+    // only at the boundary day; train is everything strictly before it)
+    assert(train._1 < total * 8 / 10 && train._1 > total / 2)
+  }
+
+  test("audience overlap: diagonal is the audience size, jaccard bounded") {
+    val m = SparkEntry.queries("olap_audience_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+    val sizes = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count"))
+      .toMap
+    // diagonal: overlap with self = audience size, jaccard exactly 1
+    sizes.foreach { case (t, n) =>
+      assert(m((t, t)) == ((n, 1.0)))
+    }
+    // off-diagonal: overlap bounded by the smaller side, jaccard in (0,1]
+    m.foreach { case ((a, b), (n, j)) =>
+      assert(n <= math.min(sizes(a), sizes(b)) && j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("set-ops flags agree with Spark's intersect/except operators") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
