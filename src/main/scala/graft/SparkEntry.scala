@@ -449,8 +449,9 @@ object SparkEntry {
         // quantize per-type revenue to whole dollars before squaring:
         // keeps s1² far from Long.Max at any SF while numerator and
         // denominator stay exact integers. FLOOR division, spelled out in
-        // integers (Spark DIV truncates toward zero; DuckDB // floors —
-        // they differ on negative cent sums, so match the oracle exactly)
+        // integers on BOTH engines: Spark DIV and DuckDB // each truncate
+        // toward zero on negatives, so the oracle mirrors this exact
+        // (a - pmod(a, b)) DIV b formula rather than relying on either
         .withColumn("d", expr("(c - ((c % 100) + 100) % 100) DIV 100"))
         .groupBy("month")
         .agg(count(lit(1)).as("n_types"),
@@ -4155,6 +4156,143 @@ object SparkEntry {
              min(col("day")).as("min_day"), max(col("day")).as("max_day"))
         .orderBy("split")
     }),
+
+    // Value-at-Risk + Expected Shortfall per series (the reference
+    // domain's tail-risk pair): VaR(5%) is the EXACT positional order
+    // statistic of quantized daily returns — per-series return histogram
+    // + broadcast triangular cumulative pick (the KCore-median shape,
+    // O(distinct returns), no window over the return frame) — and ES is
+    // the exact integer mean of the tail at-or-below VaR. One final
+    // division each; everything else BIGINT.
+    "ts_var_es" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("x"))
+        .persist()
+      val hist = rq.groupBy("event_type", "x").agg(count(lit(1)).as("cnt"))
+      val cum = hist.as("a")
+        .join(broadcast(hist.as("b")),
+              col("a.event_type") === col("b.event_type") &&
+              col("b.x") <= col("a.x"))
+        .groupBy(col("a.event_type").as("event_type"), col("a.x").as("x"))
+        .agg(sum(col("b.cnt")).as("cum"))
+      val rank = hist.groupBy("event_type")
+        .agg(expr("CAST((sum(cnt) + 19) DIV 20 AS BIGINT)").as("r"),
+             sum(col("cnt")).as("n_days"))
+      val varq = cum.join(broadcast(rank), Seq("event_type"))
+        .filter(col("cum") >= col("r"))
+        .groupBy("event_type")
+        .agg(min(col("x")).as("var_q"))
+      rq.join(broadcast(varq), Seq("event_type"))
+        .filter(col("x") <= col("var_q"))
+        .groupBy("event_type")
+        .agg(sum(col("x")).as("tail_sum"), count(lit(1)).as("tail_n"),
+             min(col("var_q")).as("var_q"))
+        .join(broadcast(rank.select("event_type", "n_days")),
+              Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("var_q"),
+          col("tail_sum"), col("tail_n"),
+          (col("var_q").cast("double") / lit(1048576.0)).as("var_return"),
+          (col("tail_sum").cast("double")
+            / (col("tail_n") * lit(1048576L)).cast("double"))
+            .as("es_return"))
+        .orderBy("event_type")
+    }),
+
+    // Watermark-lateness what-if: replay events in (deterministic
+    // hash-jittered) ARRIVAL order and count, per source partition
+    // (event_type — the Kafka-partition model, where watermarks are
+    // tracked per partition), how many events each candidate watermark
+    // delay would drop: event late iff its event time is older than the
+    // partition's running max event time at arrival minus the threshold.
+    // One keyed window pass (exclusive running max), three thresholds
+    // counted in the same aggregate — the tuning report that sizes
+    // withWatermark() before a stream ships.
+    "wm_lateness_whatif" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("arrival_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+        .withColumn("delay_s",
+          pmod(col("event_id") * lit(2654435761L), lit(2147483647L))
+            % lit(7200L))
+        .withColumn("arrival_us", col("us") + col("delay_s") * lit(1000000L))
+        .withColumn("wm_us", max(col("us")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("us") < col("wm_us") - lit(900L * 1000000L), 1L)
+            .otherwise(0L)).as("late_15m"),
+          sum(when(col("us") < col("wm_us") - lit(3600L * 1000000L), 1L)
+            .otherwise(0L)).as("late_1h"),
+          sum(when(col("us") < col("wm_us") - lit(7200L * 1000000L), 1L)
+            .otherwise(0L)).as("late_2h"))
+        .orderBy("event_type")
+    }),
+
+    // Iterative linear algebra as joins: 3 fixed power-iteration rounds
+    // toward the top eigenvector of the 64×64 dimension-correlation
+    // matrix (PCA's first component — the embedding-drift direction).
+    // The matrix entries are quantized once (floor(corr·2²⁰)) and every
+    // matvec is an exact keyed join + partial-aggregable BIGINT sum; each
+    // round renormalizes to a ±4096 lattice with explicit FLOOR division
+    // (truncation would diverge from the oracle on negatives). The
+    // pattern that runs PCA/eigen-centrality at matrix sizes where the
+    // matrix itself is a distributed frame.
+    "emb_power_iteration" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+          floor(col("x").cast("double") * lit(65536.0)).as("q"))
+      val stats = dims.groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"),
+             sum(col("q") * col("q")).as("ss"))
+      val pairs = dims.select(col("vec_id"), col("i"), col("q"))
+        .join(dims.select(col("vec_id"), col("i").as("j"),
+              col("q").as("qj")), "vec_id")
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("sp"))
+      val si = broadcast(stats.select(col("i"), col("n"),
+        col("s").as("si"), col("ss").as("ssi")))
+      val sj = broadcast(stats.select(col("i").as("j"),
+        col("s").as("sj"), col("ss").as("ssj")))
+      val nD = col("n").cast("double")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val upper = pairs.join(si, "i").join(sj, "j")
+        .select(col("i"), col("j"),
+          floor(((nD * d(col("sp")) - d(col("si")) * d(col("sj")))
+            / (sqrt(nD * d(col("ssi")) - d(col("si")) * d(col("si")))
+               * sqrt(nD * d(col("ssj")) - d(col("sj")) * d(col("sj")))))
+            * lit(1048576.0)).cast("long").as("cq"))
+      val mat = upper
+        .unionByName(upper.select(col("j").as("i"), col("i").as("j"),
+          col("cq")))
+        .unionByName(stats.select(col("i"), col("i").as("j"),
+          lit(1048576L).as("cq")))
+        .persist()
+      var v = stats.select(col("i").as("j"), lit(4096L).as("v"))
+      for (_ <- 1 to 3) {
+        val x = mat.join(v, "j").groupBy("i")
+          .agg(sum(col("cq") * col("v")).as("x"))
+        val mx = x.agg(max(abs(col("x"))).as("mx"))
+        v = x.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("(x * 4096 - (((x * 4096) % mx) + mx) % mx) DIV mx")
+              .as("v"))
+      }
+      v.select(col("j").as("dim"), col("v").as("v3")).orderBy("dim")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6414,11 +6552,14 @@ object SparkEntry {
           FROM cz GROUP BY 1 ORDER BY 1""",
 
     "agg_concentration_hhi" ->
-      """WITH m AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+      """WITH s AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
                            event_type,
                            CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
-                                AS BIGINT) // 100 AS d
-                    FROM events GROUP BY 1, 2)
+                                AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+              m AS (SELECT month, event_type,
+                           (c - (((c % 100) + 100) % 100)) // 100 AS d
+                    FROM s)
          SELECT month, count(*) AS n_types,
                 CAST(sum(d * d) AS DOUBLE)
                   / CAST(sum(d) * sum(d) AS DOUBLE) AS hhi
@@ -8192,6 +8333,119 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_users,
                 min(day) AS min_day, max(day) AS max_day
          FROM s GROUP BY 1 ORDER BY split""",
+
+    "ts_var_es" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER w AS prev
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              q AS (SELECT event_type,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS x
+                    FROM r WHERE prev IS NOT NULL),
+              n AS (SELECT event_type, count(*) AS n_days,
+                           (count(*) + 19) // 20 AS rk
+                    FROM q GROUP BY 1),
+              cum AS (SELECT event_type, x,
+                             CAST(count(*) AS BIGINT) AS cnt,
+                             sum(count(*)) OVER (PARTITION BY event_type
+                                                 ORDER BY x) AS cum
+                      FROM q GROUP BY 1, 2),
+              v AS (SELECT c.event_type, min(c.x) AS var_q
+                    FROM cum c JOIN n ON n.event_type = c.event_type
+                    WHERE c.cum >= n.rk GROUP BY 1),
+              t AS (SELECT q.event_type,
+                           CAST(sum(q.x) AS BIGINT) AS tail_sum,
+                           count(*) AS tail_n
+                    FROM q JOIN v ON v.event_type = q.event_type
+                    WHERE q.x <= v.var_q GROUP BY 1)
+         SELECT n.event_type, n.n_days, v.var_q, t.tail_sum, t.tail_n,
+                CAST(v.var_q AS DOUBLE) / 1048576.0 AS var_return,
+                CAST(t.tail_sum AS DOUBLE)
+                  / CAST(CAST(t.tail_n * 1048576 AS BIGINT) AS DOUBLE)
+                  AS es_return
+         FROM n JOIN v ON v.event_type = n.event_type
+                JOIN t ON t.event_type = n.event_type
+         ORDER BY n.event_type""",
+
+    "wm_lateness_whatif" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+                           (((event_id * 2654435761) % 2147483647)
+                            + 2147483647) % 2147483647 % 7200 AS delay_s
+                    FROM events),
+              a AS (SELECT event_type, event_id, us,
+                           us + delay_s * 1000000 AS arrival_us
+                    FROM e),
+              m AS (SELECT event_type, us,
+                           max(us) OVER (PARTITION BY event_type
+                                         ORDER BY arrival_us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS wm_us
+                    FROM a)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN us < wm_us - 900 * CAST(1000000 AS BIGINT)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS late_15m,
+                CAST(sum(CASE WHEN us < wm_us - 3600 * CAST(1000000 AS BIGINT)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+                CAST(sum(CASE WHEN us < wm_us - 7200 * CAST(1000000 AS BIGINT)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS late_2h
+         FROM m GROUP BY 1 ORDER BY event_type""",
+
+    // the same quantized correlation matrix as emb_dim_correlation,
+    // then 3 unrolled matvec + floor-renormalize rounds (DuckDB //
+    // TRUNCATES on negatives, so the oracle spells out the same
+    // explicit floor formula the engine uses)
+    "emb_power_iteration" ->
+      """WITH dims AS (SELECT vec_id, i,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
+                          AS BIGINT) AS q
+                      FROM (SELECT vec_id, embedding,
+                              unnest(generate_series(1, 64)) AS i
+                            FROM embeddings)),
+              st AS (SELECT i, count(*) AS n, sum(q) AS s,
+                       sum(q * q) AS ss
+                     FROM dims GROUP BY 1),
+              pr AS (SELECT a.i AS i, b.i AS j,
+                       CAST(sum(a.q * b.q) AS BIGINT) AS sp
+                     FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+                     WHERE a.i < b.i GROUP BY 1, 2),
+              up AS (SELECT pr.i, pr.j,
+                       CAST(floor(
+                         ((CAST(si.n AS DOUBLE) * CAST(sp AS DOUBLE)
+                           - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+                          / (sqrt(CAST(si.n AS DOUBLE)
+                                    * CAST(si.ss AS DOUBLE)
+                                  - CAST(si.s AS DOUBLE)
+                                    * CAST(si.s AS DOUBLE))
+                             * sqrt(CAST(si.n AS DOUBLE)
+                                      * CAST(sj.ss AS DOUBLE)
+                                    - CAST(sj.s AS DOUBLE)
+                                      * CAST(sj.s AS DOUBLE))))
+                         * 1048576) AS BIGINT) AS cq
+                     FROM pr JOIN st si ON pr.i = si.i
+                             JOIN st sj ON pr.j = sj.i),
+              m AS (SELECT i, j, cq FROM up
+                    UNION ALL SELECT j, i, cq FROM up
+                    UNION ALL SELECT i, i, CAST(1048576 AS BIGINT) FROM st),
+              v0 AS (SELECT i AS j, CAST(4096 AS BIGINT) AS v FROM st),
+              x1 AS (SELECT m.i, CAST(sum(m.cq * v0.v) AS BIGINT) AS x
+                     FROM m JOIN v0 ON v0.j = m.j GROUP BY 1),
+              m1 AS (SELECT max(abs(x)) AS mx FROM x1),
+              v1 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x1, m1),
+              x2 AS (SELECT m.i, CAST(sum(m.cq * v1.v) AS BIGINT) AS x
+                     FROM m JOIN v1 ON v1.j = m.j GROUP BY 1),
+              m2 AS (SELECT max(abs(x)) AS mx FROM x2),
+              v2 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x2, m2),
+              x3 AS (SELECT m.i, CAST(sum(m.cq * v2.v) AS BIGINT) AS x
+                     FROM m JOIN v2 ON v2.j = m.j GROUP BY 1),
+              m3 AS (SELECT max(abs(x)) AS mx FROM x3),
+              v3 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x3, m3)
+         SELECT j AS dim, v AS v3 FROM v3 ORDER BY dim""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -106,7 +106,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast 1-row (n1, n2) scalar into the lattice projection
       "agg_ks_statistic",
       // broadcast 1-row histogram-rank and boundary-day scalars
-      "sample_time_purged_split")
+      "sample_time_purged_split",
+      // broadcast 1-row per-round max-norm scalar into the renormalize
+      "emb_power_iteration")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

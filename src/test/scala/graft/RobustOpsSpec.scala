@@ -51,6 +51,22 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("power iteration: renormalized lattice, VaR/ES tail identities") {
+    // renormalization pins max|v| to exactly the 4096 lattice bound
+    val v = SparkEntry.queries("emb_power_iteration")(spark, sfDir)
+      .collect().map(_.getAs[Long]("v3"))
+    assert(v.length == 64 && v.map(math.abs).max == 4096L)
+    // VaR/ES: ES is the mean of the tail, so es <= var (tail mean can
+    // only be at or below its upper bound), and the tail holds >= 5%
+    val rows = SparkEntry.queries("ts_var_es")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tn) = (r.getAs[Long]("n_days"), r.getAs[Long]("tail_n"))
+      assert(r.getAs[Double]("es_return") <= r.getAs[Double]("var_return"))
+      assert(tn * 20 >= n && tn <= n)
+    }
+  }
+
   test("set-ops flags agree with Spark's intersect/except operators") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
