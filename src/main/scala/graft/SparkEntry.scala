@@ -3714,7 +3714,7 @@ object SparkEntry {
     // removed by an anti-join on the canonical form; the limit boundary is
     // made deterministic by the (cn desc, x, y) total order.
     "graph_common_neighbors" -> ((s, dir) => {
-      val cap = 256L
+      val cap = 32L
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
@@ -7945,7 +7945,7 @@ object SparkEntry {
                       UNION ALL SELECT v, u FROM e),
               okc AS (SELECT c FROM (SELECT c, count(*) AS dc FROM sym
                                      GROUP BY 1)
-                      WHERE dc <= 256),
+                      WHERE dc <= 32),
               w AS (SELECT s1.x AS x, s2.x AS y
                     FROM sym s1
                     JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
