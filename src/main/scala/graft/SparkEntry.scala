@@ -4293,6 +4293,48 @@ object SparkEntry {
       }
       v.select(col("j").as("dim"), col("v").as("v3")).orderBy("dim")
     }),
+
+    // Average True Range (Wilder's volatility), on the REAL OHLC bars:
+    // TR = max(high−low, |high−prev_close|, |low−prev_close|) — pure
+    // IEEE single ops, bit-identical across engines — smoothed by the
+    // same deterministic prefix-fold EMA as ts_ema (first TR seeds the
+    // fold; oracle replays the identical fold with list_reduce). The
+    // band-width input for Keltner/Supertrend overlays.
+    "ts_atr" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"), col("high"), col("low"),
+                col("close"))
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .filter(col("prev_close").isNotNull)
+        .withColumn("tr", greatest(col("high") - col("low"),
+          abs(col("high") - col("prev_close")),
+          abs(col("low") - col("prev_close"))))
+      graft.ts.Ema.withEma(bars, 0.25, Seq("event_type"), closeCol = "tr")
+        .select(col("event_type"), col("date"), col("tr"),
+                col("ema").as("atr"))
+        .orderBy("event_type", "date")
+    }),
+
+    // Pure-SQL surface parity: the whole query is one spark.sql() text
+    // (CTE + windowed rank over an aggregate) against registered views —
+    // what a SQL-first consumer of the engine writes. Exact integer
+    // cents; deterministic rank tie-break.
+    "sql_api_topdays_report" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        WITH d AS (SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS sd,
+                          sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                            AS cents
+                   FROM lineitem_v GROUP BY 1, 2),
+             r AS (SELECT rf, sd, cents,
+                          CAST(row_number() OVER (PARTITION BY rf
+                            ORDER BY cents DESC, sd) AS BIGINT) AS rn
+                   FROM d)
+        SELECT rf, sd, cents, rn FROM r WHERE rn <= 3
+        ORDER BY rf, rn""")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8446,6 +8488,41 @@ object SparkEntry {
               m3 AS (SELECT max(abs(x)) AS mx FROM x3),
               v3 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x3, m3)
          SELECT j AS dim, v AS v3 FROM v3 ORDER BY dim""",
+
+    "ts_atr" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           max(value) AS high, min(value) AS low,
+                           arg_max(value, ts) AS close
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, high, low,
+                           lag(close, 1) OVER (PARTITION BY event_type
+                                               ORDER BY date) AS prev_close
+                    FROM b),
+              t AS (SELECT event_type, date,
+                           greatest(high - low, abs(high - prev_close),
+                                    abs(low - prev_close)) AS tr
+                    FROM r WHERE prev_close IS NOT NULL),
+              l AS (SELECT event_type, date, tr,
+                           list(tr) OVER (PARTITION BY event_type
+                             ORDER BY date ROWS UNBOUNDED PRECEDING) AS cl
+                    FROM t)
+         SELECT event_type, date, tr,
+                list_reduce(cl, (a, x) -> a * CAST(0.75 AS DOUBLE)
+                                          + x * CAST(0.25 AS DOUBLE)) AS atr
+         FROM l ORDER BY event_type, date""",
+
+    "sql_api_topdays_report" ->
+      """WITH d AS (SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE)
+                            AS sd,
+                          CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1, 2),
+             r AS (SELECT rf, sd, cents,
+                          CAST(row_number() OVER (PARTITION BY rf
+                            ORDER BY cents DESC, sd) AS BIGINT) AS rn
+                   FROM d)
+        SELECT rf, sd, cents, rn FROM r WHERE rn <= 3
+        ORDER BY rf, rn""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

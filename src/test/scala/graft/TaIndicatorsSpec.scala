@@ -201,6 +201,25 @@ class TaIndicatorsSpec extends AnyFunSuite {
     assert(ref.filter(_._2 == "error").forall(t => !got.contains(t._1)))
   }
 
+  test("atr: TR dominates high-low, ATR stays inside the prefix envelope") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts_atr")(spark, sf)
+      .orderBy("event_type", "date").collect()
+    assert(rows.nonEmpty)
+    // per series: tr >= 0 and ATR (a convex prefix fold) never leaves
+    // the [min, max] envelope of the TRs seen so far
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      var (lo, hi) = (Double.MaxValue, Double.MinValue)
+      rs.foreach { r =>
+        val tr = r.getAs[Double]("tr")
+        assert(tr >= 0.0)
+        lo = math.min(lo, tr); hi = math.max(hi, tr)
+        val atr = r.getAs[Double]("atr")
+        assert(atr >= lo && atr <= hi)
+      }
+    }
+  }
+
   test("two-sample KS: engine matches the local exact lattice") {
     // the exact-integer KS lattice: D_num = max|n2*cum1 - n1*cum2|
     def dnum(a: Seq[Long], b: Seq[Long]): Long = {
