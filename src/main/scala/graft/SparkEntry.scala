@@ -4335,6 +4335,75 @@ object SparkEntry {
         SELECT rf, sd, cents, rn FROM r WHERE rn <= 3
         ORDER BY rf, rn""")
     }),
+
+    // Dynamic partition overwrite: the day-partitioned table is rewritten
+    // with mode=dynamic so ONLY the partitions present in the incoming
+    // frame are replaced — here one day is compacted to its even event
+    // ids while every other day's files are untouched. This is the
+    // surgical-backfill mechanic of a partitioned 100 TB table (static
+    // overwrite would truncate the whole table). The read-back report
+    // certifies exactly one day changed.
+    "inc_dynamic_partition_overwrite" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_dyn_overwrite").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+                Exact.cents(col("value")).as("cents"),
+                expr("unix_micros(ts) DIV 86400000000").as("day"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(base)
+      val d0 = ev.agg(min(col("day"))).collect()(0).getLong(0)
+      val old = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.filter(col("day") === d0 && col("event_id") % 2 === 0)
+          .write.partitionBy("day").mode("overwrite").parquet(base)
+      } finally old match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(base)
+        // partition-column inference narrows day to INT32 on read-back;
+        // restore the BIGINT the rest of the engine (and oracle) uses
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day")
+    }),
+
+    // Deterministic Poisson-style bootstrap: 32 hash-weighted replicates
+    // of the mean purchase value in ONE pass (explode the replicate id,
+    // weight = hash(event_id, b) mod 3 ∈ {0,1,2}, E[w] = 1), each
+    // replicate an exact integer (Σw·c, Σw) pair with one division; the
+    // 90% CI is the exact positional P5/P95 over the B = 32 replicate
+    // means (a constant-bounded 32-row rank, never data-sized). The
+    // uncertainty quantification a pipeline attaches to headline metrics
+    // without a second data pass.
+    "agg_bootstrap_ci" -> ((s, dir) => {
+      val reps = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), Exact.cents(col("value")).as("c"))
+        .select(col("event_id"), col("c"),
+                explode(sequence(lit(0L), lit(31L))).as("b"))
+        .withColumn("wgt",
+          pmod((col("event_id") * lit(31L) + col("b")) * lit(2654435761L),
+               lit(2147483647L)) % lit(3L))
+        .groupBy("b")
+        .agg((sum(col("wgt") * col("c")).cast("double")
+          / sum(col("wgt")).cast("double")).as("rep_mean"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("rep_mean", "b") // 32 rows by construction: B is constant
+      val ranked = reps.withColumn("rn", row_number().over(w))
+      val point = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .agg((sum(Exact.cents(col("value"))).cast("double")
+          / count(lit(1)).cast("double")).as("point_mean"))
+      ranked.agg(count(lit(1)).as("n_replicates"),
+          max(when(col("rn") === 2, col("rep_mean"))).as("ci_lo"),
+          max(when(col("rn") === 31, col("rep_mean"))).as("ci_hi"))
+        .crossJoin(point)
+        .select("n_replicates", "point_mean", "ci_lo", "ci_hi")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8523,6 +8592,46 @@ object SparkEntry {
                    FROM d)
         SELECT rf, sd, cents, rn FROM r WHERE rn <= 3
         ORDER BY rf, rn""",
+
+    // day d0 keeps only its even event ids after the dynamic overwrite;
+    // every other day is untouched
+    "inc_dynamic_partition_overwrite" ->
+      """WITH ev AS (SELECT event_id,
+                            CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+              d0 AS (SELECT min(day) AS d0 FROM ev),
+              f AS (SELECT ev.* FROM ev, d0
+                    WHERE ev.day <> d0.d0 OR ev.event_id % 2 = 0)
+         SELECT day, count(*) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM f GROUP BY 1 ORDER BY day""",
+
+    "agg_bootstrap_ci" ->
+      """WITH p AS (SELECT event_id,
+                           CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events WHERE event_type = 'purchase'),
+              r AS (SELECT t.b, event_id, c,
+                           ((((event_id * 31 + t.b) * 2654435761)
+                             % 2147483647) + 2147483647) % 2147483647 % 3
+                             AS wgt
+                    FROM p, unnest(range(0, 32)) AS t(b)),
+              m AS (SELECT b,
+                           CAST(CAST(sum(wgt * c) AS BIGINT) AS DOUBLE)
+                             / CAST(CAST(sum(wgt) AS BIGINT) AS DOUBLE)
+                             AS rep_mean
+                    FROM r GROUP BY 1),
+              rk AS (SELECT b, rep_mean,
+                            row_number() OVER (ORDER BY rep_mean, b) AS rn
+                     FROM m),
+              pt AS (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) AS point_mean
+                     FROM p)
+         SELECT (SELECT count(*) FROM rk) AS n_replicates,
+                pt.point_mean,
+                (SELECT rep_mean FROM rk WHERE rn = 2) AS ci_lo,
+                (SELECT rep_mean FROM rk WHERE rn = 31) AS ci_hi
+         FROM pt""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

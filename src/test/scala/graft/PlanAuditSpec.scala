@@ -108,7 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast 1-row histogram-rank and boundary-day scalars
       "sample_time_purged_split",
       // broadcast 1-row per-round max-norm scalar into the renormalize
-      "emb_power_iteration")
+      "emb_power_iteration",
+      // 1-row CI bounds x 1-row point-estimate combine
+      "agg_bootstrap_ci")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

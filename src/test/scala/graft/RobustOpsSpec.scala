@@ -67,6 +67,27 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap CI brackets the point estimate; dynamic overwrite surgical") {
+    val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_replicates") == 32L)
+    // E[w] = 1, so the CI must bracket the point estimate on real data
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    val pt = r.getAs[Double]("point_mean")
+    assert(lo <= hi && lo <= pt && pt <= hi)
+    // dynamic overwrite: exactly the min day shrinks, all others intact
+    val got = SparkEntry.queries("inc_dynamic_partition_overwrite")(
+      spark, sfDir).collect()
+      .map(x => x.getAs[Long]("day") -> x.getAs[Long]("n_events")).toMap
+    val full = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => x.getAs[Long]("day") -> x.getAs[Long]("n")).toMap
+    val d0 = full.keys.min
+    assert(got.keySet == full.keySet)
+    assert(got.filter(_._1 != d0) == full.filter(_._1 != d0))
+    assert(got(d0) < full(d0))
+  }
+
   test("set-ops flags agree with Spark's intersect/except operators") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
