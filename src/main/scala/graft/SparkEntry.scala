@@ -4404,6 +4404,51 @@ object SparkEntry {
         .crossJoin(point)
         .select("n_replicates", "point_mean", "ci_lo", "ci_hi")
     }),
+
+    // Streaming CDC apply (delete semantics) over three replayed
+    // micro-batches with versioned compacted key state — same output
+    // columns and SAME oracle as the batch inc_cdc_apply, so the driver
+    // compare itself pins streamed == batch (see EventStream.runCdcApply
+    // for why deletes must stay in state until read time).
+    "stream_cdc_apply" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_cdc_stream").toString
+      graft.streaming.EventStream.runCdcApply(s, dir, work)
+        .orderBy("user_id")
+    }),
+
+    // Seasonality strength as one-way ANOVA: η² = SS_between / SS_total
+    // of daily closes grouped by day-of-week, per series — EXACT end to
+    // end: SST = n·Σx²−S² in BIGINT, and each DOW group's
+    // (n·s_g − n_g·S)² DIV (n_g·n) is an exact non-negative integer
+    // quotient (truncation == floor), summed partial-aggregably. The
+    // "is the weekly pattern real" screen behind ts_seasonality_dow's
+    // per-DOW means.
+    "ts_seasonality_strength" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"),
+                (weekday(col("date")) + 1).cast("long").as("dow"),
+                Exact.cents(col("close")).as("x"))
+      val tot = bars.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+             sum(col("x") * col("x")).as("ss"))
+      val grp = bars.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      val ssb = grp.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"),
+          expr("""(n * sg - ng * s) * (n * sg - ng * s)
+                  DIV (ng * n)""").as("qg"))
+        .groupBy("event_type")
+        .agg(sum(col("qg")).as("ssb_q"), count(lit(1)).as("n_groups"))
+      tot.select(col("event_type"), col("n"),
+          (col("n") * col("ss") - col("s") * col("s")).as("sst"))
+        .join(ssb, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_groups"),
+          col("ssb_q"), col("sst"),
+          (col("ssb_q").cast("double") / col("sst").cast("double"))
+            .as("eta_sq"))
+        .orderBy("event_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8632,6 +8677,52 @@ object SparkEntry {
                 (SELECT rep_mean FROM rk WHERE rn = 2) AS ci_lo,
                 (SELECT rep_mean FROM rk WHERE rn = 31) AS ci_hi
          FROM pt""",
+
+    // identical to inc_cdc_apply's oracle: the stream must converge to
+    // exactly the batch CDC result regardless of micro-batch boundaries
+    "stream_cdc_apply" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+                           CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC,
+                                                       event_id DESC) AS rn,
+                           count(*) OVER (PARTITION BY user_id) AS n_ops
+                    FROM events)
+         SELECT user_id, n_ops, event_id AS last_event_id,
+                vc AS last_value_cents
+         FROM o WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
+
+    "ts_seasonality_strength" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS x
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type,
+                           CAST(isodow(date) AS BIGINT) AS dow, x
+                    FROM b),
+              t AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS s,
+                           CAST(sum(x * x) AS BIGINT) AS ss
+                    FROM d GROUP BY 1),
+              g AS (SELECT event_type, dow, count(*) AS ng,
+                           CAST(sum(x) AS BIGINT) AS sg
+                    FROM d GROUP BY 1, 2),
+              q AS (SELECT g.event_type,
+                           ((t.n * g.sg - g.ng * t.s)
+                            * (t.n * g.sg - g.ng * t.s))
+                             // (g.ng * t.n) AS qg
+                    FROM g JOIN t ON t.event_type = g.event_type),
+              sb AS (SELECT event_type, CAST(sum(qg) AS BIGINT) AS ssb_q,
+                            count(*) AS n_groups
+                     FROM q GROUP BY 1)
+         SELECT t.event_type, t.n, sb.n_groups, sb.ssb_q,
+                CAST(t.n * t.ss - t.s * t.s AS BIGINT) AS sst,
+                CAST(sb.ssb_q AS DOUBLE)
+                  / CAST(CAST(t.n * t.ss - t.s * t.s AS BIGINT) AS DOUBLE)
+                  AS eta_sq
+         FROM t JOIN sb ON sb.event_type = t.event_type
+         ORDER BY t.event_type""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

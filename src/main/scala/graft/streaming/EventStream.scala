@@ -265,6 +265,63 @@ object EventStream {
              .as("sum_value"))
   }
 
+  /** Streaming CDC apply with delete semantics — the streaming twin of
+    * the batch `inc_cdc_apply` query, pinned to the SAME oracle. The
+    * source is replayed in three micro-batches (chunked by event_id);
+    * each batch folds into a VERSIONED compacted key state
+    * (state/v<batch> = compact(previous version ∪ batch)): the per-key
+    * merge is the same partial-aggregable `max_by(op, (ts, event_id))`
+    * as batch, and both the last-op pick and the op count are mergeable,
+    * so the result is independent of batch boundaries and arrival order.
+    * Deletes ('error' ops) stay IN the state — dropping them early would
+    * resurrect a key if an older upsert arrived in a later batch — and
+    * are filtered only at read time. Versioned dirs are the plain-
+    * storage analog of the state store's delta files.
+    */
+  def runCdcApply(spark: SparkSession, dir: String,
+                  workDir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+    for (k <- 0 to 2)
+      raw.filter(pmod(col("event_id"), lit(3)) === k).coalesce(1)
+        .write.mode("overwrite").parquet(s"$workDir/src/c$k")
+    var lastVersion = -1L
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$workDir/src/c*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ops = batch.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("et"),
+          round(col("value") * 100, 0).cast("long").as("vc"),
+          lit(1L).as("n_ops"))
+        val all =
+          if (lastVersion < 0) ops
+          else spark.read.parquet(s"$workDir/state/v$lastVersion")
+            .unionByName(ops)
+        all.groupBy("user_id")
+          .agg(sum(col("n_ops")).as("n_ops"),
+            max_by(struct(col("ts"), col("event_id"), col("et"),
+                          col("vc")),
+                   struct(col("ts"), col("event_id"))).as("last"))
+          .select(col("user_id"), col("n_ops"), col("last.ts").as("ts"),
+                  col("last.event_id").as("event_id"),
+                  col("last.et").as("et"), col("last.vc").as("vc"))
+          .write.mode("overwrite").parquet(s"$workDir/state/v$batchId")
+        lastVersion = batchId
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$workDir/state/v$lastVersion")
+      .filter(col("et") =!= "error")
+      .select(col("user_id"), col("n_ops"),
+              col("event_id").as("last_event_id"),
+              col("vc").as("last_value_cents"))
+  }
+
   /** Streaming point-in-time enrichment: each streamed purchase is
     * as-of joined (latest view at-or-before its timestamp) against a
     * STATIC reference side inside `foreachBatch`. Sound because each

@@ -166,6 +166,19 @@ class StreamAsofSpec extends AnyFunSuite {
     assert(!emitted.contains("2024-01-03"))
   }
 
+  test("streaming CDC apply converges bitwise to the batch CDC result") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"),
+       (r.getAs[Long]("n_ops"), r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("last_value_cents")))
+    val batch = SparkEntry.queries("inc_cdc_apply")(spark, sf)
+      .collect().map(key).toMap
+    val streamed = SparkEntry.queries("stream_cdc_apply")(spark, sf)
+      .collect().map(key).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("media resize and feature extraction: deterministic byte plumbing") {
     import spark.implicits._
     import graft.multimodal.Media
