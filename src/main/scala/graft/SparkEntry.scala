@@ -4449,6 +4449,70 @@ object SparkEntry {
             .as("eta_sq"))
         .orderBy("event_type")
     }),
+
+    // Sketch-only set intersection: |A∩B| ≈ |A| + |B| − |A∪B| by
+    // inclusion-exclusion over three HLL estimates — the union sketch is
+    // ONE register-wise merge of the two per-set sketches (the native
+    // TypedImperativeAggregate's mergeAgg), so two 100 TB key sets are
+    // intersected by touching 2·512 register bytes. Exact figures ride
+    // along to show the estimator's error here.
+    "sketch_hll_intersection" -> ((s, dir) => {
+      import graft.olap.Hll
+      val base = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("user_id"),
+                graft.olap.Sketch.spreadHash(col("user_id")).as("hv"))
+      val perType = base.groupBy("event_type")
+        .agg(Hll.sketchAgg(col("hv")).as("sk"),
+             count_distinct(col("user_id")).as("n_exact"))
+        .persist()
+      val est = perType.agg(
+        max(when(col("event_type") === "click",
+          Hll.estimate(col("sk")))).as("est_a"),
+        max(when(col("event_type") === "view",
+          Hll.estimate(col("sk")))).as("est_b"),
+        max(when(col("event_type") === "click", col("n_exact"))).as("n_a"),
+        max(when(col("event_type") === "view", col("n_exact"))).as("n_b"))
+      val uni = perType.agg(Hll.mergeAgg(col("sk")).as("sk"))
+        .select(Hll.estimate(col("sk")).as("est_union"))
+      val aU = base.filter(col("event_type") === "click")
+        .select("user_id").distinct()
+      val bU = base.filter(col("event_type") === "view")
+        .select("user_id").distinct()
+      val interExact = aU.join(bU, Seq("user_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_inter_exact"))
+      est.crossJoin(uni).crossJoin(interExact)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+          col("n_a"), col("n_b"), col("n_inter_exact"))
+    }),
+
+    // Shewhart control chart: flag days whose mean ticket leaves the
+    // ±3σ band around the global mean — the out-of-control test done as
+    // ONE exact integer comparison with all fractions cleared:
+    // (n·s_d − n_d·S)² > 9·n_d²·(n·Σx² − S²), DECIMAL(38,0) vs HUGEINT
+    // bit-identical. Two partial-aggregable passes (global + per-day)
+    // and a broadcast scalar join; the monitoring primitive behind
+    // metric regression alerts.
+    "agg_control_chart" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+                Exact.cents(col("value")).as("x"))
+      val tot = ev.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+                       sum(col("x") * col("x")).as("ss"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val a = d38(col("n")) * col("sd") - d38(col("nd")) * col("s")
+      val rhs = lit(9) * d38(col("nd")) * col("nd") *
+        (d38(col("n")) * col("ss") - d38(col("s")) * col("s"))
+      ev.groupBy("day")
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd"))
+        .crossJoin(broadcast(tot))
+        .select(col("day"), col("nd"),
+          (col("sd").cast("double") / col("nd").cast("double"))
+            .as("day_mean_cents"),
+          (a * a > rhs).as("ooc"))
+        .orderBy("day")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8723,6 +8787,93 @@ object SparkEntry {
                   AS eta_sq
          FROM t JOIN sb ON sb.event_type = t.event_type
          ORDER BY t.event_type""",
+
+    // the same portable register emulation as sketch_hll_distinct,
+    // restricted to the two sets, plus the register-wise union merge
+    "sketch_hll_intersection" ->
+      """WITH f0 AS (SELECT event_type, user_id FROM events
+                     WHERE event_type IN ('click', 'view')),
+              f AS (SELECT event_type, user_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM f0),
+              m1 AS (SELECT event_type, user_id,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT event_type, user_id, (h1 * h1) % 2147483647 AS h2
+                     FROM m1),
+              m3 AS (SELECT event_type, user_id,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              r AS (SELECT event_type, hv % 512 AS bucket,
+                      CASE WHEN hv // 512 = 0 THEN 23
+                           ELSE 23 - length(bin(hv // 512)) END AS rho
+                    FROM m3),
+              regs AS (SELECT event_type, bucket, max(rho) AS r
+                       FROM r GROUP BY 1, 2),
+              sq AS (SELECT event_type,
+                       CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT)
+                         + (512 - count(*)) * CAST(4294967296 AS BIGINT) AS s
+                     FROM regs GROUP BY 1),
+              rall AS (SELECT bucket, max(rho) AS r FROM r GROUP BY 1),
+              squ AS (SELECT
+                        CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT)
+                          + (512 - count(*)) * CAST(4294967296 AS BIGINT) AS s
+                      FROM rall),
+              e AS (SELECT event_type,
+                      (((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                          + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+                        * CAST(512 AS DOUBLE)) * CAST(512 AS DOUBLE))
+                        * CAST(4294967296 AS DOUBLE) / CAST(s AS DOUBLE)
+                        AS est
+                    FROM sq),
+              eu AS (SELECT
+                       (((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                           + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+                         * CAST(512 AS DOUBLE)) * CAST(512 AS DOUBLE))
+                         * CAST(4294967296 AS DOUBLE) / CAST(s AS DOUBLE)
+                         AS est_union
+                     FROM squ),
+              es AS (SELECT
+                       max(CASE WHEN event_type = 'click' THEN est END)
+                         AS est_a,
+                       max(CASE WHEN event_type = 'view' THEN est END)
+                         AS est_b
+                     FROM e),
+              ex AS (SELECT
+                       count(DISTINCT CASE WHEN event_type = 'click'
+                                           THEN user_id END) AS n_a,
+                       count(DISTINCT CASE WHEN event_type = 'view'
+                                           THEN user_id END) AS n_b
+                     FROM f0),
+              xi AS (SELECT count(*) AS n_inter_exact FROM
+                       (SELECT DISTINCT a.user_id
+                        FROM f0 a JOIN f0 b ON a.user_id = b.user_id
+                        WHERE a.event_type = 'click'
+                          AND b.event_type = 'view'))
+         SELECT es.est_a, es.est_b, eu.est_union,
+                es.est_a + es.est_b - eu.est_union AS est_inter,
+                ex.n_a, ex.n_b, xi.n_inter_exact
+         FROM es, eu, ex, xi""",
+
+    "agg_control_chart" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                            CAST(round(value * 100, 0) AS BIGINT) AS x
+                     FROM events),
+              t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+                           CAST(sum(x * x) AS BIGINT) AS ss
+                    FROM ev),
+              d AS (SELECT day, count(*) AS nd,
+                           CAST(sum(x) AS BIGINT) AS sd
+                    FROM ev GROUP BY 1)
+         SELECT day, nd,
+                CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE) AS day_mean_cents,
+                (CAST(t.n AS HUGEINT) * sd - CAST(nd AS HUGEINT) * t.s)
+                  * (CAST(t.n AS HUGEINT) * sd - CAST(nd AS HUGEINT) * t.s)
+                  > 9 * CAST(nd AS HUGEINT) * nd
+                    * (CAST(t.n AS HUGEINT) * t.ss
+                       - CAST(t.s AS HUGEINT) * t.s) AS ooc
+         FROM d, t ORDER BY day""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

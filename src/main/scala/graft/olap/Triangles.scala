@@ -49,6 +49,7 @@ object Triangles {
           struct(col("u").as("a"), col("v").as("b")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
+      .persist() // consumed twice: adjacency build + per-edge probe
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     val corners = oriented

@@ -110,7 +110,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast 1-row per-round max-norm scalar into the renormalize
       "emb_power_iteration",
       // 1-row CI bounds x 1-row point-estimate combine
-      "agg_bootstrap_ci")
+      "agg_bootstrap_ci",
+      // 1-row per-set estimates x union sketch x exact-intersection
+      "sketch_hll_intersection",
+      // broadcast 1-row global-moment scalar into the per-day band test
+      "agg_control_chart")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -88,6 +88,41 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(got(d0) < full(d0))
   }
 
+  test("hll intersection and control chart hold their estimator identities") {
+    val r = SparkEntry.queries("sketch_hll_intersection")(spark, sfDir)
+      .collect()(0)
+    val (ea, eb, eu) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"))
+    // union estimate is monotone: at least each side, at most the sum
+    assert(eu >= math.max(ea, eb) * 0.9 && eu <= ea + eb)
+    // inclusion-exclusion is an exact arithmetic identity of the three
+    // estimates (the estimator error itself is data — the raw 512-reg
+    // HLL is deliberately uncorrected for bitwise portability, so at
+    // sf0.001's n≈150 per set its absolute error dwarfs the overlap;
+    // the oracle pins the numbers, the spec pins the identities)
+    assert(r.getAs[Double]("est_inter") == ea + eb - eu)
+    assert(r.getAs[Long]("n_inter_exact") > 0)
+    // control chart: ooc flags match a local double-precision band check
+    // in every clear case (exact integer test can only disagree within
+    // rounding distance of the boundary, and then the integers win)
+    val cc = SparkEntry.queries("agg_control_chart")(spark, sfDir)
+      .collect()
+    val ev = Tables.events(spark, sfDir).select(
+      expr("unix_micros(ts) DIV 86400000000").as("day"),
+      graft.olap.Exact.cents(col("value")).as("x")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val n = ev.length.toDouble
+    val mean = ev.map(_._2).sum / n
+    val variance = ev.map(v => (v._2 - mean) * (v._2 - mean)).sum / n
+    cc.foreach { row =>
+      val day = row.getAs[Long]("day")
+      val ds = ev.filter(_._1 == day).map(_._2)
+      val z2 = math.pow(ds.sum.toDouble / ds.length - mean, 2) / variance
+      if (math.abs(z2 - 9.0) > 0.5) // clear of the boundary
+        assert(row.getAs[Boolean]("ooc") == (z2 > 9.0))
+    }
+  }
+
   test("set-ops flags agree with Spark's intersect/except operators") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
