@@ -4513,6 +4513,68 @@ object SparkEntry {
           (a * a > rhs).as("ooc"))
         .orderBy("day")
     }),
+
+    // Period-over-period growth (the WoW report): exact weekly cent sums
+    // per series, previous week via one keyed lag, growth as one
+    // division of exact integers. NULL growth on each series' first week
+    // and on zero-revenue previous weeks (division guarded, not Inf).
+    "olap_period_over_period" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("week")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+                 date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(sum(Exact.cents(col("value"))).as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("growth",
+          when(col("prev_cents").isNotNull && col("prev_cents") =!= 0L,
+            (col("cents") - col("prev_cents")).cast("double")
+              / col("prev_cents").cast("double")))
+        .orderBy("event_type", "week")
+    }),
+
+    // Conversion lag: per user, first signup → first purchase AT OR
+    // AFTER it; exact integer minute deltas, with quartiles as EXACT
+    // positional order statistics picked from a cumulative delta
+    // histogram built by the two-level distributed prefix sum (Packing)
+    // — no window over the conversion frame, no triangular join, so the
+    // same plan stands when conversions are billions of rows. The
+    // time-to-convert funnel metric behind activation dashboards.
+    "agg_time_to_convert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("su_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("us") >= col("su_us"))
+        .groupBy("user_id")
+        .agg(min(col("us")).as("pu_us"), min(col("su_us")).as("su_us"))
+        .select(col("user_id"),
+          expr("(pu_us - su_us) DIV 60000000").as("delta_m"))
+        .persist()
+      val counts = conv.groupBy("delta_m").agg(count(lit(1)).as("cnt"))
+      val cum = graft.text.Packing.withStreamOffset(
+          counts, "delta_m", "cnt", "cum0", bucketSize = 1000L)
+        .select(col("delta_m"), (col("cum0") + col("cnt")).as("cum"))
+      val ranks = conv.agg(count(lit(1)).as("n_converted"),
+        expr("CAST((count(1) + 3) DIV 4 AS BIGINT)").as("r1"),
+        expr("CAST((count(1) + 1) DIV 2 AS BIGINT)").as("r2"),
+        expr("CAST((3 * count(1) + 3) DIV 4 AS BIGINT)").as("r3"))
+      val nSignup = su.agg(count(lit(1)).as("n_signup_users"))
+      cum.crossJoin(broadcast(ranks))
+        .agg(min(when(col("cum") >= col("r1"), col("delta_m"))).as("q1_m"),
+             min(when(col("cum") >= col("r2"), col("delta_m")))
+               .as("median_m"),
+             min(when(col("cum") >= col("r3"), col("delta_m"))).as("q3_m"),
+             min(col("n_converted")).as("n_converted"))
+        .crossJoin(nSignup)
+        .select(col("n_signup_users"), col("n_converted"),
+          (col("n_converted").cast("double")
+            / col("n_signup_users").cast("double")).as("conversion_rate"),
+          col("q1_m"), col("median_m"), col("q3_m"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8874,6 +8936,58 @@ object SparkEntry {
                     * (CAST(t.n AS HUGEINT) * t.ss
                        - CAST(t.s AS HUGEINT) * t.s) AS ooc
          FROM d, t ORDER BY day""",
+
+    "olap_period_over_period" ->
+      """WITH w AS (SELECT event_type,
+                           CAST(date_trunc('week', ts) AS DATE) AS week,
+                           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, week, cents,
+                           lag(cents, 1) OVER (PARTITION BY event_type
+                                               ORDER BY week) AS prev_cents
+                    FROM w)
+         SELECT event_type, week, cents, prev_cents,
+                CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+                     THEN CAST(cents - prev_cents AS DOUBLE)
+                            / CAST(prev_cents AS DOUBLE)
+                END AS growth
+         FROM l ORDER BY event_type, week""",
+
+    "agg_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                     FROM events),
+              su AS (SELECT user_id, min(us) AS su_us FROM ev
+                     WHERE event_type = 'signup' GROUP BY 1),
+              conv AS (SELECT ev.user_id,
+                              (min(ev.us) - min(su.su_us)) // 60000000
+                                AS delta_m
+                       FROM ev JOIN su ON su.user_id = ev.user_id
+                       WHERE ev.event_type = 'purchase'
+                         AND ev.us >= su.su_us
+                       GROUP BY 1),
+              c AS (SELECT delta_m, count(*) AS cnt FROM conv GROUP BY 1),
+              cum AS (SELECT delta_m,
+                             sum(cnt) OVER (ORDER BY delta_m) AS cum
+                      FROM c),
+              r AS (SELECT count(*) AS n_converted,
+                           (count(*) + 3) // 4 AS r1,
+                           (count(*) + 1) // 2 AS r2,
+                           (3 * count(*) + 3) // 4 AS r3
+                    FROM conv),
+              ns AS (SELECT count(*) AS n_signup_users FROM su),
+              p AS (SELECT min(CASE WHEN cum >= r.r1 THEN delta_m END)
+                             AS q1_m,
+                           min(CASE WHEN cum >= r.r2 THEN delta_m END)
+                             AS median_m,
+                           min(CASE WHEN cum >= r.r3 THEN delta_m END)
+                             AS q3_m
+                    FROM cum, r)
+         SELECT ns.n_signup_users, r.n_converted,
+                CAST(r.n_converted AS DOUBLE)
+                  / CAST(ns.n_signup_users AS DOUBLE) AS conversion_rate,
+                p.q1_m, p.median_m, p.q3_m
+         FROM ns, r, p""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

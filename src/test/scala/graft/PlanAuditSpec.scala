@@ -114,7 +114,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row per-set estimates x union sketch x exact-intersection
       "sketch_hll_intersection",
       // broadcast 1-row global-moment scalar into the per-day band test
-      "agg_control_chart")
+      "agg_control_chart",
+      // 1-row rank scalars x quartile picks x signup-count combine
+      "agg_time_to_convert")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

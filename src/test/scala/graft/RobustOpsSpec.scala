@@ -123,6 +123,29 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("time-to-convert quartiles ordered; PoP growth null on first week") {
+    val r = SparkEntry.queries("agg_time_to_convert")(spark, sfDir)
+      .collect()(0)
+    val (q1, q2, q3) = (r.getAs[Long]("q1_m"), r.getAs[Long]("median_m"),
+      r.getAs[Long]("q3_m"))
+    assert(q1 >= 0 && q1 <= q2 && q2 <= q3)
+    val rate = r.getAs[Double]("conversion_rate")
+    assert(rate > 0.0 && rate <= 1.0 &&
+      r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signup_users"))
+    val pop = SparkEntry.queries("olap_period_over_period")(spark, sfDir)
+      .collect()
+    // each series' first week has no previous period
+    pop.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getAs[java.sql.Date]("week").toString)
+      assert(first.isNullAt(first.fieldIndex("growth")))
+    }
+    // growth is exactly (cur - prev) / prev wherever present
+    pop.filter(r => !r.isNullAt(r.fieldIndex("growth"))).foreach { r =>
+      val (c, p) = (r.getAs[Long]("cents"), r.getAs[Long]("prev_cents"))
+      assert(r.getAs[Double]("growth") == (c - p).toDouble / p.toDouble)
+    }
+  }
+
   test("set-ops flags agree with Spark's intersect/except operators") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
