@@ -4575,6 +4575,67 @@ object SparkEntry {
             / col("n_signup_users").cast("double")).as("conversion_rate"),
           col("q1_m"), col("median_m"), col("q3_m"))
     }),
+
+    // Distinct users at three time grains in ONE grouping-sets pass:
+    // count_distinct under GROUPING SETS (day), (week), (month) — the
+    // expand operator fans each row into its grains and the distinct
+    // aggregate dedups per grain, one shuffle total. Grain keys are
+    // coalesced into one label column (both engines order NULLs
+    // differently — the proven grouping-sets discipline).
+    "olap_distinct_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          date_trunc("week", col("ts")).cast("date").as("week"),
+          date_trunc("month", col("ts")).cast("date").as("month"))
+        .createOrReplaceTempView("graft_ev_grains")
+      s.sql("""SELECT CASE WHEN day IS NOT NULL THEN '1_day'
+                           WHEN week IS NOT NULL THEN '2_week'
+                           ELSE '3_month' END AS grain,
+                      coalesce(CAST(day AS STRING), CAST(week AS STRING),
+                               CAST(month AS STRING)) AS bucket,
+                      count(DISTINCT user_id) AS n_users,
+                      count(*) AS n_events
+               FROM graft_ev_grains
+               GROUP BY GROUPING SETS ((day), (week), (month))
+               ORDER BY grain, bucket""")
+    }),
+
+    // Group-aware k-fold assignment: every event of a user lands in the
+    // SAME fold (fold = multiplicative hash of user_id mod 5 — the
+    // grouped split that stops per-user leakage across folds), plus the
+    // balance report that certifies the split. One scan, one
+    // partial-aggregable groupBy; assignment is pure arithmetic, so
+    // re-runs and late data agree forever.
+    "sample_group_kfold" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          pmod(col("user_id") * lit(2654435761L), lit(2147483647L))
+            .mod(lit(5L)).as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_events"),
+             count_distinct(col("user_id")).as("n_users"))
+        .orderBy("fold")),
+
+    // Sentence segmentation stats: split on [.!?]+ runs, count non-empty
+    // trimmed segments, exact character tallies — the doc-shape signal
+    // (avg sentence length) quality filters threshold on. Identical
+    // regex semantics mirrored in the oracle via regexp_split + filter.
+    "text_sentence_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(transform(split(col("text"), "[.!?]+"),
+                           x => trim(x)),
+                 x => length(x) > 0).as("sents"))
+        .select(col("doc_id"), size(col("sents")).cast("long")
+            .as("n_sentences"),
+          coalesce(aggregate(col("sents"), lit(0L),
+            (a, x) => a + length(x)), lit(0L)).as("n_sent_chars"))
+        .withColumn("avg_sent_len",
+          when(col("n_sentences") > 0,
+            col("n_sent_chars").cast("double")
+              / col("n_sentences").cast("double")))
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8988,6 +9049,46 @@ object SparkEntry {
                   / CAST(ns.n_signup_users AS DOUBLE) AS conversion_rate,
                 p.q1_m, p.median_m, p.q3_m
          FROM ns, r, p""",
+
+    "olap_distinct_rollup" ->
+      """WITH g AS (SELECT user_id,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(date_trunc('week', ts) AS DATE) AS week,
+                           CAST(date_trunc('month', ts) AS DATE) AS month
+                    FROM events)
+         SELECT CASE WHEN day IS NOT NULL THEN '1_day'
+                     WHEN week IS NOT NULL THEN '2_week'
+                     ELSE '3_month' END AS grain,
+                coalesce(CAST(day AS VARCHAR), CAST(week AS VARCHAR),
+                         CAST(month AS VARCHAR)) AS bucket,
+                count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM g GROUP BY GROUPING SETS ((day), (week), (month))
+         ORDER BY grain, bucket""",
+
+    "sample_group_kfold" ->
+      """SELECT (((user_id * 2654435761) % 2147483647) + 2147483647)
+                  % 2147483647 % 5 AS fold,
+                count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY fold""",
+
+    "text_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+                           list_filter(list_transform(
+                             regexp_split_to_array(text, '[.!?]+'),
+                             x -> trim(x)), x -> length(x) > 0) AS sents
+                    FROM documents)
+         SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+                CAST(coalesce(list_sum(list_transform(sents,
+                  x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT)
+                  AS n_sent_chars,
+                CASE WHEN len(sents) > 0 THEN
+                  CAST(coalesce(list_sum(list_transform(sents,
+                    x -> CAST(length(x) AS BIGINT))), 0) AS DOUBLE)
+                    / CAST(len(sents) AS DOUBLE)
+                END AS avg_sent_len
+         FROM s ORDER BY doc_id""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

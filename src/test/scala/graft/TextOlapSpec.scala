@@ -124,6 +124,29 @@ class TextOlapSpec extends AnyFunSuite {
     })
   }
 
+  test("group k-fold partitions users; sentence stats on hand docs") {
+    val folds = SparkEntry.queries("sample_group_kfold")(spark, sf)
+      .collect()
+    assert(folds.map(_.getAs[Long]("fold")).toSet.subsetOf((0L to 4L).toSet))
+    // every user is in exactly one fold: fold user counts sum to the total
+    val totalUsers = Tables.documents(spark, sf).sparkSession
+      .read.parquet(s"$sf/events.parquet").select("user_id")
+      .distinct().count()
+    assert(folds.map(_.getAs[Long]("n_users")).sum == totalUsers)
+    // sentence stats: hand doc with empty segments and trailing run
+    import spark.implicits._
+    val hand = Seq((1L, "One. Two!! Three?  "), (2L, "...."), (3L, "abc"))
+      .toDF("doc_id", "text")
+    val got = hand
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)),
+          x => length(x) > 0).as("s"))
+      .select(col("doc_id"), size(col("s")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 1))
+  }
+
   test("damerau-levenshtein: unrestricted variant, hand cases, codegen") {
     import graft.functions.DamerauLevenshtein.{damerau_levenshtein, distance}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
