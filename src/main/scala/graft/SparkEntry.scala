@@ -4617,6 +4617,35 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Truncated Katz centrality: 3 attenuated path-count rounds,
+    // v' = 1 + (A·v) DIV 4, all exact integers (the DIV-4 attenuation is
+    // the quantized α = 1/4; per-round floor keeps every value a
+    // portable BIGINT). Same matvec-as-keyed-join shape as PageRank but
+    // counting attenuated PATHS, not random-walk mass — no out-degree
+    // normalization, no teleport. Edge frame persisted across rounds;
+    // deterministic (katz desc, node) top-20 boundary.
+    "graph_katz_centrality" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("src"),
+                           (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                               (col("l_partkey") * 2).as("dst")))
+        .persist()
+      var v = e.select(col("src").as("node")).distinct()
+        .withColumn("katz", lit(1L))
+      for (_ <- 1 to 3) {
+        v = e.join(v, col("dst") === col("node"))
+          .groupBy(col("src").as("n2"))
+          .agg(sum(col("katz")).as("m"))
+          .select(col("n2").as("node"),
+                  (lit(1L) + expr("m DIV 4")).as("katz"))
+      }
+      v.select(col("node"), col("katz"))
+        .orderBy(col("katz").desc, col("node"))
+        .limit(20)
+    }),
+
     // Sentence segmentation stats: split on [.!?]+ runs, count non-empty
     // trimmed segments, exact character tallies — the doc-shape signal
     // (avg sentence length) quality filters threshold on. Identical
@@ -9072,6 +9101,29 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "graph_katz_centrality" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              v0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS katz
+                     FROM e),
+              v1 AS (SELECT e.src AS node,
+                            CAST(1 + CAST(sum(v0.katz) AS BIGINT) // 4
+                                 AS BIGINT) AS katz
+                     FROM e JOIN v0 ON v0.node = e.dst GROUP BY e.src),
+              v2 AS (SELECT e.src AS node,
+                            CAST(1 + CAST(sum(v1.katz) AS BIGINT) // 4
+                                 AS BIGINT) AS katz
+                     FROM e JOIN v1 ON v1.node = e.dst GROUP BY e.src),
+              v3 AS (SELECT e.src AS node,
+                            CAST(1 + CAST(sum(v2.katz) AS BIGINT) // 4
+                                 AS BIGINT) AS katz
+                     FROM e JOIN v2 ON v2.node = e.dst GROUP BY e.src)
+         SELECT node, katz FROM v3
+         ORDER BY katz DESC, node LIMIT 20""",
 
     "text_sentence_stats" ->
       """WITH s AS (SELECT doc_id,

@@ -162,6 +162,25 @@ class PackRankSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_communities") == nComm)
   }
 
+  test("katz attenuated path counts: star center dominates, exact floors") {
+    import spark.implicits._
+    // star: center 0 <-> leaves 1..8 (symmetric edges)
+    val base = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val e = base.toDF("src", "dst")
+    var v = e.select(col("src").as("node")).distinct()
+      .withColumn("katz", lit(1L))
+    for (_ <- 1 to 3) {
+      v = e.join(v, col("dst") === col("node"))
+        .groupBy(col("src").as("n2")).agg(sum(col("katz")).as("m"))
+        .select(col("n2").as("node"), (lit(1L) + expr("m DIV 4")).as("katz"))
+    }
+    val got = v.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-applied v' = 1 + floor(sum(neighbors)/4):
+    // r1: center 1+8/4=3, leaf 1+1/4=1
+    // r2: center 1+8/4=3, leaf 1+3/4=1  (stable)
+    assert(got(0L) == 3L && (1L to 8L).forall(got(_) == 1L))
+  }
+
   test("label propagation: hand graph, deterministic tie-breaks") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-applying
