@@ -4617,6 +4617,66 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Ulcer index (downside-volatility): sqrt(mean(drawdown²)) per
+    // series with the drawdown quantized to EXACT integer basis points
+    // first — running-max peak on integer cents, dd_bp = (p−c)·10⁴ DIV p
+    // (positive floor division, identical on both engines), so Σdd_bp²
+    // is an order-free BIGINT and only the final sqrt-of-mean is a fixed
+    // double chain. The drawdown-severity cousin of ts_realized_vol.
+    "ts_ulcer_index" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("p", max(col("c")).over(w))
+        .select(col("event_type"),
+                expr("((p - c) * 10000) DIV p").as("dd_bp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("dd_bp") * col("dd_bp")).as("sum_sq_bp"),
+             max(col("dd_bp")).as("max_dd_bp"))
+        .withColumn("ulcer_pct",
+          sqrt(col("sum_sq_bp").cast("double")
+            / col("n_days").cast("double")) / lit(100.0))
+        .orderBy("event_type")
+    }),
+
+    // Heaps-law vocabulary growth: cumulative corpus tokens vs cumulative
+    // DISTINCT vocabulary at 50-doc checkpoints. Each token's vocabulary
+    // contribution is its FIRST document (one partial-aggregable min —
+    // the first-occurrence trick, no running-distinct state), and both
+    // cumulatives come from the two-level distributed prefix sum — no
+    // window over anything data-sized. The diminishing-returns curve
+    // behind corpus-size planning.
+    "text_vocab_growth" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+                explode(graft.text.TextAnalysis.tokens("text")).as("token"))
+      val tokCounts = toks
+        .groupBy(expr("doc_id DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("n_tok"))
+      val vocCounts = toks.groupBy("token")
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(expr("first_doc DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("n_voc"))
+      val joined = tokCounts.join(vocCounts, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tok"),
+                coalesce(col("n_voc"), lit(0L)).as("n_voc"))
+      val c1 = graft.text.Packing.withStreamOffset(
+        joined, "bucket", "n_tok", "ct0", bucketSize = 16L)
+      graft.text.Packing.withStreamOffset(
+          c1, "bucket", "n_voc", "cv0", bucketSize = 16L)
+        .select(col("bucket"),
+          (col("ct0") + col("n_tok")).as("cum_tokens"),
+          (col("cv0") + col("n_voc")).as("cum_vocab"))
+        .withColumn("ttr", col("cum_vocab").cast("double")
+          / col("cum_tokens").cast("double"))
+        .orderBy("bucket")
+    }),
+
     // Truncated Katz centrality: 3 attenuated path-count rounds,
     // v' = 1 + (A·v) DIV 4, all exact integers (the DIV-4 attenuation is
     // the quantized α = 1/4; per-round floor keeps every value a
@@ -9101,6 +9161,53 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "ts_ulcer_index" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              p AS (SELECT event_type,
+                           max(c) OVER (PARTITION BY event_type
+                                        ORDER BY date
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS p, c
+                    FROM b),
+              d AS (SELECT event_type, ((p - c) * 10000) // p AS dd_bp
+                    FROM p)
+         SELECT event_type, count(*) AS n_days,
+                CAST(sum(dd_bp * dd_bp) AS BIGINT) AS sum_sq_bp,
+                max(dd_bp) AS max_dd_bp,
+                sqrt(CAST(sum(dd_bp * dd_bp) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE)) / CAST(100 AS DOUBLE)
+                  AS ulcer_pct
+         FROM d GROUP BY 1 ORDER BY event_type""",
+
+    "text_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(regexp_extract_all(translate(text,
+                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                'abcdefghijklmnopqrstuvwxyz'),
+                                '[a-z0-9]+')) AS token
+                       FROM documents),
+              tc AS (SELECT doc_id // 50 AS bucket, count(*) AS n_tok
+                     FROM toks GROUP BY 1),
+              fo AS (SELECT token, min(doc_id) AS first_doc FROM toks
+                     GROUP BY 1),
+              vc AS (SELECT first_doc // 50 AS bucket, count(*) AS n_voc
+                     FROM fo GROUP BY 1),
+              j AS (SELECT tc.bucket, tc.n_tok,
+                           coalesce(vc.n_voc, 0) AS n_voc
+                    FROM tc LEFT JOIN vc ON vc.bucket = tc.bucket),
+              c AS (SELECT bucket,
+                           sum(n_tok) OVER (ORDER BY bucket) AS cum_tokens,
+                           sum(n_voc) OVER (ORDER BY bucket) AS cum_vocab
+                    FROM j)
+         SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                CAST(cum_vocab AS BIGINT) AS cum_vocab,
+                CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+                  AS ttr
+         FROM c ORDER BY bucket""",
 
     "graph_katz_centrality" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -220,6 +220,29 @@ class TaIndicatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ulcer index: zero on monotone series, bounded by max drawdown") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts_ulcer_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ui = r.getAs[Double]("ulcer_pct")
+      val mx = r.getAs[Long]("max_dd_bp").toDouble / 100.0
+      // RMS of drawdowns is between 0 and the worst drawdown
+      assert(ui >= 0.0 && ui <= mx + 1e-9)
+    }
+    // vocab growth: cumulative monotone, vocab <= tokens, ttr decreases
+    val vg = SparkEntry.queries("text_vocab_growth")(spark, sf)
+      .orderBy("bucket").collect()
+    assert(vg.nonEmpty)
+    vg.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("cum_tokens") >= a.getAs[Long]("cum_tokens"))
+      assert(b.getAs[Long]("cum_vocab") >= a.getAs[Long]("cum_vocab"))
+      case _ => ()
+    }
+    vg.foreach(r =>
+      assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_tokens")))
+  }
+
   test("two-sample KS: engine matches the local exact lattice") {
     // the exact-integer KS lattice: D_num = max|n2*cum1 - n1*cum2|
     def dnum(a: Seq[Long], b: Seq[Long]): Long = {
