@@ -4617,6 +4617,68 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Time-travel diff: the CDC state as of snapshot 1 (first chunk of
+    // the changelog) vs the final state, compared key-by-key into an
+    // added / changed / deleted / unchanged census — the audit a
+    // versioned table (Delta/Iceberg time travel) answers with two
+    // snapshot reads. Both snapshots are rebuilt deterministically with
+    // the same partial-aggregable max_by fold as inc_cdc_apply; the diff
+    // is one full-outer join on the key.
+    "inc_time_travel_diff" -> ((s, dir) => {
+      def stateOf(f: DataFrame): DataFrame = f
+        .groupBy("user_id")
+        .agg(max_by(struct(col("event_type").as("et"),
+                           col("event_id").as("eid"), col("vc")),
+                    struct(col("ts"), col("event_id"))).as("last"))
+        .filter(col("last.et") =!= "error")
+        .select(col("user_id"), col("last.eid").as("eid"),
+                col("last.vc").as("vc"))
+      val ops = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"), Exact.cents(col("value")).as("vc"))
+      val s1 = stateOf(ops.filter(col("event_id") % 3 === 0))
+      val s2 = stateOf(ops)
+      s1.select(col("user_id"), col("eid").as("eid1"), col("vc").as("vc1"))
+        .join(s2.select(col("user_id"), col("eid").as("eid2"),
+                        col("vc").as("vc2")), Seq("user_id"), "full_outer")
+        .select(
+          when(col("eid1").isNull, "added")
+            .when(col("eid2").isNull, "deleted")
+            .when(col("eid1") === col("eid2") && col("vc1") === col("vc2"),
+              "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_keys"))
+        .orderBy("status")
+    }),
+
+    // Cross-table reconciliation: does each order's header total match
+    // the sum of its line items? Exact integer cents on both sides, a
+    // per-order delta histogram bucketed by delta sign/size — the
+    // financial-close audit that catches partial loads and double
+    // applies. One keyed aggregate + one broadcast-joined census.
+    "dq_order_total_reconciliation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("li_cents"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Exact.cents(col("o_totalprice"))
+          .as("hdr_cents"))
+        .join(li, Seq("o_orderkey"), "left")
+        .select(
+          when(col("li_cents").isNull, "1_no_lineitems")
+            .when(col("hdr_cents") === col("li_cents"), "2_exact_match")
+            .when(abs(col("hdr_cents") - col("li_cents")) <= 100L,
+              "3_within_dollar")
+            .otherwise("4_mismatch").as("status"),
+          coalesce(abs(col("hdr_cents") - col("li_cents")), lit(0L))
+            .as("abs_delta"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("abs_delta")).as("sum_abs_delta_cents"),
+             max(col("abs_delta")).as("max_abs_delta_cents"))
+        .orderBy("status")
+    }),
+
     // Ulcer index (downside-volatility): sqrt(mean(drawdown²)) per
     // series with the drawdown quantized to EXACT integer basis points
     // first — running-max peak on integer cents, dd_bp = (p−c)·10⁴ DIV p
@@ -9161,6 +9223,57 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "inc_time_travel_diff" ->
+      """WITH ops AS (SELECT user_id, ts, event_id, event_type,
+                             CAST(round(value * 100, 0) AS BIGINT) AS vc
+                      FROM events),
+              s1 AS (SELECT user_id, event_id AS eid1, vc AS vc1 FROM (
+                       SELECT user_id, event_id, event_type, vc,
+                              row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM ops WHERE event_id % 3 = 0)
+                     WHERE rn = 1 AND event_type <> 'error'),
+              s2 AS (SELECT user_id, event_id AS eid2, vc AS vc2 FROM (
+                       SELECT user_id, event_id, event_type, vc,
+                              row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM ops)
+                     WHERE rn = 1 AND event_type <> 'error'),
+              d AS (SELECT CASE
+                             WHEN s1.user_id IS NULL THEN 'added'
+                             WHEN s2.user_id IS NULL THEN 'deleted'
+                             WHEN s1.eid1 = s2.eid2 AND s1.vc1 = s2.vc2
+                               THEN 'unchanged'
+                             ELSE 'changed' END AS status
+                    FROM s1 FULL OUTER JOIN s2
+                      ON s1.user_id = s2.user_id)
+         SELECT status, count(*) AS n_keys FROM d
+         GROUP BY 1 ORDER BY status""",
+
+    "dq_order_total_reconciliation" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+                            CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                          AS BIGINT)) AS BIGINT) AS li_cents
+                     FROM lineitem GROUP BY 1),
+              j AS (SELECT o.o_orderkey,
+                           CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                             AS hdr_cents,
+                           li.li_cents
+                    FROM orders o LEFT JOIN li USING (o_orderkey)),
+              c AS (SELECT CASE
+                             WHEN li_cents IS NULL THEN '1_no_lineitems'
+                             WHEN hdr_cents = li_cents THEN '2_exact_match'
+                             WHEN abs(hdr_cents - li_cents) <= 100
+                               THEN '3_within_dollar'
+                             ELSE '4_mismatch' END AS status,
+                           coalesce(abs(hdr_cents - li_cents), 0)
+                             AS abs_delta
+                    FROM j)
+         SELECT status, count(*) AS n_orders,
+                CAST(sum(abs_delta) AS BIGINT) AS sum_abs_delta_cents,
+                max(abs_delta) AS max_abs_delta_cents
+         FROM c GROUP BY 1 ORDER BY status""",
 
     "ts_ulcer_index" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
