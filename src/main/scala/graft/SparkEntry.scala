@@ -4617,6 +4617,76 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // HITS hubs & authorities on the DIRECTED part→supplier bipartite
+    // graph: alternating matvecs a ← Aᵀh, h ← Aa, each rescaled to the
+    // ±4096 integer lattice (scores are non-negative, so plain DIV is
+    // floor) — the same quantized-iteration discipline as
+    // emb_power_iteration, with every matvec one keyed join + one
+    // partial-aggregable sum. Two full rounds; deterministic top-10 per
+    // role. Where PageRank ranks by random-walk mass and Katz by
+    // attenuated paths, HITS separates pointing-well (hubs = parts)
+    // from pointed-at-well (authorities = suppliers).
+    "graph_hits" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct().persist()
+      def norm(x: DataFrame, keyCol: String, vCol: String): DataFrame = {
+        val mx = x.agg(max(col(vCol)).as("mx"))
+        x.crossJoin(broadcast(mx))
+          .select(col(keyCol), expr(s"($vCol * 4096) DIV mx").as(vCol))
+      }
+      var h = e.select(col("p")).distinct().withColumn("hv", lit(1L))
+      var a: DataFrame = null
+      for (_ <- 1 to 2) {
+        a = norm(e.join(h, Seq("p"))
+          .groupBy("sk").agg(sum(col("hv")).as("av")), "sk", "av")
+        h = norm(e.join(a, Seq("sk"))
+          .groupBy("p").agg(sum(col("av")).as("hv")), "p", "hv")
+      }
+      h.select(lit("hub").as("role"), col("p").as("node"),
+               col("hv").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+        .unionAll(
+          a.select(lit("authority").as("role"), col("sk").as("node"),
+                   col("av").as("score"))
+            .orderBy(col("score").desc, col("node")).limit(10))
+        .orderBy(col("role"), col("score").desc, col("node"))
+    }),
+
+    // Calmar ratio: total return over the window divided by the maximum
+    // drawdown — both sides exact integer basis points first (explicit
+    // FLOOR division for the possibly-negative return; positive DIV for
+    // the drawdown), one final double division, NULL when the series
+    // never drew down. The risk-adjusted companion to ts_ulcer_index.
+    "ts_calmar_ratio" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+      val dd = bars.withColumn("p", max(col("c")).over(w))
+        .select(col("event_type"),
+                expr("((p - c) * 10000) DIV p").as("dd_bp"))
+        .groupBy("event_type").agg(max(col("dd_bp")).as("max_dd_bp"))
+      bars.groupBy("event_type")
+        .agg(min_by(col("c"), col("date")).as("first_cents"),
+             max_by(col("c"), col("date")).as("last_cents"))
+        .withColumn("ret_num", (col("last_cents") - col("first_cents"))
+          * lit(10000L))
+        .select(col("event_type"), col("first_cents"), col("last_cents"),
+          expr("""(ret_num - (((ret_num % first_cents) + first_cents)
+                   % first_cents)) DIV first_cents""")
+            .as("total_return_bp"))
+        .join(dd, Seq("event_type"))
+        .withColumn("calmar",
+          when(col("max_dd_bp") > 0,
+            col("total_return_bp").cast("double")
+              / col("max_dd_bp").cast("double")))
+        .orderBy("event_type")
+    }),
+
     // Time-travel diff: the CDC state as of snapshot 1 (first chunk of
     // the changelog) vs the final state, compared key-by-key into an
     // added / changed / deleted / unchanged census — the audit a
@@ -9223,6 +9293,70 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+                    FROM lineitem),
+              h0 AS (SELECT DISTINCT p, CAST(1 AS BIGINT) AS hv FROM e),
+              a1r AS (SELECT e.sk, CAST(sum(h0.hv) AS BIGINT) AS av
+                      FROM e JOIN h0 ON h0.p = e.p GROUP BY 1),
+              a1m AS (SELECT max(av) AS mx FROM a1r),
+              a1 AS (SELECT sk, (av * 4096) // mx AS av FROM a1r, a1m),
+              h1r AS (SELECT e.p, CAST(sum(a1.av) AS BIGINT) AS hv
+                      FROM e JOIN a1 ON a1.sk = e.sk GROUP BY 1),
+              h1m AS (SELECT max(hv) AS mx FROM h1r),
+              h1 AS (SELECT p, (hv * 4096) // mx AS hv FROM h1r, h1m),
+              a2r AS (SELECT e.sk, CAST(sum(h1.hv) AS BIGINT) AS av
+                      FROM e JOIN h1 ON h1.p = e.p GROUP BY 1),
+              a2m AS (SELECT max(av) AS mx FROM a2r),
+              a2 AS (SELECT sk, (av * 4096) // mx AS av FROM a2r, a2m),
+              h2r AS (SELECT e.p, CAST(sum(a2.av) AS BIGINT) AS hv
+                      FROM e JOIN a2 ON a2.sk = e.sk GROUP BY 1),
+              h2m AS (SELECT max(hv) AS mx FROM h2r),
+              h2 AS (SELECT p, (hv * 4096) // mx AS hv FROM h2r, h2m),
+              top AS (SELECT 'hub' AS role, p AS node,
+                             CAST(hv AS BIGINT) AS score
+                      FROM h2 ORDER BY score DESC, node LIMIT 10),
+              topa AS (SELECT 'authority' AS role, sk AS node,
+                              CAST(av AS BIGINT) AS score
+                       FROM a2 ORDER BY score DESC, node LIMIT 10)
+         SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM topa)
+         ORDER BY role, score DESC, node""",
+
+    "ts_calmar_ratio" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              p AS (SELECT event_type,
+                           max(c) OVER (PARTITION BY event_type
+                                        ORDER BY date
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS p, c
+                    FROM b),
+              dd AS (SELECT event_type,
+                            max(((p - c) * 10000) // p) AS max_dd_bp
+                     FROM p GROUP BY 1),
+              fl AS (SELECT event_type,
+                            arg_min(c, date) AS first_cents,
+                            arg_max(c, date) AS last_cents
+                     FROM b GROUP BY 1),
+              r AS (SELECT event_type, first_cents, last_cents,
+                           (last_cents - first_cents) * 10000 AS rn
+                    FROM fl),
+              t AS (SELECT event_type, first_cents, last_cents,
+                           (rn - (((rn % first_cents) + first_cents)
+                                  % first_cents)) // first_cents
+                             AS total_return_bp
+                    FROM r)
+         SELECT t.event_type, t.first_cents, t.last_cents,
+                t.total_return_bp, dd.max_dd_bp,
+                CASE WHEN dd.max_dd_bp > 0 THEN
+                  CAST(t.total_return_bp AS DOUBLE)
+                    / CAST(dd.max_dd_bp AS DOUBLE)
+                END AS calmar
+         FROM t JOIN dd ON dd.event_type = t.event_type
+         ORDER BY t.event_type""",
 
     "inc_time_travel_diff" ->
       """WITH ops AS (SELECT user_id, ts, event_id, event_type,

@@ -181,6 +181,27 @@ class PackRankSpec extends AnyFunSuite {
     assert(got(0L) == 3L && (1L to 8L).forall(got(_) == 1L))
   }
 
+  test("hits lattice: renormalized scores peak at 4096, calmar signs agree") {
+    val sf = "/root/testdata/sf0.001"
+    val hits = SparkEntry.queries("graph_hits")(spark, sf).collect()
+    val byRole = hits.groupBy(_.getAs[String]("role"))
+    // each role's top score is exactly the 4096 lattice bound
+    assert(byRole.keySet == Set("hub", "authority"))
+    byRole.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("score")).max == 4096L)
+      assert(rs.forall(r => r.getAs[Long]("score") >= 0L))
+    }
+    // calmar: sign follows the total return; NULL only when no drawdown
+    SparkEntry.queries("ts_calmar_ratio")(spark, sf).collect().foreach { r =>
+      val ret = r.getAs[Long]("total_return_bp")
+      if (!r.isNullAt(r.fieldIndex("calmar"))) {
+        val c = r.getAs[Double]("calmar")
+        assert(math.signum(c) == math.signum(ret.toDouble))
+        assert(r.getAs[Long]("max_dd_bp") > 0)
+      } else assert(r.getAs[Long]("max_dd_bp") == 0)
+    }
+  }
+
   test("label propagation: hand graph, deterministic tie-breaks") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-applying

@@ -116,7 +116,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast 1-row global-moment scalar into the per-day band test
       "agg_control_chart",
       // 1-row rank scalars x quartile picks x signup-count combine
-      "agg_time_to_convert")
+      "agg_time_to_convert",
+      // 1-row per-round max-score scalar into each HITS renormalize
+      "graph_hits")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
