@@ -4617,6 +4617,67 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // First-order Markov transition matrix over user event sequences:
+    // lag-1 pairs from ONE keyed window pass, transition counts + exact
+    // row-normalized probabilities (one division per cell from integer
+    // counts) — the Sankey/flow view of behavior that mine_event_trigrams
+    // samples at depth 3. 5×5 output here; the same plan is the n²-cell
+    // estimation at any state-space size.
+    "mine_transition_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("e_from"))
+        .withColumn("e_to", lead(col("e_from"), 1).over(w))
+        .filter(col("e_to").isNotNull)
+        .groupBy("e_from", "e_to").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("e_from").agg(sum(col("n")).as("row_n"))
+      pairs.join(broadcast(totals), Seq("e_from"))
+        .select(col("e_from"), col("e_to"), col("n"),
+          (col("n").cast("double") / col("row_n").cast("double"))
+            .as("prob"))
+        .orderBy("e_from", "e_to")
+    }),
+
+    // Sharpe and Sortino in one pass: per-series quantized daily returns
+    // (floor(r·2²⁰), the shared exact lattice), then mean, variance, and
+    // downside second moment as BIGINT/DECIMAL sums; each ratio is one
+    // fixed IEEE chain (mean/σ and mean/downside-σ), NULL when the
+    // deviation is zero. The two risk-adjusted return figures every
+    // portfolio report pairs.
+    "ts_sharpe_sortino" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("x"))
+      val agg = rq.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(when(col("x") < 0, col("x") * col("x")).otherwise(0L))
+               .as("sdd"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val nd = d(col("n"))
+      agg.select(col("event_type"), col("n"),
+          (d(col("sx")) / nd).as("mean_q"),
+          sqrt((nd * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+            .divide(nd).as("std_q"),
+          sqrt(d(col("sdd")) / nd).as("downside_q"))
+        .select(col("event_type"), col("n"),
+          when(col("std_q") > 0.0, col("mean_q") / col("std_q"))
+            .as("sharpe"),
+          when(col("downside_q") > 0.0, col("mean_q") / col("downside_q"))
+            .as("sortino"))
+        .orderBy("event_type")
+    }),
+
     // HITS hubs & authorities on the DIRECTED part→supplier bipartite
     // graph: alternating matvecs a ← Aᵀh, h ← Aa, each rescaled to the
     // ±4096 integer lattice (scores are non-negative, so plain DIV is
@@ -9293,6 +9354,54 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "mine_transition_matrix" ->
+      """WITH s AS (SELECT event_type AS e_from,
+                           lead(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS e_to
+                    FROM events),
+              p AS (SELECT e_from, e_to, count(*) AS n FROM s
+                    WHERE e_to IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT e_from, CAST(sum(n) AS BIGINT) AS row_n
+                    FROM p GROUP BY 1)
+         SELECT p.e_from, p.e_to, p.n,
+                CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS prob
+         FROM p JOIN t ON t.e_from = p.e_from
+         ORDER BY p.e_from, p.e_to""",
+
+    "ts_sharpe_sortino" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, c,
+                           lag(c, 1) OVER (PARTITION BY event_type
+                                           ORDER BY date) AS prev
+                    FROM b),
+              q AS (SELECT event_type,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS x
+                    FROM r WHERE prev IS NOT NULL),
+              a AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(x * x) AS BIGINT) AS sxx,
+                           CAST(sum(CASE WHEN x < 0 THEN x * x ELSE 0 END)
+                                AS BIGINT) AS sdd
+                    FROM q GROUP BY 1),
+              m AS (SELECT event_type, n,
+                           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+                           sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE) AS std_q,
+                           sqrt(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE))
+                             AS downside_q
+                    FROM a)
+         SELECT event_type, n,
+                CASE WHEN std_q > 0 THEN mean_q / std_q END AS sharpe,
+                CASE WHEN downside_q > 0 THEN mean_q / downside_q END
+                  AS sortino
+         FROM m ORDER BY event_type""",
 
     "graph_hits" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk

@@ -243,6 +243,24 @@ class TaIndicatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_tokens")))
   }
 
+  test("transition matrix rows sum to 1; sortino dominates sharpe magnitude") {
+    val sf = "/root/testdata/sf0.001"
+    val tm = SparkEntry.queries("mine_transition_matrix")(spark, sf)
+      .collect()
+    assert(tm.nonEmpty)
+    tm.groupBy(_.getAs[String]("e_from")).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-9)
+    }
+    // both ratios share the mean numerator over positive denominators,
+    // so their signs must agree wherever both are defined
+    SparkEntry.queries("ts_sharpe_sortino")(spark, sf).collect()
+      .foreach { r =>
+        val (si, so) = (r.fieldIndex("sharpe"), r.fieldIndex("sortino"))
+        if (!r.isNullAt(si) && !r.isNullAt(so))
+          assert(math.signum(r.getDouble(so)) == math.signum(r.getDouble(si)))
+      }
+  }
+
   test("two-sample KS: engine matches the local exact lattice") {
     // the exact-integer KS lattice: D_num = max|n2*cum1 - n1*cum2|
     def dnum(a: Seq[Long], b: Seq[Long]): Long = {
