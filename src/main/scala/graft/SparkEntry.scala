@@ -4617,6 +4617,68 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Business-calendar feature frame (ML feature engineering over the
+    // real NYSE rule-set calendar): per order date — weekend/holiday/
+    // business-day flags and the roll-forward distance to the next
+    // business day, found as the MIN qualifying offset over a 7-day
+    // explode (a holiday weekend is never longer). Broadcast holiday
+    // set; all flags exact; the oracle carries the same pinned holiday
+    // literals the calendar spec pins against numpy.
+    "cal_feature_frame" -> ((s, dir) => {
+      val hol = graft.cal.NyseCalendar.defaultDateLiterals
+        .map(java.sql.Date.valueOf)
+      val holDf = broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(hol.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("hday",
+            org.apache.spark.sql.types.DateType)))))
+      val d = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("d")).distinct()
+      val flagged = d
+        .join(holDf, col("d") === col("hday"), "left")
+        .select(col("d"), (weekday(col("d")) >= 5).as("is_weekend"),
+                col("hday").isNotNull.as("is_holiday"))
+        .withColumn("is_busday", !col("is_weekend") && !col("is_holiday"))
+      flagged
+        .select(col("d"), col("is_weekend"), col("is_holiday"),
+          col("is_busday"), explode(sequence(lit(0), lit(7))).as("off"))
+        .withColumn("cand", date_add(col("d"), col("off")))
+        .join(holDf, col("cand") === col("hday"), "left")
+        .filter(weekday(col("cand")) < 5 && col("hday").isNull)
+        .groupBy("d")
+        .agg(min(col("is_weekend")).as("is_weekend"),
+             min(col("is_holiday")).as("is_holiday"),
+             min(col("is_busday")).as("is_busday"),
+             min(col("off")).cast("long").as("days_to_next_busday"))
+        .orderBy("d")
+    }),
+
+    // Inline pipeline metrics via the Observation API: the aggregation
+    // pass ships its own audit counters (row count, exact cent sum,
+    // shipdate bounds) as observe() metrics — zero extra scan, the
+    // metrics ride the same job — and the query's result IS the observed
+    // metric row. The pattern that instruments a 100 TB job without a
+    // second pass.
+    "dq_observe_metrics" -> ((s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val li = Tables.lineitem(s, dir)
+        .observe(obs, count(lit(1)).as("n_rows"),
+          sum(Exact.cents(col("l_extendedprice"))).as("sum_cents"),
+          min(to_date(col("l_shipdate"))).as("min_ship"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+      li.write.format("noop").mode("overwrite").save() // one real pass
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+           m("sum_cents").asInstanceOf[Long],
+           m("min_ship").asInstanceOf[java.sql.Date].toString,
+           m("max_ship").asInstanceOf[java.sql.Date].toString))
+        .toDF("n_rows", "sum_cents", "min_ship_s", "max_ship_s")
+        .select(col("n_rows"), col("sum_cents"),
+                to_date(col("min_ship_s")).as("min_ship"),
+                to_date(col("max_ship_s")).as("max_ship"))
+    }),
+
     // First-order Markov transition matrix over user event sequences:
     // lag-1 pairs from ONE keyed window pass, transition counts + exact
     // row-normalized probabilities (one division per cell from integer
@@ -9354,6 +9416,38 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "cal_feature_frame" -> {
+      val dates = graft.cal.NyseCalendar.defaultDateLiterals
+        .map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+                     FROM orders),
+              f AS (SELECT d, isodow(d) >= 6 AS is_weekend,
+                           d IN ($dates) AS is_holiday
+                    FROM d),
+              g AS (SELECT d, CAST(unnest(generate_series(0, 7)) AS INT)
+                             AS off
+                    FROM d),
+              c AS (SELECT d, off, d + off AS cand FROM g),
+              ok AS (SELECT d, CAST(min(off) AS BIGINT)
+                              AS days_to_next_busday
+                     FROM c
+                     WHERE isodow(cand) <= 5 AND cand NOT IN ($dates)
+                     GROUP BY 1)
+         SELECT f.d, f.is_weekend, f.is_holiday,
+                (NOT f.is_weekend AND NOT f.is_holiday) AS is_busday,
+                ok.days_to_next_busday
+         FROM f JOIN ok ON ok.d = f.d ORDER BY f.d"""
+    },
+
+    // the observed metrics are exactly the one-pass aggregates
+    "dq_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                min(CAST(l_shipdate AS DATE)) AS min_ship,
+                max(CAST(l_shipdate AS DATE)) AS max_ship
+         FROM lineitem""",
 
     "mine_transition_matrix" ->
       """WITH s AS (SELECT event_type AS e_from,
