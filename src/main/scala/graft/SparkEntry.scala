@@ -4617,6 +4617,54 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Discount elasticity: exact OLS slope of quantity on discount per
+    // return flag — every moment an integer sum on the (discount-bp ×
+    // quantity-q) lattice, cross-products cleared of fractions in
+    // DECIMAL(38,0) ≡ HUGEINT, one fixed double chain per figure. The
+    // price-sensitivity screen, same cleared-fraction OLS as
+    // ts_linreg_trend.
+    "agg_discount_elasticity" -> ((s, dir) => {
+      val x = expr("CAST(round(l_discount * 10000, 0) AS BIGINT)")
+      val y = expr("CAST(round(l_quantity * 100, 0) AS BIGINT)")
+      val agg = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+             sum(col("x") * col("y")).as("sxy"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val num = (d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy"))
+        .cast("double")
+      val den = (d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx"))
+        .cast("double")
+      agg.select(col("l_returnflag"), col("n"),
+          (num / den).as("slope_q_per_bp"),
+          (col("sy").cast("double") / col("n").cast("double")
+            - num / den
+              * (col("sx").cast("double") / col("n").cast("double")))
+            .as("intercept_q"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Feature hashing (the hashing-trick embedding): every token routed
+    // to one of 64 dimensions by the portable char-fold hash, signed by
+    // the next hash bit, summed per (doc, dim) — the fixed-width
+    // document vector a linear probe trains on, with NO vocabulary state
+    // at any scale. One explode + one partial-aggregable groupBy;
+    // zero-weight cells (sign cancellation) drop out.
+    "text_feature_hashing" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.text.TextAnalysis.tokens("text")).as("tok"))
+        .select(col("doc_id"),
+          graft.functions.CharFold.char_fold_hash(col("tok")).as("h"))
+        .select(col("doc_id"), (col("h") % 64).as("dim"),
+          when(expr("(h DIV 64) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(sum(col("sgn")).as("weight"))
+        .filter(col("weight") =!= 0L)
+        .orderBy("doc_id", "dim")),
+
     // Business-calendar feature frame (ML feature engineering over the
     // real NYSE rule-set calendar): per order date — weekend/holiday/
     // business-day flags and the roll-forward distance to the next
@@ -9416,6 +9464,50 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "agg_discount_elasticity" ->
+      """WITH d AS (SELECT l_returnflag,
+                           CAST(round(l_discount * 10000, 0) AS BIGINT) AS x,
+                           CAST(round(l_quantity * 100, 0) AS BIGINT) AS y
+                    FROM lineitem),
+              a AS (SELECT l_returnflag, count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx,
+                           CAST(sum(x * y) AS BIGINT) AS sxy
+                    FROM d GROUP BY 1),
+              m AS (SELECT l_returnflag, n,
+                           CAST(CAST(CAST(n AS HUGEINT) * sxy
+                                     - CAST(sx AS HUGEINT) * sy AS BIGINT)
+                                AS DOUBLE) AS num,
+                           CAST(CAST(CAST(n AS HUGEINT) * sxx
+                                     - CAST(sx AS HUGEINT) * sx AS BIGINT)
+                                AS DOUBLE) AS den,
+                           sx, sy
+                    FROM a)
+         SELECT l_returnflag, n, num / den AS slope_q_per_bp,
+                CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - num / den * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS intercept_q
+         FROM m ORDER BY l_returnflag""",
+
+    "text_feature_hashing" -> {
+      val th =
+        "list_transform(regexp_extract_all(translate(text, " +
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
+        "'[a-z0-9]+'), t -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS " +
+        "BIGINT))), (h, c) -> (h * 31 + c) % 2147483647))"
+      s"""WITH t AS (SELECT doc_id, unnest($th) AS h FROM documents),
+              w AS (SELECT doc_id, h % 64 AS dim,
+                           CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+                             AS sgn
+                    FROM t)
+         SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS weight
+         FROM w GROUP BY 1, 2
+         HAVING sum(sgn) <> 0
+         ORDER BY doc_id, dim"""
+    },
 
     "cal_feature_frame" -> {
       val dates = graft.cal.NyseCalendar.defaultDateLiterals
