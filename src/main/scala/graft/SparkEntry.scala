@@ -4617,6 +4617,34 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Donchian channels: trailing-10-bar high/low band per series from
+    // one keyed ROWS window on exact cents (integer min/max — no
+    // doubles anywhere), with breakout flags as integer equality against
+    // the band edges. NULL band while the frame fills (positional
+    // semantics pinned by the row count guard). The breakout primitive
+    // under turtle-style trend systems.
+    "ts_donchian_channels" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date").rowsBetween(-9, 0)
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("high")).as("hi_c"),
+                Exact.cents(col("low")).as("lo_c"),
+                Exact.cents(col("close")).as("cl_c"))
+        .withColumn("n_in_frame", count(lit(1)).over(w))
+        .withColumn("chan_hi",
+          when(col("n_in_frame") === 10, max(col("hi_c")).over(w)))
+        .withColumn("chan_lo",
+          when(col("n_in_frame") === 10, min(col("lo_c")).over(w)))
+        .select(col("event_type"), col("date"), col("cl_c"),
+          col("chan_hi"), col("chan_lo"),
+          (col("chan_hi").isNotNull &&
+            col("cl_c") === col("chan_hi")).as("breakout_up"),
+          (col("chan_lo").isNotNull &&
+            col("cl_c") === col("chan_lo")).as("breakout_down"))
+        .orderBy("event_type", "date")
+    }),
+
     // Discount elasticity: exact OLS slope of quantity on discount per
     // return flag — every moment an integer sum on the (discount-bp ×
     // quantity-q) lattice, cross-products cleared of fractions in
@@ -9464,6 +9492,29 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    "ts_donchian_channels" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(max(value) * 100, 0) AS BIGINT)
+                             AS hi_c,
+                           CAST(round(min(value) * 100, 0) AS BIGINT)
+                             AS lo_c,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS cl_c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, date, cl_c,
+                           count(*) OVER w AS n_in_frame,
+                           max(hi_c) OVER w AS mh,
+                           min(lo_c) OVER w AS ml
+                    FROM b
+                    WINDOW w AS (PARTITION BY event_type ORDER BY date
+                                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT event_type, date, cl_c,
+                CASE WHEN n_in_frame = 10 THEN mh END AS chan_hi,
+                CASE WHEN n_in_frame = 10 THEN ml END AS chan_lo,
+                (n_in_frame = 10 AND cl_c = mh) AS breakout_up,
+                (n_in_frame = 10 AND cl_c = ml) AS breakout_down
+         FROM r ORDER BY event_type, date""",
 
     "agg_discount_elasticity" ->
       """WITH d AS (SELECT l_returnflag,
