@@ -4834,13 +4834,25 @@ object SparkEntry {
         x.crossJoin(broadcast(mx))
           .select(col(keyCol), expr(s"($vCol * 4096) DIV mx").as(vCol))
       }
+      // each normalized frame is persisted and the retired one released:
+      // without this the alternating lineage recomputes every earlier
+      // round on both output branches (the Components discipline)
       var h = e.select(col("p")).distinct().withColumn("hv", lit(1L))
+        .persist()
       var a: DataFrame = null
       for (_ <- 1 to 2) {
-        a = norm(e.join(h, Seq("p"))
+        val a2 = norm(e.join(h, Seq("p"))
           .groupBy("sk").agg(sum(col("hv")).as("av")), "sk", "av")
-        h = norm(e.join(a, Seq("sk"))
+          .persist()
+        a2.count() // materialize before releasing the inputs
+        if (a != null) a.unpersist(false)
+        a = a2
+        val h2 = norm(e.join(a, Seq("sk"))
           .groupBy("p").agg(sum(col("av")).as("hv")), "p", "hv")
+          .persist()
+        h2.count()
+        h.unpersist(false)
+        h = h2
       }
       h.select(lit("hub").as("role"), col("p").as("node"),
                col("hv").as("score"))
