@@ -4617,6 +4617,44 @@ object SparkEntry {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("fold")),
 
+    // Estimator quality as a first-class query: precision/recall of the
+    // MinHash-LSH near-dup pipeline against exact shingle Jaccard ≥ 0.5
+    // on the declared id-bounded range (the same bound every exact-pairs
+    // ground truth in this engine uses — the all-pairs side is the
+    // oracle, never the production path). The shingle chain is shared
+    // bit-for-bit between the LSH signatures and the exact sets
+    // (gram_hashes(3) ≡ the signature shingles), so this measures
+    // exactly the banding+estimation loss, nothing else.
+    "dedup_lsh_quality" -> ((s, dir) => {
+      import graft.dedup.{MinHash, NgramJaccard}
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val lsh = MinHash.nearDupPairs(docs, "doc_id", "text",
+          k = 16, r = 4, minEstJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val g = docs.select(col("doc_id"),
+          NgramJaccard.gram_hashes(col("text"), 3).as("gr"))
+        .filter(size(col("gr")) > 0)
+      val exact = g.select(col("doc_id").as("doc_a"), col("gr").as("ga"))
+        .join(g.select(col("doc_id").as("doc_b"), col("gr").as("gb")),
+              col("doc_a") < col("doc_b"))
+        .filter(NgramJaccard.jaccard_sorted(col("ga"), col("gb")) >= 0.5)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val tp = lsh.join(exact, Seq("doc_a", "doc_b"), "leftsemi")
+        .agg(count(lit(1)).as("tp"))
+      lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(tp)
+        .select(col("n_lsh"), col("n_exact"), col("tp"),
+          (col("n_lsh") - col("tp")).as("fp"),
+          (col("n_exact") - col("tp")).as("fn"),
+          when(col("n_lsh") > 0,
+            col("tp").cast("double") / col("n_lsh").cast("double"))
+            .as("precision"),
+          when(col("n_exact") > 0,
+            col("tp").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
     // Donchian channels: trailing-10-bar high/low band per series from
     // one keyed ROWS window on exact cents (integer min/max — no
     // doubles anywhere), with breakout flags as integer equality against
@@ -9504,6 +9542,67 @@ object SparkEntry {
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY fold""",
+
+    // the LSH side is the dedup_minhash_lsh oracle restricted to the id
+    // bound; the exact side is all-pairs Jaccard over the SAME distinct
+    // shingle sets
+    "dedup_lsh_quality" -> {
+      val k = 16; val r = 4
+      val as = (0 until k).map(MinHash.coeffA).mkString("[", ", ", "]")
+      val bs = (0 until k).map(MinHash.coeffB).mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents
+                     WHERE doc_id < 200),
+            sh AS (SELECT doc_id,
+                     list_transform(generate_series(1, len(th) - 2), i ->
+                       ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647) AS s
+                   FROM h WHERE len(th) >= 3),
+            es AS (SELECT doc_id, list_distinct(s) AS gs FROM sh),
+            ex AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM es x JOIN es y ON x.doc_id < y.doc_id
+                   WHERE CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+                         / CAST(len(x.gs) + len(y.gs)
+                                - len(list_intersect(x.gs, y.gs))
+                                AS DOUBLE) >= 0.5),
+            sg AS (SELECT doc_id,
+                     list_transform(generate_series(1, $k), i ->
+                       list_min(list_transform(s, x ->
+                         ($as[i] * x + $bs[i]) % 2147483647))) AS sig
+                   FROM sh),
+            bd AS (SELECT doc_id, sig,
+                     list_transform(generate_series(0, ${k / r - 1}), b ->
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, $r), j ->
+                             sig[b * $r + j])),
+                         (h, x) -> (h * 31 + x) % 2147483647)) AS bands
+                   FROM sg),
+            bk AS (SELECT doc_id, sig,
+                          unnest(bands) AS key,
+                          unnest(generate_series(1, len(bands))) AS band
+                   FROM bd),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.sig AS sig_a, y.sig AS sig_b
+                     FROM bk x JOIN bk y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            lshp AS (SELECT doc_a, doc_b FROM cand
+                     WHERE CAST(len(list_filter(generate_series(1, $k),
+                             i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0
+                           >= 0.5),
+            nl AS (SELECT count(*) AS n_lsh FROM lshp),
+            ne AS (SELECT count(*) AS n_exact FROM ex),
+            tp AS (SELECT count(*) AS tp FROM lshp
+                   JOIN ex ON ex.doc_a = lshp.doc_a
+                          AND ex.doc_b = lshp.doc_b)
+          SELECT nl.n_lsh, ne.n_exact, tp.tp,
+                 nl.n_lsh - tp.tp AS fp, ne.n_exact - tp.tp AS fn,
+                 CASE WHEN nl.n_lsh > 0 THEN
+                   CAST(tp.tp AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE)
+                 END AS precision,
+                 CASE WHEN ne.n_exact > 0 THEN
+                   CAST(tp.tp AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+                 END AS recall
+          FROM nl, ne, tp"""
+    },
 
     "ts_donchian_channels" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,

@@ -118,7 +118,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row rank scalars x quartile picks x signup-count combine
       "agg_time_to_convert",
       // 1-row per-round max-score scalar into each HITS renormalize
-      "graph_hits")
+      "graph_hits",
+      // 1-row confusion-census scalar combines
+      "dedup_lsh_quality")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
