@@ -29,18 +29,36 @@ object Bench {
     // the driver always calls with no args = full run)
     val only = args.headOption.map(_.split(",").toSeq)
     def keep(name: String): Boolean = only.forall(_.exists(name.contains))
+    var done = 0
+    val cacheCensus = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
       .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // release the frames the closure registered — 241 queries x2 in
+          // one JVM; leaked caches evict each other and poison later
+          // queries (round 4's sketch_bloom_join 12x regression). Release
+          // sits OUTSIDE the timed region: each run re-executes its full
+          // plan, so run-2 "min" is steady-state JIT, not a warm cache.
+          CacheRegistry.releaseAll()
+          dt
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          CacheRegistry.releaseAll()
           -1.0 // sentinel: a failed run must not pose as a measurement
         }
       }
+      // per-query cache census AFTER release: a nonzero residual is either
+      // a leak (bug — visible in the artifact now, not inferred from a
+      // later query's regression) or a localCheckpoint block awaiting the
+      // async ContextCleaner; the periodic GC below lets the cleaner
+      // reclaim those so genuine leaks stand out as monotone growth.
+      cacheCensus(name) = CacheRegistry.census(spark)
+      done += 1
+      if (done % 25 == 0) System.gc()
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
@@ -60,8 +78,11 @@ object Bench {
     def f(d: Double): String = "%.3f".format(d)
     val groups =
       s"""{"batch":${f(batch)},"streaming":${f(streaming)},"graph":${f(graph)}}"""
+    val census = cacheCensus.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cacheMax = if (cacheCensus.isEmpty) 0 else cacheCensus.values.max
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cache":$census,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces channel for the driver: the same line, unframed, on disk
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -71,8 +92,13 @@ object Bench {
     // `parsed: null`). Emit a compact final line (< 200 bytes, no per-query
     // map) so the tail window always ends with one complete JSON object;
     // the per-query detail stays available in the full line + bench_out.json.
+    // "metric":"total_compact" distinguishes this line's schema from the
+    // full line above (ADVICE r4: two same-schema-looking lines confused
+    // first-line vs last-line consumers). The driver's tail-capture parses
+    // the LAST line; cache_max is the peak post-release cache census (0 =
+    // no leaked frames anywhere in the run).
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }

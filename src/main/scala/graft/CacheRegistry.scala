@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Query-scoped cache lifecycle.
+  *
+  * A query closure that persists an intermediate consumed by the frame it
+  * RETURNS cannot unpersist before returning — the cache would be dropped
+  * before the caller materializes the result. But never releasing is worse:
+  * Bench runs 241 queries x2 in one 8 GiB JVM, and leaked caches accumulate,
+  * evict each other, and poison later queries (round 4 shipped a 12x
+  * regression on an unchanged query exactly this way).
+  *
+  * So: closures persist through [[cached]], which registers the frame; the
+  * harnesses (Bench, Verify, spec helpers) call [[releaseAll]] immediately
+  * after each query's single materialization. Release is idempotent —
+  * frames a closure already unpersisted eagerly (the iterative per-round
+  * discipline in KCore/HITS/Components) are harmless no-ops here.
+  */
+object CacheRegistry {
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `ds` (default MEMORY_AND_DISK) and register it for release
+    * after the enclosing query's result has been materialized.
+    */
+  def cached[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    tracked.add(ds)
+    ds
+  }
+
+  /** Unpersist every registered frame (non-blocking). Returns how many
+    * frames were released.
+    */
+  def releaseAll(): Int = {
+    var n = 0
+    var ds = tracked.poll()
+    while (ds != null) {
+      ds.unpersist(false)
+      n += 1
+      ds = tracked.poll()
+    }
+    n
+  }
+
+  /** Syntax for query closures: `df.tracked` ≡ persist + register, so a
+    * chained plan reads `.distinct().tracked` where it used to read
+    * `.distinct().persist()`.
+    */
+  implicit class QueryCached[T](private val ds: Dataset[T]) extends AnyVal {
+    def tracked: Dataset[T] = cached(ds)
+  }
+
+  /** Cache census: RDDs the context still holds persistent. After
+    * releaseAll() this counts (a) genuine leaks and (b) localCheckpoint
+    * blocks awaiting the async ContextCleaner — Bench emits it per query so
+    * a leak shows up in the artifact instead of as a mystery regression.
+    */
+  def census(spark: SparkSession): Int =
+    spark.sparkContext.getPersistentRDDs.size
+}

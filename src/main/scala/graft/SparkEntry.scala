@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.CacheRegistry.QueryCached
 import graft.cal.BusdayCount
 import graft.dedup.{MinHash, NgramJaccard, SimHash}
 import graft.inc.Watermark
@@ -1312,7 +1313,7 @@ object SparkEntry {
         .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
-        .persist()
+        .tracked
       graft.olap.Triangles.stats(e)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
                 (lit(3.0) * col("n_triangles").cast("double")
@@ -1332,7 +1333,7 @@ object SparkEntry {
               col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
-        .persist()
+        .tracked
       // peelStats is eager (per-round 1-row collects), so the base edge
       // cache can be released before returning the tiny result frame
       val out = graft.olap.KCore.peelStats(e, 3).orderBy("round")
@@ -1664,8 +1665,13 @@ object SparkEntry {
              sum(when(col("h1"), 1L).otherwise(0L)).as("n1"),
              sum(when(!col("h1"), 1L).otherwise(0L)).as("n2"))
         .withColumn("d",
-          (col("s1") * col("n2") - col("s2") * col("n1"))
-            .cast("decimal(38,0)"))
+          // cast BEFORE the cross-multiply: s1·n2 at corpus scale can
+          // overflow BIGINT (Spark wraps silently; DuckDB's HUGEINT does
+          // not) — the decimal(38,0) widening must wrap the operands,
+          // mirroring the oracle's CAST(... AS HUGEINT) placement
+          (col("s1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)")
+            - col("s2").cast("decimal(38,0)")
+              * col("n1").cast("decimal(38,0)")))
       perDim.groupBy("lang")
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
              sum(col("d") * col("d")).as("sd2"))
@@ -3722,7 +3728,7 @@ object SparkEntry {
         .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
-        .persist()
+        .tracked
       val sym = e.select(col("u").as("c"), col("v").as("x"))
         .unionAll(e.select(col("v").as("c"), col("u").as("x")))
       val okc = sym.groupBy("c").agg(count(lit(1)).as("dc"))
@@ -3915,12 +3921,12 @@ object SparkEntry {
     "graph_modularity" -> ((s, dir) => {
       val pairs = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .persist()
+        .tracked
       val e = pairs.select((col("l_partkey") * 2).as("src"),
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
                                (col("l_partkey") * 2).as("dst")))
-      val lab = graft.olap.LabelProp.labels(e, 2).persist()
+      val lab = graft.olap.LabelProp.labels(e, 2).tracked
       val m = pairs.agg(count(lit(1)).as("m_edges"))
       val intra = pairs
         .join(lab.select((col("node")).as("pn"), col("label").as("la")),
@@ -4106,7 +4112,7 @@ object SparkEntry {
     // volume. The segmentation-overlap report behind audience targeting.
     "olap_audience_overlap" -> ((s, dir) => {
       val m = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type")).distinct().persist()
+        .select(col("user_id"), col("event_type")).distinct().tracked
       val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
       val ov = m.select(col("user_id"), col("event_type").as("type_a"))
         .join(m.select(col("user_id"), col("event_type").as("type_b")),
@@ -4176,7 +4182,7 @@ object SparkEntry {
           floor((col("c") - col("prev")).cast("double")
             / col("prev").cast("double") * lit(1048576.0)).cast("long")
             .as("x"))
-        .persist()
+        .tracked
       val hist = rq.groupBy("event_type", "x").agg(count(lit(1)).as("cnt"))
       val cum = hist.as("a")
         .join(broadcast(hist.as("b")),
@@ -4280,7 +4286,7 @@ object SparkEntry {
           col("cq")))
         .unionByName(stats.select(col("i"), col("i").as("j"),
           lit(1048576L).as("cq")))
-        .persist()
+        .tracked
       var v = stats.select(col("i").as("j"), lit(4096L).as("v"))
       for (_ <- 1 to 3) {
         val x = mat.join(v, "j").groupBy("i")
@@ -4465,7 +4471,7 @@ object SparkEntry {
       val perType = base.groupBy("event_type")
         .agg(Hll.sketchAgg(col("hv")).as("sk"),
              count_distinct(col("user_id")).as("n_exact"))
-        .persist()
+        .tracked
       val est = perType.agg(
         max(when(col("event_type") === "click",
           Hll.estimate(col("sk")))).as("est_a"),
@@ -4553,7 +4559,7 @@ object SparkEntry {
         .agg(min(col("us")).as("pu_us"), min(col("su_us")).as("su_us"))
         .select(col("user_id"),
           expr("(pu_us - su_us) DIV 60000000").as("delta_m"))
-        .persist()
+        .tracked
       val counts = conv.groupBy("delta_m").agg(count(lit(1)).as("cnt"))
       val cum = graft.text.Packing.withStreamOffset(
           counts, "delta_m", "cnt", "cum0", bucketSize = 1000L)
@@ -4630,7 +4636,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
       val lsh = MinHash.nearDupPairs(docs, "doc_id", "text",
           k = 16, r = 4, minEstJaccard = 0.5)
-        .select(col("doc_a"), col("doc_b")).persist()
+        .select(col("doc_a"), col("doc_b")).tracked
       val g = docs.select(col("doc_id"),
           NgramJaccard.gram_hashes(col("text"), 3).as("gr"))
         .filter(size(col("gr")) > 0)
@@ -4638,7 +4644,7 @@ object SparkEntry {
         .join(g.select(col("doc_id").as("doc_b"), col("gr").as("gb")),
               col("doc_a") < col("doc_b"))
         .filter(NgramJaccard.jaccard_sorted(col("ga"), col("gb")) >= 0.5)
-        .select(col("doc_a"), col("doc_b")).persist()
+        .select(col("doc_a"), col("doc_b")).tracked
       val tp = lsh.join(exact, Seq("doc_a", "doc_b"), "leftsemi")
         .agg(count(lit(1)).as("tp"))
       lsh.agg(count(lit(1)).as("n_lsh"))
@@ -4866,7 +4872,7 @@ object SparkEntry {
     "graph_hits" -> ((s, dir) => {
       val e = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .distinct().persist()
+        .distinct().tracked
       def norm(x: DataFrame, keyCol: String, vCol: String): DataFrame = {
         val mx = x.agg(max(col(vCol)).as("mx"))
         x.crossJoin(broadcast(mx))
@@ -4876,18 +4882,18 @@ object SparkEntry {
       // without this the alternating lineage recomputes every earlier
       // round on both output branches (the Components discipline)
       var h = e.select(col("p")).distinct().withColumn("hv", lit(1L))
-        .persist()
+        .tracked
       var a: DataFrame = null
       for (_ <- 1 to 2) {
         val a2 = norm(e.join(h, Seq("p"))
           .groupBy("sk").agg(sum(col("hv")).as("av")), "sk", "av")
-          .persist()
+          .tracked
         a2.count() // materialize before releasing the inputs
         if (a != null) a.unpersist(false)
         a = a2
         val h2 = norm(e.join(a, Seq("sk"))
           .groupBy("p").agg(sum(col("av")).as("hv")), "p", "hv")
-          .persist()
+          .tracked
         h2.count()
         h.unpersist(false)
         h = h2
@@ -5072,7 +5078,7 @@ object SparkEntry {
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
                                (col("l_partkey") * 2).as("dst")))
-        .persist()
+        .tracked
       var v = e.select(col("src").as("node")).distinct()
         .withColumn("katz", lit(1L))
       for (_ <- 1 to 3) {

@@ -20,14 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Integer output, so cross-engine comparison is exact — the oracle is
   * DuckDB's built-in `damerau_levenshtein` (verified unrestricted:
   * dl("ca","abc") = 2, where OSA gives 3). Distances are computed over
-  * UTF-16 code units, identical to code points for the BMP text this
-  * corpus holds.
+  * CODE POINTS (not UTF-16 code units), matching DuckDB's semantics for
+  * non-BMP input (emoji, rare CJK) — ADVICE r4.
   */
 object DamerauLevenshtein {
 
   def distance(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val n = a.length
     val m = b.length
     if (n == 0) return m
@@ -48,14 +48,14 @@ object DamerauLevenshtein {
       d(w + j + 1) = j
       j += 1
     }
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= n) {
       var db = 0
-      val ai = a.charAt(i - 1)
+      val ai = a(i - 1)
       j = 1
       while (j <= m) {
-        val bj = b.charAt(j - 1)
+        val bj = b(j - 1)
         val k = { val v = da.get(bj); if (v == null) 0 else v.intValue() }
         val l = db
         var cost = 1

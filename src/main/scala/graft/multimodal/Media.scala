@@ -66,6 +66,10 @@ object Media {
     def decode(payload: Array[Byte]): (Int, Int, Long) = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read returns null (not an exception) for payloads that
+      // carry the 8-byte magic but are truncated/corrupt — fall back to
+      // the deterministic stub instead of NPE-ing in the executor
+      if (img == null) return FakeCodec.decode(payload)
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
       var sum = 0L
@@ -88,6 +92,8 @@ object Media {
     def decodeHalf(payload: Array[Byte]): (Int, Int, Long) = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
+      // same undecodable-but-magic-valid fallback as decode
+      if (img == null) return FakeCodec.decode(payload)
       val (w, h) = (img.getWidth, img.getHeight)
       val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
       val raster = img.getRaster

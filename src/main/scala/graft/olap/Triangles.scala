@@ -3,6 +3,7 @@ package graft.olap
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.CacheRegistry.QueryCached
 import graft.dedup.NgramJaccard
 
 /** Triangle counting by degree-ordered orientation.
@@ -49,7 +50,7 @@ object Triangles {
           struct(col("u").as("a"), col("v").as("b")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
-      .persist() // consumed twice: adjacency build + per-edge probe
+      .tracked // consumed twice: adjacency build + per-edge probe (registered for post-query release)
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     val corners = oriented
@@ -79,7 +80,7 @@ object Triangles {
           struct(col("u").as("a"), col("v").as("b")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
-      .persist()
+      .tracked
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     // every oriented edge's source has an adjacency row (inner join is

@@ -35,10 +35,34 @@ object JdbcStore {
         .option("dbtable", table)) { case (r, (k, v)) => r.option(k, v) }
       .load()
 
+  /** Existence probe via catalog metadata, not a failed SELECT: a
+    * connectivity/auth failure now PROPAGATES instead of masquerading as
+    * "table missing" and sending appendIdempotent down the create path
+    * into a confusing secondary error. Only a genuinely absent table
+    * returns false. Unquoted identifiers are stored case-folded per
+    * dialect (Derby/Oracle upper, Postgres lower), so all three casings
+    * are probed.
+    */
   private def tableExists(spark: SparkSession, url: String,
-                          table: String): Boolean =
-    try { read(spark, url, table).limit(1).count() >= 0 }
-    catch { case _: Throwable => false }
+                          table: String): Boolean = {
+    val (schemaPat, namePat) = table.lastIndexOf('.') match {
+      case -1 => (null: String, table)
+      case i  => (table.substring(0, i), table.substring(i + 1))
+    }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      def hit(s: String, n: String): Boolean = {
+        val rs = md.getTables(null, s, n, null)
+        try rs.next() finally rs.close()
+      }
+      def fold(x: String): Seq[String] =
+        if (x == null) Seq(null)
+        else Seq(x, x.toUpperCase(java.util.Locale.ROOT),
+                 x.toLowerCase(java.util.Locale.ROOT)).distinct
+      fold(schemaPat).exists(s => fold(namePat).exists(n => hit(s, n)))
+    } finally conn.close()
+  }
 
   /** Keyed idempotent append (the reference's PK-reject insert): first
     * write creates the table, later writes append only rows whose key is

@@ -159,6 +159,12 @@ class TextOlapSpec extends AnyFunSuite {
     assert(distance(u("abcdef"), u("abcfad")) == 3)
     assert(distance(u(""), u("abc")) == 3 && distance(u("abc"), u("")) == 3)
     assert(distance(u("same"), u("same")) == 0)
+    // code-point semantics (ADVICE r4): each emoji is ONE unit, as in
+    // DuckDB — under UTF-16 code units "𝄞" (a surrogate pair) would cost 2
+    assert(distance(u("a𝄞b"), u("ab")) == 1)   // delete 𝄞
+    assert(distance(u("😀😁"),
+                    u("😁😀")) == 1)  // emoji transpose
+    assert(distance(u("😀"), u("x")) == 1)      // emoji subst
     // triangle-ish sanity: never exceeds plain levenshtein
     val spark2 = spark
     import spark2.implicits._
