@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet fixture table loaders (TESTDATA.md).
   *
@@ -16,23 +18,42 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize a fixture timestamp column to session-zone `TimestampType`,
+    * whatever flavor the generated parquet carries — the fixture generator
+    * has shipped the same logical instants as TIMESTAMP(NANOS) (which Spark
+    * reads as a raw nanosecond long under the legacy flag) and as naive
+    * TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ) across rounds.
+    * Every query and every DuckDB oracle was written against session-UTC
+    * `TimestampType`, so one adapter at the scan keeps 241 queries stable
+    * against fixture-flavor drift. All conversions are value-preserving
+    * under the UTC session zone Bench/Verify pin.
+    */
+  def normalizeTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) => // legacy: raw nanos (`div`, not `/` — double
+          // division would lose precision above 2^53 ns)
+          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case Some(TimestampNTZType) => // naive micros: reinterpret in the
+          // UTC session zone (same instant, no arithmetic)
+          d.withColumn(c, col(c).cast("timestamp"))
+        case _ => d
+      }
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw nanosecond long under the legacy flag; convert to a microsecond
-    * timestamp with integral division (`div`, not `/` — double division
-    * would lose precision above 2^53 ns).
-    */
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "lineitem"), "l_shipdate")
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // needed only for the TIMESTAMP(NANOS) fixture flavor; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"), "ts")
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

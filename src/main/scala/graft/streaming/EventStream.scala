@@ -15,17 +15,19 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** File-stream schema: ts arrives as TIMESTAMP(NANOS) which Spark reads
-    * as a nanosecond long under the legacy flag (graft.Tables.events does
-    * the same for batch).
+  /** File-stream schema, read from the fixture's parquet footer: file
+    * streams require an explicit schema, and the fixture generator has
+    * shipped `ts` both as TIMESTAMP(NANOS) (→ nanosecond long under the
+    * legacy flag) and as naive TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) across
+    * rounds, so hardcoding either flavor breaks on the other.
+    * [[graft.Tables.normalizeTs]] then converts whatever arrived to the
+    * session-UTC TimestampType every downstream transform was written
+    * against (same adapter as batch).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** Streaming state partitions are fixed per query at start (they live
     * in the checkpoint for the query's lifetime), and every state store
@@ -46,14 +48,12 @@ object EventStream {
   /** Unbounded events source from a fixture dir. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streams need a directory source; glob-filter to the events file
-    val r = spark.readStream.schema(rawSchema)
+    val r = spark.readStream.schema(rawSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
     val r2 = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n))
-    r2.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(r2.parquet(dir), "ts")
   }
 
   /** Tumbling daily windows per event_type: count + exact decimal sum.
@@ -281,16 +281,16 @@ object EventStream {
   def runCdcApply(spark: SparkSession, dir: String,
                   workDir: String): DataFrame =
       withStatePartitions(spark, 8) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+    val schema = rawSchema(spark, dir)
+    val raw = spark.read.schema(schema).parquet(s"$dir/events.parquet")
     for (k <- 0 to 2)
       raw.filter(pmod(col("event_id"), lit(3)) === k).coalesce(1)
         .write.mode("overwrite").parquet(s"$workDir/src/c$k")
     var lastVersion = -1L
-    val q = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$workDir/src/c*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$workDir/src/c*"), "ts")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ops = batch.select(col("user_id"), col("ts"), col("event_id"),
