@@ -49,6 +49,14 @@ object Media {
     * arithmetically.
     */
   object PngCodec {
+    // ImageIO wraps InputStreams in a FileCacheImageInputStream by default:
+    // every decode (and encode, on the output side) round-trips the payload
+    // through a temp FILE, and 32 executor threads contend on tmpfs create/
+    // delete. The payloads here are already in-memory byte arrays — use the
+    // memory-cache stream implementations instead. JVM-global, set once at
+    // class load on each executor.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private val Magic: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 

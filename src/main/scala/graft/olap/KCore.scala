@@ -56,41 +56,55 @@ object KCore {
   def peelStats(e0: DataFrame, rounds: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
+    // The degree frame is the round's ONLY full edge scan, and it is
+    // CACHED: it yields the round's stats (n_nodes = rows, n_edges = Σd/2
+    // — d counts each endpoint occurrence), the median histogram (round 0),
+    // and the next round's keep-set. The previous formulation recomputed
+    // it per consumer — medianDegree alone references its input 3× (hist
+    // twice + rank), which re-ran the full degree aggregation 3× per call.
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-    def stats(e: DataFrame, round: Int): (Int, Long, Long) = {
-      // ONE aggregate job: explode both endpoints, distinct-count nodes,
-      // halve the exploded row count for edges — no scalar cross join.
-      // (Deriving stats from a CACHED degree frame was tried and is 2×
-      // slower: the keep-set filter loses size estimates behind the
-      // InMemoryRelation and the semi-joins stop broadcasting.)
-      val r = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .agg(countDistinct(col("n")).as("n_nodes"),
-             expr("count(1) DIV 2").as("n_edges"))
+        .persist()
+    def stats(deg: DataFrame, round: Int): (Int, Long, Long) = {
+      val r = deg.agg(count(lit(1)).as("n_nodes"),
+                      expr("coalesce(sum(d), 0) DIV 2").as("n_edges"))
         .collect()(0)
       (round, r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
     }
-    val kth = medianDegree(degrees(e0)).collect()(0).getLong(0)
-    var out = List(stats(e0, 0))
+    var deg = degrees(e0)
+    var out = List(stats(deg, 0)) // materializes deg's cache
+    val kth = medianDegree(deg).collect()(0).getLong(0)
     var e = e0
-    var prev: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      val keep = degrees(e).filter(col("d") >= lit(kth)).select("n")
+      // keep-set sits behind an InMemoryRelation, which hides size
+      // estimates from the planner — hint the broadcast explicitly so the
+      // induced-subgraph probes stay shuffle-free. Sound by construction:
+      // the keep-set is node-sized (orders smaller than the edge frame)
+      // and shrinks monotonically per peel; a deployment whose node frame
+      // exceeds the broadcast budget drops the hint and degrades to a
+      // shuffled semi-join, nothing else changes.
+      val keep = broadcast(deg.filter(col("d") >= lit(kth)).select("n"))
+      // localCheckpoint, not persist: the survivor frame's logical plan
+      // references the previous round's survivor AND (through the
+      // keep-set) its degree frame, so plan size TRIPLES per round —
+      // analysis cost at round 3 dwarfed the actual compute under plain
+      // persist (whose cache substitution happens only after the full
+      // tree is analyzed). Checkpointing truncates lineage so per-round
+      // plan depth stays constant — same discipline, same reason as
+      // graft.olap.PageRank.
       val next = e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "leftsemi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "leftsemi")
         .select("u", "v")
-        // the survivor frame is read 4+ times (next round's degree count +
-        // both semi-join probes + two stat aggregates); without a cache the
-        // lineage re-executes every prior round per read
-        .persist()
-      out = out :+ stats(next, r) // materializes `next`'s cache
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
-      e = next
+        .localCheckpoint() // eager: materializes, truncates lineage
+      val degNext = degrees(next)
+      out = out :+ stats(degNext, r) // materializes degNext's cache
+      deg.unpersist(false)
+      deg = degNext
+      e = next // previous checkpoint blocks reclaimed by the ContextCleaner
     }
-    prev.foreach(_.unpersist(false))
+    deg.unpersist(false)
     out.toDF("round", "n_nodes", "n_edges")
   }
 }
