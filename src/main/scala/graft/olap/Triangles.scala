@@ -39,8 +39,12 @@ object Triangles {
     *         number of triangles it participates in (t = 0 included)
     */
   def perNodeCounts(e: DataFrame): DataFrame = {
+    // node-sized and referenced 3× (both endpoint-degree joins + the final
+    // left join); uncached, each reference re-runs the full degree
+    // aggregation over the edge frame
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .tracked
     val ed = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -53,6 +57,7 @@ object Triangles {
       .tracked // consumed twice: adjacency build + per-edge probe (registered for post-query release)
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .tracked // consumed twice (na + nb probes); adjacency build is the query's priciest aggregate
     val corners = oriented
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
@@ -69,8 +74,11 @@ object Triangles {
     * @return one row: (n_nodes, n_edges, n_wedges, n_triangles)
     */
   def stats(e: DataFrame): DataFrame = {
+    // referenced 3× (endpoint-degree joins + wedge aggregate) — cached so
+    // the degree aggregation runs once (same fix as perNodeCounts)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .tracked
     val ed = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -83,6 +91,7 @@ object Triangles {
       .tracked
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .tracked // consumed twice (na + nb probes)
     // every oriented edge's source has an adjacency row (inner join is
     // lossless); the target may have none (left join, counts 0)
     val tri = oriented
