@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.DecimalType
 object Exact {
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Constant window-partition key for frames that are SMALL BY
+    * CONSTRUCTION (bucket totals, part-level aggregates, 32-row bootstrap
+    * reps): the single partition is deliberate, and the key must say so.
+    * A plain literal won't — Spark 4's EliminateWindowPartitions folds
+    * foldable partition expressions away, reintroducing the unpartitioned
+    * WindowExec (and its data-to-one-partition warning) that keyed specs
+    * exist to rule out. `pmod(hash(orderCol), 1)` is constant 0 on every
+    * row but not foldable (and typed for any column), so the key survives
+    * optimization.
+    */
+  def onePartition(orderCol: Column): Column = pmod(hash(orderCol), lit(1))
+
   /** Small-range 2-dp rate (discount/tax). */
   def rate(c: Column): Column = c.cast(DecimalType(8, 2))
 

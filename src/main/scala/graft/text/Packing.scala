@@ -38,8 +38,13 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withIntra = bucketed.withColumn(intra,
       sum(col(valueCol)).over(wIntra))
-    // level 2: exclusive running sum over per-bucket totals (#buckets rows)
-    val wBuckets = Window.orderBy(col(bucket))
+    // level 2: exclusive running sum over per-bucket totals (#buckets rows).
+    // The single partition is DELIBERATE (constant, non-foldable key — see
+    // Exact.onePartition): this frame is O(#buckets) by construction, the
+    // whole point of the two-level scan.
+    val wBuckets = Window
+      .partitionBy(graft.olap.Exact.onePartition(col(bucket)))
+      .orderBy(col(bucket))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = bucketed.groupBy(col(bucket))
       .agg(sum(col(valueCol)).as("__pack_total"))

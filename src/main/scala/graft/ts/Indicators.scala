@@ -28,9 +28,13 @@ import graft.olap.Exact
   */
 object Indicators {
 
-  private def keyed(partitionCols: Seq[String]) = {
+  private def keyed(partitionCols: Seq[String], orderCol: String) = {
+    // empty = deliberate single series; key by a constant, non-foldable
+    // expression (graft.olap.Exact.onePartition) so the plan stays a
+    // partitioned WindowExec under Spark 4's EliminateWindowPartitions
     val keys =
-      if (partitionCols.isEmpty) Seq(lit(true)) else partitionCols.map(col)
+      if (partitionCols.isEmpty) Seq(graft.olap.Exact.onePartition(col(orderCol)))
+      else partitionCols.map(col)
     Window.partitionBy(keys: _*)
   }
 
@@ -41,7 +45,7 @@ object Indicators {
   def withDrawdown(bars: DataFrame, partitionCols: Seq[String],
                    orderCol: String = "date",
                    closeCol: String = "close"): DataFrame = {
-    val w = keyed(partitionCols).orderBy(col(orderCol))
+    val w = keyed(partitionCols, orderCol).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val peak = max(col(closeCol)).over(w)
     bars.withColumn("peak", peak)
@@ -75,7 +79,7 @@ object Indicators {
                     partitionCols: Seq[String],
                     orderCol: String = "date",
                     closeCol: String = "close"): DataFrame = {
-    val w = keyed(partitionCols).orderBy(col(orderCol))
+    val w = keyed(partitionCols, orderCol).orderBy(col(orderCol))
       .rowsBetween(-(n - 1), Window.currentRow)
     val c = Exact.cents(col(closeCol))
     val cnt = count(c).over(w)
@@ -103,7 +107,7 @@ object Indicators {
   def withRsi(bars: DataFrame, n: Int, partitionCols: Seq[String],
               orderCol: String = "date",
               closeCol: String = "close"): DataFrame = {
-    val ord = keyed(partitionCols).orderBy(col(orderCol))
+    val ord = keyed(partitionCols, orderCol).orderBy(col(orderCol))
     val w = ord.rowsBetween(-(n - 1), Window.currentRow)
     val c = Exact.cents(col(closeCol))
     val delta = c - lag(c, 1).over(ord)

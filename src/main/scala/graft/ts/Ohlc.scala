@@ -67,7 +67,9 @@ object Ohlc {
   def withSma(bars: DataFrame, n: Int, partitionCols: Seq[String] = Nil,
               orderCol: String = "date", closeCol: String = "close"): DataFrame = {
     val partKeys =
-      if (partitionCols.isEmpty) Seq(lit(true)) else partitionCols.map(col)
+      if (partitionCols.isEmpty)
+        Seq(graft.olap.Exact.onePartition(col(orderCol)))
+      else partitionCols.map(col)
     val base = Window.partitionBy(partKeys: _*).orderBy(col(orderCol))
     val w = base.rowsBetween(-n, -1)
     val cnt = count(col(closeCol)).over(w)

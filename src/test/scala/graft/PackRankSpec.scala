@@ -25,7 +25,11 @@ class PackRankSpec extends AnyFunSuite {
       .withStreamOffset(docTokens, "doc_id", "n_tokens", "tok_start",
         bucketSize = 7L) // deliberately tiny, non-divisor bucket
       .select("doc_id", "tok_start")
-    val w = Window.orderBy("doc_id")
+    // constant key = the deliberate single-partition reference form the
+    // two-level scan must reproduce (sf0.001 only; keyed so WindowExec's
+    // missing-partition warning can't fire — the computation is identical)
+    val w = Window.partitionBy(graft.olap.Exact.onePartition(col("doc_id")))
+      .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val reference = docTokens
       .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
