@@ -3737,8 +3737,11 @@ object SparkEntry {
         .unionAll(e.select(col("v").as("c"), col("u").as("x")))
       val okc = sym.groupBy("c").agg(count(lit(1)).as("dc"))
         .filter(col("dc") <= cap).select("c")
-      val wedges = sym.join(okc, Seq("c"), "leftsemi").as("s1")
-        .join(sym.join(okc, Seq("c"), "leftsemi").as("s2"), Seq("c"))
+      // the capped adjacency is BOTH wedge sides — cache it so the
+      // degree-filter semi-join runs once, not once per side
+      val capped = sym.join(okc, Seq("c"), "leftsemi").tracked
+      val wedges = capped.as("s1")
+        .join(capped.as("s2"), Seq("c"))
         .filter(col("s1.x") < col("s2.x"))
         .select(col("s1.x").as("x"), col("s2.x").as("y"))
       wedges.groupBy("x", "y").agg(count(lit(1)).as("cn"))
@@ -4265,9 +4268,13 @@ object SparkEntry {
           .as(Seq("p", "x")))
         .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
           floor(col("x").cast("double") * lit(65536.0)).as("q"))
+      // stats (one corpus scan reduced to 64 rows) is referenced FOUR
+      // times — both broadcast sides, the diagonal, and the iteration
+      // seed; uncached, every broadcast-subquery round re-ran the scan
       val stats = dims.groupBy("i")
         .agg(count(lit(1)).as("n"), sum("q").as("s"),
              sum(col("q") * col("q")).as("ss"))
+        .tracked
       val pairs = dims.select(col("vec_id"), col("i"), col("q"))
         .join(dims.select(col("vec_id"), col("i").as("j"),
               col("q").as("qj")), "vec_id")
@@ -4279,17 +4286,24 @@ object SparkEntry {
         col("s").as("sj"), col("ss").as("ssj")))
       val nD = col("n").cast("double")
       def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      // upper sits on BOTH sides of the symmetrizing union — cache it or
+      // the corpus-wide pair aggregation runs twice
       val upper = pairs.join(si, "i").join(sj, "j")
         .select(col("i"), col("j"),
           floor(((nD * d(col("sp")) - d(col("si")) * d(col("sj")))
             / (sqrt(nD * d(col("ssi")) - d(col("si")) * d(col("si")))
                * sqrt(nD * d(col("ssj")) - d(col("sj")) * d(col("sj")))))
             * lit(1048576.0)).cast("long").as("cq"))
+        .tracked
+      // re-key the union: without it the cached matrix inherits 3x32
+      // near-empty partitions (one set per union branch) and every
+      // iteration stage pays 96 tasks to scan a dims²-row frame
       val mat = upper
         .unionByName(upper.select(col("j").as("i"), col("i").as("j"),
           col("cq")))
         .unionByName(stats.select(col("i"), col("i").as("j"),
           lit(1048576L).as("cq")))
+        .repartition(col("i"))
         .tracked
       var v = stats.select(col("i").as("j"), lit(4096L).as("v"))
       for (_ <- 1 to 3) {

@@ -15,8 +15,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Schema memo: every load() re-inferring schema costs a driver-side file
+  // listing + footer read per table per query — x482 query executions per
+  // bench run, pure constant overhead. Fixture schemas are immutable within
+  // a session, so infer once per (dir, table) and pin with .schema(...)
+  // thereafter. (events' nanos flag is set before its first inference, so
+  // the memoized schema matches the flag'd read.)
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Normalize a fixture timestamp column to session-zone `TimestampType`,
     * whatever flavor the generated parquet carries — the fixture generator

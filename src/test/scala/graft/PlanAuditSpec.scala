@@ -123,14 +123,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_lsh_quality")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
-      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val exec = fn(spark, sf).queryExecution.executedPlan
+      val p = exec.toString
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
       if (!bnljAllowed(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name: unexpected nested-loop join")
-      assert(!p.linesIterator.exists(l =>
-          l.contains("Window [") && l.contains("windowspecdefinition()")),
-        s"$name: unpartitioned window")
+      // tree-walk, not string-match: an unpartitioned WindowExec moves
+      // ALL data to one task. Every deliberate single-partition window
+      // keys by Exact.onePartition (non-foldable), so an empty
+      // partitionSpec here is always a genuine missing key — including
+      // one reintroduced by Spark 4's EliminateWindowPartitions folding
+      // a foldable key away (which is exactly what a string check on
+      // the pre-optimization spec would miss). AdaptiveSparkPlanExec is
+      // a leaf to TreeNode.collect, so descend into it explicitly.
+      def walk(n: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = n +: (n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ => n.children.flatMap(walk)
+      })
+      val bare = walk(exec).filter {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
+      }
+      assert(bare.isEmpty, s"$name: unpartitioned window: ${bare.headOption}")
+      CacheRegistry.releaseAll()
     }
   }
 
