@@ -2318,6 +2318,38 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(50)),
 
+    // Zipf frequency spectrum: tokens bucketed by floor(log2(frequency))
+    // (exact bit-length — the engine's portable log2), with the corpus'
+    // Zipf exponent proxied by an exact-integer OLS slope over
+    // (bucket, floor(log2(tokens in bucket))). The spectrum formulation
+    // needs NO global rank — a per-token rank is a vocabulary-sized
+    // total order (the thing a 100 TB corpus can't window), while the
+    // spectrum is one partial-aggregable groupBy cascade; all sums are
+    // exact longs, one final IEEE division for the slope.
+    "text_zipf_spectrum" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"))
+      // ~log2(corpus size) rows, but its lineage is the full token scan —
+      // cache: it feeds both the report rows and the slope points
+      val spec = freq
+        .groupBy((length(bin(col("tf"))) - 1).cast("long").as("b"))
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(col("tf")).as("n_occurrences"))
+        .tracked
+      val pts = spec.select(col("b"),
+        (length(bin(col("n_tokens"))) - 1).cast("long").as("y"))
+      val slope = pts.agg(count(lit(1)).as("n"), sum("b").as("sx"),
+          sum("y").as("sy"), sum(col("b") * col("y")).as("sxy"),
+          sum(col("b") * col("b")).as("sx2"))
+        .select(((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"))
+      spec.crossJoin(broadcast(slope)).orderBy("b")
+    }),
+
     // North-star text analysis: tokenization + whitespace/BPE-ish/stopword
     // counting.
     "text_token_stats" -> ((s, dir) =>
@@ -3750,6 +3782,45 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Jaccard link prediction: common_neighbors' union-normalized sibling —
+    // J(x,y) = |N(x)∩N(y)| / |N(x)∪N(y)| = cn/(du+dv−cn), the score that
+    // does not favor hubs. Same degree-capped wedge generation (cap 64 —
+    // the documented bound keeping wedge volume linear at 100 TB; cn
+    // counts common neighbors of capped degree, du/dv are FULL degrees,
+    // so J is the capped lower-bound estimate), exact integers until one
+    // IEEE division, deterministic (jaccard desc, x, y) top-20 boundary.
+    "graph_jaccard_links" -> ((s, dir) => {
+      val cap = 64L
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .tracked
+      val sym = e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      // full degrees serve the cap filter AND the du/dv lookups — one scan
+      val deg = sym.groupBy("c").agg(count(lit(1)).as("dc")).tracked
+      val okc = deg.filter(col("dc") <= cap).select("c")
+      val capped = sym.join(okc, Seq("c"), "leftsemi").tracked
+      val cnPairs = capped.as("s1").join(capped.as("s2"), Seq("c"))
+        .filter(col("s1.x") < col("s2.x"))
+        .select(col("s1.x").as("x"), col("s2.x").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+      cnPairs
+        .join(e, col("x") === col("u") && col("y") === col("v"), "leftanti")
+        .join(deg.select(col("c").as("x"), col("dc").as("du")), "x")
+        .join(deg.select(col("c").as("y"), col("dc").as("dv")), "y")
+        .select(col("x"), col("y"), col("cn"), col("du"), col("dv"),
+          (col("cn").cast("double")
+            / (col("du") + col("dv") - col("cn")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     // Referential-integrity audit across the star schema: per FK relation,
     // child rows, distinct / null keys, and orphan keys+rows (non-null key
     // with no parent). Child keys are pre-aggregated per key BEFORE the
@@ -4960,6 +5031,66 @@ object SparkEntry {
             col("total_return_bp").cast("double")
               / col("max_dd_bp").cast("double")))
         .orderBy("event_type")
+    }),
+
+    // Day-of-week seasonal profile per series: mean close per ISO weekday
+    // and its deviation from the series' all-days mean — the seasonality
+    // feature a forecasting pipeline derives before de-seasonalizing.
+    // Exact cent sums (partial-aggregable), two fixed-order IEEE
+    // divisions and one subtraction at the end; ISO dow = weekday()+1 on
+    // the Spark side mirrors DuckDB's isodow bit-for-bit.
+    "ts_seasonality_dow" -> ((s, dir) => {
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+      val perDow = bars.groupBy(col("event_type"),
+          expr("weekday(date) + 1").cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"))
+      val overall = bars.groupBy("event_type")
+        .agg(count(lit(1)).as("n_all"), sum(col("c")).as("sa"))
+      perDow.join(overall, "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          (col("sc").cast("double") / col("n_days").cast("double"))
+            .as("mean_close_cents"),
+          (col("sc").cast("double") / col("n_days").cast("double")
+            - col("sa").cast("double") / col("n_all").cast("double"))
+            .as("dev_cents"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Holiday-adjacency effect: mean daily return (exact basis points,
+    // floor division handling negative moves) per series, split by
+    // whether the bar lands ON an NYSE holiday, the day BEFORE one, the
+    // day AFTER one, or a regular day — the event-study view a calendar
+    // expression exists to serve. The holiday set is the same
+    // NyseCalendar rule table the busday family uses; classification is
+    // a broadcast-friendly isin over date literals, no join.
+    "ts_holiday_effect" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val hol = graft.cal.NyseCalendar.defaultDateLiterals
+        .map(java.sql.Date.valueOf)
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("p", lag(col("c"), 1).over(w))
+        .filter(col("p").isNotNull)
+        .withColumn("rn", (col("c") - col("p")) * lit(10000L))
+        .withColumn("ret_bp",
+          expr("(rn - (((rn % p) + p) % p)) DIV p"))
+      bars
+        .withColumn("day_class",
+          when(col("date").isin(hol: _*), "holiday")
+            .when(date_add(col("date"), 1).isin(hol: _*), "pre_holiday")
+            .when(date_sub(col("date"), 1).isin(hol: _*), "post_holiday")
+            .otherwise("regular"))
+        .groupBy("event_type", "day_class")
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("ret_bp")).as("sum_ret_bp"))
+        .select(col("event_type"), col("day_class"), col("n_days"),
+          (col("sum_ret_bp").cast("double") / col("n_days").cast("double"))
+            .as("mean_ret_bp"))
+        .orderBy("event_type", "day_class")
     }),
 
     // Time-travel diff: the CDC state as of snapshot 1 (first chunk of
@@ -7107,6 +7238,25 @@ object SparkEntry {
            FROM documents)
          GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50""",
 
+    "text_zipf_spectrum" ->
+      """WITH freq AS (SELECT token, count(*) AS tf FROM (
+                SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                FROM documents) GROUP BY 1),
+              spec AS (SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS b,
+                              count(*) AS n_tokens,
+                              CAST(sum(tf) AS BIGINT) AS n_occurrences
+                       FROM freq GROUP BY 1),
+              pts AS (SELECT b,
+                             CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS y
+                      FROM spec),
+              sl AS (SELECT CAST(count(*) * sum(b * y) - sum(b) * sum(y)
+                              AS DOUBLE)
+                            / CAST(count(*) * sum(b * b) - sum(b) * sum(b)
+                                AS DOUBLE) AS zipf_slope
+                     FROM pts)
+         SELECT spec.b, spec.n_tokens, spec.n_occurrences, sl.zipf_slope
+         FROM spec CROSS JOIN sl ORDER BY spec.b""",
+
     "text_token_stats" -> {
       val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, text,
@@ -8796,6 +8946,30 @@ object SparkEntry {
          SELECT x, y, cn FROM nz
          ORDER BY cn DESC, x, y LIMIT 20""",
 
+    "graph_jaccard_links" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              sym AS (SELECT u AS c, v AS x FROM e
+                      UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT c, count(*) AS dc FROM sym GROUP BY 1),
+              w AS (SELECT s1.x AS x, s2.x AS y
+                    FROM sym s1
+                    JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
+                    WHERE s1.c IN (SELECT c FROM deg WHERE dc <= 64)),
+              cn AS (SELECT x, y, count(*) AS cn FROM w GROUP BY 1, 2),
+              nz AS (SELECT cn.x, cn.y, cn.cn FROM cn
+                     WHERE NOT EXISTS (SELECT 1 FROM e
+                                       WHERE e.u = cn.x AND e.v = cn.y))
+         SELECT nz.x, nz.y, nz.cn, dx.dc AS du, dy.dc AS dv,
+                CAST(nz.cn AS DOUBLE)
+                  / CAST(dx.dc + dy.dc - nz.cn AS DOUBLE) AS jaccard
+         FROM nz
+         JOIN deg dx ON dx.c = nz.x
+         JOIN deg dy ON dy.c = nz.y
+         ORDER BY jaccard DESC, x, y LIMIT 20""",
+
     "dq_referential_integrity" ->
       """WITH a1 AS (SELECT 'lineitem.orderkey->orders' AS relation,
                             count(*) AS n_child_rows,
@@ -9840,6 +10014,52 @@ object SparkEntry {
                 END AS calmar
          FROM t JOIN dd ON dd.event_type = t.event_type
          ORDER BY t.event_type""",
+
+    "ts_seasonality_dow" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, isodow(date) AS dow,
+                           count(*) AS n_days, sum(c) AS sc
+                    FROM b GROUP BY 1, 2),
+              o AS (SELECT event_type, count(*) AS n_all, sum(c) AS sa
+                    FROM b GROUP BY 1)
+         SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, d.n_days,
+                CAST(d.sc AS DOUBLE) / CAST(d.n_days AS DOUBLE)
+                  AS mean_close_cents,
+                CAST(d.sc AS DOUBLE) / CAST(d.n_days AS DOUBLE)
+                  - CAST(o.sa AS DOUBLE) / CAST(o.n_all AS DOUBLE)
+                  AS dev_cents
+         FROM d JOIN o ON o.event_type = d.event_type
+         ORDER BY d.event_type, dow""",
+
+    "ts_holiday_effect" -> {
+      val dates = graft.cal.NyseCalendar.defaultDateLiterals
+        .map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                            CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                              AS c
+                     FROM events GROUP BY 1, 2),
+               r AS (SELECT event_type, date, c,
+                            lag(c) OVER (PARTITION BY event_type
+                                         ORDER BY date) AS p
+                     FROM b),
+               t AS (SELECT event_type, date,
+                            (c - p) * 10000 AS rn, p
+                     FROM r WHERE p IS NOT NULL),
+               f AS (SELECT event_type,
+                            CASE WHEN date IN ($dates) THEN 'holiday'
+                                 WHEN date + 1 IN ($dates) THEN 'pre_holiday'
+                                 WHEN date - 1 IN ($dates) THEN 'post_holiday'
+                                 ELSE 'regular' END AS day_class,
+                            (rn - (((rn % p) + p) % p)) // p AS ret_bp
+                     FROM t)
+          SELECT event_type, day_class, count(*) AS n_days,
+                 CAST(sum(ret_bp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_ret_bp
+          FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
 
     "inc_time_travel_diff" ->
       """WITH ops AS (SELECT user_id, ts, event_id, event_type,

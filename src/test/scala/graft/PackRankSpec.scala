@@ -278,6 +278,34 @@ class PackRankSpec extends AnyFunSuite {
     assert(math.abs(ranks.sum - expected) / expected < 1e-6)
   }
 
+  test("jaccard links: bounds, cn dominance, non-adjacency") {
+    val rows = SparkEntry.queries("graph_jaccard_links")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // edges of the same co-purchase graph, for the non-adjacency check
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      val (cn, du, dv) = (r.getAs[Long]("cn"), r.getAs[Long]("du"),
+                          r.getAs[Long]("dv"))
+      val j = r.getAs[Double]("jaccard")
+      assert(x < y && !edges.contains((x, y)), s"adjacent pair ($x,$y)")
+      assert(cn >= 1 && cn <= math.min(du, dv))
+      assert(j > 0.0 && j <= 1.0)
+      assert(j == cn.toDouble / (du + dv - cn).toDouble)
+    }
+    // boundary order is the declared total order
+    val key = rows.map(r => (-r.getAs[Double]("jaccard"),
+      r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(key.sameElements(key.sorted))
+  }
+
   test("mixture balance hits its quotas exactly") {
     val out = SparkEntry.queries("sample_mixture_balance")(spark, sfDir)
       .collect().map(r => r.getAs[String]("lang")

@@ -120,7 +120,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row per-round max-score scalar into each HITS renormalize
       "graph_hits",
       // 1-row confusion-census scalar combines
-      "dedup_lsh_quality")
+      "dedup_lsh_quality",
+      // 1-row Zipf-slope scalar joined into the spectrum rows
+      "text_zipf_spectrum")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan

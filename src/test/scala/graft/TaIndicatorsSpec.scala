@@ -302,4 +302,44 @@ class TaIndicatorsSpec extends AnyFunSuite {
       .orderBy("date").select("rsi_3").collect()
     assert(flat.forall(_.isNullAt(0)))
   }
+
+  test("dow seasonality: weighted deviations cancel, weekdays partition days") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts_seasonality_dow")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      // dow is ISO 1..7 and unique per series
+      val dows = rs.map(_.getAs[Long]("dow"))
+      assert(dows.forall(d => d >= 1 && d <= 7) && dows.distinct.length == dows.length)
+      // Σ n_days·dev = Σ n·mean_dow − N·mean_all = 0 exactly in rationals;
+      // doubles carry rounding, so bound by a scale-aware epsilon
+      val n = rs.map(_.getAs[Long]("n_days")).sum
+      val wdev = rs.map(r => r.getAs[Long]("n_days")
+        * r.getAs[Double]("dev_cents")).sum
+      val scale = rs.map(r => math.abs(r.getAs[Double]("mean_close_cents"))).max
+      assert(math.abs(wdev) <= 1e-9 * scale * n, s"weighted dev $wdev")
+    }
+    // per-series day totals equal the distinct bar dates
+    val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, sf))
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("n_days")).sum == bars(et))
+    }
+  }
+
+  test("holiday effect: day classes partition every bar with a predecessor") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts_holiday_effect")(spark, sf).collect()
+    val classes = rows.map(_.getAs[String]("day_class")).distinct.toSet
+    assert(classes.subsetOf(
+      Set("holiday", "pre_holiday", "post_holiday", "regular")))
+    // every series' class counts sum to (bars − 1): each bar except the
+    // first has exactly one predecessor and exactly one class
+    val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, sf))
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("n_days")).sum == bars(et) - 1, et)
+    }
+  }
 }

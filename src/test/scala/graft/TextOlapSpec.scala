@@ -195,4 +195,26 @@ class TextOlapSpec extends AnyFunSuite {
       .select(damerau_levenshtein(col("a"), col("b")).as("dl")).collect()
     assert(withNull(0).isNullAt(0))
   }
+
+  test("zipf spectrum: bucket bounds, token conservation, constant slope") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_zipf_spectrum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every token in bucket b has 2^b <= tf < 2^(b+1), so the bucket's
+    // occurrence total is bounded both ways
+    rows.foreach { r =>
+      val (b, nt, occ) = (r.getAs[Long]("b"), r.getAs[Long]("n_tokens"),
+                          r.getAs[Long]("n_occurrences"))
+      assert(b >= 0 && nt >= 1)
+      assert(occ >= nt * (1L << b) && occ < nt * (1L << (b + 1)),
+        s"bucket $b occupancy out of bounds")
+    }
+    // the slope column is a single scalar repeated on every row
+    assert(rows.map(_.getAs[Double]("zipf_slope")).distinct.length == 1)
+    // conservation: spectrum occurrences equal the corpus token count
+    val total = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.tokens("text")).as("t"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum == total)
+  }
 }
