@@ -438,6 +438,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cc")).as("sum_cents"))
         .orderBy("value_band", "dow")),
 
+    // Chi-square independence test, per cell: is event type independent of
+    // ISO weekday? Every cell carries its exact rational contribution —
+    // numerator (o·N − r·c)² in DECIMAL(38,0) (the cross term tops 10^20,
+    // past BIGINT), denominator N·r·c in BIGINT — and ONE IEEE division
+    // for the double. No summed-doubles total (accumulation order is not
+    // portable); a consumer sums the rationals. Marginals come from one
+    // count pass re-aggregated two ways — all partial-aggregable.
+    "agg_chi2_contingency" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(col("ts").cast("date")) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .tracked // marginals + cells: three readers of one tiny frame
+      val rowTot = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val colTot = cells.groupBy("dow").agg(sum("o").as("c"))
+      val n = cells.agg(sum("o").as("n"))
+      cells.join(rowTot, "event_type").join(colTot, "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+        .select(col("event_type"), col("dow"), col("o"), col("r"), col("c"),
+          (col("dev").cast("decimal(38,0)") * col("dev").cast("decimal(38,0)"))
+            .as("chi2_num"),
+          (col("n") * col("r") * col("c")).as("chi2_den"))
+        .withColumn("chi2_cell",
+          col("chi2_num").cast("double") / col("chi2_den").cast("double"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Primary-key uniqueness audit across every table in the warehouse:
+    // rows / distinct keys / duplicated keys / excess rows per table, the
+    // load-correctness certification that catches double-applied batches
+    // before they poison joins. Each table reduces to per-key counts
+    // FIRST (partial-aggregable; join-free), then to one audit row; the
+    // union of 10 one-row frames is the report. Not a vacuous pass: the
+    // synthetic generator does NOT enforce lineitem's composite
+    // (l_orderkey, l_linenumber) key, and the audit surfaces those
+    // duplicates at every SF.
+    "dq_duplicate_pk_audit" -> ((s, dir) => {
+      def audit(table: String, df: DataFrame, key: Seq[String]): DataFrame =
+        df.groupBy(key.map(col): _*).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"),
+               count(lit(1)).as("n_keys"),
+               sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+               sum(col("cnt") - 1).as("n_excess_rows"))
+          .select(lit(table).as("table_name"), col("n_rows"), col("n_keys"),
+                  col("n_dup_keys"), col("n_excess_rows"))
+      audit("customer", Tables.customer(s, dir), Seq("c_custkey"))
+        .unionAll(audit("documents", Tables.documents(s, dir), Seq("doc_id")))
+        .unionAll(audit("embeddings", Tables.embeddings(s, dir), Seq("vec_id")))
+        .unionAll(audit("events", Tables.events(s, dir), Seq("event_id")))
+        .unionAll(audit("lineitem", Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber")))
+        .unionAll(audit("nation", Tables.nation(s, dir), Seq("n_nationkey")))
+        .unionAll(audit("orders", Tables.orders(s, dir), Seq("o_orderkey")))
+        .unionAll(audit("part", Tables.part(s, dir), Seq("p_partkey")))
+        .unionAll(audit("region", Tables.region(s, dir), Seq("r_regionkey")))
+        .unionAll(audit("supplier", Tables.supplier(s, dir), Seq("s_suppkey")))
+        .orderBy("table_name")
+    }),
+
     // Herfindahl concentration index per month: Σ share² of event-type
     // revenue — deliberately the RATIONAL concentration metric (entropy
     // needs ln, which is not bit-portable); exact long numerator Σcᵢ²
@@ -5093,6 +5153,35 @@ object SparkEntry {
         .orderBy("event_type", "day_class")
     }),
 
+    // Drawdown duration: the longest consecutive underwater spell (bars
+    // strictly below the running peak) per series, with total underwater
+    // bars and the deepest drawdown — the recovery-time view that calmar
+    // and ulcer flatten away. Islands come from the rank-difference trick
+    // (two keyed row_numbers, no iteration); every quantity is an exact
+    // integer, so the cross-engine check is bitwise.
+    "ts_drawdown_duration" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("event_type").orderBy("date")
+      val bars = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("peak", max(col("c")).over(
+          w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("uw", col("c") < col("peak"))
+        .withColumn("rn_all", row_number().over(w))
+      val spells = bars.filter(col("uw"))
+        .withColumn("rn_uw", row_number().over(w))
+        .withColumn("grp", col("rn_all") - col("rn_uw"))
+        .groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("len"),
+             max(expr("((peak - c) * 10000) DIV peak")).as("dd_bp"))
+      spells.groupBy("event_type")
+        .agg(sum(col("len")).as("n_underwater_days"),
+             max(col("len")).as("longest_spell_days"),
+             max(col("dd_bp")).as("deepest_dd_bp"))
+        .orderBy("event_type")
+    }),
+
     // Time-travel diff: the CDC state as of snapshot 1 (first chunk of
     // the changelog) vs the final state, compared key-by-key into an
     // added / changed / deleted / unchanged census — the audit a
@@ -7837,6 +7926,49 @@ object SparkEntry {
                 CAST(sum(cc) AS BIGINT) AS sum_cents
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "agg_chi2_contingency" ->
+      """WITH cells AS (SELECT event_type,
+                               CAST(isodow(CAST(ts AS DATE)) AS BIGINT)
+                                 AS dow,
+                               count(*) AS o
+                        FROM events GROUP BY 1, 2),
+              rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+                     FROM cells GROUP BY 1),
+              ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+                     FROM cells GROUP BY 1),
+              n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+              j AS (SELECT cells.event_type, cells.dow, cells.o,
+                           rt.r, ct.c, n.n,
+                           cells.o * n.n - rt.r * ct.c AS dev
+                    FROM cells
+                    JOIN rt ON rt.event_type = cells.event_type
+                    JOIN ct ON ct.dow = cells.dow
+                    CROSS JOIN n)
+         SELECT event_type, dow, o, r, c,
+                CAST(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
+                     AS DECIMAL(38,0)) AS chi2_num,
+                n * r * c AS chi2_den,
+                CAST(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT) AS DOUBLE)
+                  / CAST(n * r * c AS DOUBLE) AS chi2_cell
+         FROM j ORDER BY event_type, dow""",
+
+    "dq_duplicate_pk_audit" -> {
+      val tables = Seq(
+        "customer" -> "c_custkey", "documents" -> "doc_id",
+        "embeddings" -> "vec_id", "events" -> "event_id",
+        "lineitem" -> "l_orderkey, l_linenumber", "nation" -> "n_nationkey",
+        "orders" -> "o_orderkey", "part" -> "p_partkey",
+        "region" -> "r_regionkey", "supplier" -> "s_suppkey")
+      tables.map { case (t, k) =>
+        s"""SELECT '$t' AS table_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_keys,
+                   CAST(sum(cnt - 1) AS BIGINT) AS n_excess_rows
+            FROM (SELECT count(*) AS cnt FROM $t GROUP BY $k)"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+
     // same register arithmetic as sketch_hll_distinct, grouped per day
     "stream_hll_daily" ->
       """WITH f AS (SELECT CAST(ts AS DATE) AS date, user_id,
@@ -10060,6 +10192,33 @@ object SparkEntry {
                    AS mean_ret_bp
           FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    "ts_drawdown_duration" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              p AS (SELECT event_type, date, c,
+                           max(c) OVER (PARTITION BY event_type
+                                        ORDER BY date
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS peak,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY date) AS rn_all
+                    FROM b),
+              u AS (SELECT event_type, peak, c,
+                           rn_all - row_number()
+                             OVER (PARTITION BY event_type ORDER BY date)
+                             AS grp
+                    FROM p WHERE c < peak),
+              g AS (SELECT event_type, grp, count(*) AS len,
+                           max(((peak - c) * 10000) // peak) AS dd_bp
+                    FROM u GROUP BY 1, 2)
+         SELECT event_type,
+                CAST(sum(len) AS BIGINT) AS n_underwater_days,
+                max(len) AS longest_spell_days,
+                max(dd_bp) AS deepest_dd_bp
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     "inc_time_travel_diff" ->
       """WITH ops AS (SELECT user_id, ts, event_id, event_type,

@@ -122,7 +122,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row confusion-census scalar combines
       "dedup_lsh_quality",
       // 1-row Zipf-slope scalar joined into the spectrum rows
-      "text_zipf_spectrum")
+      "text_zipf_spectrum",
+      // 1-row grand-total N joined into every contingency cell
+      "agg_chi2_contingency")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan

@@ -257,4 +257,61 @@ class RobustOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_down_streaks") == downs.size.toLong)
     }
   }
+
+  test("chi2 contingency: marginal identities and non-negative cells") {
+    val rows = SparkEntry.queries("agg_chi2_contingency")(spark, sfDir)
+      .collect()
+    val n = rows.map(_.getAs[Long]("o")).sum
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      // the row marginal on every cell equals the sum of its row's cells
+      assert(rs.forall(_.getAs[Long]("r") == rs.map(_.getAs[Long]("o")).sum))
+    }
+    rows.groupBy(_.getAs[Long]("dow")).values.foreach { rs =>
+      assert(rs.forall(_.getAs[Long]("c") == rs.map(_.getAs[Long]("o")).sum))
+    }
+    rows.foreach { r =>
+      val dev = r.getAs[Long]("o") * n - r.getAs[Long]("r") * r.getAs[Long]("c")
+      // the exact rational is the declared (o·N − r·c)²/(N·r·c)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("chi2_num").toBigInteger)
+        == BigInt(dev) * BigInt(dev))
+      assert(r.getAs[Long]("chi2_den") ==
+        n * r.getAs[Long]("r") * r.getAs[Long]("c"))
+      assert(r.getAs[Double]("chi2_cell") >= 0.0)
+    }
+  }
+
+  test("pk audit: per-table conservation; catches lineitem's real dups") {
+    val rows = SparkEntry.queries("dq_duplicate_pk_audit")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") - r.getAs[Long]("n_keys")
+        == r.getAs[Long]("n_excess_rows"), r.getAs[String]("table_name"))
+      // the synthetic generator does NOT enforce lineitem's composite PK —
+      // the audit catching that is its value; the other nine are clean
+      if (r.getAs[String]("table_name") == "lineitem")
+        assert(r.getAs[Long]("n_dup_keys") > 0L)
+      else
+        assert(r.getAs[Long]("n_dup_keys") == 0L
+          && r.getAs[Long]("n_excess_rows") == 0L,
+          s"${r.getAs[String]("table_name")}: expected unique keys")
+    }
+  }
+
+  test("drawdown duration agrees with calmar's deepest drawdown") {
+    val dur = SparkEntry.queries("ts_drawdown_duration")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    dur.values.foreach { r =>
+      assert(r.getAs[Long]("longest_spell_days")
+        <= r.getAs[Long]("n_underwater_days"))
+      assert(r.getAs[Long]("deepest_dd_bp") > 0L)
+    }
+    // cross-query consistency: the deepest drawdown is calmar's max_dd_bp
+    SparkEntry.queries("ts_calmar_ratio")(spark, sfDir).collect().foreach { c =>
+      val et = c.getAs[String]("event_type")
+      val dd = c.getAs[Long]("max_dd_bp")
+      if (dd > 0) assert(dur(et).getAs[Long]("deepest_dd_bp") == dd, et)
+      else assert(!dur.contains(et), s"$et: no drawdown but duration row")
+    }
+  }
 }
