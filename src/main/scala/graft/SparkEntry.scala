@@ -5093,31 +5093,6 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // Day-of-week seasonal profile per series: mean close per ISO weekday
-    // and its deviation from the series' all-days mean — the seasonality
-    // feature a forecasting pipeline derives before de-seasonalizing.
-    // Exact cent sums (partial-aggregable), two fixed-order IEEE
-    // divisions and one subtraction at the end; ISO dow = weekday()+1 on
-    // the Spark side mirrors DuckDB's isodow bit-for-bit.
-    "ts_seasonality_dow" -> ((s, dir) => {
-      val bars = Ohlc.dailyBars(Tables.events(s, dir))
-        .select(col("event_type"), col("date"),
-                Exact.cents(col("close")).as("c"))
-      val perDow = bars.groupBy(col("event_type"),
-          expr("weekday(date) + 1").cast("long").as("dow"))
-        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"))
-      val overall = bars.groupBy("event_type")
-        .agg(count(lit(1)).as("n_all"), sum(col("c")).as("sa"))
-      perDow.join(overall, "event_type")
-        .select(col("event_type"), col("dow"), col("n_days"),
-          (col("sc").cast("double") / col("n_days").cast("double"))
-            .as("mean_close_cents"),
-          (col("sc").cast("double") / col("n_days").cast("double")
-            - col("sa").cast("double") / col("n_all").cast("double"))
-            .as("dev_cents"))
-        .orderBy("event_type", "dow")
-    }),
-
     // Holiday-adjacency effect: mean daily return (exact basis points,
     // floor division handling negative moves) per series, split by
     // whether the bar lands ON an NYSE holiday, the day BEFORE one, the
@@ -10146,25 +10121,6 @@ object SparkEntry {
                 END AS calmar
          FROM t JOIN dd ON dd.event_type = t.event_type
          ORDER BY t.event_type""",
-
-    "ts_seasonality_dow" ->
-      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
-                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
-                             AS c
-                    FROM events GROUP BY 1, 2),
-              d AS (SELECT event_type, isodow(date) AS dow,
-                           count(*) AS n_days, sum(c) AS sc
-                    FROM b GROUP BY 1, 2),
-              o AS (SELECT event_type, count(*) AS n_all, sum(c) AS sa
-                    FROM b GROUP BY 1)
-         SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, d.n_days,
-                CAST(d.sc AS DOUBLE) / CAST(d.n_days AS DOUBLE)
-                  AS mean_close_cents,
-                CAST(d.sc AS DOUBLE) / CAST(d.n_days AS DOUBLE)
-                  - CAST(o.sa AS DOUBLE) / CAST(o.n_all AS DOUBLE)
-                  AS dev_cents
-         FROM d JOIN o ON o.event_type = d.event_type
-         ORDER BY d.event_type, dow""",
 
     "ts_holiday_effect" -> {
       val dates = graft.cal.NyseCalendar.defaultDateLiterals

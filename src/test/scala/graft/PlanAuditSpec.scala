@@ -159,6 +159,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no silently-shadowed query keys in the source map literals") {
+    // Scala Map literals keep the LAST duplicate key with no warning — a
+    // duplicated query name silently clobbers the original (round 5
+    // shipped-and-caught exactly this with ts_seasonality_dow). Pin the
+    // source text against the runtime maps.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val closureNames = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dups = closureNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicated query closures: ${dups.mkString(", ")}")
+    assert(closureNames.size == SparkEntry.queries.size,
+      "closure count != queries map size (a key is shadowed or unparsed)")
+    assert(closureNames.toSet == SparkEntry.queries.keySet)
+    // oracle entries: `"name" ->` at end of line (triple-quoted SQL on the
+    // next line), `"name" -> {` (computed SQL), or `"name" -> ident,`
+    // (shared oracle val) — all at 4-space indent, which no SQL-embedded
+    // lambda arrow matches
+    val oracleNames =
+      """(?m)^    "([a-z0-9_]+)" ->\s*(\{\s*|[A-Za-z][A-Za-z0-9_]*,\s*)?$""".r
+        .findAllMatchIn(src).map(_.group(1)).toSeq
+    val odups = oracleNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(odups.isEmpty, s"duplicated oracle entries: ${odups.mkString(", ")}")
+    assert(oracleNames.size == SparkEntry.oracleSql.size,
+      "oracle count != oracleSql map size (a key is shadowed or unparsed)")
+    assert(oracleNames.toSet == SparkEntry.oracleSql.keySet)
+  }
+
   test("kcore median is a degree histogram pick — no window over the node frame") {
     import spark.implicits._
     // degrees of the PackRankSpec hand graph: (d,n)-sorted

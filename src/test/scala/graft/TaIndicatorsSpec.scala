@@ -303,27 +303,32 @@ class TaIndicatorsSpec extends AnyFunSuite {
     assert(flat.forall(_.isNullAt(0)))
   }
 
-  test("dow seasonality: weighted deviations cancel, weekdays partition days") {
+  test("dow seasonality: bitwise brute-force replay, weekdays partition days") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("ts_seasonality_dow")(spark, sf).collect()
-    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
-      // dow is ISO 1..7 and unique per series
-      val dows = rs.map(_.getAs[Long]("dow"))
-      assert(dows.forall(d => d >= 1 && d <= 7) && dows.distinct.length == dows.length)
-      // Σ n_days·dev = Σ n·mean_dow − N·mean_all = 0 exactly in rationals;
-      // doubles carry rounding, so bound by a scale-aware epsilon
-      val n = rs.map(_.getAs[Long]("n_days")).sum
-      val wdev = rs.map(r => r.getAs[Long]("n_days")
-        * r.getAs[Double]("dev_cents")).sum
-      val scale = rs.map(r => math.abs(r.getAs[Double]("mean_close_cents"))).max
-      assert(math.abs(wdev) <= 1e-9 * scale * n, s"weighted dev $wdev")
-    }
-    // per-series day totals equal the distinct bar dates
-    val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, sf))
-      .groupBy("event_type").count().collect()
-      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    // independent exact recompute from the daily bars (cents are exact
+    // longs, the divisions replay the query's fixed order → bitwise)
+    val cents = graft.ts.Ohlc.dailyBars(Tables.events(spark, sf))
+      .select(col("event_type"),
+        (weekday(col("date")) + 1).cast("int").as("dw"),
+        graft.olap.Exact.cents(col("close")).as("c")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
-      assert(rs.map(_.getAs[Long]("n_days")).sum == bars(et))
+      val mine = cents.filter(_._1 == et)
+      val dows = rs.map(_.getAs[Int]("dow"))
+      assert(dows.forall(d => d >= 1 && d <= 7)
+        && dows.distinct.length == dows.length)
+      assert(rs.map(_.getAs[Long]("n")).sum == mine.length)
+      val (tn, tc) = (mine.length.toLong, mine.map(_._3).sum)
+      rs.foreach { r =>
+        val grp = mine.filter(_._2 == r.getAs[Int]("dow"))
+        val (n, sc) = (grp.length.toLong, grp.map(_._3).sum)
+        assert(r.getAs[Long]("n") == n)
+        val avg = sc.toDouble / n.toDouble / 100.0
+        assert(r.getAs[Double]("avg_close") == avg)
+        assert(r.getAs[Double]("ratio_to_mean")
+          == avg / (tc.toDouble / tn.toDouble / 100.0))
+      }
     }
   }
 
