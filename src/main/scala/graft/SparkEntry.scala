@@ -4177,6 +4177,43 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Two-sample z-test over every event-type pair: the A/B-experiment
+    // readout next to the KS drift test. Per-group moments are ONE
+    // partial-aggregable pass of exact cent sums; the variance numerator
+    // n·Σx² − (Σx)² is taken in DECIMAL(38,0) ((Σx)² tops BIGINT at
+    // corpus scale), and the z chain is written in one fixed operand
+    // order mirrored token-for-token by the oracle, so the doubles are
+    // bitwise. Pairs come from a self-join of the GROUP-COUNT-sized
+    // stats frame — never of the data.
+    "agg_two_sample_z" -> ((s, dir) => {
+      val stats = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+             sum(col("c") * col("c")).as("ss"))
+        .tracked // both sides of the pair self-join
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val a = stats.select(col("event_type").as("et_a"), col("n").as("na"),
+        col("sc").as("sca"), col("ss").as("ssa"))
+      val b = stats.select(col("event_type").as("et_b"), col("n").as("nb"),
+        col("sc").as("scb"), col("ss").as("ssb"))
+      val ma = d(col("sca")) / d(col("na"))
+      val mb = d(col("scb")) / d(col("nb"))
+      val va = (dec(col("na")) * dec(col("ssa"))
+        - dec(col("sca")) * dec(col("sca"))).cast("double") /
+        d(col("na") * (col("na") - 1L))
+      val vb = (dec(col("nb")) * dec(col("ssb"))
+        - dec(col("scb")) * dec(col("scb"))).cast("double") /
+        d(col("nb") * (col("nb") - 1L))
+      a.join(b, col("et_a") < col("et_b"))
+        .select(col("et_a"), col("et_b"), col("na"), col("nb"),
+          (ma / 100.0).as("mean_a"), (mb / 100.0).as("mean_b"),
+          ((ma - mb) / sqrt(va / d(col("na")) + vb / d(col("nb"))))
+            .as("z"))
+        .orderBy("et_a", "et_b")
+    }),
+
     // Two-sample Kolmogorov–Smirnov statistic (click vs view value
     // distributions) — EXACT: D = max|F₁−F₂| is computed on the integer
     // lattice as max|n₂·cum₁(v) − n₁·cum₂(v)| over the merged support,
@@ -9378,6 +9415,34 @@ object SparkEntry {
                 CAST(p.s % 2147483647 AS BIGINT) AS checksum
          FROM t JOIN px p ON p.doc_id = t.doc_id
          ORDER BY media_id""",
+
+    "agg_two_sample_z" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              s AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(c) AS BIGINT) AS sc,
+                           CAST(sum(c * c) AS BIGINT) AS ss
+                    FROM c GROUP BY 1)
+         SELECT a.event_type AS et_a, b.event_type AS et_b,
+                a.n AS na, b.n AS nb,
+                CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE) / 100.0
+                  AS mean_a,
+                CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) / 100.0
+                  AS mean_b,
+                (CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE))
+                / sqrt(
+                    (CAST(CAST(a.n AS HUGEINT) * a.ss
+                          - CAST(a.sc AS HUGEINT) * a.sc AS DOUBLE)
+                     / CAST(a.n * (a.n - 1) AS DOUBLE))
+                      / CAST(a.n AS DOUBLE)
+                  + (CAST(CAST(b.n AS HUGEINT) * b.ss
+                          - CAST(b.sc AS HUGEINT) * b.sc AS DOUBLE)
+                     / CAST(b.n * (b.n - 1) AS DOUBLE))
+                      / CAST(b.n AS DOUBLE)) AS z
+         FROM s a JOIN s b ON a.event_type < b.event_type
+         ORDER BY 1, 2""",
 
     "agg_ks_statistic" ->
       """WITH ev AS (SELECT event_type,

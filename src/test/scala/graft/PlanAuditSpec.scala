@@ -124,7 +124,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row Zipf-slope scalar joined into the spectrum rows
       "text_zipf_spectrum",
       // 1-row grand-total N joined into every contingency cell
-      "agg_chi2_contingency")
+      "agg_chi2_contingency",
+      // group-count-sized stats frame self-joined non-equi for the pairs
+      "agg_two_sample_z")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan

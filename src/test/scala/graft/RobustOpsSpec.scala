@@ -258,6 +258,37 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-sample z: bitwise local replay over all type pairs") {
+    val rows = SparkEntry.queries("agg_two_sample_z")(spark, sfDir).collect()
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.olap.Exact.cents(col("value")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val types = cents.map(_._1).distinct.sorted
+    assert(rows.length == types.combinations(2).size)
+    def mom(et: String): (Long, Long, Long) = {
+      val xs = cents.filter(_._1 == et).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    rows.foreach { r =>
+      val (na, sca, ssa) = mom(r.getAs[String]("et_a"))
+      val (nb, scb, ssb) = mom(r.getAs[String]("et_b"))
+      assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+      val ma = sca.toDouble / na.toDouble
+      val mb = scb.toDouble / nb.toDouble
+      // replay the query's exact operand order → bitwise equality
+      val va = (BigInt(na) * ssa - BigInt(sca) * sca).toDouble /
+        (na * (na - 1)).toDouble
+      val vb = (BigInt(nb) * ssb - BigInt(scb) * scb).toDouble /
+        (nb * (nb - 1)).toDouble
+      val z = (ma - mb) / math.sqrt(va / na.toDouble + vb / nb.toDouble)
+      assert(r.getAs[Double]("mean_a") == ma / 100.0)
+      assert(r.getAs[Double]("mean_b") == mb / 100.0)
+      assert(r.getAs[Double]("z") == z)
+      assert(math.signum(r.getAs[Double]("z"))
+        == math.signum(ma - mb) || ma == mb)
+    }
+  }
+
   test("chi2 contingency: marginal identities and non-negative cells") {
     val rows = SparkEntry.queries("agg_chi2_contingency")(spark, sfDir)
       .collect()
