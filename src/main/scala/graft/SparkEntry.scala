@@ -5364,6 +5364,192 @@ object SparkEntry {
             col("n_sent_chars").cast("double")
               / col("n_sentences").cast("double")))
         .orderBy("doc_id")),
+
+    // Mann–Whitney U (rank-sum) over every event-type pair: the
+    // nonparametric companion to agg_two_sample_z. Doubled-U stays on the
+    // integer lattice — 2U_a = Σ_v c_a(v)·(2·cum_b(<v) + c_b(v)) — so no
+    // per-row ranks and no vocabulary-sized global window: per-type
+    // cumulative counts run over the merged value support via the
+    // two-level prefix sum keyed by (type, bucket); the support×type grid
+    // is a broadcast of the bounded type universe against the distinct
+    // value frame; the tie-corrected normal z carries the exact Σ(t³−t)
+    // tie term in DECIMAL(38,0) and spends ONE fixed IEEE chain. The
+    // value-keyed pair join fans each support row to C(k,2) pairs —
+    // bounded by the type universe, never by event volume.
+    "agg_mann_whitney_u" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cnt = Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+                Exact.cents(col("value")).as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("c"))
+      val grid = cnt.select("v").distinct()
+        .crossJoin(broadcast(cnt.select("et").distinct()))
+        .join(cnt, Seq("et", "v"), "left")
+        .select(col("et"), col("v"),
+                coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("b", expr("v div 1000"))
+      val w1 = W.partitionBy("et", "b").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val w2 = W.partitionBy("et").orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val off = grid.groupBy("et", "b").agg(sum("c").as("tot"))
+        .withColumn("off", sum("tot").over(w2) - col("tot"))
+        .select("et", "b", "off")
+      val g = grid
+        .withColumn("intra", sum("c").over(w1))
+        .join(broadcast(off), Seq("et", "b"))
+        .select(col("et"), col("v"), col("c"),
+                (col("off") + col("intra") - col("c")).as("cum"))
+        .tracked // both sides of the pair join read it
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val a = g.select(col("et").as("et_a"), col("v"), col("c").as("ca"))
+      val bb = g.select(col("et").as("et_b"), col("v"),
+        col("c").as("cb"), col("cum").as("cumb"))
+      val t = dec(col("ca") + col("cb"))
+      val nn = col("na") + col("nb")
+      a.join(bb, Seq("v")).filter(col("et_a") < col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"),
+             sum(dec(col("ca"))
+                 * (dec(col("cumb")) * lit(2L) + dec(col("cb"))))
+               .as("u2"),
+             sum(t * t * t - t).as("tie3"))
+        .withColumn("z",
+          (col("u2") - dec(col("na")) * dec(col("nb"))).cast("double")
+            / (lit(2.0) * sqrt(
+                 (dec(col("na")) * dec(col("nb"))).cast("double")
+                   / lit(12.0)
+                 * ((nn + 1).cast("double")
+                    - col("tie3").cast("double")
+                      / (dec(nn) * dec(nn - 1)).cast("double")))))
+        .select("et_a", "et_b", "na", "nb", "u2", "z")
+        .orderBy("et_a", "et_b")
+    }),
+
+    // Spearman rank correlation (part size vs retail price, per brand):
+    // tie-aware average ranks kept exact by DOUBLING — 2·r̄ = 2·rank_min
+    // + tie_count − 1 is always an integer — then Pearson over the 2r
+    // lattice with exact DECIMAL(38,0) moments and one fixed IEEE chain.
+    // Rank windows partition by brand (keyed, never global); moments are
+    // partial-aggregable.
+    "agg_spearman_corr" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val r = Tables.part(s, dir)
+        .select(col("p_brand").as("brand"),
+                col("p_size").cast("long").as("x"),
+                Exact.cents(col("p_retailprice")).as("y"))
+        .withColumn("rx2",
+          rank().over(W.partitionBy("brand").orderBy("x")).cast("long")
+            * 2 + count(lit(1)).over(W.partitionBy("brand", "x")) - 1)
+        .withColumn("ry2",
+          rank().over(W.partitionBy("brand").orderBy("y")).cast("long")
+            * 2 + count(lit(1)).over(W.partitionBy("brand", "y")) - 1)
+      r.groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+             sum("rx2").as("sx"), sum("ry2").as("sy"),
+             sum(dec(col("rx2")) * dec(col("ry2"))).as("sxy"),
+             sum(dec(col("rx2")) * dec(col("rx2"))).as("sxx"),
+             sum(dec(col("ry2")) * dec(col("ry2"))).as("syy"))
+        .select(col("brand"), col("n"),
+          ((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+             .cast("double")
+           / (sqrt((dec(col("n")) * col("sxx")
+                    - dec(col("sx")) * dec(col("sx"))).cast("double"))
+              * sqrt((dec(col("n")) * col("syy")
+                      - dec(col("sy")) * dec(col("sy"))).cast("double"))))
+            .as("rho"))
+        .orderBy("brand")
+    }),
+
+    // Simpson diversity of the token distribution per language: the
+    // probability two random tokens coincide, D = Σ n_i(n_i−1) / (N(N−1))
+    // — the repetition/diversity score a corpus-mix dashboard tracks next
+    // to Heaps' law. Exact integer numerator in DECIMAL(38,0) (tf² sums
+    // overflow BIGINT at corpus scale), one final division; two
+    // partial-aggregable groupBys, no window at all.
+    "text_simpson_diversity" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens("text")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_types"),
+             sum("tf").as("n_tokens"),
+             sum(dec(col("tf")) * (dec(col("tf")) - lit(1L)))
+               .as("rep_pairs"))
+        .withColumn("simpson",
+          when(col("n_tokens") > 1L,
+            col("rep_pairs").cast("double")
+              / (dec(col("n_tokens")) * dec(col("n_tokens") - 1L))
+                  .cast("double")))
+        .orderBy("lang")
+    }),
+
+    // Ordered conversion funnel view → click → purchase: a user reaches
+    // stage k only via an event at-or-after their stage-(k−1) entry time.
+    // Three user-keyed min-aggregates chained by inner joins (each stage
+    // frame shrinks), one broadcast of the 1-row top-of-funnel count for
+    // the fractions — the product-analytics staple, exact end to end.
+    "agg_funnel_stages" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .tracked // three stage scans
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val stages = v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), lit("view").as("stage_name"),
+                col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("click").as("stage_name"),
+                  col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), lit("purchase").as("stage_name"),
+                  col("n_users")))
+      stages
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_top"))))
+        .withColumn("frac_of_top",
+          col("n_users").cast("double") / col("n_top").cast("double"))
+        .select("stage", "stage_name", "n_users", "frac_of_top")
+        .orderBy("stage")
+    }),
+
+    // Gini coefficient of the degree distribution — "how concentrated is
+    // this graph's connectivity?" in one number, the scalar companion to
+    // graph_degree_distribution. Works entirely on the degree HISTOGRAM
+    // (support = distinct degree values, tiny), never ranking nodes: a
+    // block of m nodes at degree d after c smaller-degree nodes occupies
+    // ranks (c, c+m], so 2·Σ rank·x over the block = d·(2·m·c + m·(m+1)).
+    // Histogram prefix runs through the two-level prefix sum; all moments
+    // exact DECIMAL(38,0); one fixed IEEE chain.
+    "graph_degree_gini" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("u"),
+                           (col("l_suppkey") * 2 + 1).as("v"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
+                               (col("l_partkey") * 2).as("v")))
+      val hist = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("m"))
+      graft.text.Packing.withStreamOffset(hist, "d", "m", "cumm", 64L)
+        .agg(sum("m").as("n_nodes"),
+             sum(dec(col("d")) * dec(col("m"))).as("sum_deg"),
+             sum(dec(col("d")) * (dec(col("m")) * dec(col("cumm")) * lit(2L)
+                 + dec(col("m")) * (dec(col("m")) + lit(1L)))).as("tw"))
+        .select(col("n_nodes"),
+          col("sum_deg").cast("long").as("sum_degree"),
+          ((col("tw") - (dec(col("n_nodes")) + lit(1L)) * col("sum_deg"))
+             .cast("double")
+           / (dec(col("n_nodes")) * col("sum_deg")).cast("double"))
+            .as("gini"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -10378,6 +10564,136 @@ object SparkEntry {
                     / CAST(len(sents) AS DOUBLE)
                 END AS avg_sent_len
          FROM s ORDER BY doc_id""",
+
+    "agg_mann_whitney_u" ->
+      """WITH c AS (SELECT event_type AS et,
+                           CAST(round(value * 100, 0) AS BIGINT) AS v,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              grid AS (SELECT e.et, s.v, coalesce(c.c, 0) AS c
+                       FROM (SELECT DISTINCT et FROM c) e
+                       CROSS JOIN (SELECT DISTINCT v FROM c) s
+                       LEFT JOIN c ON c.et = e.et AND c.v = s.v),
+              g AS (SELECT et, v, c,
+                           CAST(coalesce(sum(c) OVER (PARTITION BY et
+                             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                    FROM grid),
+              p AS (SELECT a.et AS et_a, b.et AS et_b,
+                           CAST(sum(a.c) AS BIGINT) AS na,
+                           CAST(sum(b.c) AS BIGINT) AS nb,
+                           CAST(sum(CAST(a.c AS HUGEINT)
+                             * (CAST(b.cum AS HUGEINT) * 2 + b.c))
+                             AS DECIMAL(38,0)) AS u2,
+                           CAST(sum(CAST(a.c + b.c AS HUGEINT)
+                             * (a.c + b.c) * (a.c + b.c) - (a.c + b.c))
+                             AS HUGEINT) AS tie3
+                    FROM g a JOIN g b ON a.v = b.v AND a.et < b.et
+                    GROUP BY 1, 2)
+         SELECT et_a, et_b, na, nb, u2,
+                CAST(CAST(u2 AS HUGEINT) - CAST(na AS HUGEINT) * nb
+                     AS DOUBLE)
+                  / (2.0 * sqrt(
+                      CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / 12.0
+                      * (CAST(na + nb + 1 AS DOUBLE)
+                         - CAST(tie3 AS DOUBLE)
+                           / CAST(CAST(na + nb AS HUGEINT)
+                                  * (na + nb - 1) AS DOUBLE)))) AS z
+         FROM p ORDER BY 1, 2""",
+
+    "agg_spearman_corr" ->
+      """WITH b AS (SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS x,
+                           CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                             AS y
+                    FROM part),
+              r AS (SELECT brand,
+                           CAST(rank() OVER (PARTITION BY brand
+                             ORDER BY x) AS BIGINT) * 2
+                             + count(*) OVER (PARTITION BY brand, x) - 1
+                             AS rx2,
+                           CAST(rank() OVER (PARTITION BY brand
+                             ORDER BY y) AS BIGINT) * 2
+                             + count(*) OVER (PARTITION BY brand, y) - 1
+                             AS ry2
+                    FROM b),
+              m AS (SELECT brand, count(*) AS n,
+                           CAST(sum(rx2) AS HUGEINT) AS sx,
+                           CAST(sum(ry2) AS HUGEINT) AS sy,
+                           CAST(sum(CAST(rx2 AS HUGEINT) * ry2)
+                                AS HUGEINT) AS sxy,
+                           CAST(sum(CAST(rx2 AS HUGEINT) * rx2)
+                                AS HUGEINT) AS sxx,
+                           CAST(sum(CAST(ry2 AS HUGEINT) * ry2)
+                                AS HUGEINT) AS syy
+                    FROM r GROUP BY 1)
+         SELECT brand, n,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+         FROM m ORDER BY brand""",
+
+    "text_simpson_diversity" ->
+      """WITH f AS (SELECT lang, token, count(*) AS tf FROM (
+                SELECT lang, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                FROM documents) GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_types,
+                CAST(sum(tf) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(tf AS HUGEINT) * (tf - 1)) AS DECIMAL(38,0))
+                  AS rep_pairs,
+                CASE WHEN sum(tf) > 1 THEN
+                  CAST(CAST(sum(CAST(tf AS HUGEINT) * (tf - 1))
+                       AS HUGEINT) AS DOUBLE)
+                    / CAST(CAST(sum(tf) AS HUGEINT)
+                           * (CAST(sum(tf) AS HUGEINT) - 1) AS DOUBLE)
+                END AS simpson
+         FROM f GROUP BY lang ORDER BY lang""",
+
+    "agg_funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN v ON v.user_id = e.user_id AND e.ts >= v.t1
+                    WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                    JOIN c ON c.user_id = e.user_id AND e.ts >= c.t2
+                    WHERE e.event_type = 'purchase' GROUP BY 1),
+              s AS (SELECT 1 AS stage, 'view' AS stage_name,
+                           count(*) AS n_users FROM v
+                    UNION ALL
+                    SELECT 2, 'click', count(*) FROM c
+                    UNION ALL
+                    SELECT 3, 'purchase', count(*) FROM p)
+         SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_users,
+                CAST(n_users AS DOUBLE)
+                  / CAST((SELECT count(*) FROM v) AS DOUBLE) AS frac_of_top
+         FROM s ORDER BY stage""",
+
+    "graph_degree_gini" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+              hist AS (SELECT d, count(*) AS m FROM deg GROUP BY 1),
+              cum AS (SELECT d, m,
+                             CAST(coalesce(sum(m) OVER (ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               1 PRECEDING), 0) AS BIGINT) AS cumm
+                      FROM hist),
+              agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_nodes,
+                             CAST(sum(CAST(d AS HUGEINT) * m) AS HUGEINT)
+                               AS sum_deg,
+                             CAST(sum(CAST(d AS HUGEINT)
+                               * (CAST(m AS HUGEINT) * cumm * 2
+                                  + CAST(m AS HUGEINT) * (m + 1)))
+                               AS HUGEINT) AS tw
+                      FROM cum)
+         SELECT n_nodes, CAST(sum_deg AS BIGINT) AS sum_degree,
+                CAST(tw - CAST(n_nodes + 1 AS HUGEINT) * sum_deg AS DOUBLE)
+                  / CAST(CAST(n_nodes AS HUGEINT) * sum_deg AS DOUBLE)
+                  AS gini
+         FROM agg""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -91,6 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_kcore",
       // 1-row grand-total scalar joined into the ratio projection
       "agg_share_of_total", "dq_benford_digits",
+      // bounded type-universe (~5 rows) broadcast against the value
+      // support to materialize explicit zero-count grid cells
+      "agg_mann_whitney_u",
+      // 1-row top-of-funnel count joined into the stage fractions
+      "agg_funnel_stages",
       // 1-row series-count scalar gating the market basket dates
       "ts_beta",
       // 1-row global-max scalar joined into the staleness projection

@@ -345,4 +345,137 @@ class RobustOpsSpec extends AnyFunSuite {
       else assert(!dur.contains(et), s"$et: no drawdown but duration row")
     }
   }
+
+  test("mann-whitney: brute-force pairwise replay, bitwise z") {
+    val rows = SparkEntry.queries("agg_mann_whitney_u")(spark, sfDir)
+      .collect()
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.olap.Exact.cents(col("value")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val types = cents.map(_._1).distinct.sorted
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { r =>
+      val xs = cents.filter(_._1 == r.getAs[String]("et_a")).map(_._2)
+      val ys = cents.filter(_._1 == r.getAs[String]("et_b")).map(_._2)
+      assert(r.getAs[Long]("na") == xs.length.toLong)
+      assert(r.getAs[Long]("nb") == ys.length.toLong)
+      // 2U_a by direct pair enumeration (sf0.001 is small enough)
+      val u2 = xs.map(x => 2L * ys.count(_ < x) + ys.count(_ == x)).map(BigInt(_)).sum
+      assert(BigInt(r.getAs[java.math.BigDecimal]("u2").toBigInteger) == u2)
+      // tie term over the merged sample, then the query's operand order
+      val tie3 = (xs ++ ys).groupBy(identity).values
+        .map(g => BigInt(g.size).pow(3) - g.size).sum
+      val na = xs.length.toLong; val nb = ys.length.toLong
+      val n = na + nb
+      val z = (u2 - BigInt(na) * BigInt(nb)).toDouble /
+        (2.0 * math.sqrt((BigInt(na) * BigInt(nb)).toDouble / 12.0 *
+          ((n + 1).toDouble -
+            tie3.toDouble / (BigInt(n) * BigInt(n - 1)).toDouble)))
+      assert(r.getAs[Double]("z") == z,
+        s"${r.getAs[String]("et_a")}/${r.getAs[String]("et_b")}")
+    }
+  }
+
+  test("spearman: brute-force tie-aware rank replay, bitwise rho") {
+    val rows = SparkEntry.queries("agg_spearman_corr")(spark, sfDir)
+      .collect()
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_size").cast("long"),
+        graft.olap.Exact.cents(col("p_retailprice")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == parts.map(_._1).distinct.length)
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      // doubled tie-average rank: 2r = 2*min_rank + tie_count - 1
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v); val t = sorted.count(_ == v)
+        v -> (2L * (below + 1) + t - 1)
+      }.toMap
+    }
+    rows.foreach { r =>
+      val brand = r.getAs[String]("brand")
+      val bs = parts.filter(_._1 == brand)
+      assert(r.getAs[Long]("n") == bs.length.toLong)
+      val rx = ranks2(bs.map(_._2)); val ry = ranks2(bs.map(_._3))
+      val prs = bs.map(p => (BigInt(rx(p._2)), BigInt(ry(p._3))))
+      val n = BigInt(bs.length)
+      val (sx, sy) = (prs.map(_._1).sum, prs.map(_._2).sum)
+      // both rank sums must telescope to n(n+1) on the doubled lattice
+      assert(sx == n * (n + 1) && sy == n * (n + 1))
+      val sxy = prs.map(p => p._1 * p._2).sum
+      val sxx = prs.map(p => p._1 * p._1).sum
+      val syy = prs.map(p => p._2 * p._2).sum
+      val rho = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(r.getAs[Double]("rho") == rho, brand)
+      assert(r.getAs[Double]("rho") >= -1.0 && r.getAs[Double]("rho") <= 1.0)
+    }
+  }
+
+  test("simpson diversity: brute-force token census per language") {
+    val rows = SparkEntry.queries("text_simpson_diversity")(spark, sfDir)
+      .collect()
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(graft.text.TextAnalysis.tokens("text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val freqs = toks.filter(_._1 == lang).groupBy(_._2).values.map(_.size)
+      assert(r.getAs[Long]("n_types") == freqs.size.toLong)
+      val nTok = freqs.sum.toLong
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      val rep = freqs.map(f => BigInt(f) * (f - 1)).sum
+      assert(BigInt(r.getAs[java.math.BigDecimal]("rep_pairs")
+        .toBigInteger) == rep)
+      if (nTok > 1) {
+        val d = rep.toDouble / (BigInt(nTok) * BigInt(nTok - 1)).toDouble
+        assert(r.getAs[Double]("simpson") == d, lang)
+        assert(d >= 0.0 && d <= 1.0)
+      }
+    }
+  }
+
+  test("funnel: monotone stages and local sequenced replay") {
+    val rows = SparkEntry.queries("agg_funnel_stages")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq
+      == Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2)) // a funnel narrows
+    assert(rows.head.getAs[Double]("frac_of_top") == 1.0)
+    // local replay of the sequenced min-time chain
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val t2 = ev.filter(e => e._2 == "click" && t1.contains(e._1)
+        && e._3 >= t1(e._1)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val t3 = ev.filter(e => e._2 == "purchase" && t2.contains(e._1)
+        && e._3 >= t2(e._1)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    assert(ns.toSeq == Seq(t1.size.toLong, t2.size.toLong, t3.size.toLong))
+  }
+
+  test("degree gini: brute-force ranked replay, bitwise") {
+    val row = SparkEntry.queries("graph_degree_gini")(spark, sfDir)
+      .collect().head
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val degs = (pairs.map(p => 2 * p._1) ++ pairs.map(p => 2 * p._2 + 1))
+      .groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+    val n = degs.size.toLong
+    val s = degs.map(BigInt(_)).sum
+    assert(row.getAs[Long]("n_nodes") == n)
+    assert(row.getAs[Long]("sum_degree") == s.toLong)
+    val tw = degs.zipWithIndex
+      .map { case (d, i) => BigInt(2) * (i + 1) * d }.sum
+    val gini = (tw - BigInt(n + 1) * s).toDouble / (BigInt(n) * s).toDouble
+    assert(row.getAs[Double]("gini") == gini)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }
