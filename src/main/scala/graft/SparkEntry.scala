@@ -5520,6 +5520,134 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // Kruskal–Wallis H (the k-group Mann–Whitney): one GLOBAL combined
+    // ranking instead of per-pair ranks — doubled tie-average rank at
+    // value v is 2r̄ = 2·cum_all(<v) + c_all(v) + 1 (always integer), so
+    // each group's doubled rank-sum 2R_i is an exact Σ over its value
+    // counts, with the global cumulative from the two-level prefix sum.
+    // Per-group terms (2R_i)²/(4n_i) are one IEEE division each and are
+    // combined in a FIXED fold order (sort_array → aggregate, mirrored by
+    // the oracle's list_sort → list_reduce), never a partition-order
+    // double sum; tie correction 1 − Σ(t³−t)/(N³−N) stays exact until its
+    // final division. H rides on every group row via a 1-row broadcast.
+    "agg_kruskal_wallis" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val cnt = Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+                Exact.cents(col("value")).as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("c"))
+        .tracked // read twice: per-value totals and per-group rank sums
+      val tot = graft.text.Packing.withStreamOffset(
+        cnt.groupBy("v").agg(sum("c").as("ct")),
+        "v", "ct", "cum", 1000L)
+      val g = cnt.join(tot, "v")
+        .groupBy("et")
+        .agg(sum("c").as("n"),
+             sum(dec(col("c")) * (dec(col("cum")) * lit(2L)
+                 + dec(col("ct")) + lit(1L))).as("r2"))
+        .withColumn("term",
+          (col("r2") * col("r2")).cast("double")
+            / (lit(4.0) * col("n").cast("double")))
+        .tracked // feeds both the H scalar and the report rows
+      val ties = tot.agg(
+        sum(dec(col("ct")) * dec(col("ct")) * dec(col("ct"))
+            - dec(col("ct"))).as("t3"))
+      val h = g.agg(sum("n").as("nt"),
+          aggregate(sort_array(collect_list(struct(col("et"), col("term")))),
+            lit(0.0), (a, x) => a + x.getField("term")).as("s"))
+        .crossJoin(ties)
+        .select(col("nt"),
+          (lit(12.0) / (dec(col("nt")) * dec(col("nt") + 1)).cast("double")
+             * col("s")
+           - lit(3.0) * (col("nt") + 1).cast("double")).as("h"),
+          (lit(1.0) - col("t3").cast("double")
+             / (dec(col("nt")) * dec(col("nt")) * dec(col("nt"))
+                - dec(col("nt"))).cast("double")).as("corr"))
+      g.crossJoin(broadcast(h))
+        .select(col("et").as("event_type"), col("n"), col("r2"),
+                col("nt").as("n_total"), col("h"),
+                (col("h") / col("corr")).as("h_tie_corrected"))
+        .orderBy("event_type")
+    }),
+
+    // Rich-club coefficient φ(k) = E_{>k} / (N_{>k}(N_{>k}−1)) on the
+    // directed edge set (so E counts each undirected edge twice — the 2E
+    // in the usual formula): do high-degree nodes preferentially link to
+    // each other? NO per-threshold scan: per-edge min(deg_u, deg_v) and
+    // per-node degree reduce once into conditional sums for the whole
+    // threshold ladder (one aggregate row), unpivoted via stack — the
+    // same two keyed degree joins graph_assortativity makes, zero extra
+    // shuffles, thresholds bounded by the ladder not the data.
+    "graph_rich_club" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("u"),
+                           (col("l_suppkey") * 2 + 1).as("v"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
+                               (col("l_partkey") * 2).as("v")))
+        .tracked // degree count + two degree joins read it
+      val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+        .tracked
+      val em = e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(least(col("du"), col("dv")).as("m"))
+      val ks = Seq(2L, 4L, 8L, 16L)
+      val ec = em.agg(
+        sum(when(col("m") > ks(0), 1L).otherwise(0L)).as("e0"),
+        sum(when(col("m") > ks(1), 1L).otherwise(0L)).as("e1"),
+        sum(when(col("m") > ks(2), 1L).otherwise(0L)).as("e2"),
+        sum(when(col("m") > ks(3), 1L).otherwise(0L)).as("e3"))
+      val nc = deg.agg(
+        sum(when(col("d") > ks(0), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("d") > ks(1), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("d") > ks(2), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("d") > ks(3), 1L).otherwise(0L)).as("n3"))
+      ec.crossJoin(nc)
+        .select(expr(
+          """stack(4, CAST(2 AS BIGINT), n0, e0, CAST(4 AS BIGINT), n1, e1,
+             CAST(8 AS BIGINT), n2, e2, CAST(16 AS BIGINT), n3, e3)""")
+          .as(Seq("k", "n_rich", "e_rich")))
+        .withColumn("phi",
+          when(col("n_rich") > 1L,
+            col("e_rich").cast("double")
+              / (col("n_rich").cast("decimal(38,0)")
+                 * (col("n_rich") - 1L).cast("decimal(38,0)"))
+                  .cast("double")))
+        .orderBy("k")
+    }),
+
+    // Token burstiness: variance-to-mean ratio of a token's per-document
+    // count across its language's corpus (zeros included analytically —
+    // absent docs add nothing to Σx or Σx², so the exact moments
+    // D·Σx²−(Σx)² need only the docs that CONTAIN the token). Bursty
+    // content words (VMR ≫ 1) vs evenly-spread function words is the
+    // classic keyword signal. Top-20 per language by (tf desc, token)
+    // through a keyed window over the aggregate, never the raw tokens.
+    "text_burstiness" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val W = org.apache.spark.sql.expressions.Window
+      val perDoc = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+                explode(TextAnalysis.tokens("text")).as("token"))
+        .groupBy("lang", "doc_id", "token").agg(count(lit(1)).as("c"))
+      val nDocs = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("nd"))
+      val tok = perDoc.groupBy("lang", "token")
+        .agg(sum("c").as("tf"), count(lit(1)).as("n_docs_with"),
+             sum(dec(col("c")) * dec(col("c"))).as("sxx"))
+        .withColumn("rnk", row_number().over(
+          W.partitionBy("lang").orderBy(col("tf").desc, col("token"))))
+        .filter(col("rnk") <= 20)
+      tok.join(broadcast(nDocs), "lang")
+        .select(col("lang"), col("token"), col("tf"), col("n_docs_with"),
+          ((dec(col("nd")) * col("sxx") - dec(col("tf")) * dec(col("tf")))
+             .cast("double")
+           / ((dec(col("nd")) - lit(1L)) * dec(col("tf"))).cast("double"))
+            .as("vmr"))
+        .orderBy(col("lang"), col("tf").desc, col("token"))
+    }),
+
     // Gini coefficient of the degree distribution — "how concentrated is
     // this graph's connectivity?" in one number, the scalar companion to
     // graph_degree_distribution. Works entirely on the degree HISTOGRAM
@@ -10667,6 +10795,119 @@ object SparkEntry {
                 CAST(n_users AS DOUBLE)
                   / CAST((SELECT count(*) FROM v) AS DOUBLE) AS frac_of_top
          FROM s ORDER BY stage""",
+
+    "agg_kruskal_wallis" ->
+      """WITH c AS (SELECT event_type AS et,
+                           CAST(round(value * 100, 0) AS BIGINT) AS v,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              t0 AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct
+                     FROM c GROUP BY 1),
+              tot AS (SELECT v, ct,
+                             CAST(coalesce(sum(ct) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               1 PRECEDING), 0) AS BIGINT) AS cum
+                      FROM t0),
+              g AS (SELECT c.et, CAST(sum(c.c) AS BIGINT) AS n,
+                           CAST(sum(CAST(c.c AS HUGEINT)
+                             * (CAST(tot.cum AS HUGEINT) * 2 + tot.ct + 1))
+                             AS DECIMAL(38,0)) AS r2
+                    FROM c JOIN tot ON tot.v = c.v GROUP BY 1),
+              terms AS (SELECT et, n, r2,
+                               CAST(CAST(r2 AS HUGEINT)
+                                    * CAST(r2 AS HUGEINT) AS DOUBLE)
+                                 / (4.0 * CAST(n AS DOUBLE)) AS term
+                        FROM g),
+              ties AS (SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+                              AS HUGEINT) AS t3
+                       FROM t0),
+              hh AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(list_sort(list(struct_pack(
+                                et := et, term := term))),
+                                x -> x.term)),
+                              (a, b) -> a + b) AS s
+                     FROM terms),
+              hs AS (SELECT nt,
+                            12.0 / CAST(CAST(nt AS HUGEINT) * (nt + 1)
+                                        AS DOUBLE) * s
+                              - 3.0 * CAST(nt + 1 AS DOUBLE) AS h,
+                            1.0 - CAST((SELECT t3 FROM ties) AS DOUBLE)
+                              / CAST(CAST(nt AS HUGEINT) * nt * nt - nt
+                                     AS DOUBLE) AS corr
+                     FROM hh)
+         SELECT terms.et AS event_type, terms.n, terms.r2,
+                hs.nt AS n_total, hs.h, hs.h / hs.corr AS h_tie_corrected
+         FROM terms CROSS JOIN hs ORDER BY event_type""",
+
+    "graph_rich_club" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              deg AS (SELECT u AS n, count(*) AS d FROM e GROUP BY 1),
+              em AS (SELECT least(du.d, dv.d) AS m
+                     FROM e JOIN deg du ON du.n = e.u
+                            JOIN deg dv ON dv.n = e.v),
+              ec AS (SELECT
+                       CAST(sum(CASE WHEN m > 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS e0,
+                       CAST(sum(CASE WHEN m > 4 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS e1,
+                       CAST(sum(CASE WHEN m > 8 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS e2,
+                       CAST(sum(CASE WHEN m > 16 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS e3
+                     FROM em),
+              nc AS (SELECT
+                       CAST(sum(CASE WHEN d > 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN d > 4 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN d > 8 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN d > 16 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n3
+                     FROM deg),
+              r AS (SELECT CAST(2 AS BIGINT) AS k, n0 AS n_rich,
+                           e0 AS e_rich FROM ec CROSS JOIN nc
+                    UNION ALL
+                    SELECT 4, n1, e1 FROM ec CROSS JOIN nc
+                    UNION ALL
+                    SELECT 8, n2, e2 FROM ec CROSS JOIN nc
+                    UNION ALL
+                    SELECT 16, n3, e3 FROM ec CROSS JOIN nc)
+         SELECT k, n_rich, e_rich,
+                CASE WHEN n_rich > 1 THEN
+                  CAST(e_rich AS DOUBLE)
+                    / CAST(CAST(n_rich AS HUGEINT) * (n_rich - 1)
+                           AS DOUBLE)
+                END AS phi
+         FROM r ORDER BY k""",
+
+    "text_burstiness" ->
+      """WITH pd AS (SELECT lang, doc_id, token, count(*) AS c FROM (
+                SELECT lang, doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                FROM documents) GROUP BY 1, 2, 3),
+              nd AS (SELECT lang, count(*) AS nd FROM documents
+                     GROUP BY 1),
+              tok AS (SELECT lang, token, CAST(sum(c) AS BIGINT) AS tf,
+                             count(*) AS n_docs_with,
+                             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                               AS sxx
+                      FROM pd GROUP BY 1, 2),
+              top AS (SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY tf DESC, token) AS rnk
+                      FROM tok)
+         SELECT t.lang, t.token, t.tf, t.n_docs_with,
+                CAST(CAST(nd.nd AS HUGEINT) * t.sxx
+                     - CAST(t.tf AS HUGEINT) * t.tf AS DOUBLE)
+                  / CAST((CAST(nd.nd AS HUGEINT) - 1) * t.tf AS DOUBLE)
+                  AS vmr
+         FROM top t JOIN nd ON nd.lang = t.lang
+         WHERE t.rnk <= 20
+         ORDER BY t.lang, t.tf DESC, t.token""",
 
     "graph_degree_gini" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -96,6 +96,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_mann_whitney_u",
       // 1-row top-of-funnel count joined into the stage fractions
       "agg_funnel_stages",
+      // 1-row H/tie scalars combined and joined onto the group rows
+      "agg_kruskal_wallis",
+      // 1-row edge-ladder × 1-row node-ladder combine
+      "graph_rich_club",
       // 1-row series-count scalar gating the market basket dates
       "ts_beta",
       // 1-row global-max scalar joined into the staleness projection

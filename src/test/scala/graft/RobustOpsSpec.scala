@@ -460,6 +460,94 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(ns.toSeq == Seq(t1.size.toLong, t2.size.toLong, t3.size.toLong))
   }
 
+  test("kruskal-wallis: brute-force global-rank replay, bitwise H") {
+    val rows = SparkEntry.queries("agg_kruskal_wallis")(spark, sfDir)
+      .collect()
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.olap.Exact.cents(col("value")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val all = cents.map(_._2).sorted
+    // doubled tie-average global rank per value
+    def r2(v: Long): Long = {
+      val below = all.count(_ < v); val t = all.count(_ == v)
+      2L * below + t + 1
+    }
+    val r2ByValue = cents.map(_._2).distinct.map(v => v -> r2(v)).toMap
+    val byType = cents.groupBy(_._1)
+    val terms = byType.toSeq.map { case (et, es) =>
+      val rsum = es.map(e => BigInt(r2ByValue(e._2))).sum
+      val row = rows.find(_.getAs[String]("event_type") == et).get
+      assert(row.getAs[Long]("n") == es.length.toLong, et)
+      assert(BigInt(row.getAs[java.math.BigDecimal]("r2")
+        .toBigInteger) == rsum, et)
+      et -> ((rsum * rsum).toDouble / (4.0 * es.length.toDouble))
+    }
+    val n = BigInt(all.length)
+    val s = terms.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val h = 12.0 / (n * (n + 1)).toDouble * s - 3.0 * (all.length + 1).toDouble
+    val t3 = all.groupBy(identity).values
+      .map(g => BigInt(g.size).pow(3) - g.size).sum
+    val corr = 1.0 - t3.toDouble / (n * n * n - n).toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") == all.length.toLong)
+      assert(r.getAs[Double]("h") == h)
+      assert(r.getAs[Double]("h_tie_corrected") == h / corr)
+    }
+    // doubled global rank-sums must telescope to n(n+1) over all groups
+    assert(rows.map(r => BigInt(r.getAs[java.math.BigDecimal]("r2")
+      .toBigInteger)).sum == n * (n + 1))
+  }
+
+  test("rich club: local threshold-ladder replay") {
+    val rows = SparkEntry.queries("graph_rich_club")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet == Set(2L, 4L, 8L, 16L))
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.map(p => (2 * p._1, 2 * p._2 + 1)) ++
+      pairs.map(p => (2 * p._2 + 1, 2 * p._1))
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    for (k <- Seq(2L, 4L, 8L, 16L)) {
+      val nRich = deg.values.count(_ > k).toLong
+      val eRich = edges.count(e => deg(e._1) > k && deg(e._2) > k).toLong
+      val r = rows(k)
+      assert(r.getAs[Long]("n_rich") == nRich, s"k=$k")
+      assert(r.getAs[Long]("e_rich") == eRich, s"k=$k")
+      if (nRich > 1)
+        assert(r.getAs[Double]("phi")
+          == eRich.toDouble / (BigInt(nRich) * BigInt(nRich - 1)).toDouble)
+      // the directed edge count is even (each undirected edge twice)
+      assert(eRich % 2 == 0)
+    }
+  }
+
+  test("burstiness: per-token moment replay on the reported top-k") {
+    val rows = SparkEntry.queries("text_burstiness")(spark, sfDir)
+      .collect()
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens("text")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val docsPerLang = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.groupBy(_.getAs[String]("lang")).values
+      .forall(_.length <= 20))
+    rows.foreach { r =>
+      val (lang, token) = (r.getAs[String]("lang"), r.getAs[String]("token"))
+      val perDoc = toks.filter(t => t._1 == lang && t._3 == token)
+        .groupBy(_._2).values.map(_.size.toLong).toSeq
+      assert(r.getAs[Long]("tf") == perDoc.sum)
+      assert(r.getAs[Long]("n_docs_with") == perDoc.size.toLong)
+      val d = BigInt(docsPerLang(lang))
+      val (sx, sxx) = (perDoc.map(BigInt(_)).sum,
+        perDoc.map(x => BigInt(x) * x).sum)
+      val vmr = (d * sxx - sx * sx).toDouble / ((d - 1) * sx).toDouble
+      assert(r.getAs[Double]("vmr") == vmr, s"$lang/$token")
+    }
+  }
+
   test("degree gini: brute-force ranked replay, bitwise") {
     val row = SparkEntry.queries("graph_degree_gini")(spark, sfDir)
       .collect().head
