@@ -5520,6 +5520,119 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // Cramér's V — the χ² total agg_chi2_contingency deliberately refuses
+    // to sum (accumulation order of doubles is not portable), made
+    // portable the same way as Kruskal–Wallis: per-cell exact rational
+    // contributions (over the FULL type×weekday grid, so empty cells
+    // contribute (0−E)²/E like the statistic requires — the observed-only
+    // report can't see them), one IEEE division each, folded in a FIXED
+    // (type, dow) order via sort_array→aggregate ≡ list_sort→list_reduce.
+    // V = sqrt(χ²/(N·min(R−1,C−1))) on 1-row scalars.
+    "agg_cramers_v" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(col("ts").cast("date")) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .tracked // grid + marginals read it
+      val grid = cells.select("event_type").distinct()
+        .crossJoin(broadcast(cells.select("dow").distinct()))
+        .join(cells, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"),
+                coalesce(col("o"), lit(0L)).as("o"))
+      val rowTot = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val colTot = cells.groupBy("dow").agg(sum("o").as("c"))
+      val n = cells.agg(sum("o").as("n"),
+        countDistinct("event_type").as("nr"), countDistinct("dow").as("nc"))
+      grid.join(rowTot, "event_type").join(colTot, "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+        .withColumn("cell", (dec(col("dev")) * dec(col("dev")))
+          .cast("double") / (col("n") * col("r") * col("c")).cast("double"))
+        .groupBy("n", "nr", "nc")
+        .agg(aggregate(sort_array(collect_list(
+            struct(col("event_type"), col("dow"), col("cell")))),
+          lit(0.0), (a, x) => a + x.getField("cell")).as("chi2"))
+        .select(col("n").as("n_total"), col("nr").as("n_rows"),
+          col("nc").as("n_cols"), col("chi2"),
+          sqrt(col("chi2") / (col("n").cast("double")
+            * least(col("nr") - 1, col("nc") - 1).cast("double")))
+            .as("cramers_v"))
+    }),
+
+    // Cohort LTV curve: cumulative purchase revenue per signup cohort by
+    // day-offset, normalized per cohort member — the companion to
+    // agg_retention_cohorts that tracks VALUE instead of presence.
+    // Revenue reduces to (cohort, offset) cells FIRST (partial-agg), the
+    // running total is a keyed window over those cells (cohort-sized
+    // partitions of offset-counted rows, never event volume), and cents
+    // stay integers until the one ltv division.
+    "agg_cohort_ltv_curve" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+                col("event_type"), Exact.cents(col("value")).as("cents"))
+        .tracked // cohort assignment + revenue cells read it
+      val firsts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+      val sizes = firsts.groupBy("cohort_date")
+        .agg(count(lit(1)).as("n_cohort_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(firsts, "user_id")
+        .groupBy(col("cohort_date"),
+          datediff(col("d"), col("cohort_date")).cast("long")
+            .as("day_offset"))
+        .agg(sum("cents").as("rev_cents"))
+      rev.join(sizes, "cohort_date")
+        .withColumn("cum_rev_cents", sum("rev_cents").over(
+          W.partitionBy("cohort_date").orderBy("day_offset")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("ltv_per_user", col("cum_rev_cents").cast("double")
+          / (lit(100.0) * col("n_cohort_users").cast("double")))
+        .select("cohort_date", "day_offset", "rev_cents", "cum_rev_cents",
+                "n_cohort_users", "ltv_per_user")
+        .orderBy("cohort_date", "day_offset")
+    }),
+
+    // BM25 retrieval scoring for the query {scan, join, window} — tf
+    // saturation (k1=1.2) + length normalization (b=0.75), with the
+    // RATIONAL idf substitute (N−df+1)/(df+1) the tfidf operator
+    // established (ln() is not bit-portable across libm builds). Doc
+    // length enters as the exact integer len·N over total tokens T, so
+    // the whole per-term score is one fixed IEEE chain; the ≤3 per-doc
+    // term scores combine in a FIXED fold order (sort_array→aggregate).
+    // Top-10 docs via TakeOrderedAndProject, never a full sort.
+    "text_bm25_topk" -> ((s, dir) => {
+      val terms = Seq("scan", "join", "window")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens("text"))
+          .as("token"))
+        .tracked // doc lengths, df, tf all read it
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val dfreq = toks.filter(col("token").isin(terms: _*))
+        .select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val tf = toks.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.agg(count(lit(1)).as("t_tokens")))
+      val scored = tf.join(lens, "doc_id").join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(tot))
+        .withColumn("s",
+          ((col("n_docs") - col("df") + 1).cast("double")
+             / (col("df") + 1).cast("double"))
+          * (col("tf").cast("double") * lit(2.2)
+             / (col("tf").cast("double")
+                + lit(1.2) * (lit(0.25) + lit(0.75)
+                  * ((col("len") * col("n_docs")).cast("double")
+                     / col("t_tokens").cast("double"))))))
+      scored.groupBy("doc_id")
+        .agg(max("len").as("len"),
+          aggregate(sort_array(collect_list(struct(col("token"), col("s")))),
+            lit(0.0), (a, x) => a + x.getField("s")).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Kruskal–Wallis H (the k-group Mann–Whitney): one GLOBAL combined
     // ranking instead of per-pair ranks — doubled tie-average rank at
     // value v is 2r̄ = 2·cum_all(<v) + c_all(v) + 1 (always integer), so
@@ -10795,6 +10908,115 @@ object SparkEntry {
                 CAST(n_users AS DOUBLE)
                   / CAST((SELECT count(*) FROM v) AS DOUBLE) AS frac_of_top
          FROM s ORDER BY stage""",
+
+    "agg_cramers_v" ->
+      """WITH cells AS (SELECT event_type,
+                               CAST(isodow(CAST(ts AS DATE)) AS BIGINT)
+                                 AS dow,
+                               count(*) AS o
+                        FROM events GROUP BY 1, 2),
+              grid AS (SELECT e.event_type, d.dow, coalesce(c.o, 0) AS o
+                       FROM (SELECT DISTINCT event_type FROM cells) e
+                       CROSS JOIN (SELECT DISTINCT dow FROM cells) d
+                       LEFT JOIN cells c ON c.event_type = e.event_type
+                                        AND c.dow = d.dow),
+              rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+                     FROM cells GROUP BY 1),
+              ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+                     FROM cells GROUP BY 1),
+              n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                           count(DISTINCT event_type) AS nr,
+                           count(DISTINCT dow) AS nc
+                    FROM cells),
+              j AS (SELECT g.event_type, g.dow, n.n, n.nr, n.nc,
+                           g.o * n.n - rt.r * ct.c AS dev, rt.r, ct.c
+                    FROM grid g
+                    JOIN rt ON rt.event_type = g.event_type
+                    JOIN ct ON ct.dow = g.dow
+                    CROSS JOIN n),
+              t AS (SELECT event_type, dow, n, nr, nc,
+                           CAST(CAST(dev AS HUGEINT) * dev AS DOUBLE)
+                             / CAST(n * r * c AS DOUBLE) AS cell
+                    FROM j),
+              f AS (SELECT n AS n_total, nr AS n_rows, nc AS n_cols,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(list_sort(list(struct_pack(
+                               event_type := event_type, dow := dow,
+                               cell := cell))),
+                               x -> x.cell)),
+                             (a, b) -> a + b) AS chi2
+                    FROM t GROUP BY 1, 2, 3)
+         SELECT n_total, n_rows, n_cols, chi2,
+                sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                  * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))
+                  AS cramers_v
+         FROM f""",
+
+    "agg_cohort_ltv_curve" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+                            CAST(round(value * 100, 0) AS BIGINT) AS cents
+                     FROM events),
+              firsts AS (SELECT user_id, min(d) AS cohort_date
+                         FROM ev GROUP BY 1),
+              sizes AS (SELECT cohort_date, count(*) AS n_cohort_users
+                        FROM firsts GROUP BY 1),
+              rev AS (SELECT f.cohort_date,
+                             CAST(date_diff('day', f.cohort_date, e.d)
+                                  AS BIGINT) AS day_offset,
+                             CAST(sum(e.cents) AS BIGINT) AS rev_cents
+                      FROM ev e JOIN firsts f ON f.user_id = e.user_id
+                      WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+              c AS (SELECT r.cohort_date, r.day_offset, r.rev_cents,
+                           s.n_cohort_users,
+                           CAST(sum(r.rev_cents) OVER (
+                             PARTITION BY r.cohort_date
+                             ORDER BY r.day_offset
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             CURRENT ROW) AS BIGINT) AS cum_rev_cents
+                    FROM rev r
+                    JOIN sizes s ON s.cohort_date = r.cohort_date)
+         SELECT cohort_date, day_offset, rev_cents, cum_rev_cents,
+                n_cohort_users,
+                CAST(cum_rev_cents AS DOUBLE)
+                  / (100.0 * CAST(n_cohort_users AS DOUBLE))
+                  AS ltv_per_user
+         FROM c ORDER BY cohort_date, day_offset""",
+
+    "text_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                       FROM documents),
+              lens AS (SELECT doc_id, count(*) AS len FROM toks
+                       GROUP BY 1),
+              dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                      FROM toks
+                      WHERE token IN ('scan', 'join', 'window')
+                      GROUP BY 1),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                     WHERE token IN ('scan', 'join', 'window')
+                     GROUP BY 1, 2),
+              tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                             (SELECT count(*) FROM toks) AS t_tokens),
+              sc AS (SELECT tf.doc_id, tf.token, lens.len,
+                            (CAST(tot.n_docs - dfq.df + 1 AS DOUBLE)
+                               / CAST(dfq.df + 1 AS DOUBLE))
+                            * (CAST(tf.tf AS DOUBLE) * 2.2
+                               / (CAST(tf.tf AS DOUBLE)
+                                  + 1.2 * (0.25 + 0.75
+                                    * (CAST(lens.len * tot.n_docs
+                                            AS DOUBLE)
+                                       / CAST(tot.t_tokens AS DOUBLE)))))
+                              AS s
+                     FROM tf
+                     JOIN lens ON lens.doc_id = tf.doc_id
+                     JOIN dfq ON dfq.token = tf.token
+                     CROSS JOIN tot)
+         SELECT doc_id, CAST(max(len) AS BIGINT) AS len,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(list_sort(list(struct_pack(
+                    token := token, s := s))), x -> x.s)),
+                  (a, b) -> a + b) AS bm25
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
 
     "agg_kruskal_wallis" ->
       """WITH c AS (SELECT event_type AS et,

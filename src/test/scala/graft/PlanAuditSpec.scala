@@ -100,6 +100,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_kruskal_wallis",
       // 1-row edge-ladder × 1-row node-ladder combine
       "graph_rich_club",
+      // bounded type×weekday grid + 1-row N/R/C scalar combine
+      "agg_cramers_v",
+      // 1-row corpus totals (N docs × T tokens) into the scoring chain
+      "text_bm25_topk",
       // 1-row series-count scalar gating the market basket dates
       "ts_beta",
       // 1-row global-max scalar joined into the staleness projection

@@ -548,6 +548,87 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cramers v: full-grid chi2 fold replay, bitwise") {
+    val row = SparkEntry.queries("agg_cramers_v")(spark, sfDir)
+      .collect().head
+    val obs = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (weekday(col("ts").cast("date")) + 1).cast("long").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cells = obs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ets = obs.map(_._1).distinct.sorted
+    val dows = obs.map(_._2).distinct.sorted
+    val rTot = ets.map(e => e -> cells.filter(_._1._1 == e).values.sum).toMap
+    val cTot = dows.map(d => d -> cells.filter(_._1._2 == d).values.sum).toMap
+    val n = obs.length.toLong
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("n_rows") == ets.length.toLong)
+    assert(row.getAs[Long]("n_cols") == dows.length.toLong)
+    // fold over the FULL grid in (event_type, dow) order — empty cells too
+    val chi2 = (for (e <- ets; d <- dows) yield {
+      val o = cells.getOrElse((e, d), 0L)
+      val dev = BigInt(o * n) - BigInt(rTot(e)) * cTot(d)
+      (dev * dev).toDouble / (n * rTot(e) * cTot(d)).toDouble
+    }).foldLeft(0.0)(_ + _)
+    assert(row.getAs[Double]("chi2") == chi2)
+    val v = math.sqrt(chi2 / (n.toDouble *
+      math.min(ets.length - 1, dows.length - 1).toDouble))
+    assert(row.getAs[Double]("cramers_v") == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("cohort ltv: cumulative conservation and monotonicity") {
+    val rows = SparkEntry.queries("agg_cohort_ltv_curve")(spark, sfDir)
+      .collect()
+    // running totals are per-cohort monotone and end-to-end conservative
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_date").toString).values
+      .foreach { rs =>
+        val s = rs.sortBy(_.getAs[Long]("day_offset"))
+        val cums = s.map(_.getAs[Long]("cum_rev_cents"))
+        assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b })
+        assert(cums.last == s.map(_.getAs[Long]("rev_cents")).sum)
+        assert(s.map(_.getAs[Long]("n_cohort_users")).distinct.length == 1)
+      }
+    // every purchase cent lands in exactly one (cohort, offset) cell
+    val totalRev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.olap.Exact.cents(col("value")))).collect()
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum == totalRev)
+  }
+
+  test("bm25: full-corpus scoring replay picks the same top-10, bitwise") {
+    val rows = SparkEntry.queries("text_bm25_topk")(spark, sfDir)
+      .collect()
+    val terms = Set("scan", "join", "window")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val lens = toks.groupBy(_._1).map { case (d, ts) => d -> ts.size.toLong }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val tTok = toks.length.toLong
+    val dfq = terms.map(t =>
+      t -> toks.filter(_._2 == t).map(_._1).distinct.size.toLong).toMap
+    def score(doc: Long): Double = {
+      val mine = toks.filter(p => p._1 == doc && terms(p._2))
+      mine.groupBy(_._2).toSeq.sortBy(_._1).map { case (t, oc) =>
+        val tf = oc.size.toDouble
+        ((nDocs - dfq(t) + 1).toDouble / (dfq(t) + 1).toDouble) *
+          (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 *
+            ((lens(doc) * nDocs).toDouble / tTok.toDouble))))
+      }.foldLeft(0.0)(_ + _)
+    }
+    val expected = toks.filter(p => terms(p._2)).map(_._1).distinct
+      .map(d => (d, score(d))).sortBy(p => (-p._2, p._1)).take(10)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (d, s)) =>
+      assert(r.getAs[Long]("doc_id") == d)
+      assert(r.getAs[Double]("bm25") == s, s"doc $d")
+      assert(r.getAs[Long]("len") == lens(d))
+    }
+  }
+
   test("degree gini: brute-force ranked replay, bitwise") {
     val row = SparkEntry.queries("graph_degree_gini")(spark, sfDir)
       .collect().head
