@@ -5520,6 +5520,52 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // Association rules over the co-purchase pairs: confidence both
+    // directions, lift and leverage — the rule-quality metrics on top of
+    // mine_frequent_pairs' support counts. All cross terms (n_pair·N,
+    // n_a·n_b, N²) go through DECIMAL(38,0) (basket-count products
+    // overflow BIGINT at warehouse scale) with ONE IEEE division per
+    // metric; support floor ≥3 keeps the rule set honest, top-25 by
+    // (lift, part_a, part_b) is a deterministic total order.
+    "mine_association_rules" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .tracked // basket count + item counts + pair self-join read it
+      val nBaskets = items.select("ok").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 3)
+      pairs
+        .join(itemCnt.select(col("pk").as("part_a"),
+          col("n_item").as("n_a")), Seq("part_a"))
+        .join(itemCnt.select(col("pk").as("part_b"),
+          col("n_item").as("n_b")), Seq("part_b"))
+        .crossJoin(broadcast(nBaskets))
+        .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"),
+          col("n_b"), col("n_baskets"),
+          (col("n_pair").cast("double") / col("n_a").cast("double"))
+            .as("conf_a_b"),
+          (col("n_pair").cast("double") / col("n_b").cast("double"))
+            .as("conf_b_a"),
+          ((dec(col("n_pair")) * dec(col("n_baskets"))).cast("double")
+            / (dec(col("n_a")) * dec(col("n_b"))).cast("double"))
+            .as("lift"),
+          ((dec(col("n_pair")) * dec(col("n_baskets"))
+            - dec(col("n_a")) * dec(col("n_b"))).cast("double")
+            / (dec(col("n_baskets")) * dec(col("n_baskets")))
+                .cast("double"))
+            .as("leverage"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(25)
+    }),
+
     // Cramér's V — the χ² total agg_chi2_contingency deliberately refuses
     // to sum (accumulation order of doubles is not portable), made
     // portable the same way as Kruskal–Wallis: per-cell exact rational
@@ -10908,6 +10954,34 @@ object SparkEntry {
                 CAST(n_users AS DOUBLE)
                   / CAST((SELECT count(*) FROM v) AS DOUBLE) AS frac_of_top
          FROM s ORDER BY stage""",
+
+    "mine_association_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+              nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM i),
+              ic AS (SELECT pk, count(*) AS n_item FROM i GROUP BY 1),
+              p AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                           count(*) AS n_pair
+                    FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p.part_a, p.part_b, p.n_pair,
+                ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets,
+                CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+                  AS conf_a_b,
+                CAST(p.n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE)
+                  AS conf_b_a,
+                CAST(CAST(p.n_pair AS HUGEINT) * nb.n_baskets AS DOUBLE)
+                  / CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item AS DOUBLE)
+                  AS lift,
+                CAST(CAST(p.n_pair AS HUGEINT) * nb.n_baskets
+                     - CAST(ia.n_item AS HUGEINT) * ib.n_item AS DOUBLE)
+                  / CAST(CAST(nb.n_baskets AS HUGEINT) * nb.n_baskets
+                         AS DOUBLE) AS leverage
+         FROM p
+         JOIN ic ia ON ia.pk = p.part_a
+         JOIN ic ib ON ib.pk = p.part_b
+         CROSS JOIN nb
+         ORDER BY lift DESC, part_a, part_b LIMIT 25""",
 
     "agg_cramers_v" ->
       """WITH cells AS (SELECT event_type,

@@ -102,6 +102,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_rich_club",
       // bounded type×weekday grid + 1-row N/R/C scalar combine
       "agg_cramers_v",
+      // 1-row basket-count scalar into the rule metrics
+      "mine_association_rules",
       // 1-row corpus totals (N docs × T tokens) into the scoring chain
       "text_bm25_topk",
       // 1-row series-count scalar gating the market basket dates

@@ -629,6 +629,44 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("association rules: local basket replay, bitwise metrics") {
+    val rows = SparkEntry.queries("mine_association_rules")(spark, sfDir)
+      .collect()
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nB = items.map(_._1).distinct.length.toLong
+    val itemCnt = items.groupBy(_._2).map { case (p, xs) =>
+      p -> xs.length.toLong }
+    val byBasket = items.groupBy(_._1).values
+      .map(_.map(_._2).sorted).toSeq
+    val pairCnt = byBasket.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3L)
+    val expected = pairCnt.toSeq.map { case ((a, b), np) =>
+      val lift = (BigInt(np) * nB).toDouble /
+        (BigInt(itemCnt(a)) * itemCnt(b)).toDouble
+      (a, b, np, lift)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(25)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (a, b, np, lift)) =>
+      assert(r.getAs[Long]("part_a") == a && r.getAs[Long]("part_b") == b)
+      assert(r.getAs[Long]("n_pair") == np)
+      assert(r.getAs[Long]("n_baskets") == nB)
+      assert(r.getAs[Double]("lift") == lift)
+      assert(r.getAs[Double]("conf_a_b")
+        == np.toDouble / itemCnt(a).toDouble)
+      assert(r.getAs[Double]("conf_b_a")
+        == np.toDouble / itemCnt(b).toDouble)
+      val lev = (BigInt(np) * nB - BigInt(itemCnt(a)) * itemCnt(b)).toDouble /
+        (BigInt(nB) * nB).toDouble
+      assert(r.getAs[Double]("leverage") == lev)
+      assert(r.getAs[Double]("conf_a_b") > 0.0
+        && r.getAs[Double]("conf_a_b") <= 1.0)
+    }
+  }
+
   test("degree gini: brute-force ranked replay, bitwise") {
     val row = SparkEntry.queries("graph_degree_gini")(spark, sfDir)
       .collect().head
