@@ -5414,14 +5414,18 @@ object SparkEntry {
                  * (dec(col("cumb")) * lit(2L) + dec(col("cb"))))
                .as("u2"),
              sum(t * t * t - t).as("tie3"))
+        // all-tied pair ⇒ σ = 0 (tie3 hits its N³−N ceiling): null z, not
+        // an engine-dependent inf/nan — the guard is an EXACT integer
+        // comparison, portable by construction
         .withColumn("z",
-          (col("u2") - dec(col("na")) * dec(col("nb"))).cast("double")
-            / (lit(2.0) * sqrt(
-                 (dec(col("na")) * dec(col("nb"))).cast("double")
-                   / lit(12.0)
-                 * ((nn + 1).cast("double")
-                    - col("tie3").cast("double")
-                      / (dec(nn) * dec(nn - 1)).cast("double")))))
+          when(col("tie3") < dec(nn) * dec(nn) * dec(nn) - dec(nn),
+            (col("u2") - dec(col("na")) * dec(col("nb"))).cast("double")
+              / (lit(2.0) * sqrt(
+                   (dec(col("na")) * dec(col("nb"))).cast("double")
+                     / lit(12.0)
+                   * ((nn + 1).cast("double")
+                      - col("tie3").cast("double")
+                        / (dec(nn) * dec(nn - 1)).cast("double"))))))
         .select("et_a", "et_b", "na", "nb", "u2", "z")
         .orderBy("et_a", "et_b")
     }),
@@ -5451,13 +5455,19 @@ object SparkEntry {
              sum(dec(col("rx2")) * dec(col("ry2"))).as("sxy"),
              sum(dec(col("rx2")) * dec(col("rx2"))).as("sxx"),
              sum(dec(col("ry2")) * dec(col("ry2"))).as("syy"))
+        // constant-x or constant-y group ⇒ zero denominator: null rho via
+        // EXACT integer guards, never an engine-dependent 0/0
         .select(col("brand"), col("n"),
-          ((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
-             .cast("double")
-           / (sqrt((dec(col("n")) * col("sxx")
-                    - dec(col("sx")) * dec(col("sx"))).cast("double"))
-              * sqrt((dec(col("n")) * col("syy")
-                      - dec(col("sy")) * dec(col("sy"))).cast("double"))))
+          when(dec(col("n")) * col("sxx")
+                 - dec(col("sx")) * dec(col("sx")) > 0 &&
+               dec(col("n")) * col("syy")
+                 - dec(col("sy")) * dec(col("sy")) > 0,
+            ((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+               .cast("double")
+             / (sqrt((dec(col("n")) * col("sxx")
+                      - dec(col("sx")) * dec(col("sx"))).cast("double"))
+                * sqrt((dec(col("n")) * col("syy")
+                        - dec(col("sy")) * dec(col("sy"))).cast("double")))))
             .as("rho"))
         .orderBy("brand")
     }),
@@ -5725,7 +5735,10 @@ object SparkEntry {
       g.crossJoin(broadcast(h))
         .select(col("et").as("event_type"), col("n"), col("r2"),
                 col("nt").as("n_total"), col("h"),
-                (col("h") / col("corr")).as("h_tie_corrected"))
+                // corr = 0 ⇔ every value tied (one group of size N):
+                // null, not an engine-dependent division by zero
+                when(col("corr") =!= 0.0, col("h") / col("corr"))
+                  .as("h_tie_corrected"))
         .orderBy("event_type")
     }),
 
@@ -5799,10 +5812,12 @@ object SparkEntry {
           W.partitionBy("lang").orderBy(col("tf").desc, col("token"))))
         .filter(col("rnk") <= 20)
       tok.join(broadcast(nDocs), "lang")
+        // a 1-doc language has no across-doc variance: null, not 0/0
         .select(col("lang"), col("token"), col("tf"), col("n_docs_with"),
-          ((dec(col("nd")) * col("sxx") - dec(col("tf")) * dec(col("tf")))
-             .cast("double")
-           / ((dec(col("nd")) - lit(1L)) * dec(col("tf"))).cast("double"))
+          when(col("nd") > 1L,
+            ((dec(col("nd")) * col("sxx") - dec(col("tf")) * dec(col("tf")))
+               .cast("double")
+             / ((dec(col("nd")) - lit(1L)) * dec(col("tf"))).cast("double")))
             .as("vmr"))
         .orderBy(col("lang"), col("tf").desc, col("token"))
     }),
@@ -10878,6 +10893,8 @@ object SparkEntry {
                     FROM g a JOIN g b ON a.v = b.v AND a.et < b.et
                     GROUP BY 1, 2)
          SELECT et_a, et_b, na, nb, u2,
+                CASE WHEN tie3 < CAST(na + nb AS HUGEINT) * (na + nb)
+                                 * (na + nb) - (na + nb) THEN
                 CAST(CAST(u2 AS HUGEINT) - CAST(na AS HUGEINT) * nb
                      AS DOUBLE)
                   / (2.0 * sqrt(
@@ -10885,7 +10902,8 @@ object SparkEntry {
                       * (CAST(na + nb + 1 AS DOUBLE)
                          - CAST(tie3 AS DOUBLE)
                            / CAST(CAST(na + nb AS HUGEINT)
-                                  * (na + nb - 1) AS DOUBLE)))) AS z
+                                  * (na + nb - 1) AS DOUBLE))))
+                END AS z
          FROM p ORDER BY 1, 2""",
 
     "agg_spearman_corr" ->
@@ -10914,9 +10932,12 @@ object SparkEntry {
                                 AS HUGEINT) AS syy
                     FROM r GROUP BY 1)
          SELECT brand, n,
-                CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+                CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0 THEN
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                END AS rho
          FROM m ORDER BY brand""",
 
     "text_simpson_diversity" ->
@@ -11133,7 +11154,9 @@ object SparkEntry {
                                      AS DOUBLE) AS corr
                      FROM hh)
          SELECT terms.et AS event_type, terms.n, terms.r2,
-                hs.nt AS n_total, hs.h, hs.h / hs.corr AS h_tie_corrected
+                hs.nt AS n_total, hs.h,
+                CASE WHEN hs.corr <> 0.0 THEN hs.h / hs.corr
+                END AS h_tie_corrected
          FROM terms CROSS JOIN hs ORDER BY event_type""",
 
     "graph_rich_club" ->
@@ -11197,10 +11220,11 @@ object SparkEntry {
                         ORDER BY tf DESC, token) AS rnk
                       FROM tok)
          SELECT t.lang, t.token, t.tf, t.n_docs_with,
-                CAST(CAST(nd.nd AS HUGEINT) * t.sxx
-                     - CAST(t.tf AS HUGEINT) * t.tf AS DOUBLE)
-                  / CAST((CAST(nd.nd AS HUGEINT) - 1) * t.tf AS DOUBLE)
-                  AS vmr
+                CASE WHEN nd.nd > 1 THEN
+                  CAST(CAST(nd.nd AS HUGEINT) * t.sxx
+                       - CAST(t.tf AS HUGEINT) * t.tf AS DOUBLE)
+                    / CAST((CAST(nd.nd AS HUGEINT) - 1) * t.tf AS DOUBLE)
+                END AS vmr
          FROM top t JOIN nd ON nd.lang = t.lang
          WHERE t.rnk <= 20
          ORDER BY t.lang, t.tf DESC, t.token""",
