@@ -5852,6 +5852,232 @@ object SparkEntry {
            / (dec(col("n_nodes")) * col("sum_deg")).cast("double"))
             .as("gini"))
     }),
+
+    // Shannon entropy of the event-type mix per ISO weekday — the label-
+    // balance diagnostic every training pipeline runs over its class/source
+    // distribution. Real logarithms are NOT bitwise portable across
+    // engines (libm last-ulp drift, measured at ~0.006%/200k samples), so
+    // the per-type term uses graft.functions.FixedLog2: a deterministic
+    // 20-fractional-bit integer log2 whose per-row value is one exact
+    // BIGINT on any engine — sums stay order-free and partial-aggregable
+    // (no sorted-list folds). H_bits = (N·log2fp(N) − Σ c·log2fp(c)) /
+    // (N·2^20) via the identity H = log2 N − (1/N)Σ c log2 c.
+    "agg_entropy_by_group" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val c = Tables.events(s, dir)
+        .groupBy((weekday(to_date(col("ts"))) + 1).cast("long").as("dow"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy("dow")
+        .agg(sum(col("c")).as("n_events"),
+             count(lit(1)).as("n_types"),
+             sum(dec(col("c")) * dec(L(col("c")))).as("sclog"))
+        .select(col("dow"), col("n_events"), col("n_types"),
+          ((dec(col("n_events")) * dec(L(col("n_events"))) - col("sclog"))
+             .cast("double")
+           / col("n_events").cast("double") / lit(1048576.0))
+            .as("entropy_bits"))
+        .orderBy("dow")
+    }),
+
+    // Theil T inequality index of order revenue per market segment:
+    // T = (1/n)Σ (x/μ)ln(x/μ). On the cents lattice x_i/μ = c_i·n/S
+    // exactly, so the per-row term is c_i·(log2fp(c_i·n) − log2fp(S)) —
+    // exact integers, decimal-summed order-free — and one final double
+    // conversion applies ln2/(S·2^20). The broadcast join-back of the
+    // 5-row segment aggregate is the standard two-pass moment shape.
+    "agg_theil_index" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), Exact.cents(col("o_totalprice")).as("cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val j = o.join(broadcast(cust), "o_custkey")
+        .select("c_mktsegment", "cents").tracked
+      val g = j.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s_cents"))
+      j.join(broadcast(g), "c_mktsegment")
+        .withColumn("term",
+          dec(col("cents")) * dec(L(col("cents") * col("n")) -
+                                  L(col("s_cents"))))
+        .groupBy("c_mktsegment")
+        .agg(first(col("n")).as("n_orders"),
+             first(col("s_cents")).as("sc"),
+             sum(col("term")).as("tnum"))
+        .select(col("c_mktsegment"), col("n_orders"),
+          (col("sc").cast("double") / lit(100.0)).as("total_revenue"),
+          (col("tnum").cast("double") * lit(0.6931471805599453)
+            / (col("sc").cast("double") * lit(1048576.0)))
+            .as("theil"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Collocation mining: PMI of adjacent token bigrams corpus-wide —
+    // log2(c_ab·N / (c_a·c_b)) on the FixedLog2 lattice, so the score is
+    // exact and the top-k order is total. Bigrams come from per-row array
+    // arithmetic (never a self-join); the two unigram joins are keyed.
+    "text_collocation_pmi" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val toks = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens("text").as("t")).tracked
+      val pairs = toks.select(explode(expr(
+          "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(w, i) -> named_struct('w1', w, 'w2', element_at(t, i + 2)))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")).tracked
+      val tot = uni.agg(sum(col("c")).as("n_tok"))
+      bc.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_q20",
+          L(col("c_ab") * col("n_tok")) - L(col("c_a") * col("c_b")))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          (col("pmi_q20").cast("double") / lit(1048576.0)).as("pmi_bits"))
+        .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // Mixture reweighting: per-language importance weights that rebalance
+    // the corpus to the uniform target mixture — w = N/(L·n_lang) on the
+    // parts-per-million integer lattice (exact floor division, no double
+    // shares). The training-pipeline step between "measure the mixture"
+    // and "sample to the target mixture".
+    "sample_importance_reweight" -> ((s, dir) => {
+      val byLang = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("n_total"),
+                           count(lit(1)).as("n_langs"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("n_total * 1000000 DIV (n_langs * n_docs)").as("w_ppm"),
+          expr("1000000 DIV n_langs").as("target_share_ppm"),
+          expr("n_docs * 1000000 DIV n_total").as("actual_share_ppm"))
+        .orderBy("lang")
+    }),
+
+    // Holt's linear (level+trend) exponential smoothing per series — the
+    // two-state generalization of ts_ema's recursive fold. α=0.25 and
+    // β=0.125 are binary-exact; the fold carries a (level, trend) struct
+    // and the oracle's list_reduce replays the identical IEEE sequence
+    // step-for-step (seed l₁=x₁, b₁=0). Same scale contract as ts_ema:
+    // the running-list window is bounded by days-per-series, and a
+    // longer-horizon run would switch to the one-pass mapPartitions form
+    // (graft.ts.Ema.onePass) without changing semantics.
+    "ts_holt_linear" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"), col("close"))
+        .withColumn("cl", collect_list(col("close")).over(w))
+        .withColumn("st", expr(
+          """aggregate(slice(cl, 2, size(cl) - 1),
+               named_struct('l', CAST(element_at(cl, 1) AS DOUBLE),
+                            'b', CAST(0.0 AS DOUBLE)),
+               (a, x) -> named_struct(
+                 'l', 0.25D * x + 0.75D * (a.l + a.b),
+                 'b', 0.125D * ((0.25D * x + 0.75D * (a.l + a.b)) - a.l)
+                      + 0.875D * a.b))"""))
+        .select(col("event_type"), col("date"), col("close"),
+          col("st.l").as("level"), col("st.b").as("trend"))
+        .orderBy("event_type", "date")
+    }),
+
+    // Truncated harmonic centrality (radius 2) from the 4 smallest part-
+    // nodes of the bipartite part–supplier graph: h = n₁ + n₂/2, kept
+    // exact on the ×2 integer lattice. Multi-source BFS as (source, node)
+    // pair state — two rounds of keyed join + distinct + anti-join, the
+    // same frontier shape as graph_bfs_reach but batched over sources so
+    // the engine amortizes one edge scan per round across all of them.
+    "graph_harmonic_sample" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val e = pairs.select((col("l_partkey") * 2).as("src"),
+                           (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                               (col("l_partkey") * 2).as("dst")))
+        .tracked
+      // layer-0 per source is just {s} (node == source), so the layer-1/2
+      // "not already visited at distance 0" exclusion is node =!= s; the
+      // layer-2-vs-layer-1 exclusion is a keyed anti-join on (s, node)
+      val d0 = e.filter(col("src") % 2 === 0).select(col("src").as("s"))
+        .distinct().orderBy("s").limit(4).tracked
+      val d1 = e.join(broadcast(d0), e("src") === d0("s"))
+        .select(d0("s"), e("dst").as("node")).distinct()
+        .filter(col("node") =!= col("s"))
+        .tracked
+      val d2 = e.join(d1, e("src") === d1("node"))
+        .select(d1("s"), e("dst").as("node")).distinct()
+        .filter(col("node") =!= col("s"))
+        .join(d1.select(col("s").as("s1"), col("node").as("n1")),
+              col("s") === col("s1") && col("node") === col("n1"), "left_anti")
+      val c1 = d1.groupBy("s").agg(count(lit(1)).as("n1"))
+      val c2 = d2.groupBy("s").agg(count(lit(1)).as("n2"))
+      d0.select(col("s").as("source"))
+        .join(c1.withColumnRenamed("s", "source"), Seq("source"), "left")
+        .join(c2.withColumnRenamed("s", "source"), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+        .withColumn("h2", col("n1") * 2 + col("n2"))
+        .withColumn("harmonic", col("h2").cast("double") / lit(2.0))
+        .orderBy("source")
+    }),
+
+    // Simplified silhouette over the embedding corpus: a = distance to the
+    // own-label centroid, b = nearest other centroid, s = (b−a)/max(a,b) —
+    // the clustering-QA score at O(N·k) instead of O(N²). Centroids live
+    // on the q=⌊x·2¹⁶⌋ lattice (exact integer sums → one deterministic
+    // mean); per-vector distances fold dims in index order (bitwise-
+    // portable); per-label means go through the ⌊s·2²⁰⌋ lattice so the
+    // final aggregation is order-free. k centroids ride a broadcast
+    // constant-key hash join — never a shuffle of the corpus.
+    "emb_silhouette_simplified" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dims = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("label"), (col("p") + 1).as("i"),
+          floor(col("x").cast("double") * lit(65536)).cast("long").as("q"))
+      val centArr = dims.groupBy("label", "i")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+          "'i', i, 'm', CAST(sq AS DOUBLE) / CAST(n * 65536 AS DOUBLE)))), " +
+          "x -> x.m)").as("c"))
+        .select(col("label").as("clabel"), col("c"))
+      val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))")
+          .as("qa"))
+      val p = v.crossJoin(broadcast(centArr))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(qa, c,
+               (q, m) -> (CAST(q AS DOUBLE) / 65536.0D - m)
+                         * (CAST(q AS DOUBLE) / 65536.0D - m)),
+             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""))
+      val ab = p.groupBy("vec_id", "label")
+        .agg(sqrt(min(when(col("clabel") === col("label"), col("dist2"))))
+               .as("a"),
+             sqrt(min(when(col("clabel") =!= col("label"), col("dist2"))))
+               .as("b"))
+      ab.select(col("label"),
+          when(greatest(col("a"), col("b")) > 0,
+            floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+                  * lit(1048576)).cast("long")).otherwise(lit(0L)).as("sq20"),
+          floor(col("a") * lit(1048576)).cast("long").as("aq20"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             (sum(col("sq20")).cast("double") / count(lit(1)).cast("double")
+               / lit(1048576.0)).as("avg_silhouette"),
+             (sum(col("aq20")).cast("double") / count(lit(1)).cast("double")
+               / lit(1048576.0)).as("avg_intra_dist"))
+        .orderBy("label")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11255,6 +11481,192 @@ object SparkEntry {
                   / CAST(CAST(n_nodes AS HUGEINT) * sum_deg AS DOUBLE)
                   AS gini
          FROM agg""",
+
+    "agg_entropy_by_group" -> {
+      val lc = graft.functions.FixedLog2.sql("c")
+      val ln = graft.functions.FixedLog2.sql("n_events")
+      s"""WITH c AS (SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+                            event_type, count(*) AS c
+                     FROM events GROUP BY 1, 2),
+               g AS (SELECT dow, CAST(sum(c) AS BIGINT) AS n_events,
+                            count(*) AS n_types,
+                            CAST(sum(CAST(c AS HUGEINT) * $lc) AS HUGEINT)
+                              AS sclog
+                     FROM c GROUP BY 1)
+          SELECT dow, n_events, n_types,
+                 CAST(CAST(n_events AS HUGEINT) * $ln - sclog AS DOUBLE)
+                   / CAST(n_events AS DOUBLE) / 1048576.0 AS entropy_bits
+          FROM g ORDER BY dow"""
+    },
+
+    "agg_theil_index" -> {
+      val lcn = graft.functions.FixedLog2.sql("cn")
+      val ls = graft.functions.FixedLog2.sql("s_cents")
+      s"""WITH j AS (SELECT c.c_mktsegment,
+                            CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                     FROM orders o JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+               g AS (SELECT c_mktsegment, count(*) AS n,
+                            CAST(sum(cents) AS BIGINT) AS s_cents
+                     FROM j GROUP BY 1),
+               t AS (SELECT j.c_mktsegment, j.cents, g.n, g.s_cents,
+                            j.cents * g.n AS cn
+                     FROM j JOIN g ON j.c_mktsegment = g.c_mktsegment),
+               u AS (SELECT c_mktsegment,
+                            CAST(cents AS HUGEINT) * ($lcn - $ls) AS term,
+                            n, s_cents
+                     FROM t)
+          SELECT c_mktsegment, any_value(n) AS n_orders,
+                 CAST(any_value(s_cents) AS DOUBLE) / 100.0
+                   AS total_revenue,
+                 CAST(sum(term) AS DOUBLE) * 0.6931471805599453
+                   / (CAST(any_value(s_cents) AS DOUBLE) * 1048576.0)
+                   AS theil
+          FROM u GROUP BY 1 ORDER BY 1"""
+    },
+
+    "text_collocation_pmi" -> {
+      val lnum = graft.functions.FixedLog2.sql("num")
+      val lden = graft.functions.FixedLog2.sql("den")
+      s"""WITH toks AS (SELECT regexp_extract_all(translate(text,
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS t
+                        FROM documents),
+               bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+                      FROM (SELECT t, unnest(generate_series(1, len(t) - 1))
+                              AS i
+                            FROM toks)),
+               bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+                      HAVING count(*) >= 5),
+               uni AS (SELECT unnest(t) AS w FROM toks),
+               uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+               tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+               p AS (SELECT bc.w1, bc.w2, bc.c_ab,
+                            bc.c_ab * tot.n_tok AS num,
+                            a.c * b.c AS den
+                     FROM bc JOIN uc a ON a.w = bc.w1
+                             JOIN uc b ON b.w = bc.w2
+                             CROSS JOIN tot)
+          SELECT w1, w2, c_ab,
+                 CAST($lnum - $lden AS DOUBLE) / 1048576.0 AS pmi_bits
+          FROM p ORDER BY pmi_bits DESC, w1, w2 LIMIT 20"""
+    },
+
+    "sample_importance_reweight" ->
+      """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents
+                    GROUP BY 1),
+              t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                           count(*) AS n_langs
+                    FROM b)
+         SELECT lang, n_docs,
+                n_total * 1000000 // (n_langs * n_docs) AS w_ppm,
+                1000000 // n_langs AS target_share_ppm,
+                n_docs * 1000000 // n_total AS actual_share_ppm
+         FROM b CROSS JOIN t ORDER BY lang""",
+
+    // recursive CTE rather than a list_reduce struct fold: the (l, b)
+    // state is mutually cross-dependent, which DuckDB 1.0's in-place
+    // field-by-field lambda accumulator update cannot express safely
+    // (see FixedLog2.sql). The row-at-a-time recursion replays the exact
+    // IEEE sequence of the Spark aggregate fold.
+    "ts_holt_linear" ->
+      """WITH RECURSIVE bars AS (
+                SELECT event_type, CAST(ts AS DATE) AS date,
+                       arg_max(value, ts) AS close,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY CAST(ts AS DATE)) AS rn
+                FROM events GROUP BY 1, 2),
+              rec AS (
+                SELECT event_type, date, close, rn,
+                       CAST(close AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+                FROM bars WHERE rn = 1
+                UNION ALL
+                SELECT n.event_type, n.date, n.close, n.rn,
+                       0.25 * n.close + 0.75 * (r.l + r.b) AS l,
+                       0.125 * ((0.25 * n.close + 0.75 * (r.l + r.b)) - r.l)
+                         + 0.875 * r.b AS b
+                FROM rec r JOIN bars n
+                  ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+         SELECT event_type, date, close, l AS level, b AS trend
+         FROM rec ORDER BY event_type, date""",
+
+    "graph_harmonic_sample" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                    FROM pairs
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+              srcs AS (SELECT src AS s FROM (SELECT DISTINCT src FROM e
+                         WHERE src % 2 = 0 ORDER BY src LIMIT 4)),
+              d1 AS (SELECT DISTINCT srcs.s, e.dst AS node
+                     FROM e JOIN srcs ON e.src = srcs.s
+                     WHERE e.dst <> srcs.s),
+              d2 AS (SELECT DISTINCT d1.s, e.dst AS node
+                     FROM e JOIN d1 ON e.src = d1.node
+                     WHERE e.dst <> d1.s
+                       AND NOT EXISTS (SELECT 1 FROM d1 y
+                                       WHERE y.s = d1.s AND y.node = e.dst)),
+              c1 AS (SELECT s, count(*) AS n1 FROM d1 GROUP BY 1),
+              c2 AS (SELECT s, count(*) AS n2 FROM d2 GROUP BY 1)
+         SELECT srcs.s AS source,
+                CAST(coalesce(c1.n1, 0) AS BIGINT) AS n1,
+                CAST(coalesce(c2.n2, 0) AS BIGINT) AS n2,
+                CAST(coalesce(c1.n1, 0) * 2 + coalesce(c2.n2, 0) AS BIGINT)
+                  AS h2,
+                CAST(coalesce(c1.n1, 0) * 2 + coalesce(c2.n2, 0) AS DOUBLE)
+                  / 2.0 AS harmonic
+         FROM srcs LEFT JOIN c1 ON c1.s = srcs.s
+                   LEFT JOIN c2 ON c2.s = srcs.s
+         ORDER BY source""",
+
+    "emb_silhouette_simplified" ->
+      """WITH dims AS (SELECT CAST(label AS BIGINT) AS label, i,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
+                          AS BIGINT) AS q
+                      FROM (SELECT label, embedding,
+                              unnest(generate_series(1, 64)) AS i
+                            FROM embeddings)),
+              cent AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq,
+                              count(*) AS n
+                       FROM dims GROUP BY 1, 2),
+              ca AS (SELECT label AS clabel,
+                            list_transform(list_sort(list(
+                              {'i': i, 'm': CAST(sq AS DOUBLE)
+                                / CAST(n * 65536 AS DOUBLE)})),
+                              x -> x.m) AS c
+                     FROM cent GROUP BY 1),
+              v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      list_transform(embedding, x ->
+                        CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))
+                        AS qa
+                    FROM embeddings),
+              p AS (SELECT v.vec_id, v.label, ca.clabel,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, 64), i ->
+                          (CAST(qa[i] AS DOUBLE) / 65536.0 - c[i])
+                          * (CAST(qa[i] AS DOUBLE) / 65536.0 - c[i]))),
+                        (a, x) -> a + x) AS dist2
+                    FROM v CROSS JOIN ca),
+              s AS (SELECT vec_id, label,
+                      sqrt(min(CASE WHEN clabel = label THEN dist2 END))
+                        AS a,
+                      sqrt(min(CASE WHEN clabel <> label THEN dist2 END))
+                        AS b
+                    FROM p GROUP BY 1, 2),
+              u AS (SELECT label,
+                      CASE WHEN greatest(a, b) > 0 THEN
+                        CAST(floor((b - a) / greatest(a, b) * 1048576)
+                          AS BIGINT)
+                      ELSE 0 END AS sq20,
+                      CAST(floor(a * 1048576) AS BIGINT) AS aq20
+                    FROM s)
+         SELECT label, count(*) AS n_vecs,
+                CAST(sum(sq20) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / 1048576.0 AS avg_silhouette,
+                CAST(sum(aq20) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / 1048576.0 AS avg_intra_dist
+         FROM u GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

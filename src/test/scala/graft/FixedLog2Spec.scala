@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FixedLog2
+
+/** Pins the deterministic fixed-point log2 and the round-5 statistics
+  * built on it — against an independent BigInt reference model and closed-
+  * form brute replays, not just the DuckDB oracle.
+  */
+class FixedLog2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Independent model: identical recurrence in BigInt (no 64-bit range
+    * concerns), so a silent long-overflow in the production path would
+    * diverge here.
+    */
+  private def model(c: Long): Long = {
+    val il = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    var u = BigInt(c) << 30 >> il
+    var f = BigInt(il)
+    for (_ <- 0 until FixedLog2.FracBits) {
+      val v = u * u
+      if (v >= (BigInt(1) << 61)) { f = f * 2 + 1; u = v >> 31 }
+      else { f = f * 2; u = v >> 30 }
+    }
+    f.toLong
+  }
+
+  test("log2fp matches the BigInt model and brackets true log2") {
+    val rnd = new scala.util.Random(11)
+    val xs = (1L to 4096L) ++ Seq.fill(4096)(
+      math.abs(rnd.nextLong() % (1L << (3 + rnd.nextInt(59)))) + 1)
+    for (x <- xs) {
+      val f = FixedLog2.log2fp(x)
+      assert(f == model(x), s"x=$x")
+      val approx = f.toDouble / (1L << FixedLog2.FracBits)
+      val exact = math.log(x.toDouble) / math.log(2.0)
+      // quantization (2^-20) + Q30 mantissa truncation for x > 2^31
+      assert(math.abs(approx - exact) < 2.1e-6, s"x=$x approx=$approx")
+    }
+    // exact on powers of two: the lattice value IS the integer exponent
+    for (k <- 0 to 62)
+      assert(FixedLog2.log2fp(1L << k) == k.toLong << FixedLog2.FracBits)
+  }
+
+  test("log2fp expression is codegen'd and null-intolerant") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 1000L).toDF("x")
+      .select(FixedLog2.log2_fp(col("x")).as("f"))
+    assert(df.as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L, 1000L).map(FixedLog2.log2fp))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("entropy by group: brute-replay from raw counts") {
+    val res = SparkEntry.queries("agg_entropy_by_group")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("entropy_bits")))).toMap
+    val counts = Tables.events(spark, sfDir)
+      .groupBy((weekday(to_date(col("ts"))) + 1).cast("long").as("dow"),
+               col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[Long]("dow"))
+      .view.mapValues(_.map(_.getAs[Long]("c"))).toMap
+    for ((dow, cs) <- counts) {
+      val n = cs.sum
+      val num = BigInt(n) * FixedLog2.log2fp(n) -
+        cs.map(c => BigInt(c) * FixedLog2.log2fp(c)).sum
+      val expected = num.toDouble / n.toDouble / 1048576.0
+      assert(res(dow)._1 == n)
+      assert(res(dow)._2 == expected, s"dow=$dow")
+      // entropy of a k-way mix is within [0, log2 k] up to lattice error
+      val k = cs.size
+      assert(res(dow)._2 > -1e-5 &&
+        res(dow)._2 < math.log(k.toDouble) / math.log(2.0) + 1e-5)
+    }
+  }
+
+  test("holt linear: fold replays the sequential recurrence per series") {
+    val rows = SparkEntry.queries("ts_holt_linear")(spark, sfDir)
+      .collect().groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows) {
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("date").toString)
+      var l = sorted.head.getAs[Double]("close")
+      var b = 0.0
+      assert(sorted.head.getAs[Double]("level") == l)
+      assert(sorted.head.getAs[Double]("trend") == 0.0)
+      for (r <- sorted.tail) {
+        val x = r.getAs[Double]("close")
+        val l1 = 0.25 * x + 0.75 * (l + b)
+        val b1 = 0.125 * ((0.25 * x + 0.75 * (l + b)) - l) + 0.875 * b
+        assert(r.getAs[Double]("level") == l1)
+        assert(r.getAs[Double]("trend") == b1)
+        l = l1; b = b1
+      }
+    }
+  }
+
+  test("harmonic sample: layers disjoint, oracle-shape counts from brute BFS") {
+    val res = SparkEntry.queries("graph_harmonic_sample")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("source") ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("h2"))))
+      .toMap
+    assert(res.size == 4)
+    // brute local BFS over the same bipartite edges
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (s <- res.keys) {
+      val n1 = adj(s) - s
+      val n2 = n1.flatMap(adj(_)) -- n1 - s
+      assert(res(s) == ((n1.size.toLong, n2.size.toLong,
+        2L * n1.size + n2.size)), s"source=$s")
+    }
+  }
+
+  test("silhouette: scores bounded, own-centroid distance is the a-side") {
+    val rows = SparkEntry.queries("emb_silhouette_simplified")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val s = r.getAs[Double]("avg_silhouette")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("avg_intra_dist") >= 0.0)
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+  }
+
+  test("importance reweight: uniform-target weights invert the mixture") {
+    val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
+      .collect()
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    val nLangs = rows.length.toLong
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("w_ppm") == nTotal * 1000000L / (nLangs * n))
+      assert(r.getAs[Long]("actual_share_ppm") == n * 1000000L / nTotal)
+      // reweighted share == target share up to ppm floor error
+      val reweighted = n * r.getAs[Long]("w_ppm")
+      assert(math.abs(reweighted - nTotal * 1000000L / nLangs)
+        <= nLangs * n, s"lang=${r.getAs[String]("lang")}")
+    }
+  }
+}

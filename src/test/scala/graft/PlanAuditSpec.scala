@@ -141,7 +141,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row grand-total N joined into every contingency cell
       "agg_chi2_contingency",
       // group-count-sized stats frame self-joined non-equi for the pairs
-      "agg_two_sample_z")
+      "agg_two_sample_z",
+      // broadcast k-row centroid set scored against every vector (the
+      // sim_kmeans_update shape)
+      "emb_silhouette_simplified",
+      // 1-row corpus token total joined into the PMI scoring chain
+      "text_collocation_pmi",
+      // 1-row (N, L) mixture totals joined into the per-language weights
+      "sample_importance_reweight")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
