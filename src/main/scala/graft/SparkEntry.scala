@@ -6078,6 +6078,189 @@ object SparkEntry {
                / lit(1048576.0)).as("avg_intra_dist"))
         .orderBy("label")
     }),
+
+    // Mutual information between event type and ISO weekday (one row):
+    // MI = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))) = (Σ c_xy·(log2fp(c_xy·N) −
+    // log2fp(c_x·c_y))) / (N·2²⁰) on the FixedLog2 lattice — exact
+    // integers end to end, alongside both marginal entropies (the
+    // normalizers for NMI). The feature-vs-label dependence screen a
+    // training pipeline runs before trusting a stratification column.
+    "agg_mutual_information" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+                 (weekday(to_date(col("ts"))) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("c_xy")).tracked
+      val mx = cells.groupBy("event_type").agg(sum(col("c_xy")).as("c_x"))
+        .tracked
+      val my = cells.groupBy("dow").agg(sum(col("c_xy")).as("c_y")).tracked
+      val n = cells.agg(sum(col("c_xy")).as("n"))
+      val mi = cells.join(broadcast(mx), "event_type")
+        .join(broadcast(my), "dow")
+        .crossJoin(broadcast(n.select(col("n").as("nn"))))
+        .withColumn("mterm",
+          dec(col("c_xy")) * dec(L(col("c_xy") * col("nn")) -
+                                 L(col("c_x") * col("c_y"))))
+        .agg(sum(col("mterm")).as("minum"))
+      val hx = mx.agg(sum(dec(col("c_x")) * dec(L(col("c_x")))).as("sxlog"))
+      val hy = my.agg(sum(dec(col("c_y")) * dec(L(col("c_y")))).as("sylog"))
+      n.crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .select(col("n"),
+          (col("minum").cast("double") / col("n").cast("double")
+            / lit(1048576.0)).as("mi_bits"),
+          ((dec(col("n")) * dec(L(col("n"))) - col("sxlog")).cast("double")
+            / col("n").cast("double") / lit(1048576.0)).as("h_type_bits"),
+          ((dec(col("n")) * dec(L(col("n"))) - col("sylog")).cast("double")
+            / col("n").cast("double") / lit(1048576.0)).as("h_dow_bits"))
+    }),
+
+    // Distribution-shift audit: KL(source ‖ corpus) over token unigrams,
+    // per source — the "which slice drifted from the mixture" check run
+    // around every ingestion. Same lattice identity: the per-token term
+    // is c_sw·(log2fp(c_sw·T) − log2fp(T_s·c_w)), summed exactly.
+    "text_kl_source_shift" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens("text")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw")).tracked
+      val cw = st.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+      val tsrc = st.groupBy("source").agg(sum(col("c_sw")).as("t_s")).tracked
+      val tot = tsrc.agg(sum(col("t_s")).as("t"))
+      st.join(cw, "w").join(broadcast(tsrc), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          dec(col("c_sw")) * dec(L(col("c_sw") * col("t")) -
+                                 L(col("t_s") * col("c_w"))))
+        .groupBy("source")
+        .agg(first(col("t_s")).as("n_tokens"), sum(col("term")).as("num"))
+        .select(col("source"), col("n_tokens"),
+          (col("num").cast("double") / col("n_tokens").cast("double")
+            / lit(1048576.0)).as("kl_bits"))
+        .orderBy("source")
+    }),
+
+    // Conditional entropy of the next event type given the current one,
+    // per from-state — the sequence-predictability complement of
+    // mine_transition_matrix (same per-user lead transitions): H(next|i)
+    // = Σ_j (c_ij/c_i)·log2(c_i/c_ij), exact on the lattice.
+    "mine_transition_entropy" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("e_from"))
+        .withColumn("e_to", lead(col("e_from"), 1).over(w))
+        .filter(col("e_to").isNotNull)
+        .groupBy("e_from", "e_to").agg(count(lit(1)).as("n")).tracked
+      val totals = pairs.groupBy("e_from").agg(sum(col("n")).as("row_n"))
+      pairs.join(broadcast(totals), "e_from")
+        .withColumn("term",
+          dec(col("n")) * dec(L(col("row_n")) - L(col("n"))))
+        .groupBy("e_from")
+        .agg(first(col("row_n")).as("n_out"), sum(col("term")).as("num"))
+        .select(col("e_from"), col("n_out"),
+          (col("num").cast("double") / col("n_out").cast("double")
+            / lit(1048576.0)).as("h_next_bits"))
+        .orderBy("e_from")
+    }),
+
+    // Permutation entropy (order-3) per series: each consecutive close
+    // triple maps to its comparison pattern (three pairwise > tests on
+    // the exact cents lattice → 3-bit id), and the pattern histogram's
+    // entropy — the model-free complexity/randomness score — comes out
+    // exact via FixedLog2. Keyed lead window, partial-aggregable counts.
+    "ts_perm_entropy" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("x1", lead(col("c"), 1).over(w))
+        .withColumn("x2", lead(col("c"), 2).over(w))
+        .filter(col("x2").isNotNull)
+        .select(col("event_type"),
+          ((col("x1") > col("c")).cast("long") * 4 +
+           (col("x2") > col("x1")).cast("long") * 2 +
+           (col("x2") > col("c")).cast("long")).as("pid"))
+        .groupBy("event_type", "pid").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum(col("c")).as("n_windows"),
+             count(lit(1)).as("n_patterns"),
+             sum(dec(col("c")) * dec(L(col("c")))).as("sclog"))
+        .select(col("event_type"), col("n_windows"), col("n_patterns"),
+          ((dec(col("n_windows")) * dec(L(col("n_windows"))) - col("sclog"))
+             .cast("double")
+           / col("n_windows").cast("double") / lit(1048576.0))
+            .as("perm_entropy_bits"))
+        .orderBy("event_type")
+    }),
+
+    // Jensen–Shannon divergence between every language pair's token
+    // distribution — the symmetric, bounded [0,1]-bits corpus-drift
+    // metric. The mixture entropy term needs the UNION vocabulary of
+    // each pair; rather than a full-outer join per pair, one directed
+    // left-join frame D(la,lb) = Σ_{w∈vocab(la)} a_w·(log2fp(2T_aT_b) −
+    // log2fp(a_w)) with a_w = c_aw·T_b + c_bw·T_a covers it via
+    // inclusion–exclusion: S(pair) = D(a,b) + D(b,a) − I(pair), where I
+    // sums the both-present terms once (a_w is symmetric). Everything is
+    // exact lattice integers until three final double divisions.
+    "text_js_divergence" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val lt = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens("text")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c")).tracked
+      val tl = lt.groupBy("lang").agg(sum(col("c")).as("t")).tracked
+      val dirFrame = lt
+        .select(col("lang").as("la"), col("w"), col("c").as("c_a"))
+        .join(broadcast(tl.select(col("lang").as("lb"), col("t").as("t_b"))),
+              col("la") =!= col("lb"))
+        .join(lt.select(col("lang").as("lb2"), col("w").as("w2"),
+                        col("c").as("c_b")),
+              col("lb") === col("lb2") && col("w") === col("w2"), "left")
+        .drop("lb2", "w2")
+        .na.fill(0L, Seq("c_b"))
+        .join(broadcast(tl.select(col("lang").as("la"), col("t").as("t_a"))),
+              "la")
+        .withColumn("aw", col("c_a") * col("t_b") + col("c_b") * col("t_a"))
+        .withColumn("term",
+          dec(col("aw")) * dec(L(lit(2L) * col("t_a") * col("t_b")) -
+                               L(col("aw"))))
+        .tracked
+      val d = dirFrame.groupBy("la", "lb").agg(sum(col("term")).as("dsum"))
+        .tracked
+      val i = dirFrame.filter(col("c_b") > 0 && col("la") < col("lb"))
+        .groupBy("la", "lb").agg(sum(col("term")).as("isum"))
+      val hn = lt.groupBy("lang")
+        .agg(sum(dec(col("c")) * dec(L(col("c")))).as("sclog"))
+        .join(tl, "lang")
+        .select(col("lang"), col("t"),
+          (dec(col("t")) * dec(L(col("t"))) - col("sclog")).as("hnum"))
+      d.filter(col("la") < col("lb"))
+        .join(d.select(col("lb").as("la"), col("la").as("lb"),
+                       col("dsum").as("dsum_r")), Seq("la", "lb"))
+        .join(i, Seq("la", "lb"))
+        .join(broadcast(hn.select(col("lang").as("la"),
+          col("t").as("t_a"), col("hnum").as("hnum_a"))), "la")
+        .join(broadcast(hn.select(col("lang").as("lb"),
+          col("t").as("t_b"), col("hnum").as("hnum_b"))), "lb")
+        .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+          (((col("dsum") + col("dsum_r") - col("isum")).cast("double")
+             / (col("t_a") * col("t_b") * lit(2L)).cast("double")
+             / lit(1048576.0))
+           - (col("hnum_a").cast("double") / col("t_a").cast("double")
+                / lit(1048576.0)
+              + col("hnum_b").cast("double") / col("t_b").cast("double")
+                / lit(1048576.0)) / lit(2.0)).as("jsd_bits"))
+        .orderBy("lang_a", "lang_b")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -11667,6 +11850,171 @@ object SparkEntry {
                 CAST(sum(aq20) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                   / 1048576.0 AS avg_intra_dist
          FROM u GROUP BY 1 ORDER BY 1""",
+
+    "agg_mutual_information" -> {
+      val lxy = graft.functions.FixedLog2.sql("cn")
+      val lmm = graft.functions.FixedLog2.sql("cxy")
+      val lcx = graft.functions.FixedLog2.sql("c_x")
+      val lcy = graft.functions.FixedLog2.sql("c_y")
+      val ln = graft.functions.FixedLog2.sql("n")
+      s"""WITH cells AS (SELECT event_type,
+                                CAST(isodow(CAST(ts AS DATE)) AS BIGINT)
+                                  AS dow,
+                                count(*) AS c_xy
+                         FROM events GROUP BY 1, 2),
+               mx AS (SELECT event_type, CAST(sum(c_xy) AS BIGINT) AS c_x
+                      FROM cells GROUP BY 1),
+               my AS (SELECT dow, CAST(sum(c_xy) AS BIGINT) AS c_y
+                      FROM cells GROUP BY 1),
+               nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells),
+               terms AS (SELECT cells.c_xy,
+                                cells.c_xy * nn.n AS cn,
+                                mx.c_x * my.c_y AS cxy
+                         FROM cells JOIN mx ON mx.event_type = cells.event_type
+                                    JOIN my ON my.dow = cells.dow
+                                    CROSS JOIN nn),
+               mi AS (SELECT CAST(sum(CAST(c_xy AS HUGEINT)
+                          * ($lxy - $lmm)) AS HUGEINT) AS minum
+                      FROM terms),
+               hx AS (SELECT CAST(sum(CAST(c_x AS HUGEINT) * $lcx)
+                          AS HUGEINT) AS sxlog FROM mx),
+               hy AS (SELECT CAST(sum(CAST(c_y AS HUGEINT) * $lcy)
+                          AS HUGEINT) AS sylog FROM my)
+          SELECT n,
+                 CAST(minum AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+                   AS mi_bits,
+                 CAST(CAST(n AS HUGEINT) * $ln - sxlog AS DOUBLE)
+                   / CAST(n AS DOUBLE) / 1048576.0 AS h_type_bits,
+                 CAST(CAST(n AS HUGEINT) * $ln - sylog AS DOUBLE)
+                   / CAST(n AS DOUBLE) / 1048576.0 AS h_dow_bits
+          FROM nn CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy"""
+    },
+
+    "text_kl_source_shift" -> {
+      val lnum = graft.functions.FixedLog2.sql("cst")
+      val lden = graft.functions.FixedLog2.sql("tcw")
+      s"""WITH st AS (SELECT source, w, count(*) AS c_sw FROM (
+                        SELECT source, unnest(regexp_extract_all(
+                          translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS w
+                        FROM documents) GROUP BY 1, 2),
+               cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+                      FROM st GROUP BY 1),
+               tsrc AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s
+                        FROM st GROUP BY 1),
+               tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM tsrc),
+               terms AS (SELECT st.source, st.c_sw, tsrc.t_s,
+                                st.c_sw * tot.t AS cst,
+                                tsrc.t_s * cw.c_w AS tcw
+                         FROM st JOIN cw ON cw.w = st.w
+                                 JOIN tsrc ON tsrc.source = st.source
+                                 CROSS JOIN tot)
+          SELECT source, any_value(t_s) AS n_tokens,
+                 CAST(sum(CAST(c_sw AS HUGEINT) * ($lnum - $lden))
+                     AS DOUBLE)
+                   / CAST(any_value(t_s) AS DOUBLE) / 1048576.0 AS kl_bits
+          FROM terms GROUP BY 1 ORDER BY 1"""
+    },
+
+    "mine_transition_entropy" -> {
+      val li = graft.functions.FixedLog2.sql("row_n")
+      val lj = graft.functions.FixedLog2.sql("n")
+      s"""WITH s AS (SELECT event_type AS e_from,
+                            lead(event_type, 1) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS e_to
+                     FROM events),
+               p AS (SELECT e_from, e_to, count(*) AS n FROM s
+                     WHERE e_to IS NOT NULL GROUP BY 1, 2),
+               t AS (SELECT e_from, CAST(sum(n) AS BIGINT) AS row_n
+                     FROM p GROUP BY 1),
+               terms AS (SELECT p.e_from, p.n, t.row_n
+                         FROM p JOIN t ON t.e_from = p.e_from)
+          SELECT e_from, any_value(row_n) AS n_out,
+                 CAST(sum(CAST(n AS HUGEINT) * ($li - $lj)) AS DOUBLE)
+                   / CAST(any_value(row_n) AS DOUBLE) / 1048576.0
+                   AS h_next_bits
+          FROM terms GROUP BY 1 ORDER BY 1"""
+    },
+
+    "ts_perm_entropy" -> {
+      val lc = graft.functions.FixedLog2.sql("c")
+      val lnw = graft.functions.FixedLog2.sql("n_windows")
+      s"""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                            CAST(round(arg_max(value, ts) * 100, 0)
+                              AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+               t AS (SELECT event_type, c,
+                            lead(c, 1) OVER w AS x1,
+                            lead(c, 2) OVER w AS x2
+                     FROM b WINDOW w AS (PARTITION BY event_type
+                                         ORDER BY date)),
+               pid AS (SELECT event_type,
+                              (CASE WHEN x1 > c THEN 4 ELSE 0 END
+                               + CASE WHEN x2 > x1 THEN 2 ELSE 0 END
+                               + CASE WHEN x2 > c THEN 1 ELSE 0 END) AS pid
+                       FROM t WHERE x2 IS NOT NULL),
+               h AS (SELECT event_type, pid, count(*) AS c
+                     FROM pid GROUP BY 1, 2),
+               g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_windows,
+                            count(*) AS n_patterns,
+                            CAST(sum(CAST(c AS HUGEINT) * $lc) AS HUGEINT)
+                              AS sclog
+                     FROM h GROUP BY 1)
+          SELECT event_type, n_windows, n_patterns,
+                 CAST(CAST(n_windows AS HUGEINT) * $lnw - sclog AS DOUBLE)
+                   / CAST(n_windows AS DOUBLE) / 1048576.0
+                   AS perm_entropy_bits
+          FROM g ORDER BY event_type"""
+    },
+
+    "text_js_divergence" -> {
+      val lb2 = graft.functions.FixedLog2.sql("bb")
+      val law = graft.functions.FixedLog2.sql("aw")
+      val lc = graft.functions.FixedLog2.sql("c")
+      val lt2 = graft.functions.FixedLog2.sql("t")
+      s"""WITH lt AS (SELECT lang, w, count(*) AS c FROM (
+                        SELECT lang, unnest(regexp_extract_all(
+                          translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS w
+                        FROM documents) GROUP BY 1, 2),
+               tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
+                      FROM lt GROUP BY 1),
+               dirf AS (SELECT a.lang AS la, tb.lang AS lb, a.w,
+                               a.c AS c_a, coalesce(b.c, 0) AS c_b,
+                               ta.t AS t_a, tb.t AS t_b,
+                               a.c * tb.t + coalesce(b.c, 0) * ta.t AS aw,
+                               2 * ta.t * tb.t AS bb
+                        FROM lt a
+                        JOIN tl tb ON tb.lang <> a.lang
+                        LEFT JOIN lt b ON b.lang = tb.lang AND b.w = a.w
+                        JOIN tl ta ON ta.lang = a.lang),
+               terms AS (SELECT la, lb, c_b, t_a, t_b,
+                                CAST(aw AS HUGEINT) * ($lb2 - $law) AS term
+                         FROM dirf),
+               d AS (SELECT la, lb, CAST(sum(term) AS HUGEINT) AS dsum
+                     FROM terms GROUP BY 1, 2),
+               i AS (SELECT la, lb, CAST(sum(term) AS HUGEINT) AS isum
+                     FROM terms WHERE c_b > 0 AND la < lb GROUP BY 1, 2),
+               hn AS (SELECT lt.lang, tl.t,
+                             CAST(CAST(tl.t AS HUGEINT) * $lt2
+                               - sum(CAST(c AS HUGEINT) * $lc) AS HUGEINT)
+                               AS hnum
+                      FROM lt JOIN tl ON tl.lang = lt.lang
+                      GROUP BY 1, 2)
+          SELECT d.la AS lang_a, d.lb AS lang_b,
+                 (CAST(d.dsum + dr.dsum - i.isum AS DOUBLE)
+                    / CAST(ha.t * hb.t * 2 AS DOUBLE) / 1048576.0)
+                 - (CAST(ha.hnum AS DOUBLE) / CAST(ha.t AS DOUBLE)
+                      / 1048576.0
+                    + CAST(hb.hnum AS DOUBLE) / CAST(hb.t AS DOUBLE)
+                      / 1048576.0) / 2.0 AS jsd_bits
+          FROM d JOIN d dr ON dr.la = d.lb AND dr.lb = d.la
+                 JOIN i ON i.la = d.la AND i.lb = d.lb
+                 JOIN hn ha ON ha.lang = d.la
+                 JOIN hn hb ON hb.lang = d.lb
+          WHERE d.la < d.lb
+          ORDER BY lang_a, lang_b"""
+    },
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -133,6 +133,58 @@ class FixedLog2Spec extends AnyFunSuite {
     }
   }
 
+  test("information-theory suite: identities and bounds hold on the lattice") {
+    // MI(X;Y) >= 0 and MI <= min(H(X), H(Y)) up to lattice error
+    val mi = SparkEntry.queries("agg_mutual_information")(spark, sfDir)
+      .collect().head
+    val (m, hx, hy) = (mi.getAs[Double]("mi_bits"),
+      mi.getAs[Double]("h_type_bits"), mi.getAs[Double]("h_dow_bits"))
+    assert(m >= -1e-4 && m <= math.min(hx, hy) + 1e-4)
+    assert(hx > 0 && hy > 0)
+
+    // KL(source || corpus) >= 0 for every source
+    val kl = SparkEntry.queries("text_kl_source_shift")(spark, sfDir)
+      .collect()
+    assert(kl.nonEmpty)
+    kl.foreach(r => assert(r.getAs[Double]("kl_bits") >= -1e-4,
+      r.getAs[String]("source")))
+
+    // JS divergence is symmetric-by-construction, in [0, 1] bits
+    val js = SparkEntry.queries("text_js_divergence")(spark, sfDir)
+      .collect()
+    assert(js.length > 0)
+    js.foreach { r =>
+      val v = r.getAs[Double]("jsd_bits")
+      assert(v >= -1e-4 && v <= 1.0 + 1e-4,
+        s"${r.getAs[String]("lang_a")}-${r.getAs[String]("lang_b")}: $v")
+    }
+
+    // permutation entropy: bounded by log2(#observed patterns)
+    SparkEntry.queries("ts_perm_entropy")(spark, sfDir).collect().foreach {
+      r =>
+        val h = r.getAs[Double]("perm_entropy_bits")
+        val k = r.getAs[Long]("n_patterns")
+        assert(h >= -1e-4 &&
+          h <= math.log(k.toDouble) / math.log(2.0) + 1e-4)
+    }
+
+    // conditional entropy brute-replay from the transition matrix
+    val tm = SparkEntry.queries("mine_transition_matrix")(spark, sfDir)
+      .collect().groupBy(_.getAs[String]("e_from"))
+    val te = SparkEntry.queries("mine_transition_entropy")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("e_from") ->
+        ((r.getAs[Long]("n_out"), r.getAs[Double]("h_next_bits")))).toMap
+    for ((from, rows) <- tm) {
+      val cs = rows.map(_.getAs[Long]("n"))
+      val ci = cs.sum
+      val num = cs.map(c =>
+        BigInt(c) * (FixedLog2.log2fp(ci) - FixedLog2.log2fp(c))).sum
+      val expected = num.toDouble / ci.toDouble / 1048576.0
+      assert(te(from)._1 == ci)
+      assert(te(from)._2 == expected, s"from=$from")
+    }
+  }
+
   test("importance reweight: uniform-target weights invert the mixture") {
     val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
       .collect()

@@ -148,7 +148,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row corpus token total joined into the PMI scoring chain
       "text_collocation_pmi",
       // 1-row (N, L) mixture totals joined into the per-language weights
-      "sample_importance_reweight")
+      "sample_importance_reweight",
+      // 1-row N/MI/entropy scalar combines
+      "agg_mutual_information",
+      // 1-row corpus token total joined into the per-source KL terms
+      "text_kl_source_shift",
+      // bounded language-universe (~5 rows) broadcast non-equi for the
+      // directed pair frame
+      "text_js_divergence")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
