@@ -6261,6 +6261,78 @@ object SparkEntry {
                 / lit(1048576.0)) / lit(2.0)).as("jsd_bits"))
         .orderBy("lang_a", "lang_b")
     }),
+
+    // Embedding-quality evaluation: leave-one-out 3-NN label accuracy
+    // over an id-bounded probe set — the standard "are these embeddings
+    // any good" harness. Exact cosine neighbors from the brute-force
+    // baseline (broadcast probes × one corpus scan), majority vote with
+    // (votes, best-rank, label) tie-break as one partial-aggregable
+    // max_by, per-label accuracy as an exact count ratio.
+    "sim_knn_loo_accuracy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nn = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 200), k = 3)
+      val lbl = emb.select(col("vec_id"), col("label").cast("long").as("lbl"))
+        .tracked
+      val pred = nn.join(lbl, "vec_id")
+        .groupBy("query_id", "lbl")
+        .agg(count(lit(1)).as("v"), min(col("rank")).as("best"))
+        .groupBy("query_id")
+        .agg(max_by(col("lbl"),
+          struct(col("v"), (-col("best")).as("nb"), (-col("lbl")).as("nl")))
+          .as("pred"))
+      pred.join(lbl.select(col("vec_id").as("query_id"),
+                           col("lbl").as("truth")), "query_id")
+        .groupBy(col("truth").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+             sum((col("pred") === col("truth")).cast("long"))
+               .as("n_correct"))
+        .select(col("label"), col("n_queries"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_queries").cast("double"))
+            .as("accuracy"))
+        .orderBy("label")
+    }),
+
+    // RAKE keyphrase extraction: stopword-delimited token runs (≤3 words)
+    // are the candidate phrases; each word scores deg/freq (deg = summed
+    // length of the phrases it appears in), each phrase the sum of its
+    // word scores. The division lives on the ⌊·2²⁰⌋ integer lattice so
+    // scores and the top-k order are exact. Run segmentation is a keyed
+    // running sum (stopword prefix count), never a per-doc UDF loop.
+    "text_keyphrase_rake" -> ((s, dir) => {
+      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "w")))
+        .withColumn("stop", array_contains(stopArr, col("w")).cast("long"))
+        .withColumn("gid", sum(col("stop")).over(w))
+        .filter(col("stop") === 0)
+      val ph = g.groupBy("doc_id", "gid")
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+          "'pos', pos, 'w', w))), x -> x.w)").as("ws"))
+        .filter(size(col("ws")) <= 3)
+        .withColumn("phrase", array_join(col("ws"), " "))
+        .withColumn("len", size(col("ws")).cast("long"))
+        .tracked
+      val wordScore = ph.select(col("len"), explode(col("ws")).as("w"))
+        .groupBy("w")
+        .agg(expr("sum(len) * 1048576 DIV count(1)").as("wscore"))
+      ph.select(col("doc_id"), col("gid"), col("phrase"),
+          explode(col("ws")).as("w"))
+        .join(wordScore, "w")
+        .groupBy("doc_id", "gid", "phrase")
+        .agg(sum(col("wscore")).as("pscore"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"),
+             max(col("pscore")).as("score_q20"))
+        .select(col("phrase"), col("n_occurrences"),
+          (col("score_q20").cast("double") / lit(1048576.0))
+            .as("rake_score"))
+        .orderBy(col("rake_score").desc, col("phrase"))
+        .limit(20)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -12014,6 +12086,79 @@ object SparkEntry {
                  JOIN hn hb ON hb.lang = d.lb
           WHERE d.la < d.lb
           ORDER BY lang_a, lang_b"""
+    },
+
+    "sim_knn_loo_accuracy" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq
+                     FROM embeddings WHERE vec_id < 200),
+              d AS (SELECT query_id, vec_id,
+                      ${duckDot("eq", "embedding")}
+                        / (sqrt(${duckDot("eq", "eq")})
+                           * sqrt(${duckDot("embedding", "embedding")}))
+                        AS cosine
+                    FROM q JOIN embeddings ON vec_id <> query_id),
+              r AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                    FROM d),
+              nn AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS lbl,
+                            r.rank
+                     FROM r JOIN embeddings e ON e.vec_id = r.vec_id
+                     WHERE r.rank <= 3),
+              v AS (SELECT query_id, lbl, count(*) AS v, min(rank) AS best
+                    FROM nn GROUP BY 1, 2),
+              p AS (SELECT query_id, lbl AS pred FROM (
+                      SELECT query_id, lbl,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY v DESC, best ASC, lbl ASC) AS rn
+                      FROM v) WHERE rn = 1),
+              t AS (SELECT p.pred, CAST(e.label AS BIGINT) AS truth
+                    FROM p JOIN embeddings e ON e.vec_id = p.query_id)
+         SELECT truth AS label, count(*) AS n_queries,
+                CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+                CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         FROM t GROUP BY 1 ORDER BY 1""",
+
+    "text_keyphrase_rake" -> {
+      val stops = TextAnalysis.stopwords.map(s => s"'$s'")
+        .mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id, i AS pos, t[i] AS w
+                       FROM (SELECT doc_id, t,
+                               unnest(generate_series(1, len(t))) AS i
+                             FROM (SELECT doc_id, regexp_extract_all(
+                                     translate(text,
+                                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                                     '[a-z0-9]+') AS t
+                                   FROM documents))),
+               f AS (SELECT doc_id, pos, w,
+                            CASE WHEN list_contains($stops, w)
+                              THEN 1 ELSE 0 END AS stop
+                     FROM tok),
+               gg AS (SELECT doc_id, pos, w, stop,
+                             CAST(sum(stop) OVER (PARTITION BY doc_id
+                               ORDER BY pos) AS BIGINT) AS gid
+                      FROM f),
+               ph AS (SELECT doc_id, gid,
+                             string_agg(w, ' ' ORDER BY pos) AS phrase,
+                             CAST(count(*) AS BIGINT) AS len,
+                             list(w ORDER BY pos) AS ws
+                      FROM gg WHERE stop = 0 GROUP BY 1, 2
+                      HAVING count(*) <= 3),
+               mem AS (SELECT len, unnest(ws) AS w FROM ph),
+               wsc AS (SELECT w, CAST(sum(len) AS BIGINT) * 1048576
+                              // count(*) AS wscore
+                       FROM mem GROUP BY 1),
+               occ AS (SELECT p.doc_id, p.gid, p.phrase,
+                              CAST(sum(wsc.wscore) AS BIGINT) AS pscore
+                       FROM (SELECT doc_id, gid, phrase, unnest(ws) AS w
+                             FROM ph) p
+                       JOIN wsc ON wsc.w = p.w GROUP BY 1, 2, 3)
+          SELECT phrase, count(*) AS n_occurrences,
+                 CAST(max(pscore) AS DOUBLE) / 1048576.0 AS rake_score
+          FROM occ GROUP BY 1 ORDER BY rake_score DESC, phrase LIMIT 20"""
     },
   )
 

@@ -185,6 +185,66 @@ class FixedLog2Spec extends AnyFunSuite {
     }
   }
 
+  test("knn LOO accuracy: majority vote brute-replayed for every probe") {
+    val acc = SparkEntry.queries("sim_knn_loo_accuracy")(spark, sfDir)
+      .collect()
+    assert(acc.nonEmpty)
+    val totalQ = acc.map(_.getAs[Long]("n_queries")).sum
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 200).count()
+    assert(totalQ == probes)
+    acc.foreach { r =>
+      val a = r.getAs[Double]("accuracy")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_queries"))
+    }
+    // local brute force over the raw vectors for a handful of probes
+    val all = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2).toLong))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val preds = all.filter(_._1 < 200).map { case (qid, qv, truth) =>
+      val nn = all.filter(_._1 != qid)
+        .map { case (vid, v, l) => (cos(qv, v), vid, l) }
+        .sortBy { case (c, vid, _) => (-c, vid) }.take(3)
+      val vote = nn.groupBy(_._3).view
+        .mapValues(g => (g.size, g.map(x => nn.indexOf(x)).min)).toSeq
+        .sortBy { case (l, (v, best)) => (-v, best, l) }.head._1
+      (truth, vote == truth)
+    }
+    val byLabel = preds.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.count(_._2).toLong)).toMap
+    val got = acc.map(r => r.getAs[Long]("label") ->
+      ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct")))).toMap
+    assert(got == byLabel)
+  }
+
+  test("rake keyphrases: scores decompose into member word scores") {
+    val rows = SparkEntry.queries("text_keyphrase_rake")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      val phrase = r.getAs[String]("phrase")
+      val words = phrase.split(" ")
+      assert(words.length >= 1 && words.length <= 3)
+      // no stopword may survive inside a candidate phrase
+      assert(!words.exists(graft.text.TextAnalysis.stopwords.contains),
+        phrase)
+      assert(r.getAs[Long]("n_occurrences") > 0)
+      // a phrase of k words scores at least k (each word score >= 1:
+      // deg >= freq by construction)
+      assert(r.getAs[Double]("rake_score") >= words.length - 1e-9, phrase)
+    }
+    // top-k order is total: strictly descending (score, phrase) pairs
+    val keys = rows.map(r =>
+      (-r.getAs[Double]("rake_score"), r.getAs[String]("phrase"))).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("importance reweight: uniform-target weights invert the mixture") {
     val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
       .collect()

@@ -155,7 +155,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_kl_source_shift",
       // bounded language-universe (~5 rows) broadcast non-equi for the
       // directed pair frame
-      "text_js_divergence")
+      "text_js_divergence",
+      // id-bounded probe set broadcast non-equi against the corpus (the
+      // sim_bruteforce_topk ground-truth shape)
+      "sim_knn_loo_accuracy")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
