@@ -6333,6 +6333,15 @@ object SparkEntry {
         .orderBy(col("rake_score").desc, col("phrase"))
         .limit(20)
     }),
+
+    // Streaming mixture monitor: per-day event-type entropy where the
+    // stream holds only watermark-bounded (day, type) counts and the
+    // exact lattice entropy derives on the finalized sink — the live
+    // label-balance drift alarm over ingest, bitwise-equal to its batch
+    // formulation (which is what the oracle pins).
+    "stream_entropy_daily" -> ((s, dir) =>
+      graft.streaming.EventStream.runEntropyDaily(s, dir)
+        .orderBy("date")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -12159,6 +12168,23 @@ object SparkEntry {
           SELECT phrase, count(*) AS n_occurrences,
                  CAST(max(pscore) AS DOUBLE) / 1048576.0 AS rake_score
           FROM occ GROUP BY 1 ORDER BY rake_score DESC, phrase LIMIT 20"""
+    },
+
+    "stream_entropy_daily" -> {
+      val lc = graft.functions.FixedLog2.sql("c")
+      val ln = graft.functions.FixedLog2.sql("n_events")
+      s"""WITH c AS (SELECT CAST(ts AS DATE) AS date, event_type,
+                            count(*) AS c
+                     FROM events GROUP BY 1, 2),
+               g AS (SELECT date, CAST(sum(c) AS BIGINT) AS n_events,
+                            count(*) AS n_types,
+                            CAST(sum(CAST(c AS HUGEINT) * $lc) AS HUGEINT)
+                              AS sclog
+                     FROM c GROUP BY 1)
+          SELECT date, n_events, n_types,
+                 CAST(CAST(n_events AS HUGEINT) * $ln - sclog AS DOUBLE)
+                   / CAST(n_events AS DOUBLE) / 1048576.0 AS entropy_bits
+          FROM g ORDER BY date"""
     },
   )
 

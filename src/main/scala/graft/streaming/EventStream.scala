@@ -393,6 +393,41 @@ object EventStream {
       .filter(col("rnk") <= 3)
   }
 
+  /** Per-day event-type mix entropy over streaming ingest: the stream
+    * maintains only the watermark-bounded (day, type) counts — mergeable,
+    * add-only state — and the exact FixedLog2 entropy derives on the
+    * finalized sink table (the runWindowedTopk split: a distribution
+    * statistic is only meaningful once its window is final). The sink-side
+    * derivation is the identical lattice identity as the batch
+    * agg_entropy_by_group, so streamed == batch bitwise.
+    */
+  def runEntropyDaily(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_entropy"
+    val q = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(to_date(col("window.start")).as("date"), col("event_type"),
+              col("c"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val L = graft.functions.FixedLog2.log2_fp _
+    spark.table(name)
+      .groupBy("date")
+      .agg(sum(col("c")).as("n_events"),
+           count(lit(1)).as("n_types"),
+           sum(dec(col("c")) * dec(L(col("c")))).as("sclog"))
+      .select(col("date"), col("n_events"), col("n_types"),
+        ((dec(col("n_events")) * dec(L(col("n_events"))) - col("sclog"))
+           .cast("double")
+         / col("n_events").cast("double") / lit(1048576.0))
+          .as("entropy_bits"))
+  }
+
   /** Sliding event-time windows in streaming (2-day windows, 1-day step):
     * each event lands in two open windows, so the state holds two window
     * rows per (series, day) — still bounded by the watermark, which
