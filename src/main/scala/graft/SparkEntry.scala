@@ -6342,6 +6342,86 @@ object SparkEntry {
     "stream_entropy_daily" -> ((s, dir) =>
       graft.streaming.EventStream.runEntropyDaily(s, dir)
         .orderBy("date")),
+
+    // Ljung–Box portmanteau test per series: Q = n(n+2)·Σ_k r_k²/(n−k)
+    // over the same lag-1..3 autocorrelations ts_acf_multilag computes
+    // (identical lattice moments, identical r chain), with the 3-term
+    // sum folded in fixed lag order. The "is this series white noise"
+    // gate run before fitting anything autoregressive.
+    "ts_ljung_box" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date")
+      val rq = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+                Exact.cents(col("close")).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("date"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0)).cast("long")
+            .as("x"))
+        .tracked
+      val pairs = rq
+        .withColumn("y1", lag(col("x"), 1).over(w))
+        .withColumn("y2", lag(col("x"), 2).over(w))
+        .withColumn("y3", lag(col("x"), 3).over(w))
+        .select(col("event_type"), col("x"),
+          expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"))
+        .filter(col("y").isNotNull)
+      val agg = pairs.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val r = agg.select(col("event_type"), col("lag"),
+        ((nd * col("sxy") - d(col("sx")) * col("sy")).cast("double")
+          / (sqrt((nd * col("sxx") - d(col("sx")) * col("sx"))
+               .cast("double"))
+             * sqrt((nd * col("syy") - d(col("sy")) * col("sy"))
+               .cast("double")))).as("r"))
+      val ns = rq.groupBy("event_type").agg(count(lit(1)).as("n_obs"))
+      r.join(broadcast(ns), "event_type")
+        .withColumn("term", col("r") * col("r")
+          / (col("n_obs") - col("lag")).cast("double"))
+        .groupBy("event_type")
+        .agg(first(col("n_obs")).as("n_obs"),
+             expr("aggregate(array_sort(collect_list(named_struct(" +
+               "'lag', lag, 't', term))), CAST(0.0 AS DOUBLE), " +
+               "(a, x) -> a + x.t)").as("tsum"))
+        .select(col("event_type"), col("n_obs"), lit(3L).as("df"),
+          (col("n_obs").cast("double")
+            * (col("n_obs") + lit(2)).cast("double") * col("tsum"))
+            .as("q_stat"))
+        .orderBy("event_type")
+    }),
+
+    // Class-balanced downsampling: cap every label at the minority-class
+    // size, picking members by the portable spread hash (so the selection
+    // is deterministic, seedless, and identical on any engine/partition
+    // layout — the same reproducibility contract as sample_hash_split).
+    // The id-sum checksum pins the exact selected SET, not just its size.
+    "sample_class_balanced" -> ((s, dir) => {
+      val lbl = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val counts = lbl.groupBy("label").agg(count(lit(1)).as("n_class"))
+        .tracked
+      val minN = counts.agg(min(col("n_class")).as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label")
+        .orderBy(graft.olap.Sketch.spreadHash(col("vec_id")), col("vec_id"))
+      lbl.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .filter(col("rk") <= col("m"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_selected"),
+             sum(col("vec_id")).as("id_checksum"))
+        .join(broadcast(counts), "label")
+        .select(col("label"), col("n_class"), col("n_selected"),
+                col("id_checksum"))
+        .orderBy("label")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -12186,6 +12266,89 @@ object SparkEntry {
                    / CAST(n_events AS DOUBLE) / 1048576.0 AS entropy_bits
           FROM g ORDER BY date"""
     },
+
+    "ts_ljung_box" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              rr AS (SELECT event_type, date, c,
+                            lag(c, 1) OVER w AS prev
+                     FROM b
+                     WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              q AS (SELECT event_type, date,
+                           CAST(floor(CAST(c - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS x
+                    FROM rr WHERE prev IS NOT NULL),
+              p0 AS (SELECT event_type, x,
+                            lag(x, 1) OVER w AS y1,
+                            lag(x, 2) OVER w AS y2,
+                            lag(x, 3) OVER w AS y3
+                     FROM q
+                     WINDOW w AS (PARTITION BY event_type ORDER BY date)),
+              p AS (SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y
+                    FROM p0
+                    UNION ALL
+                    SELECT event_type, 2, x, y2 FROM p0
+                    UNION ALL
+                    SELECT event_type, 3, x, y3 FROM p0),
+              ag AS (SELECT event_type, lag,
+                            CAST(count(*) AS HUGEINT) AS n,
+                            CAST(sum(x) AS HUGEINT) AS sx,
+                            CAST(sum(y) AS HUGEINT) AS sy,
+                            CAST(sum(x * y) AS HUGEINT) AS sxy,
+                            CAST(sum(x * x) AS HUGEINT) AS sxx,
+                            CAST(sum(y * y) AS HUGEINT) AS syy
+                     FROM p WHERE y IS NOT NULL GROUP BY 1, 2),
+              r AS (SELECT event_type, lag,
+                      CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                        / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT)
+                                     AS DOUBLE))
+                           * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT)
+                                       AS DOUBLE))) AS r
+                    FROM ag),
+              ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+                     FROM q GROUP BY 1),
+              t AS (SELECT r.event_type, ns.n_obs, r.lag,
+                           r.r * r.r / CAST(ns.n_obs - r.lag AS DOUBLE)
+                             AS term
+                    FROM r JOIN ns ON ns.event_type = r.event_type)
+         SELECT event_type, any_value(n_obs) AS n_obs,
+                CAST(3 AS BIGINT) AS df,
+                CAST(any_value(n_obs) AS DOUBLE)
+                  * CAST(any_value(n_obs) + 2 AS DOUBLE)
+                  * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(list_sort(list({'lag': lag,
+                        't': term})), x -> x.t)),
+                      (a, x) -> a + x) AS q_stat
+         FROM t GROUP BY 1 ORDER BY 1""",
+
+    "sample_class_balanced" ->
+      """WITH f AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(vec_id AS VARCHAR),
+                          ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM embeddings),
+              m1 AS (SELECT vec_id, label,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT vec_id, label, (h1 * h1) % 2147483647 AS h2
+                     FROM m1),
+              hh AS (SELECT vec_id, label,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              rk AS (SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY label
+                         ORDER BY hv, vec_id) AS rk
+                     FROM hh),
+              cnt AS (SELECT label, count(*) AS n_class FROM f GROUP BY 1),
+              mm AS (SELECT min(n_class) AS m FROM cnt),
+              sel AS (SELECT label, count(*) AS n_selected,
+                        CAST(sum(vec_id) AS BIGINT) AS id_checksum
+                      FROM rk CROSS JOIN mm WHERE rk <= mm.m GROUP BY 1)
+         SELECT sel.label, cnt.n_class, sel.n_selected, sel.id_checksum
+         FROM sel JOIN cnt ON cnt.label = sel.label
+         ORDER BY sel.label""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -158,7 +158,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_js_divergence",
       // id-bounded probe set broadcast non-equi against the corpus (the
       // sim_bruteforce_topk ground-truth shape)
-      "sim_knn_loo_accuracy")
+      "sim_knn_loo_accuracy",
+      // 1-row minority-class-size scalar gating the per-label rank filter
+      "sample_class_balanced")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan

@@ -685,4 +685,49 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("gini") == gini)
     assert(gini >= 0.0 && gini < 1.0)
   }
+
+  test("ljung-box: Q replays bitwise from the acf query's own r values") {
+    val acf = SparkEntry.queries("ts_acf_multilag")(spark, sfDir)
+      .collect().groupBy(_.getAs[String]("event_type"))
+    val nObs = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> (r.getLong(1) - 1)).toMap // minus lag-1 row
+    val lb = SparkEntry.queries("ts_ljung_box")(spark, sfDir).collect()
+    assert(lb.nonEmpty)
+    for (r <- lb) {
+      val et = r.getAs[String]("event_type")
+      val n = r.getAs[Long]("n_obs")
+      assert(n == nObs(et))
+      val terms = acf(et).sortBy(_.getAs[Long]("lag")).map { a =>
+        val rk = a.getAs[Double]("acf")
+        rk * rk / (n - a.getAs[Long]("lag")).toDouble
+      }
+      val q = n.toDouble * (n + 2).toDouble *
+        terms.foldLeft(0.0)(_ + _)
+      assert(r.getAs[Double]("q_stat") == q, et)
+      assert(q >= 0.0)
+      assert(r.getAs[Long]("df") == 3L)
+    }
+  }
+
+  test("class-balanced downsample: every label capped at the minority size") {
+    val rows = SparkEntry.queries("sample_class_balanced")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val minClass = rows.map(_.getAs[Long]("n_class")).min
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_selected") == minClass)
+      assert(r.getAs[Long]("n_class") >= minClass)
+    }
+    // the minority label keeps its entire id set (checksum = full sum)
+    val fullSums = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(sum("vec_id").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+    for (r <- rows if r.getAs[Long]("n_class") == minClass)
+      assert(r.getAs[Long]("id_checksum")
+        == fullSums(r.getAs[Long]("label"))._1)
+  }
 }
