@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.cal.{BusdayCount, BusdayCountExpr}
 import graft.dedup.{GramHashesExpr, IntersectCountSortedExpr, JaccardSortedExpr, LshBandKeysExpr, MinHash, MinHashSigExpr, SimHashExpr}
-import graft.functions.{CharFoldHashExpr, DocFingerprintExpr, DotProductExpr, TextStatsExpr}
+import graft.functions.{CharFoldHashExpr, DocFingerprintExpr, DotProductExpr, FixedLog2Expr, TextStatsExpr}
 import graft.text.TextAnalysis
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -78,6 +78,9 @@ object GraftExtensions {
       info("text_stats", "text_stats(text) - fused token statistics struct (stopword list built in)"),
       (es: Seq[Expression]) => TextStatsExpr(es.head,
         Seq(TextAnalysis.stopwords))),
+    ("log2_fp",
+      info("log2_fp", "log2_fp(n) - deterministic 20-fractional-bit fixed-point log2 of a positive BIGINT"),
+      (es: Seq[Expression]) => FixedLog2Expr(es.head)),
     // HLL sketch family (graft.olap.Hll): native TypedImperativeAggregates
     // + scalar register readers. The analyzer wraps the returned
     // AggregateFunction into an AggregateExpression.

@@ -56,6 +56,13 @@ class FixedLog2Spec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython"))
   }
 
+  test("log2_fp is a first-class SQL function") {
+    GraftExtensions.registerAll(spark)
+    val got = spark.sql("SELECT log2_fp(CAST(1000 AS BIGINT)) AS f")
+      .collect().head.getLong(0)
+    assert(got == FixedLog2.log2fp(1000L))
+  }
+
   test("entropy by group: brute-replay from raw counts") {
     val res = SparkEntry.queries("agg_entropy_by_group")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("dow") ->
