@@ -6397,6 +6397,97 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Davies–Bouldin separation per cluster — the companion metric to
+    // the silhouette: R_i = max_{j≠i} (s_i + s_j)/d(c_i, c_j) with s =
+    // mean member→centroid distance. Member distances need only the OWN
+    // centroid (a keyed broadcast join — O(N), cheaper than the
+    // silhouette's O(N·k)); the k² centroid-pair frame is broadcast-tiny.
+    // Scatters ride the ⌊d·2²⁰⌋ lattice; the max over j is order-free.
+    "emb_davies_bouldin" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dims = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("label"), (col("p") + 1).as("i"),
+          floor(col("x").cast("double") * lit(65536)).cast("long").as("q"))
+      val centArr = dims.groupBy("label", "i")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+          "'i', i, 'm', CAST(sq AS DOUBLE) / CAST(n * 65536 AS DOUBLE)))), " +
+          "x -> x.m)").as("c"))
+        .tracked
+      val dist2 = (qa: String, c: String) =>
+        s"""aggregate(zip_with($qa, $c,
+              (q, m) -> (CAST(q AS DOUBLE) / 65536.0D - m)
+                        * (CAST(q AS DOUBLE) / 65536.0D - m)),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""
+      val scatters = emb
+        .select(col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))")
+            .as("qa"))
+        .join(broadcast(centArr), "label")
+        .withColumn("dq20",
+          floor(sqrt(expr(dist2("qa", "c"))) * lit(1048576)).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dq20")).as("sdq"))
+        .select(col("label"), col("n_vecs"),
+          (col("sdq").cast("double") / col("n_vecs").cast("double")
+            / lit(1048576.0)).as("scatter"))
+        .tracked
+      val cd = (x: String, y: String) =>
+        s"""sqrt(aggregate(zip_with($x, $y,
+              (a, b) -> (a - b) * (a - b)),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x))"""
+      val pairs = centArr.select(col("label").as("li"), col("c").as("ci"))
+        .crossJoin(broadcast(
+          centArr.select(col("label").as("lj"), col("c").as("cj"))))
+        .filter(col("li") =!= col("lj"))
+        .withColumn("d_ij", expr(cd("ci", "cj")))
+        .select("li", "lj", "d_ij")
+      pairs
+        .join(broadcast(scatters.select(col("label").as("li"),
+          col("n_vecs"), col("scatter").as("s_i"))), "li")
+        .join(broadcast(scatters.select(col("label").as("lj"),
+          col("scatter").as("s_j"))), "lj")
+        .groupBy(col("li").as("label"))
+        .agg(first(col("n_vecs")).as("n_vecs"),
+             first(col("s_i")).as("scatter"),
+             max((col("s_i") + col("s_j")) / col("d_ij")).as("r_worst"))
+        .orderBy("label")
+    }),
+
+    // Per-document cross-entropy under the corpus's own bigram LM — the
+    // LM-score quality filter every pretraining pipeline runs, with the
+    // unsmoothed MLE model trained on the corpus itself so every doc
+    // bigram has support. Per-bigram surprisal −log2 p(w₂|w₁) =
+    // log2fp(c_a) − log2fp(c_ab) ≥ 0 exactly on the lattice; per-doc
+    // sums are exact integers, so the flagged tail (top-20 most
+    // surprising docs) is totally ordered. One bigram-keyed join against
+    // the corpus counts — no per-doc state.
+    "text_bigram_surprisal" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens("text").as("t")).tracked
+      val bg = toks.select(col("doc_id"), explode(expr(
+          "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(w, i) -> named_struct('w1', w, 'w2', element_at(t, i + 2)))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .tracked
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val uc = bg.groupBy("w1").agg(count(lit(1)).as("c_a"))
+      bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        .withColumn("bits_q20", L(col("c_a")) - L(col("c_ab")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             sum(col("bits_q20")).as("sbits"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sbits").cast("double") / col("n_bigrams").cast("double")
+            / lit(1048576.0)).as("mean_bits"))
+        .orderBy(col("mean_bits").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Class-balanced downsampling: cap every label at the minority-class
     // size, picking members by the portable spread hash (so the selection
     // is deterministic, seedless, and identical on any engine/partition
@@ -12323,6 +12414,80 @@ object SparkEntry {
                         't': term})), x -> x.t)),
                       (a, x) -> a + x) AS q_stat
          FROM t GROUP BY 1 ORDER BY 1""",
+
+    "emb_davies_bouldin" ->
+      """WITH dims AS (SELECT CAST(label AS BIGINT) AS label, i,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
+                          AS BIGINT) AS q
+                      FROM (SELECT label, embedding,
+                              unnest(generate_series(1, 64)) AS i
+                            FROM embeddings)),
+              cent AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq,
+                              count(*) AS n
+                       FROM dims GROUP BY 1, 2),
+              ca AS (SELECT label,
+                            list_transform(list_sort(list(
+                              {'i': i, 'm': CAST(sq AS DOUBLE)
+                                / CAST(n * 65536 AS DOUBLE)})),
+                              x -> x.m) AS c
+                     FROM cent GROUP BY 1),
+              v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      list_transform(embedding, x ->
+                        CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))
+                        AS qa
+                    FROM embeddings),
+              sc AS (SELECT v.label, count(*) AS n_vecs,
+                       CAST(sum(CAST(floor(sqrt(
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(generate_series(1, 64), i ->
+                               (CAST(qa[i] AS DOUBLE) / 65536.0 - c[i])
+                               * (CAST(qa[i] AS DOUBLE) / 65536.0 - c[i]))),
+                             (a, x) -> a + x)) * 1048576) AS BIGINT))
+                         AS BIGINT) AS sdq
+                     FROM v JOIN ca ON ca.label = v.label
+                     GROUP BY 1),
+              st AS (SELECT label, n_vecs,
+                            CAST(sdq AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                              / 1048576.0 AS scatter
+                     FROM sc),
+              pr AS (SELECT a.label AS li, b.label AS lj,
+                       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(generate_series(1, 64), i ->
+                           (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))),
+                         (x, y) -> x + y)) AS d_ij
+                     FROM ca a JOIN ca b ON a.label <> b.label)
+         SELECT pr.li AS label, any_value(si.n_vecs) AS n_vecs,
+                any_value(si.scatter) AS scatter,
+                max((si.scatter + sj.scatter) / pr.d_ij) AS r_worst
+         FROM pr JOIN st si ON si.label = pr.li
+                 JOIN st sj ON sj.label = pr.lj
+         GROUP BY 1 ORDER BY 1""",
+
+    "text_bigram_surprisal" -> {
+      val la = graft.functions.FixedLog2.sql("c_a")
+      val lab = graft.functions.FixedLog2.sql("c_ab")
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(translate(text,
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS t
+                        FROM documents),
+               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                      FROM (SELECT doc_id, t,
+                              unnest(generate_series(1, len(t) - 1)) AS i
+                            FROM toks)),
+               bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg
+                      GROUP BY 1, 2),
+               uc AS (SELECT w1, count(*) AS c_a FROM bg GROUP BY 1),
+               j AS (SELECT bg.doc_id, uc.c_a, bc.c_ab
+                     FROM bg JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+                             JOIN uc ON uc.w1 = bg.w1),
+               t2 AS (SELECT doc_id, count(*) AS n_bigrams,
+                             CAST(sum($la - $lab) AS BIGINT) AS sbits
+                      FROM j GROUP BY 1)
+          SELECT doc_id, n_bigrams,
+                 CAST(sbits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                   / 1048576.0 AS mean_bits
+          FROM t2 ORDER BY mean_bits DESC, doc_id LIMIT 20"""
+    },
 
     "sample_class_balanced" ->
       """WITH f AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -252,6 +252,53 @@ class FixedLog2Spec extends AnyFunSuite {
     assert(keys == keys.sorted)
   }
 
+  test("bigram surprisal: per-doc means brute-replayed from token streams") {
+    val got = SparkEntry.queries("text_bigram_surprisal")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_bits"))))
+    assert(got.nonEmpty && got.length <= 20)
+    // local replay: corpus bigram/unigram counts → lattice surprisal
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens("text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val bigrams = toks.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.size == 2).map(p => (id, p.head, p(1))) }
+    val cab = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val ca = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val perDoc = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val s = bs.map(b => FixedLog2.log2fp(ca(b._2).toLong) -
+        FixedLog2.log2fp(cab((b._2, b._3)).toLong)).sum
+      (bs.size.toLong, s.toDouble / bs.size.toDouble / 1048576.0)
+    }.toMap
+    for ((id, (n, m)) <- got) {
+      assert(perDoc(id) == ((n, m)), s"doc=$id")
+      assert(m >= 0.0)
+    }
+    // top-20 really is the descending head of the full ranking
+    val expectedTop = perDoc.toSeq
+      .sortBy { case (id, (_, m)) => (-m, id) }.take(got.length)
+      .map(_._1)
+    assert(got.map(_._1).toSeq == expectedTop)
+  }
+
+  test("davies-bouldin: positive worst-ratios, scatter consistent with intra dist") {
+    val db = SparkEntry.queries("emb_davies_bouldin")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("scatter"),
+          r.getAs[Double]("r_worst")))).toMap
+    assert(db.size >= 2)
+    for ((_, (n, s, r)) <- db) {
+      assert(n > 0 && s >= 0.0 && r > 0.0)
+    }
+    // scatter here is the same ⌊d·2^20⌋-lattice mean distance the
+    // silhouette query reports as avg_intra_dist — pin them equal
+    val sil = SparkEntry.queries("emb_silhouette_simplified")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("label") ->
+        r.getAs[Double]("avg_intra_dist")).toMap
+    for ((l, (_, s, _)) <- db) assert(s == sil(l), s"label=$l")
+  }
+
   test("importance reweight: uniform-target weights invert the mixture") {
     val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
       .collect()

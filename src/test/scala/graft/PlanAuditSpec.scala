@@ -160,7 +160,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // sim_bruteforce_topk ground-truth shape)
       "sim_knn_loo_accuracy",
       // 1-row minority-class-size scalar gating the per-label rank filter
-      "sample_class_balanced")
+      "sample_class_balanced",
+      // k×k broadcast centroid-pair frame (bounded by label cardinality)
+      "emb_davies_bouldin")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
