@@ -6397,6 +6397,58 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Kaplan–Meier survival over user lifetimes (first→last event day):
+    // S(t) = Π_{i≤t}(1 − dᵢ/nᵢ) is a product of exact rationals, kept
+    // portable as log2 S(t) = Σ(log2fp(nᵢ−dᵢ) − log2fp(nᵢ)) — an exact
+    // lattice prefix sum over the lifetime histogram (bounded by max
+    // lifetime, so the deliberate single-partition window is justified
+    // and keyed non-foldably). NULL once survivors hit zero (S = 0, log
+    // undefined). The retention-curve statistic behind cohort LTV.
+    "agg_kaplan_meier" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val lives = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("t"))
+      val hist = lives.groupBy("t").agg(count(lit(1)).as("d"))
+      val W = org.apache.spark.sql.expressions.Window
+      val base = W.partitionBy(Exact.onePartition(col("t"))).orderBy("t")
+      val suffix = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+      val prefix = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+      hist
+        .withColumn("n_at_risk", sum(col("d")).over(suffix))
+        .withColumn("surv",
+          when(col("n_at_risk") > col("d"),
+            L(col("n_at_risk") - col("d")) - L(col("n_at_risk"))))
+        .withColumn("log2_survival",
+          when(col("surv").isNotNull,
+            sum(col("surv")).over(prefix).cast("double") / lit(1048576.0)))
+        .select(col("t").as("lifetime_days"), col("n_at_risk"),
+          col("d").as("n_churned"), col("log2_survival"))
+        .orderBy("lifetime_days")
+    }),
+
+    // Negative-sampling table (word2vec's unigram^¾ distribution) kept
+    // EXACT: c^¾ = ⌊⁴√(c³)⌋ via two nested integer square roots
+    // (⌊√⌊√x⌋⌋ = ⌊x^¼⌋; c³ < 2⁵³ so the double conversions are exact
+    // and sqrt is IEEE correctly-rounded — no libm pow). Weights and
+    // ppm shares are exact integers, the top-k order total.
+    "sample_negative_table" -> ((s, dir) => {
+      val uc = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens("text")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("wt",
+          floor(sqrt(floor(sqrt((col("c") * col("c") * col("c"))
+            .cast("double"))))).cast("long"))
+        .tracked
+      val tot = uc.agg(sum(col("wt")).as("total_wt"))
+      uc.crossJoin(broadcast(tot))
+        .select(col("w").as("token"), col("c").as("freq"), col("wt"),
+          expr("wt * 1000000 DIV total_wt").as("share_ppm"))
+        .orderBy(col("wt").desc, col("token"))
+        .limit(30)
+    }),
+
     // Davies–Bouldin separation per cluster — the companion metric to
     // the silhouette: R_i = max_{j≠i} (s_i + s_j)/d(c_i, c_j) with s =
     // mean member→centroid distance. Member distances need only the OWN
@@ -12414,6 +12466,50 @@ object SparkEntry {
                         't': term})), x -> x.t)),
                       (a, x) -> a + x) AS q_stat
          FROM t GROUP BY 1 ORDER BY 1""",
+
+    "agg_kaplan_meier" -> {
+      val ls = graft.functions.FixedLog2.sql("svv")
+      val ln = graft.functions.FixedLog2.sql("n_at_risk")
+      s"""WITH lives AS (SELECT user_id,
+                           CAST(date_diff('day', min(CAST(ts AS DATE)),
+                             max(CAST(ts AS DATE))) AS BIGINT) AS t
+                         FROM events GROUP BY 1),
+               hist AS (SELECT t, count(*) AS d FROM lives GROUP BY 1),
+               ar AS (SELECT t, d,
+                        CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN
+                          CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                          AS n_at_risk
+                      FROM hist),
+               sv AS (SELECT t, d, n_at_risk,
+                        n_at_risk - d AS svv
+                      FROM ar),
+               tm AS (SELECT t, d, n_at_risk,
+                        CASE WHEN n_at_risk > d
+                          THEN $ls - $ln END AS surv
+                      FROM sv)
+          SELECT t AS lifetime_days, n_at_risk, d AS n_churned,
+                 CASE WHEN surv IS NOT NULL THEN
+                   CAST(sum(surv) OVER (ORDER BY t ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / 1048576.0 END AS log2_survival
+          FROM tm ORDER BY lifetime_days"""
+    },
+
+    "sample_negative_table" ->
+      """WITH uc AS (SELECT w, count(*) AS c FROM (
+                       SELECT unnest(regexp_extract_all(translate(text,
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS w
+                       FROM documents) GROUP BY 1),
+              wt AS (SELECT w, c,
+                       CAST(floor(sqrt(floor(sqrt(
+                         CAST(c * c * c AS DOUBLE))))) AS BIGINT) AS wt
+                     FROM uc),
+              tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM wt)
+         SELECT w AS token, c AS freq, wt,
+                wt * 1000000 // total_wt AS share_ppm
+         FROM wt CROSS JOIN tot
+         ORDER BY wt DESC, token LIMIT 30""",
 
     "emb_davies_bouldin" ->
       """WITH dims AS (SELECT CAST(label AS BIGINT) AS label, i,

@@ -299,6 +299,56 @@ class FixedLog2Spec extends AnyFunSuite {
     for ((l, (_, s, _)) <- db) assert(s == sil(l), s"label=$l")
   }
 
+  test("kaplan-meier: survival curve decreasing, replayed from lifetimes") {
+    val rows = SparkEntry.queries("agg_kaplan_meier")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // n_at_risk strictly decreasing in t; log2 survival non-increasing
+    val ar = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(ar.toSeq == ar.sortBy(-_).toSeq)
+    val ls = rows.flatMap(r => Option(r.getAs[Double]("log2_survival")))
+    assert(ls.forall(_ <= 1e-12))
+    assert(ls.toSeq == ls.sortBy(-_).toSeq)
+    // the last histogram row (everyone churned) must be the NULL row
+    assert(rows.last.isNullAt(rows.last.fieldIndex("log2_survival")))
+    // replay: survival after the first time equals the lattice product
+    val lives = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("long").as("t"))
+      .collect().map(_.getLong(1))
+    val total = lives.length.toLong
+    assert(rows.head.getAs[Long]("n_at_risk") == total)
+    val d0 = lives.count(_ == rows.head.getAs[Long]("lifetime_days")).toLong
+    assert(rows.head.getAs[Long]("n_churned") == d0)
+    val expected = (FixedLog2.log2fp(total - d0) -
+      FixedLog2.log2fp(total)).toDouble / 1048576.0
+    assert(rows.head.getAs[Double]("log2_survival") == expected)
+  }
+
+  test("negative-sampling table: weights are exact integer fourth roots") {
+    val rows = SparkEntry.queries("sample_negative_table")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    for (r <- rows) {
+      val c = r.getAs[Long]("freq")
+      val wt = r.getAs[Long]("wt")
+      // wt = floor((c^3)^(1/4)) — pinned against BigInt arithmetic
+      assert(BigInt(wt).pow(4) <= BigInt(c).pow(3), s"c=$c")
+      assert(BigInt(wt + 1).pow(4) > BigInt(c).pow(3), s"c=$c")
+      assert(r.getAs[Long]("share_ppm") >= 0)
+    }
+    // the ^(3/4) damping flattens the distribution: the top token's
+    // weight share must not exceed its raw frequency share
+    val tot = Tables.documents(spark, sfDir)
+      .select(explode(graft.text.TextAnalysis.tokens("text")).as("w"))
+      .count()
+    val top = rows.head
+    val rawShare = top.getAs[Long]("freq").toDouble / tot.toDouble
+    val wtShare = top.getAs[Long]("share_ppm").toDouble / 1e6
+    assert(wtShare <= rawShare + 1e-6)
+  }
+
   test("importance reweight: uniform-target weights invert the mixture") {
     val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
       .collect()

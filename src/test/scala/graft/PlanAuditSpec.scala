@@ -162,7 +162,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row minority-class-size scalar gating the per-label rank filter
       "sample_class_balanced",
       // k×k broadcast centroid-pair frame (bounded by label cardinality)
-      "emb_davies_bouldin")
+      "emb_davies_bouldin",
+      // 1-row total-weight scalar joined into the ppm shares
+      "sample_negative_table")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
