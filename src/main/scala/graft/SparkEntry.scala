@@ -6397,6 +6397,53 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Two REAL BPE training iterations over the corpus: count adjacent
+    // token pairs → pick the top merge (count desc, then lexicographic;
+    // self-pairs excluded so the greedy merge has no overlap ambiguity
+    // and applies embarrassingly parallel) → rewrite every occurrence
+    // corpus-wide → recount. Each rewrite is one keyed lag/lead window
+    // pass + re-rank, never a per-doc loop; the two top-pair picks are
+    // 1-row scalar collects (the allowed driver-side pattern). Output:
+    // the post-merge pair counts, where the merged tokens now appear as
+    // single units — the actual inner loop of tokenizer training,
+    // distributed.
+    "text_bpe_train_steps" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dw = W.partitionBy("doc_id").orderBy("pos")
+      def pairs(tok: DataFrame): DataFrame = tok
+        .withColumn("w2", lead(col("w"), 1).over(dw))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      def topPair(bg: DataFrame): (String, String) = {
+        val r = bg.filter(col("w1") =!= col("w2"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+          .collect().head
+        (r.getString(0), r.getString(1))
+      }
+      def merge(tok: DataFrame, a: String, b: String): DataFrame = tok
+        .withColumn("pw", lag(col("w"), 1).over(dw))
+        .withColumn("nw", lead(col("w"), 1).over(dw))
+        .withColumn("w",
+          when(col("w") === a && col("nw") === b, lit(a + "_" + b))
+            .when(col("pw") === a && col("w") === b, lit(null))
+            .otherwise(col("w")))
+        .filter(col("w").isNotNull)
+        .select(col("doc_id"),
+          row_number().over(dw).as("pos"), col("w"))
+      val tok0 = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "w")))
+        .tracked
+      val (a0, b0) = topPair(pairs(tok0))
+      val tok1 = merge(tok0, a0, b0).tracked
+      val (a1, b1) = topPair(pairs(tok1))
+      val tok2 = merge(tok1, a1, b1)
+      pairs(tok2)
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(10)
+    }),
+
     // Kaplan–Meier survival over user lifetimes (first→last event day):
     // S(t) = Π_{i≤t}(1 − dᵢ/nᵢ) is a product of exact rationals, kept
     // portable as log2 S(t) = Σ(log2fp(nᵢ−dᵢ) − log2fp(nᵢ)) — an exact
@@ -12466,6 +12513,65 @@ object SparkEntry {
                         't': term})), x -> x.t)),
                       (a, x) -> a + x) AS q_stat
          FROM t GROUP BY 1 ORDER BY 1""",
+
+    "text_bpe_train_steps" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(translate(text,
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS t
+                       FROM documents),
+              tok0 AS (SELECT doc_id, i AS pos, t[i] AS w
+                       FROM (SELECT doc_id, t,
+                               unnest(generate_series(1, len(t))) AS i
+                             FROM toks)),
+              bg0 AS (SELECT w AS w1, w2, count(*) AS cnt FROM (
+                        SELECT w, lead(w) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS w2
+                        FROM tok0)
+                      WHERE w2 IS NOT NULL GROUP BY 1, 2),
+              p0 AS (SELECT w1 AS a, w2 AS b FROM bg0 WHERE w1 <> w2
+                     ORDER BY cnt DESC, w1, w2 LIMIT 1),
+              m1 AS (SELECT doc_id, pos,
+                       CASE WHEN w = p0.a AND nw = p0.b
+                              THEN p0.a || '_' || p0.b
+                            WHEN pw = p0.a AND w = p0.b THEN NULL
+                            ELSE w END AS w
+                     FROM (SELECT doc_id, pos, w,
+                             lag(w) OVER (PARTITION BY doc_id
+                               ORDER BY pos) AS pw,
+                             lead(w) OVER (PARTITION BY doc_id
+                               ORDER BY pos) AS nw
+                           FROM tok0) CROSS JOIN p0),
+              tok1 AS (SELECT doc_id, row_number() OVER (PARTITION BY
+                         doc_id ORDER BY pos) AS pos, w
+                       FROM m1 WHERE w IS NOT NULL),
+              bg1 AS (SELECT w AS w1, w2, count(*) AS cnt FROM (
+                        SELECT w, lead(w) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS w2
+                        FROM tok1)
+                      WHERE w2 IS NOT NULL GROUP BY 1, 2),
+              p1 AS (SELECT w1 AS a, w2 AS b FROM bg1 WHERE w1 <> w2
+                     ORDER BY cnt DESC, w1, w2 LIMIT 1),
+              m2 AS (SELECT doc_id, pos,
+                       CASE WHEN w = p1.a AND nw = p1.b
+                              THEN p1.a || '_' || p1.b
+                            WHEN pw = p1.a AND w = p1.b THEN NULL
+                            ELSE w END AS w
+                     FROM (SELECT doc_id, pos, w,
+                             lag(w) OVER (PARTITION BY doc_id
+                               ORDER BY pos) AS pw,
+                             lead(w) OVER (PARTITION BY doc_id
+                               ORDER BY pos) AS nw
+                           FROM tok1) CROSS JOIN p1),
+              tok2 AS (SELECT doc_id, row_number() OVER (PARTITION BY
+                         doc_id ORDER BY pos) AS pos, w
+                       FROM m2 WHERE w IS NOT NULL),
+              bg2 AS (SELECT w AS w1, w2, count(*) AS cnt FROM (
+                        SELECT w, lead(w) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS w2
+                        FROM tok2)
+                      WHERE w2 IS NOT NULL GROUP BY 1, 2)
+         SELECT w1, w2, cnt FROM bg2
+         ORDER BY cnt DESC, w1, w2 LIMIT 10""",
 
     "agg_kaplan_meier" -> {
       val ls = graft.functions.FixedLog2.sql("svv")

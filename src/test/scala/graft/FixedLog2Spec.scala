@@ -349,6 +349,43 @@ class FixedLog2Spec extends AnyFunSuite {
     assert(wtShare <= rawShare + 1e-6)
   }
 
+  test("bpe training steps: two greedy merges replayed locally") {
+    def pairCounts(docs: Seq[Seq[String]]): Map[(String, String), Int] =
+      docs.flatMap(_.sliding(2).filter(_.size == 2).map(p =>
+        (p.head, p(1)))).groupBy(identity).view.mapValues(_.size).toMap
+    def top(pc: Map[(String, String), Int]): (String, String) =
+      pc.filter(p => p._1._1 != p._1._2).toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    def merge(docs: Seq[Seq[String]], a: String, b: String) =
+      docs.map { t =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < t.size) {
+          if (i + 1 < t.size && t(i) == a && t(i + 1) == b) {
+            out += s"${a}_$b"; i += 2
+          } else { out += t(i); i += 1 }
+        }
+        out.toSeq
+      }
+    val docs = Tables.documents(spark, sfDir)
+      .select(graft.text.TextAnalysis.tokens("text").as("t"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val (a0, b0) = top(pairCounts(docs))
+    val d1 = merge(docs, a0, b0)
+    val (a1, b1) = top(pairCounts(d1))
+    val d2 = merge(d1, a1, b1)
+    val expected = pairCounts(d2).toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(10)
+      .map { case ((a, b), c) => (a, b, c.toLong) }
+    val got = SparkEntry.queries("text_bpe_train_steps")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected)
+    // the first learned merge participates in the surviving pair space
+    assert(got.exists(p => p._1.contains("_") || p._2.contains("_")) ||
+      !expected.exists(p => p._1.contains("_") || p._2.contains("_")))
+  }
+
   test("importance reweight: uniform-target weights invert the mixture") {
     val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
       .collect()
