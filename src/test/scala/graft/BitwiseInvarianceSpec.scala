@@ -28,7 +28,14 @@ class BitwiseInvarianceSpec extends AnyFunSuite {
     // surprisal join, cluster-keyed split
     "emb_centroid_drift", "ts_theil_sen", "ts_changepoint",
     "graph_label_prop", "graph_assortativity", "text_surprisal_bits",
-    "sample_dedup_aware_split")
+    "sample_dedup_aware_split",
+    // round-5 continuation: log2-lattice statistics (order-free integer
+    // sums), struct-fold smoothing, centroid-lattice clustering QA,
+    // spread-hash selection, BPE rewrite passes
+    "agg_entropy_by_group", "agg_mutual_information", "text_js_divergence",
+    "ts_holt_linear", "emb_silhouette_simplified", "sim_knn_loo_accuracy",
+    "sample_class_balanced", "text_bigram_surprisal", "ts_ljung_box",
+    "text_bpe_train_steps")
 
   test("new operator families are bitwise partitioning-invariant") {
     val key = "spark.sql.shuffle.partitions"
