@@ -119,5 +119,56 @@ def main():
     return 1 if mism else 0
 
 
+def fuzz_log2fp():
+    """log2_fp parity: the codegen expression (via GraftExtensions SQL)
+    vs the DuckDB list_reduce mirror (the FixedLog2.sql fold, duplicated
+    here on purpose — the fuzz guards the TEXTS agreeing, incl. across
+    DuckDB upgrades that might change lambda-vectorization semantics; see
+    FixedLog2.scala for the two DuckDB 1.0 bugs the fold shape avoids).
+    """
+    xs = ([1, 2, 3, 4, 7, 1023, 1024, 1025, (1 << 31) - 1, 1 << 31,
+           (1 << 62) - 1] +
+          [random.randint(1, 1 << (3 + random.randint(0, 58)))
+           for _ in range(500)])
+    values = ",\n".join(f"({i}, CAST({x} AS BIGINT))"
+                        for i, x in enumerate(xs))
+    sql = (f"CREATE TEMPORARY VIEW lt AS SELECT * FROM VALUES {values} "
+           "AS lt(id, x);\n"
+           "SELECT id, log2_fp(x) FROM lt ORDER BY id;")
+    open("/tmp/graft_fuzz_log2.sql", "w").write(sql)
+    out = subprocess.run(
+        ["/opt/spark/bin/spark-sql", "--master", "local[2]",
+         "--conf", "spark.sql.extensions=graft.GraftExtensions",
+         "--driver-class-path", "target/scala-2.13/classes",
+         "-S", "-f", "/tmp/graft_fuzz_log2.sql"],
+        capture_output=True, text=True)
+    spark_rows = {}
+    for line in out.stdout.splitlines():
+        parts = line.split("\t")
+        if len(parts) == 2 and parts[0].isdigit():
+            spark_rows[int(parts[0])] = int(parts[1])
+
+    con = duckdb.connect()
+    il = "(length(bin(x)) - 1)"
+    fold = f"""
+(list_reduce(list_prepend(
+  {{'f': CAST({il} AS BIGINT),
+   'u': CASE WHEN {il} <= 30 THEN x << (30 - {il})
+             ELSE x >> ({il} - 30) END}},
+  list_transform(range(20),
+    i -> {{'f': CAST(0 AS BIGINT), 'u': CAST(0 AS BIGINT)}})),
+  (a, e) -> {{'f': a.f * 2 + ((a.u * a.u) >> 61),
+             'u': ((a.u * a.u) >> 30) // (1 + ((a.u * a.u) >> 61))}})).f
+"""
+    vals = ",".join(f"({i}, CAST({x} AS BIGINT))"
+                    for i, x in enumerate(xs))
+    duck = dict(con.execute(
+        f"SELECT id, {fold} FROM (SELECT * FROM (VALUES {vals}) "
+        "AS t(id, x))").fetchall())
+    mism = sum(1 for i in range(len(xs)) if spark_rows.get(i) != duck[i])
+    print(f"log2_fp: {len(xs) - mism}/{len(xs)} agree")
+    return 1 if mism else 0
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main() | fuzz_log2fp())
