@@ -5505,11 +5505,14 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"))
         .tracked // three stage scans
+      // v is consumed 4× (click join, stage-1 count, top-of-funnel
+      // count), c twice — cache the user-keyed aggregates, not just the
+      // scan, or each reference repeats the groupBy shuffle
       val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
+        .groupBy("user_id").agg(min("ts").as("t1")).tracked
       val c = ev.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("ts") >= col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
+        .groupBy("user_id").agg(min("ts").as("t2")).tracked
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts") >= col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
@@ -6040,26 +6043,13 @@ object SparkEntry {
     // constant-key hash join — never a shuffle of the corpus.
     "emb_silhouette_simplified" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val dims = emb.select(col("vec_id"), col("label").cast("long").as("label"),
-          posexplode(col("embedding")).as(Seq("p", "x")))
-        .select(col("label"), (col("p") + 1).as("i"),
-          floor(col("x").cast("double") * lit(65536)).cast("long").as("q"))
-      val centArr = dims.groupBy("label", "i")
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(named_struct(" +
-          "'i', i, 'm', CAST(sq AS DOUBLE) / CAST(n * 65536 AS DOUBLE)))), " +
-          "x -> x.m)").as("c"))
+      val centArr = graft.similarity.CentroidLattice.centroidArrays(emb)
         .select(col("label").as("clabel"), col("c"))
       val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))")
-          .as("qa"))
+        expr(graft.similarity.CentroidLattice.qArraySql).as("qa"))
       val p = v.crossJoin(broadcast(centArr))
-        .withColumn("dist2", expr(
-          """aggregate(zip_with(qa, c,
-               (q, m) -> (CAST(q AS DOUBLE) / 65536.0D - m)
-                         * (CAST(q AS DOUBLE) / 65536.0D - m)),
-             CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""))
+        .withColumn("dist2",
+          expr(graft.similarity.CentroidLattice.dist2Sql("qa", "c")))
       val ab = p.groupBy("vec_id", "label")
         .agg(sqrt(min(when(col("clabel") === col("label"), col("dist2"))))
                .as("a"),
@@ -6504,29 +6494,15 @@ object SparkEntry {
     // Scatters ride the ⌊d·2²⁰⌋ lattice; the max over j is order-free.
     "emb_davies_bouldin" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val dims = emb.select(col("vec_id"), col("label").cast("long").as("label"),
-          posexplode(col("embedding")).as(Seq("p", "x")))
-        .select(col("label"), (col("p") + 1).as("i"),
-          floor(col("x").cast("double") * lit(65536)).cast("long").as("q"))
-      val centArr = dims.groupBy("label", "i")
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(named_struct(" +
-          "'i', i, 'm', CAST(sq AS DOUBLE) / CAST(n * 65536 AS DOUBLE)))), " +
-          "x -> x.m)").as("c"))
+      val centArr = graft.similarity.CentroidLattice.centroidArrays(emb)
         .tracked
-      val dist2 = (qa: String, c: String) =>
-        s"""aggregate(zip_with($qa, $c,
-              (q, m) -> (CAST(q AS DOUBLE) / 65536.0D - m)
-                        * (CAST(q AS DOUBLE) / 65536.0D - m)),
-            CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""
       val scatters = emb
         .select(col("label").cast("long").as("label"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))")
-            .as("qa"))
+          expr(graft.similarity.CentroidLattice.qArraySql).as("qa"))
         .join(broadcast(centArr), "label")
         .withColumn("dq20",
-          floor(sqrt(expr(dist2("qa", "c"))) * lit(1048576)).cast("long"))
+          floor(sqrt(expr(graft.similarity.CentroidLattice
+              .dist2Sql("qa", "c"))) * lit(1048576)).cast("long"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"), sum(col("dq20")).as("sdq"))
         .select(col("label"), col("n_vecs"),

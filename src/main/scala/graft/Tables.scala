@@ -26,6 +26,12 @@ object Tables {
       org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // needed only for the TIMESTAMP(NANOS) fixture flavor, harmless
+    // otherwise — and set for EVERY table, not just events: orders/
+    // lineitem have shipped the same flavor on their date columns, and a
+    // session whose first scan is lineitem (e.g. a graph-only bench)
+    // would otherwise fail schema inference order-dependently
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val schema = schemaMemo.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
@@ -64,11 +70,8 @@ object Tables {
     normalizeTs(load(spark, dir, "orders"), "o_orderdate")
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(load(spark, dir, "lineitem"), "l_shipdate")
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // needed only for the TIMESTAMP(NANOS) fixture flavor; harmless otherwise
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(load(spark, dir, "events"), "ts")
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

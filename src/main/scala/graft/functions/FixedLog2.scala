@@ -36,10 +36,16 @@ object FixedLog2 {
   final val One: Long = 1L << FracBits // log2fp(2) == One
 
   /** Static hot-path helper the generated code calls directly.
-    * Requires c > 0 (callers null-guard; the expression is null-intolerant
-    * and queries filter to positive counts by construction).
+    * Requires c > 0, ENFORCED: on c = 0 the unguarded recurrence would
+    * return -2²⁰·1 here while the DuckDB mirror's length(bin(0))-1 seed
+    * yields 0 — a silent bitwise cross-engine divergence, the exact
+    * failure mode this expression exists to prevent. Counts are ≥ 1 by
+    * construction in every current query; an unguarded zero (e.g. a
+    * future coalesce(c, 0) grid cell) must fail loudly, not drift.
     */
   def log2fp(c: Long): Long = {
+    if (c <= 0) throw new IllegalArgumentException(
+      s"log2_fp requires a positive input, got $c")
     val il = 63 - java.lang.Long.numberOfLeadingZeros(c)
     // Q30 mantissa in [2^30, 2^31): squares stay under 2^62 (signed-safe)
     var u = if (il <= 30) c << (30 - il) else c >> (il - 30)

@@ -44,12 +44,23 @@ object JdbcStore {
     * are probed.
     */
   private def tableExists(spark: SparkSession, url: String,
-                          table: String): Boolean = {
+                          table: String,
+                          opts: Map[String, String] = Map.empty): Boolean = {
     val (schemaPat, namePat) = table.lastIndexOf('.') match {
       case -1 => (null: String, table)
       case i  => (table.substring(0, i), table.substring(i + 1))
     }
-    val conn = java.sql.DriverManager.getConnection(url)
+    // the probe must authenticate exactly like the reads/writes it gates:
+    // carry the caller's credentials, and load the configured driver
+    // class explicitly rather than relying on DriverManager
+    // auto-registration. Only the connection-level options pass through —
+    // Spark-writer options (createTableColumnTypes, batchsize, ...) are
+    // not JDBC connection properties.
+    opts.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    opts.filterKeys(Set("user", "password")).foreach {
+      case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
       def hit(s: String, n: String): Boolean = {
@@ -82,7 +93,7 @@ object JdbcStore {
           .option("url", url).option("dbtable", table)) {
         case (w, (k, v)) => w.option(k, v)
       }
-    if (!tableExists(spark, url, table))
+    if (!tableExists(spark, url, table, writeOpts))
       writer(incoming).mode(SaveMode.ErrorIfExists).save()
     else
       writer(graft.inc.Watermark

@@ -41,12 +41,17 @@ class BitwiseInvarianceSpec extends AnyFunSuite {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     for (q <- targets) {
+      // release the narrow run's tracked caches BEFORE the wide run:
+      // Spark's CacheManager substitutes cached InMemoryRelations into
+      // identical plan subtrees, so without the release the wide run
+      // would read the width-1 caches instead of re-executing — making
+      // the invariance check vacuous for exactly the cached stages
       val narrow =
         try { spark.conf.set(key, "1"); rows(SparkEntry.queries(q)(spark, sf)) }
-        finally spark.conf.set(key, old)
+        finally { spark.conf.set(key, old); CacheRegistry.releaseAll() }
       val wide =
         try { spark.conf.set(key, "13"); rows(SparkEntry.queries(q)(spark, sf)) }
-        finally spark.conf.set(key, old)
+        finally { spark.conf.set(key, old); CacheRegistry.releaseAll() }
       assert(narrow == wide, s"$q differs across shuffle widths")
       assert(narrow.nonEmpty, s"$q returned no rows")
     }
