@@ -6252,6 +6252,31 @@ object SparkEntry {
         .orderBy("lang_a", "lang_b")
     }),
 
+    // ANN quality as a first-class oracle-checked query (the estimator-
+    // census pattern dedup_lsh_quality established, applied to the
+    // vector-search path): recall@5 of the IVF probe (nprobe=2) against
+    // the exact brute-force top-5 per probe vector. Both sides reuse the
+    // verified operators; the per-query miss census is exactly what an
+    // index-tuning loop monitors when trading nprobe against scan cost.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val gt = Similarity.bruteForceTopK(emb, probes, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfProbeTopK(emb,
+          emb.filter(col("vec_id") < 8), probes, nprobe = 2, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val hits = gt.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_5",
+          col("n_hits").cast("double") / lit(5.0))
+        .orderBy("query_id")
+    }),
+
     // Embedding-quality evaluation: leave-one-out 3-NN label accuracy
     // over an id-bounded probe set — the standard "are these embeddings
     // any good" harness. Exact cosine neighbors from the brute-force
@@ -12342,6 +12367,63 @@ object SparkEntry {
           WHERE d.la < d.lb
           ORDER BY lang_a, lang_b"""
     },
+
+    "sim_ivf_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq
+                     FROM embeddings WHERE vec_id < 10),
+            gt AS (SELECT query_id, vec_id FROM (
+                     SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         ${duckDot("eq", "embedding")}
+                           / (sqrt(${duckDot("eq", "eq")})
+                              * sqrt(${duckDot("embedding", "embedding")}))
+                           DESC, vec_id ASC) AS rank
+                     FROM q JOIN embeddings ON vec_id <> query_id)
+                   WHERE rank <= 5),
+            c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                  FROM embeddings WHERE vec_id < 8),
+            asg AS (SELECT centroid_id, vec_id, embedding FROM (
+                      SELECT e.vec_id, c.centroid_id, e.embedding,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          ${duckDot("e.embedding", "c.ec")}
+                            / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                               * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                          c.centroid_id ASC) AS rn
+                      FROM embeddings e CROSS JOIN c)
+                    WHERE rn = 1),
+            prb AS (SELECT query_id, centroid_id, emb_q FROM (
+                      SELECT q.vec_id AS query_id, c.centroid_id,
+                             q.embedding AS emb_q,
+                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                          ${duckDot("q.embedding", "c.ec")}
+                            / (sqrt(${duckDot("q.embedding", "q.embedding")})
+                               * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                          c.centroid_id ASC) AS rn
+                      FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+                    WHERE rn <= 2),
+            sc AS (SELECT p.query_id, a.vec_id,
+                     ${duckDot("p.emb_q", "a.embedding")}
+                       / (sqrt(${duckDot("p.emb_q", "p.emb_q")})
+                          * sqrt(${duckDot("a.embedding", "a.embedding")}))
+                       AS cosine
+                   FROM prb p JOIN asg a USING (centroid_id)
+                   WHERE a.vec_id <> p.query_id),
+            ivf AS (SELECT query_id, vec_id FROM (
+                      SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                      FROM sc)
+                    WHERE rank <= 5),
+            h AS (SELECT gt.query_id, count(*) AS n_hits
+                  FROM gt JOIN ivf ON ivf.query_id = gt.query_id
+                                  AND ivf.vec_id = gt.vec_id
+                  GROUP BY 1)
+          SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+                   AS n_hits,
+                 CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0
+                   AS recall_at_5
+          FROM q LEFT JOIN h ON h.query_id = q.query_id
+          ORDER BY q.query_id""",
 
     "sim_knn_loo_accuracy" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq

@@ -386,6 +386,26 @@ class FixedLog2Spec extends AnyFunSuite {
       !expected.exists(p => p._1.contains("_") || p._2.contains("_")))
   }
 
+  test("ivf recall: bounded per query, consistent with the two rankings") {
+    val rows = SparkEntry.queries("sim_ivf_recall")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val gt = SparkEntry.queries("sim_bruteforce_topk")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"))).toSet
+    val ivf = SparkEntry.queries("sim_ivf_probe_topk")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"))).toSet
+    for (r <- rows) {
+      val q = r.getAs[Long]("query_id")
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(r.getAs[Double]("recall_at_5") == hits.toDouble / 5.0)
+      // the census must equal the intersection of the two verified
+      // query results it summarizes
+      assert(hits == gt.filter(_._1 == q).intersect(ivf).size, s"q=$q")
+    }
+  }
+
   test("importance reweight: uniform-target weights invert the mixture") {
     val rows = SparkEntry.queries("sample_importance_reweight")(spark, sfDir)
       .collect()

@@ -164,7 +164,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // k×k broadcast centroid-pair frame (bounded by label cardinality)
       "emb_davies_bouldin",
       // 1-row total-weight scalar joined into the ppm shares
-      "sample_negative_table")
+      "sample_negative_table",
+      // id-bounded probe set broadcast non-equi (ground truth) + the
+      // IVF broadcast-centroid scoring pass
+      "sim_ivf_recall")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
