@@ -6358,6 +6358,17 @@ object SparkEntry {
       graft.streaming.EventStream.runEntropyDaily(s, dir)
         .orderBy("date")),
 
+    // Ingest-time near-duplicate detection: the LSH band buckets as
+    // streaming state — each (band, key) group holds its members, a pair
+    // emits exactly when its second member arrives, and the emitted SET
+    // is micro-batch-boundary-invariant, so streamed == the batch banded
+    // self-join (whose oracle text this query shares verbatim). The
+    // streaming half of the dedup pipeline's signature → candidates
+    // chain.
+    "stream_lsh_neardup" -> ((s, dir) =>
+      graft.streaming.StreamNearDup.pairs(s, dir)
+        .orderBy("doc_a", "doc_b")),
+
     // Ljung–Box portmanteau test per series: Q = n(n+2)·Σ_k r_k²/(n−k)
     // over the same lag-1..3 autocorrelations ts_acf_multilag computes
     // (identical lattice moments, identical r chain), with the 3-term
@@ -8809,24 +8820,11 @@ object SparkEntry {
 
     // oracle of the banded scale path: identical bucketing in SQL (two
     // 16-bit halves), then exact Hamming verify — on the full corpus
-    "dedup_simhash_banded" ->
-      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
-            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
-            b AS (SELECT doc_id, simhash, 0 AS band,
-                         simhash & 65535 AS key FROM s
-                  UNION ALL
-                  SELECT doc_id, simhash, 1,
-                         (simhash >> 16) & 65535 FROM s),
-            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                            x.simhash AS sh_a, y.simhash AS sh_b
-                     FROM b x JOIN b y
-                       ON x.band = y.band AND x.key = y.key
-                          AND x.doc_id < y.doc_id)
-          SELECT doc_a, doc_b,
-                 CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-          FROM cand
-          WHERE bit_count(xor(sh_a, sh_b)) <= 1
-          ORDER BY doc_a, doc_b""",
+    "dedup_simhash_banded" -> bandedPairsOracle,
+
+    // the streamed stateful detector's pair set == the batch banded
+    // self-join's, by construction — same oracle text, shared
+    "stream_lsh_neardup" -> bandedPairsOracle,
 
     // transitive closure over the banded pairs; min reachable id (incl.
     // self) per node == the min-label propagation fixpoint
@@ -12860,6 +12858,30 @@ object SparkEntry {
     * the same accumulation order as graft.functions.VecOps.dotProduct, so
     * the doubles agree bitwise.
     */
+  /** Shared oracle for banded SimHash near-dup pairs: identical semantics
+    * for the batch self-join (dedup_simhash_banded) and the streaming
+    * stateful detector (stream_lsh_neardup), whose emitted pair set is
+    * batch-boundary-invariant by construction.
+    */
+  private lazy val bandedPairsOracle: String =
+    s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+          s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+          b AS (SELECT doc_id, simhash, 0 AS band,
+                       simhash & 65535 AS key FROM s
+                UNION ALL
+                SELECT doc_id, simhash, 1,
+                       (simhash >> 16) & 65535 FROM s),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                          x.simhash AS sh_a, y.simhash AS sh_b
+                   FROM b x JOIN b y
+                     ON x.band = y.band AND x.key = y.key
+                        AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 1
+        ORDER BY doc_a, doc_b"""
+
   /** Shared oracle for the admission gate: identical semantics for
     * the batch query and its per-micro-batch streamed form.
     */

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Ingest-time near-duplicate detection: the LSH band buckets become
+  * streaming STATE (north-star streaming × dedup composition).
+  *
+  * Batch near-dup (graft.dedup.SimHash.bandedNearDupPairs) buckets the
+  * whole corpus then self-joins; at ingest time the same banding runs
+  * incrementally — each (band, key) group's state holds the (id,
+  * signature) members seen so far, and a near-dup pair is emitted exactly
+  * when its SECOND member arrives. The emitted pair SET is independent of
+  * micro-batch boundaries and arrival order (a pair is detected once, in
+  * whichever band group sees both members; cross-band duplicates collapse
+  * in the sink distinct), so streamed == batch — which is exactly what
+  * the oracle checks, sharing the batch query's SQL verbatim.
+  *
+  * Scale: state per group is the bucket's membership — the same quantity
+  * the batch self-join materializes per bucket — keyed by (band, key), so
+  * it shards across the cluster like any keyed state. The quadratic-in-
+  * bucket cost is the SAME banding trade as batch LSH (small buckets by
+  * construction; templated corpora switch to the neighbor-enumeration
+  * variant). No timeout: a dedup ledger never forgets; a production run
+  * bounds state with TTL only when the dedup horizon is explicitly
+  * windowed.
+  */
+object StreamNearDup {
+  case class BandedDoc(band: Int, key: Long, doc_id: Long, simhash: Long)
+  case class Member(id: Long, sh: Long)
+  case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** One bucket invocation: score this batch's arrivals (in doc_id order,
+    * so within-batch pair emission is deterministic) against the members
+    * already in state, then add them.
+    */
+  def processBucket(docs: Iterator[BandedDoc],
+                    state: GroupState[Seq[Member]]): Iterator[NearDupPair] = {
+    val arrived = docs.toIndexedSeq.sortBy(_.doc_id)
+    var members = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[NearDupPair]
+    for (d <- arrived) {
+      for (m <- members if m.id != d.doc_id) {
+        val h = java.lang.Long.bitCount(d.simhash ^ m.sh)
+        if (h <= 1) {
+          val (a, b) =
+            if (m.id < d.doc_id) (m.id, d.doc_id) else (d.doc_id, m.id)
+          out += NearDupPair(a, b, h)
+        }
+      }
+      members = members :+ Member(d.doc_id, d.simhash)
+    }
+    state.update(members)
+    out.result().iterator
+  }
+
+  /** Band an unbounded documents frame with the batch operator's exact
+    * constants (2 × 16-bit bands of the 32-bit simhash).
+    */
+  def banded(docs: DataFrame): org.apache.spark.sql.Dataset[BandedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.dedup.SimHash.simhash32(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"), explode(array(
+          struct(lit(0).as("band"),
+            col("simhash").bitwiseAND(lit(65535L)).as("key")),
+          struct(lit(1).as("band"),
+            shiftright(col("simhash"), 16).bitwiseAND(lit(65535L))
+              .as("key")))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+              col("doc_id"), col("simhash"))
+      .as[BandedDoc]
+  }
+
+  /** The stateful detector over an already-banded stream. */
+  def detect(b: org.apache.spark.sql.Dataset[BandedDoc])
+      : org.apache.spark.sql.Dataset[NearDupPair] = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    b.groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), it: Iterator[BandedDoc],
+         st: GroupState[Seq[Member]]) => processBucket(it, st))
+  }
+
+  /** Stream the fixture documents through the stateful detector and
+    * return the distinct near-dup pair set (Hamming ≤ 1, 2×16-bit bands —
+    * identical banding constants to the batch operator).
+    */
+  def pairs(spark: SparkSession, dir: String): DataFrame =
+      EventStream.withStatePartitions(spark, 8) {
+    val name = "graft_stream_neardup"
+    val docsSchema = graft.Tables.documents(spark, dir).schema
+    val src = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = detect(banded(src))
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // a pair whose members share BOTH bands emits once per band group
+    spark.table(name).distinct()
+  }
+}

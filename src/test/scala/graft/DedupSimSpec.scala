@@ -132,4 +132,39 @@ class DedupSimSpec extends AnyFunSuite {
       .toSet
     exact.foreach(p => assert(lsh.contains(p), s"LSH missed true near-dup $p"))
   }
+
+  test("streaming LSH detector: pair set invariant to micro-batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    // batch ground truth over the fixture corpus
+    val batchPairs = graft.dedup.SimHash
+      .bandedNearDupPairs(Tables.documents(spark, sf), "doc_id", "text",
+        maxHamming = 1, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // drive the SAME docs through the stateful detector in TWO micro-
+    // batches split so near-dup pairs straddle the boundary (odd/even
+    // doc ids) — the emitted set must not depend on the split
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamNearDup
+      .detect(graft.streaming.StreamNearDup.banded(src))
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_split_test")
+      .start()
+    try {
+      mem.addData(docs.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_split_test").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPairs)
+    assert(batchPairs.nonEmpty)
+  }
 }
