@@ -49,7 +49,10 @@ object StreamNearDup {
           out += NearDupPair(a, b, h)
         }
       }
-      members = members :+ Member(d.doc_id, d.simhash)
+      // O(1) prepend (Seq default is List, where append is O(n) and
+      // would make a hot bucket quadratic in list-walking alone); member
+      // order is irrelevant — the emitted pair set is the same
+      members = Member(d.doc_id, d.simhash) +: members
     }
     state.update(members)
     out.result().iterator
