@@ -6624,6 +6624,259 @@ object SparkEntry {
                 col("id_checksum"))
         .orderBy("label")
     }),
+
+    // One-way ANOVA F across event types on value cents — the "does this
+    // slice move the metric" test a feature pipeline runs before shipping
+    // a segment. Per-group moments (n, Σc, Σc²) come from ONE
+    // partial-aggregable scan (Σc² summed in DECIMAL(38,0) so the moment
+    // never wraps at corpus scale — the emb_centroid_drift lesson); the k
+    // between-group terms s_g²/n_g spend one IEEE division each and fold
+    // in a FIXED event_type order (sort_array→aggregate ≡
+    // list_sort→list_reduce, the Cramér's-V discipline), so F is bitwise
+    // portable. k is the bounded type universe, never event volume.
+    "agg_anova_f" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val g = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+             sum(dec(col("c")) * dec(col("c"))).as("ss"))
+        .withColumn("t_g", (dec(col("sc")) * dec(col("sc"))).cast("double")
+          / col("n").cast("double"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+            sum(dec(col("sc"))).as("s_total"), sum(col("ss")).as("ss_total"),
+            aggregate(sort_array(collect_list(
+                struct(col("event_type"), col("t_g")))),
+              lit(0.0), (a, x) => a + x.getField("t_g")).as("t_between"))
+        .withColumn("ssb", col("t_between")
+          - (col("s_total") * col("s_total")).cast("double")
+            / col("n_total").cast("double"))
+        .withColumn("ssw", col("ss_total").cast("double") - col("t_between"))
+        .select(col("k"), col("n_total"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1).cast("double"))
+            / (col("ssw") / (col("n_total") - col("k")).cast("double")))
+            .as("f_stat"))
+    }),
+
+    // DDSketch-flavored relative-error quantiles: the log-bucketed
+    // companion to sketch_histogram_quantiles' fixed-width bins. Bucket =
+    // log2_fp(cents) DIV 2^16 keeps 4 fractional bits — γ = 2^(1/16)
+    // spacing, ≈4.4% worst-case relative width at ANY magnitude, which is
+    // the guarantee latency/value sketches actually want (a $10 linear bin
+    // is useless at $0.50 and wasteful at $40k). The bucket-count frame is
+    // additive across shards (same merge contract as KMV/CMS/HLL), the
+    // per-type cumulative walks ~250 bucket rows, and the reported
+    // estimate is the bucket's own observed min — exact integers on the
+    // shared lattice, no pow() inversion. Exact positional percentiles
+    // ride along so the relative error is visible.
+    "sketch_ddsketch_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val L = graft.functions.FixedLog2.log2_fp _
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("cents"))
+        .filter(col("cents") > 0) // lattice domain; fixture min is 1 cent
+        .tracked // bucket counts + rank targets + exact pick read it
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val bc = v.withColumn("lg", L(col("cents")))
+        .withColumn("bucket", expr("lg div 65536"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"), min("cents").as("lo"))
+        .withColumn("cum", sum("cnt").over(
+          w.partitionBy("event_type").orderBy("bucket")
+            .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      val ps = n.select(col("event_type"), col("n"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+        .withColumn("k", expr("(n * p + 99) div 100"))
+      val est = bc.join(broadcast(ps), "event_type")
+        .filter(col("cum") >= col("k"))
+        .groupBy("event_type", "p").agg(min("bucket").as("bucket"))
+        .join(bc.select("event_type", "bucket", "lo"),
+              Seq("event_type", "bucket"))
+        .withColumn("est_value", col("lo").cast("double") / lit(100.0))
+      val exact = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("cents")))
+        .join(broadcast(ps), "event_type")
+        .filter(col("rn") === col("k"))
+        .select(col("event_type"), col("p"),
+          (col("cents").cast("double") / lit(100.0)).as("exact_value"))
+      est.join(exact, Seq("event_type", "p"))
+        .select("event_type", "p", "bucket", "est_value", "exact_value")
+        .orderBy("event_type", "p")
+    }),
+
+    // Page–Hinkley drift detection over each type's daily mean value —
+    // the sequential change monitor a feature pipeline runs on every
+    // metric stream. Entirely on the integer lattice: the daily mean is
+    // (Σcents·10⁴) DIV n (explicit floor-division, the HHI discipline),
+    // the running mean inside the PH term is cum DIV t, so m_t and both
+    // one-sided statistics (m − run-min for upward drift, run-max − m for
+    // downward) are exact BIGINTs — no double accumulation order to
+    // diverge. Events reduce to (type, day) cells FIRST; every window is
+    // keyed by type over day-counted rows, never event volume.
+    "ts_page_hinkley" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val byT = w.partitionBy("event_type").orderBy("d")
+      val run = byT.rowsBetween(w.unboundedPreceding, w.currentRow)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(Exact.cents(col("value"))).as("s"), count(lit(1)).as("n"))
+        .withColumn("x", expr("(s * 10000) div n"))
+        .withColumn("t", row_number().over(byT).cast("long"))
+        .withColumn("cumx", sum("x").over(run))
+        .withColumn("term", col("x") - expr("cumx div t"))
+        .withColumn("m", sum("term").over(run))
+        .withColumn("ph_inc", col("m") - min("m").over(run))
+        .withColumn("ph_dec", max("m").over(run) - col("m"))
+        .select("event_type", "d", "x", "m", "ph_inc", "ph_dec")
+        .orderBy("event_type", "d")
+    }),
+
+    // Hurst exponent via rescaled-range (R/S) analysis of each type's
+    // daily-total series — the long-memory diagnostic for metric streams
+    // (H≈0.5 random walk, >0.5 trending, <0.5 mean-reverting). Blocks of
+    // n ∈ {5,10,15} days; per full block the scaled deviation range n·R
+    // and variance numerator n·Σx²−S² are exact BIGINTs, so
+    // y = 2·L(n·R) − L(n·Σx²−S²) = 2·log2(R/σ) lands on the FixedLog2
+    // lattice and per-scale sums are order-free. H is half the OLS slope
+    // of mean(y) on L(n): the per-scale means get a common denominator
+    // M = Πm_s (exact ≤3-element integer fold), so slope numerator and
+    // denominator are exact DECIMAL(38,0) with ONE final double division.
+    // Frames after the daily reduce are day-counted (≤ 3·days rows per
+    // type), never event volume.
+    "ts_hurst_rs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val L = graft.functions.FixedLog2.log2_fp _
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .withColumn("t", row_number().over(
+          w.partitionBy("event_type").orderBy("d")).cast("long"))
+      val bl = daily
+        .withColumn("n", explode(array(lit(5L), lit(10L), lit(15L))))
+        .withColumn("block", expr("(t - 1) div n"))
+        .withColumn("i", (col("t") - 1) % col("n") + 1)
+      val wb = w.partitionBy("event_type", "n", "block")
+      val dv = bl
+        .withColumn("cum", sum("x").over(wb.orderBy("i")))
+        .withColumn("sb", sum("x").over(wb))
+        .withColumn("ssb", sum(dec(col("x")) * dec(col("x"))).over(wb))
+        .withColumn("cnt", count(lit(1)).over(wb))
+        .filter(col("cnt") === col("n")) // classic R/S drops partial blocks
+        .groupBy("event_type", "n", "block")
+        .agg(max(col("n") * col("cum") - col("i") * col("sb")).as("mx"),
+             min(col("n") * col("cum") - col("i") * col("sb")).as("mn"),
+             first((dec(col("n")) * col("ssb")
+               - dec(col("sb")) * dec(col("sb"))).cast("long"))
+               .as("var_num"))
+        .withColumn("rs_num", col("mx") - col("mn"))
+        .filter(col("rs_num") > 0 && col("var_num") > 0) // degenerate flat
+        .withColumn("y", L(col("rs_num")) * 2 - L(col("var_num")))
+      val perScale = dv.groupBy("event_type", "n")
+        .agg(count(lit(1)).as("m"), sum("y").as("ys"))
+        .withColumn("xs", L(col("n")))
+      val prod = perScale.groupBy("event_type")
+        .agg(count(lit(1)).as("k"),
+             aggregate(collect_list(col("m")), lit(1L), (a, b) => a * b)
+               .as("bigm")) // exact integer product — order-free
+      perScale.join(broadcast(prod), "event_type")
+        .withColumn("yp", col("ys") * expr("bigm div m")) // M/m_s exact
+        .groupBy("event_type")
+        .agg(first("k").as("n_scales"), sum("m").as("n_blocks"),
+             first("bigm").as("bigm"),
+             sum("xs").as("sx"),
+             sum(dec(col("xs")) * dec(col("xs"))).as("sxx"),
+             sum(dec(col("xs")) * dec(col("yp"))).as("sxy"),
+             sum(dec(col("yp"))).as("sy"))
+        .select(col("event_type"), col("n_scales"), col("n_blocks"),
+          (((dec(col("n_scales")) * col("sxy") - dec(col("sx")) * col("sy"))
+              .cast("double")
+            / (dec(col("bigm")) * (dec(col("n_scales")) * col("sxx")
+               - dec(col("sx")) * dec(col("sx")))).cast("double"))
+           / lit(2.0)).as("hurst"))
+        .orderBy("event_type")
+    }),
+
+    // SAX symbolization + motif mining over each type's event-value
+    // stream: PAA frames of 64 events (frame total = 64·mean, same
+    // symbolization since monotone), per-type quartile breakpoints via
+    // ntile(4) on the totally-ordered (total, frame) key, 3-symbol words
+    // via lead, top-10 motifs per type. Everything after the 64:1 frame
+    // reduce is frame-counted; the rank window inside each type is the
+    // declared keyed-window path (the two-level prefix sum is the 100 TB
+    // substitute, as in agg_ks_statistic). Symbols and counts are exact
+    // integers — no floats anywhere.
+    "ts_sax_symbols" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val byT = w.partitionBy("event_type")
+      val frames = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+                Exact.cents(col("value")).as("cents"))
+        .withColumn("rn", row_number().over(
+          byT.orderBy("ts", "event_id")).cast("long"))
+        .withColumn("frame", expr("(rn - 1) div 64"))
+        .groupBy("event_type", "frame")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("fsum"))
+        .filter(col("cnt") === 64) // full frames only
+        .withColumn("q", ntile(4).over(byT.orderBy("fsum", "frame")))
+        .withColumn("sym", expr("substr('abcd', q, 1)"))
+      frames
+        .withColumn("s2", lead("sym", 1).over(byT.orderBy("frame")))
+        .withColumn("s3", lead("sym", 2).over(byT.orderBy("frame")))
+        .filter(col("s3").isNotNull)
+        .withColumn("word", concat(col("sym"), col("s2"), col("s3")))
+        .groupBy("event_type", "word").agg(count(lit(1)).as("n_frames"))
+        .withColumn("rk", row_number().over(
+          byT.orderBy(col("n_frames").desc, col("word"))))
+        .filter(col("rk") <= 10).drop("rk")
+        .orderBy(col("event_type"), col("n_frames").desc, col("word"))
+    }),
+
+    // Neyman-allocation stratified sampling: budget 1000 rows split across
+    // event-type strata ∝ N_h·S_h (minimum-variance allocation for a mean
+    // estimate — uniform sampling wastes budget on low-variance strata).
+    // The weight is the exact lattice surrogate
+    // isqrt(N·((N·Σc²−S²) div (N−1))): moments from one partial-agg scan,
+    // explicit floor-div, floor(sqrt(double)) — deterministic on any
+    // engine (long→double rounding and IEEE sqrt are both
+    // correctly-rounded, the sample_negative_table discipline). Members
+    // are picked by the seedless spread-hash rank (mergeable, partition-
+    // independent); the id-sum checksum pins the exact selected set.
+    "sample_neyman_allocation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                Exact.cents(col("value")).as("c"))
+        .tracked // moments + selection both scan it
+      val g = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_class"), sum("c").as("sc"),
+             sum(dec(col("c")) * dec(col("c"))).as("ss"))
+        .withColumn("var_num",
+          (dec(col("n_class")) * col("ss") - dec(col("sc")) * dec(col("sc")))
+            .cast("long"))
+        .withColumn("wt", floor(sqrt(
+          (col("n_class") * expr("var_num div (n_class - 1)"))
+            .cast("double"))).cast("long"))
+      val tot = g.agg(sum("wt").as("total_wt"))
+      val alloc = g.crossJoin(broadcast(tot))
+        .withColumn("n_alloc", expr("(1000 * wt) div total_wt"))
+        .select("event_type", "n_class", "wt", "n_alloc")
+      val sel = ev.join(broadcast(alloc), "event_type")
+        .withColumn("rk", row_number().over(
+          w.partitionBy("event_type")
+            .orderBy(graft.olap.Sketch.spreadHash(col("event_id")),
+                     col("event_id"))))
+        .filter(col("rk") <= col("n_alloc"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_selected"),
+             sum(col("event_id")).as("id_checksum"))
+      alloc.join(sel, "event_type")
+        .select("event_type", "n_class", "wt", "n_alloc", "n_selected",
+                "id_checksum")
+        .orderBy("event_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -12772,6 +13025,266 @@ object SparkEntry {
          SELECT sel.label, cnt.n_class, sel.n_selected, sel.id_checksum
          FROM sel JOIN cnt ON cnt.label = sel.label
          ORDER BY sel.label""",
+
+    "agg_anova_f" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              g AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(c) AS BIGINT) AS sc,
+                           CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                             AS ss
+                    FROM c GROUP BY 1),
+              t AS (SELECT event_type, n, sc, ss,
+                           CAST(CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS t_g
+                    FROM g),
+              a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+                           CAST(sum(sc) AS HUGEINT) AS s_total,
+                           CAST(sum(ss) AS HUGEINT) AS ss_total,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(list_sort(list(struct_pack(
+                               event_type := event_type, t_g := t_g))),
+                               x -> x.t_g)),
+                             (a, b) -> a + b) AS t_between
+                    FROM t),
+              f AS (SELECT k, n_total,
+                           t_between - CAST(s_total * s_total AS DOUBLE)
+                             / CAST(n_total AS DOUBLE) AS ssb,
+                           CAST(ss_total AS DOUBLE) - t_between AS ssw
+                    FROM a)
+         SELECT k, n_total, ssb, ssw,
+                (ssb / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n_total - k AS DOUBLE)) AS f_stat
+         FROM f""",
+
+    "sketch_ddsketch_quantiles" -> {
+      val lg = graft.functions.FixedLog2.sql("cents")
+      s"""WITH v AS (SELECT event_type,
+                            CAST(round(value * 100, 0) AS BIGINT) AS cents
+                     FROM events
+                     WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+               l AS (SELECT event_type, cents, $lg AS lg FROM v),
+               bc AS (SELECT event_type, lg // 65536 AS bucket,
+                             count(*) AS cnt,
+                             CAST(min(cents) AS BIGINT) AS lo
+                      FROM l GROUP BY 1, 2),
+               cm AS (SELECT event_type, bucket, cnt, lo,
+                             CAST(sum(cnt) OVER (PARTITION BY event_type
+                               ORDER BY bucket) AS BIGINT) AS cum
+                      FROM bc),
+               n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+               ps AS (SELECT event_type, n,
+                             CAST(unnest([50, 90, 99]) AS BIGINT) AS p
+                      FROM n),
+               ks AS (SELECT event_type, p, (n * p + 99) // 100 AS k
+                      FROM ps),
+               est AS (SELECT c.event_type, k.p,
+                              CAST(min(c.bucket) AS BIGINT) AS bucket
+                       FROM cm c JOIN ks k
+                         ON k.event_type = c.event_type AND c.cum >= k.k
+                       GROUP BY 1, 2),
+               eb AS (SELECT e.event_type, e.p, e.bucket,
+                             CAST(b.lo AS DOUBLE) / 100.0 AS est_value
+                      FROM est e JOIN bc b
+                        ON b.event_type = e.event_type
+                       AND b.bucket = e.bucket),
+               rk AS (SELECT event_type, cents,
+                             row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents) AS rn
+                      FROM v),
+               ex AS (SELECT r.event_type, k.p,
+                             CAST(r.cents AS DOUBLE) / 100.0 AS exact_value
+                      FROM rk r JOIN ks k
+                        ON k.event_type = r.event_type AND r.rn = k.k)
+          SELECT eb.event_type, eb.p, eb.bucket, eb.est_value,
+                 ex.exact_value
+          FROM eb JOIN ex ON ex.event_type = eb.event_type
+                         AND ex.p = eb.p
+          ORDER BY 1, 2"""
+    },
+
+    "ts_page_hinkley" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(round(value * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS s,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+              x AS (SELECT event_type, d, (s * 10000) // n AS x FROM daily),
+              c AS (SELECT event_type, d, x,
+                           CAST(row_number() OVER w AS BIGINT) AS t,
+                           CAST(sum(x) OVER w AS BIGINT) AS cumx
+                    FROM x WINDOW w AS (PARTITION BY event_type
+                                        ORDER BY d)),
+              tm AS (SELECT event_type, d, x, x - cumx // t AS term FROM c),
+              mm AS (SELECT event_type, d, x,
+                            CAST(sum(term) OVER w AS BIGINT) AS m
+                     FROM tm WINDOW w AS (PARTITION BY event_type
+                                          ORDER BY d)),
+              ph AS (SELECT event_type, d, x, m,
+                            m - CAST(min(m) OVER w AS BIGINT) AS ph_inc,
+                            CAST(max(m) OVER w AS BIGINT) - m AS ph_dec
+                     FROM mm WINDOW w AS (PARTITION BY event_type
+                                          ORDER BY d))
+         SELECT event_type, d, x, m, ph_inc, ph_dec
+         FROM ph ORDER BY 1, 2""",
+
+    "ts_hurst_rs" -> {
+      val lrs = graft.functions.FixedLog2.sql("rs_num")
+      val lvar = graft.functions.FixedLog2.sql("var_num")
+      val ln = graft.functions.FixedLog2.sql("n")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                                CAST(sum(CAST(round(value * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS x
+                         FROM events GROUP BY 1, 2),
+               tt AS (SELECT event_type, x,
+                             CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY d) AS BIGINT) AS t
+                      FROM daily),
+               sc AS (SELECT event_type, x, t, n
+                      FROM tt CROSS JOIN (SELECT CAST(unnest([5, 10, 15])
+                        AS BIGINT) AS n)),
+               bl AS (SELECT event_type, x, n, (t - 1) // n AS block,
+                             ((t - 1) % n) + 1 AS i
+                      FROM sc),
+               wc AS (SELECT event_type, n, block, i, x,
+                             CAST(sum(x) OVER (PARTITION BY event_type, n,
+                               block ORDER BY i) AS BIGINT) AS cum,
+                             CAST(sum(x) OVER (PARTITION BY event_type, n,
+                               block) AS BIGINT) AS sb,
+                             CAST(sum(CAST(x AS HUGEINT) * x)
+                               OVER (PARTITION BY event_type, n, block)
+                               AS HUGEINT) AS ssb,
+                             count(*) OVER (PARTITION BY event_type, n,
+                               block) AS cnt
+                      FROM bl),
+               dvp AS (SELECT event_type, n, block,
+                              max(n * cum - i * sb)
+                                - min(n * cum - i * sb) AS rs_num,
+                              CAST(any_value(CAST(n AS HUGEINT) * ssb
+                                - CAST(sb AS HUGEINT) * sb) AS BIGINT)
+                                AS var_num
+                       FROM wc WHERE cnt = n GROUP BY 1, 2, 3),
+               dv AS (SELECT event_type, n,
+                             2 * $lrs - $lvar AS y
+                      FROM dvp WHERE rs_num > 0 AND var_num > 0),
+               ps AS (SELECT event_type, n, count(*) AS m,
+                             CAST(sum(y) AS BIGINT) AS ys, $ln AS xs
+                      FROM dv GROUP BY 1, 2),
+               pr AS (SELECT event_type, count(*) AS k,
+                             list_reduce(list_prepend(CAST(1 AS BIGINT),
+                               list(m)), (a, b) -> a * b) AS bigm
+                      FROM ps GROUP BY 1),
+               jn AS (SELECT ps.event_type, ps.m, ps.xs,
+                             ps.ys * (pr.bigm // ps.m) AS yp,
+                             pr.k, pr.bigm
+                      FROM ps JOIN pr ON pr.event_type = ps.event_type),
+               ag AS (SELECT event_type, any_value(k) AS n_scales,
+                             CAST(sum(m) AS BIGINT) AS n_blocks,
+                             any_value(bigm) AS bigm,
+                             CAST(sum(xs) AS BIGINT) AS sx,
+                             CAST(sum(CAST(xs AS HUGEINT) * xs) AS HUGEINT)
+                               AS sxx,
+                             CAST(sum(CAST(xs AS HUGEINT) * yp) AS HUGEINT)
+                               AS sxy,
+                             CAST(sum(CAST(yp AS HUGEINT)) AS HUGEINT)
+                               AS sy
+                      FROM jn GROUP BY 1)
+          SELECT event_type, n_scales, n_blocks,
+                 CAST(CAST(n_scales AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(bigm AS HUGEINT)
+                          * (CAST(n_scales AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx) AS DOUBLE)
+                   / 2.0 AS hurst
+          FROM ag ORDER BY event_type"""
+    },
+
+    "ts_sax_symbols" ->
+      """WITH ev AS (SELECT event_type, ts, event_id,
+                            CAST(round(value * 100, 0) AS BIGINT) AS cents
+                     FROM events),
+              rn AS (SELECT event_type, cents,
+                            CAST(row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS BIGINT) AS rn
+                     FROM ev),
+              fr AS (SELECT event_type, (rn - 1) // 64 AS frame,
+                            count(*) AS cnt,
+                            CAST(sum(cents) AS BIGINT) AS fsum
+                     FROM rn GROUP BY 1, 2),
+              ff AS (SELECT event_type, frame, fsum,
+                            ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY fsum, frame) AS q
+                     FROM fr WHERE cnt = 64),
+              sy AS (SELECT event_type, frame,
+                            substr('abcd', q, 1) AS sym
+                     FROM ff),
+              wd AS (SELECT event_type,
+                            sym || lead(sym, 1) OVER w
+                                || lead(sym, 2) OVER w AS word,
+                            lead(sym, 2) OVER w AS s3
+                     FROM sy WINDOW w AS (PARTITION BY event_type
+                                          ORDER BY frame)),
+              ct AS (SELECT event_type, word, count(*) AS n_frames
+                     FROM wd WHERE s3 IS NOT NULL GROUP BY 1, 2),
+              rk AS (SELECT event_type, word, n_frames,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY n_frames DESC, word) AS rk
+                     FROM ct)
+         SELECT event_type, word, n_frames
+         FROM rk WHERE rk <= 10
+         ORDER BY event_type, n_frames DESC, word""",
+
+    "sample_neyman_allocation" ->
+      """WITH ev AS (SELECT event_type, event_id,
+                            CAST(round(value * 100, 0) AS BIGINT) AS c
+                     FROM events),
+              g AS (SELECT event_type, count(*) AS n_class,
+                           CAST(sum(c) AS BIGINT) AS sc,
+                           CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                             AS ss
+                    FROM ev GROUP BY 1),
+              v AS (SELECT event_type, n_class,
+                           CAST(CAST(n_class AS HUGEINT) * ss
+                                - CAST(sc AS HUGEINT) * sc AS BIGINT)
+                             AS var_num
+                    FROM g),
+              wt AS (SELECT event_type, n_class,
+                            CAST(floor(sqrt(CAST(n_class
+                              * (var_num // (n_class - 1)) AS DOUBLE)))
+                              AS BIGINT) AS wt
+                     FROM v),
+              tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM wt),
+              alloc AS (SELECT event_type, n_class, wt,
+                               (1000 * wt) // total_wt AS n_alloc
+                        FROM wt CROSS JOIN tot),
+              f AS (SELECT event_type, event_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          string_split(CAST(event_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM ev),
+              m1 AS (SELECT event_type, event_id,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT event_type, event_id, (h1 * h1) % 2147483647
+                       AS h2 FROM m1),
+              hh AS (SELECT event_type, event_id,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              rk AS (SELECT event_type, event_id,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY hv, event_id) AS rk
+                     FROM hh),
+              sel AS (SELECT r.event_type, count(*) AS n_selected,
+                             CAST(sum(r.event_id) AS BIGINT) AS id_checksum
+                      FROM rk r JOIN alloc a
+                        ON a.event_type = r.event_type
+                       AND r.rk <= a.n_alloc
+                      GROUP BY 1)
+         SELECT a.event_type, a.n_class, a.wt, a.n_alloc,
+                s.n_selected, s.id_checksum
+         FROM alloc a JOIN sel s ON s.event_type = a.event_type
+         ORDER BY a.event_type""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 statistics/mining batch: ANOVA F, DDSketch-style relative-error
+  * quantiles, Page–Hinkley drift, Hurst R/S, SAX motifs, Neyman
+  * allocation — each pinned against an independent local brute-force
+  * replay (bitwise where the query's portability contract promises it),
+  * not just the DuckDB oracle.
+  */
+class StatsMiningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // (type, ts-micros for ordering, event_id, cents, session-TZ date string)
+  // — the date comes from Spark itself so the replay can't drift from the
+  // session timezone the queries group by.
+  private lazy val events: Seq[(String, Long, Long, Long, String)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), graft.olap.Exact.cents(col("value")).as("c"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+
+  test("anova f: bitwise replay of the fixed-fold moment chain") {
+    val row = SparkEntry.queries("agg_anova_f")(spark, sfDir).collect().head
+    val groups = events.groupBy(_._1).toSeq.sortBy(_._1)
+    val moments = groups.map { case (et, rows) =>
+      val cs = rows.map(_._4)
+      (et, cs.size.toLong, cs.sum, cs.map(c => BigInt(c) * c).sum)
+    }
+    val k = moments.size.toLong
+    val n = moments.map(_._2).sum
+    val sTot = moments.map(c => BigInt(c._3)).sum
+    val ssTot = moments.map(_._4).sum
+    // fixed event_type fold order, one IEEE division per group
+    val tBetween = moments.map { case (_, ng, sg, _) =>
+      (BigInt(sg) * sg).toDouble / ng.toDouble
+    }.foldLeft(0.0)(_ + _)
+    val ssb = tBetween - (sTot * sTot).toDouble / n.toDouble
+    val ssw = ssTot.toDouble - tBetween
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    assert(row.getAs[Long]("k") == k && row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Double]("ssb") == ssb)
+    assert(row.getAs[Double]("ssw") == ssw)
+    assert(row.getAs[Double]("f_stat") == f)
+    assert(f > 0.0)
+  }
+
+  test("ddsketch quantiles: est <= exact within one gamma bucket") {
+    val rows = SparkEntry.queries("sketch_ddsketch_quantiles")(spark, sfDir)
+      .collect()
+    // 3 percentiles x every type present
+    val types = events.map(_._1).distinct.size
+    assert(rows.length == 3 * types)
+    val gamma = math.pow(2.0, 1.0 / 16.0)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_value")
+      val exact = r.getAs[Double]("exact_value")
+      // estimate is the bucket's observed min; the exact quantile sits in
+      // the same log-bucket, so est <= exact < est * gamma (+lattice slack)
+      assert(est <= exact)
+      assert(exact / est <= gamma * 1.0001,
+        s"relative error above the gamma band: $est vs $exact")
+    }
+  }
+
+  test("page-hinkley: bitwise replay of the integer drift recurrence") {
+    val out = SparkEntry.queries("ts_page_hinkley")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val daily = events.groupBy(e => (e._1, e._5))
+      .map { case ((et, d), rows) =>
+        (et, d, rows.map(_._4).sum, rows.size.toLong) }
+      .toSeq
+    daily.groupBy(_._1).foreach { case (et, days) =>
+      // m starts at 0 and the first PH term is always 0, so min/max seed 0
+      var cum = 0L; var m = 0L; var mn = 0L; var mx = 0L; var t = 0L
+      days.sortBy(_._2).foreach { case (_, d, s, n) =>
+        val x = (s * 10000L) / n
+        t += 1; cum += x
+        m += x - cum / t
+        mn = math.min(mn, m); mx = math.max(mx, m)
+        assert(out((et, d)) == ((x, m, m - mn, mx - m)), s"$et $d")
+      }
+    }
+  }
+
+  test("hurst r/s: bitwise replay via the shared FixedLog2 lattice") {
+    val out = SparkEntry.queries("ts_hurst_rs")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val daily = events.groupBy(e => (e._1, e._5))
+      .map { case ((et, d), rows) => (et, d, rows.map(_._4).sum) }
+      .toSeq
+    daily.groupBy(_._1).foreach { case (et, days) =>
+      val xs = days.sortBy(_._2).map(_._3).toArray
+      val perScale = Seq(5, 10, 15).flatMap { n =>
+        val ys = xs.grouped(n).filter(_.length == n).flatMap { b =>
+          val sb = b.sum
+          val ssb = b.map(x => BigInt(x) * x).sum
+          val devs = b.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+            case (cum, i0) => n * cum - (i0 + 1).toLong * sb }
+          val rs = devs.max - devs.min
+          val vn = (BigInt(n) * ssb - BigInt(sb) * sb).toLong
+          if (rs > 0 && vn > 0)
+            Some(2 * graft.functions.FixedLog2.log2fp(rs) -
+              graft.functions.FixedLog2.log2fp(vn))
+          else None
+        }.toSeq
+        if (ys.isEmpty) None
+        else Some((graft.functions.FixedLog2.log2fp(n.toLong),
+          ys.size.toLong, ys.sum))
+      }
+      val k = perScale.size.toLong
+      val bigm = perScale.map(_._2).product
+      val yp = perScale.map { case (x, m, y) => (x, y * (bigm / m)) }
+      val sx = yp.map(s => BigInt(s._1)).sum
+      val sxx = yp.map(s => BigInt(s._1) * s._1).sum
+      val sxy = yp.map(s => BigInt(s._1) * s._2).sum
+      val sy = yp.map(s => BigInt(s._2)).sum
+      val hurst = (BigInt(k) * sxy - sx * sy).toDouble /
+        (BigInt(bigm) * (BigInt(k) * sxx - sx * sx)).toDouble / 2.0
+      val (gotK, gotB, gotH) = out(et)
+      assert(gotK == k && gotB == perScale.map(_._2).sum)
+      assert(gotH == hurst, s"$et hurst $gotH vs $hurst")
+    }
+  }
+
+  test("sax motifs: bitwise replay incl. ntile quartile boundaries") {
+    val out = SparkEntry.queries("ts_sax_symbols")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    events.groupBy(_._1).foreach { case (et, rows) =>
+      val ordered = rows.sortBy(e => (e._2, e._3)).map(_._4)
+      val frames = ordered.grouped(64).zipWithIndex
+        .filter(_._1.length == 64)
+        .map { case (b, i) => (i.toLong, b.sum) }.toSeq
+      if (frames.nonEmpty) {
+        // ntile(4): first (m mod 4) buckets get (m div 4 + 1) rows
+        val m = frames.size
+        val sorted = frames.sortBy(f => (f._2, f._1))
+        val q = sorted.zipWithIndex.map { case ((frame, _), idx) =>
+          val base = m / 4; val rem = m % 4
+          val bucket =
+            if (idx < (base + 1) * rem) idx / (base + 1)
+            else if (base == 0) rem - 1 // fewer rows than tiles
+            else rem + (idx - (base + 1) * rem) / base
+          frame -> ('a' + bucket).toChar
+        }.toMap
+        val syms = frames.sortBy(_._1).map(f => q(f._1))
+        val words = syms.sliding(3).filter(_.size == 3).map(_.mkString)
+          .toSeq
+        val top = words.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+        val got = out.filter(_._1 == et).map(r => (r._2, r._3))
+        assert(got.toSet == top.toSet, s"$et: $got vs $top")
+      }
+    }
+  }
+
+  test("neyman allocation: weights replay; selection honors allocation") {
+    val rows = SparkEntry.queries("sample_neyman_allocation")(spark, sfDir)
+      .collect()
+    val byType = events.groupBy(_._1)
+    var totalAlloc = 0L
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val cs = byType(et).map(_._4)
+      val n = cs.size.toLong
+      val sc = cs.sum
+      val ss = cs.map(c => BigInt(c) * c).sum
+      val varNum = (BigInt(n) * ss - BigInt(sc) * sc).toLong
+      val wt = math.floor(math.sqrt((n * (varNum / (n - 1))).toDouble))
+        .toLong
+      assert(r.getAs[Long]("n_class") == n)
+      assert(r.getAs[Long]("wt") == wt, s"$et weight")
+      // raw Neyman allocation can exceed a small stratum; the rank
+      // selection then takes the whole stratum (census for that stratum)
+      assert(r.getAs[Long]("n_selected") ==
+        math.min(r.getAs[Long]("n_alloc"), n))
+      totalAlloc += r.getAs[Long]("n_alloc")
+    }
+    // floor allocation never exceeds the budget
+    assert(totalAlloc <= 1000 && totalAlloc > 0)
+  }
+}
