@@ -134,6 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_time_to_convert",
       // 1-row per-round max-score scalar into each HITS renormalize
       "graph_hits",
+      // 1-row total-weight scalar joined into the allocation projection
+      "sample_neyman_allocation",
       // 1-row confusion-census scalar combines
       "dedup_lsh_quality",
       // 1-row Zipf-slope scalar joined into the spectrum rows
