@@ -6877,6 +6877,122 @@ object SparkEntry {
                 "id_checksum")
         .orderBy("event_type")
     }),
+
+    // Multi-probe hyperplane LSH top-k: the recall dial that does NOT
+    // rebuild the index — each query probes its own bucket plus the 8
+    // Hamming-1 neighbors (flip each sign bit), so candidates come from 9
+    // keyed bucket lookups instead of a corpus scan. A vector lives in
+    // exactly one bucket and probes are distinct, so no candidate dedup
+    // shuffle is needed; exact cosine verifies (fixed-fold dot — the
+    // sim_bruteforce_topk chain) and ranks. At 100 TB the corpus is
+    // bucket-partitioned at ingest and each probe is a partition-pruned
+    // read.
+    "sim_lsh_multiprobe" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val b = graft.similarity.HyperplaneLsh
+        .withBuckets(Tables.embeddings(s, dir), nPlanes = 8, dim = 64)
+        .tracked // corpus side + query side read it
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+                col("embedding").as("emb_q"))
+        .withColumn("probe", explode(array(
+          col("qb") +: (0 until 8).map(i =>
+            col("qb").bitwiseXOR(lit(1L << i))): _*)))
+        .drop("qb")
+      b.select(col("vec_id"), col("bucket").as("probe"),
+               col("embedding").as("emb_c"))
+        .join(broadcast(q), "probe")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          graft.functions.VecOps.cosine(col("emb_q"), col("emb_c")))
+        .withColumn("rank", row_number().over(
+          w.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Brown–Forsythe (median-based Levene) variance-equality test across
+    // event types — the heteroscedasticity gate that decides whether
+    // agg_anova_f's pooled-variance assumption holds. The per-type median
+    // stays exact as 2·median = the two middle order statistics (rank
+    // picks via conditional sums — no DOUBLE percentile); spreads
+    // z = |2c − 2·median| are exact BIGINTs; then the same fixed-fold
+    // one-way-F chain as agg_anova_f runs on z. Two scans of the cents
+    // frame (rank pick + spread moments), both keyed by type.
+    "agg_levene_bf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+        .tracked // median ranks + spread moments read it
+      val med2 = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("c")).cast("long"))
+        .withColumn("n", count(lit(1)).over(w.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col("c"))
+                .otherwise(0L))
+              + sum(when(col("rn") === expr("(n + 2) div 2"), col("c"))
+                .otherwise(0L))).as("m2"))
+      val g = v.join(broadcast(med2), "event_type")
+        .withColumn("z", abs(col("c") * 2 - col("m2")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("z").as("sz"),
+             sum(dec(col("z")) * dec(col("z"))).as("szz"))
+        .withColumn("t_g", (dec(col("sz")) * dec(col("sz"))).cast("double")
+          / col("n").cast("double"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+            sum(dec(col("sz"))).as("s_total"), sum(col("szz")).as("ss_total"),
+            aggregate(sort_array(collect_list(
+                struct(col("event_type"), col("t_g")))),
+              lit(0.0), (a, x) => a + x.getField("t_g")).as("t_between"))
+        .withColumn("ssb", col("t_between")
+          - (col("s_total") * col("s_total")).cast("double")
+            / col("n_total").cast("double"))
+        .withColumn("ssw", col("ss_total").cast("double") - col("t_between"))
+        .select(col("k"), col("n_total"),
+          ((col("ssb") / (col("k") - 1).cast("double"))
+            / (col("ssw") / (col("n_total") - col("k")).cast("double")))
+            .as("w_stat"))
+    }),
+
+    // STL-lite decomposition of each type's daily series into
+    // trend + day-of-week seasonal + remainder — the decomposition a
+    // metric pipeline runs before anomaly rules. Entirely on the integer
+    // lattice: trend is the centered 7-day SUM (trend×7, full windows
+    // only), detrended = 7·x − trend7, the seasonal index is the exact
+    // floor-divided per-(type, dow) mean of detrended (the explicit
+    // make-divisible floor-div portable on both engines), remainder
+    // closes the identity det7 = seasonal + remainder exactly. Events
+    // reduce to day cells first; windows are type-keyed over day-counted
+    // rows; the 35-row seasonal index broadcasts back.
+    "ts_stl_decompose" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val byT = w.partitionBy("event_type").orderBy("t")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .withColumn("t", row_number().over(
+          w.partitionBy("event_type").orderBy("d")).cast("long"))
+        .withColumn("dow", (weekday(col("d")) + 1).cast("long"))
+      val tr = daily
+        .withColumn("trend7", sum("x").over(byT.rowsBetween(-3, 3)))
+        .withColumn("cnt7", count(lit(1)).over(byT.rowsBetween(-3, 3)))
+        .filter(col("cnt7") === 7)
+        .withColumn("det7", col("x") * 7 - col("trend7"))
+      val seas = tr.groupBy("event_type", "dow")
+        .agg(sum("det7").as("s_num"), count(lit(1)).as("s_cnt"))
+        .withColumn("seasonal", expr(
+          "(s_num - ((s_num % s_cnt) + s_cnt) % s_cnt) div s_cnt"))
+        .select("event_type", "dow", "seasonal")
+      tr.join(broadcast(seas), Seq("event_type", "dow"))
+        .withColumn("resid", col("det7") - col("seasonal"))
+        .select("event_type", "d", "x", "trend7", "det7", "seasonal",
+                "resid")
+        .orderBy("event_type", "d")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -13285,6 +13401,119 @@ object SparkEntry {
                 s.n_selected, s.id_checksum
          FROM alloc a JOIN sel s ON s.event_type = a.event_type
          ORDER BY a.event_type""",
+
+    "sim_lsh_multiprobe" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(8, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+        s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      val probes = ("qb" +: (0 until 8).map(i => s"xor(qb, ${1L << i})"))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding,
+                            CAST($bits AS BIGINT) AS bucket
+                     FROM embeddings),
+              q AS (SELECT vec_id AS query_id, bucket AS qb,
+                           embedding AS emb_q
+                    FROM b WHERE vec_id < 10),
+              pr AS (SELECT query_id, emb_q,
+                            unnest($probes) AS probe
+                     FROM q),
+              cand AS (SELECT p.query_id, c.vec_id,
+                              ${duckDot("p.emb_q", "c.embedding")}
+                                / (sqrt(${duckDot("p.emb_q", "p.emb_q")})
+                                   * sqrt(${duckDot("c.embedding",
+                                                    "c.embedding")}))
+                                AS cosine
+                       FROM b c JOIN pr p ON c.bucket = p.probe
+                       WHERE c.vec_id <> p.query_id),
+              rk AS (SELECT query_id, vec_id, cosine,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS INT)
+                              AS rank
+                     FROM cand)
+          SELECT query_id, rank, vec_id, cosine FROM rk
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    "agg_levene_bf" ->
+      """WITH v AS (SELECT event_type,
+                           CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              r AS (SELECT event_type, c,
+                           CAST(row_number() OVER (PARTITION BY event_type
+                             ORDER BY c) AS BIGINT) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM v),
+              md AS (SELECT event_type,
+                            CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c
+                                          ELSE 0 END)
+                              + sum(CASE WHEN rn = (n + 2) // 2 THEN c
+                                         ELSE 0 END) AS BIGINT) AS m2
+                     FROM r GROUP BY 1),
+              z AS (SELECT v.event_type, abs(v.c * 2 - md.m2) AS z
+                    FROM v JOIN md ON md.event_type = v.event_type),
+              g AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(z) AS BIGINT) AS sz,
+                           CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT)
+                             AS szz
+                    FROM z GROUP BY 1),
+              t AS (SELECT event_type, n, sz, szz,
+                           CAST(CAST(sz AS HUGEINT) * sz AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS t_g
+                    FROM g),
+              a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+                           CAST(sum(sz) AS HUGEINT) AS s_total,
+                           CAST(sum(szz) AS HUGEINT) AS ss_total,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(list_sort(list(struct_pack(
+                               event_type := event_type, t_g := t_g))),
+                               x -> x.t_g)),
+                             (a, b) -> a + b) AS t_between
+                    FROM t),
+              f AS (SELECT k, n_total,
+                           t_between - CAST(s_total * s_total AS DOUBLE)
+                             / CAST(n_total AS DOUBLE) AS ssb,
+                           CAST(ss_total AS DOUBLE) - t_between AS ssw
+                    FROM a)
+         SELECT k, n_total,
+                (ssb / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n_total - k AS DOUBLE)) AS w_stat
+         FROM f""",
+
+    "ts_stl_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(round(value * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+              tt AS (SELECT event_type, d, x,
+                            CAST(isodow(d) AS BIGINT) AS dow,
+                            CAST(row_number() OVER (PARTITION BY event_type
+                              ORDER BY d) AS BIGINT) AS t
+                     FROM daily),
+              tr AS (SELECT event_type, d, x, dow,
+                            CAST(sum(x) OVER w AS BIGINT) AS trend7,
+                            count(*) OVER w AS cnt7
+                     FROM tt WINDOW w AS (PARTITION BY event_type
+                       ORDER BY t ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING)),
+              dt AS (SELECT event_type, d, x, dow, trend7,
+                            x * 7 - trend7 AS det7
+                     FROM tr WHERE cnt7 = 7),
+              se AS (SELECT event_type, dow,
+                            CAST(sum(det7) AS BIGINT) AS s_num,
+                            count(*) AS s_cnt
+                     FROM dt GROUP BY 1, 2),
+              si AS (SELECT event_type, dow,
+                            (s_num - ((s_num % s_cnt) + s_cnt) % s_cnt)
+                              // s_cnt AS seasonal
+                     FROM se)
+         SELECT dt.event_type, dt.d, dt.x, dt.trend7, dt.det7,
+                si.seasonal, dt.det7 - si.seasonal AS resid
+         FROM dt JOIN si ON si.event_type = dt.event_type
+                        AND si.dow = dt.dow
+         ORDER BY dt.event_type, dt.d""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -33,12 +33,19 @@ object HyperplaneLsh {
     * bucketed at ingest) by this key, making near-dup search a per-bucket
     * local problem.
     */
-  def buckets(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+  def buckets(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame =
+    withBuckets(vectors, nPlanes, dim).select("vec_id", "bucket")
+
+  /** (vec_id, embedding, bucket) — the signature projection keeping the
+    * vector alongside, for callers that verify candidates with the exact
+    * metric (near-dup pairs, multi-probe search).
+    */
+  def withBuckets(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
     val sig = planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
       when(VecOps.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    vectors.select(col("vec_id"), sig.as("bucket"))
+    vectors.select(col("vec_id"), col("embedding"), sig.as("bucket"))
   }
 
   /** Prune-then-verify near-dup search: candidate pairs share a bucket
@@ -48,12 +55,7 @@ object HyperplaneLsh {
     */
   def nearDupPairs(vectors: DataFrame, nPlanes: Int, dim: Int,
                    minCosine: Double): DataFrame = {
-    val sig = planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
-      when(VecOps.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    val b = vectors.select(col("vec_id"), col("embedding"),
-                           sig.as("bucket"))
+    val b = withBuckets(vectors, nPlanes, dim)
     b.select(col("bucket"), col("vec_id").as("vec_a"),
              col("embedding").as("emb_a"))
       .join(b.select(col("bucket"), col("vec_id").as("vec_b"),

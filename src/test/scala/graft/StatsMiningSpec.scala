@@ -186,4 +186,99 @@ class StatsMiningSpec extends AnyFunSuite {
     // floor allocation never exceeds the budget
     assert(totalAlloc <= 1000 && totalAlloc > 0)
   }
+
+  test("multiprobe lsh: beats exact-bucket recall; results share a probe") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val planes = graft.similarity.HyperplaneLsh.planes(8, 64)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (dot(v, p) > 0) 1L << i else 0L }.sum
+    val buckets = vecs.map { case (id, v) => id -> bucket(v) }
+    val out = SparkEntry.queries("sim_lsh_multiprobe")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (query, neighbor)
+    val queries = vecs.keys.filter(_ < 10).toSeq
+    out.foreach { case (q, v) =>
+      val probes = buckets(q) +: (0 until 8).map(i =>
+        buckets(q) ^ (1L << i))
+      assert(probes.contains(buckets(v)), s"$v not in $q's probe set")
+    }
+    // multi-probe recall@5 vs brute-force dominates exact-bucket recall
+    def top5(cands: Iterable[Long], q: Long): Set[Long] =
+      cands.filter(_ != q).toSeq
+        .sortBy(v => (-cos(vecs(q), vecs(v)), v)).take(5).toSet
+    var multiHit = 0; var exactHit = 0
+    queries.foreach { q =>
+      val truth = top5(vecs.keys, q)
+      val probes = (buckets(q) +: (0 until 8).map(i =>
+        buckets(q) ^ (1L << i))).toSet
+      val multi = top5(vecs.keys.filter(v => probes(buckets(v))), q)
+      val exact = top5(vecs.keys.filter(v => buckets(v) == buckets(q)), q)
+      multiHit += (truth & multi).size
+      exactHit += (truth & exact).size
+      // the query's emitted set IS the local multi-probe top-5
+      assert(out.filter(_._1 == q).map(_._2).toSet == multi)
+    }
+    assert(multiHit >= exactHit)
+  }
+
+  test("levene/brown-forsythe: bitwise replay incl. exact 2-median") {
+    val row = SparkEntry.queries("agg_levene_bf")(spark, sfDir)
+      .collect().head
+    val groups = events.groupBy(_._1).toSeq.sortBy(_._1)
+    val zs = groups.map { case (et, rows) =>
+      val cs = rows.map(_._4).sorted
+      val n = cs.size
+      val m2 = cs((n + 1) / 2 - 1) + cs((n + 2) / 2 - 1)
+      (et, rows.map(r => math.abs(r._4 * 2 - m2)))
+    }
+    val moments = zs.map { case (et, z) =>
+      (et, z.size.toLong, z.sum, z.map(v => BigInt(v) * v).sum) }
+    val k = moments.size.toLong
+    val n = moments.map(_._2).sum
+    val sTot = moments.map(m => BigInt(m._3)).sum
+    val ssTot = moments.map(_._4).sum
+    val tBetween = moments.map { case (_, ng, sg, _) =>
+      (BigInt(sg) * sg).toDouble / ng.toDouble }.foldLeft(0.0)(_ + _)
+    val ssb = tBetween - (sTot * sTot).toDouble / n.toDouble
+    val ssw = ssTot.toDouble - tBetween
+    val wStat = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    assert(row.getAs[Long]("k") == k && row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Double]("w_stat") == wStat)
+  }
+
+  test("stl decompose: identity det7 = seasonal + resid; trend replay") {
+    val rows = SparkEntry.queries("ts_stl_decompose")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("det7") ==
+        r.getAs[Long]("seasonal") + r.getAs[Long]("resid"))
+      assert(r.getAs[Long]("det7") ==
+        r.getAs[Long]("x") * 7 - r.getAs[Long]("trend7"))
+    }
+    // trend7 replay: centered 7-day sum over the daily series
+    val daily = events.groupBy(e => (e._1, e._5))
+      .map { case ((et, d), rs) => (et, d, rs.map(_._4).sum) }
+      .toSeq.groupBy(_._1)
+    val got = rows.map(r => (r.getString(0), r.getDate(1).toString) ->
+      r.getAs[Long]("trend7")).toMap
+    daily.foreach { case (et, days) =>
+      val xs = days.sortBy(_._2)
+      xs.indices.drop(3).dropRight(3).foreach { i =>
+        val tr = (i - 3 to i + 3).map(j => xs(j)._3).sum
+        assert(got((et, xs(i)._2)) == tr)
+      }
+      // exactly the interior rows are emitted
+      assert(got.keys.count(_._1 == et) == math.max(0, xs.size - 6))
+    }
+  }
 }
