@@ -6993,6 +6993,113 @@ object SparkEntry {
                 "resid")
         .orderBy("event_type", "d")
     }),
+
+    // CUPED variance reduction — the experimentation-platform adjustment:
+    // split users into pseudo-arms by the seedless spread hash, use each
+    // user's first-half-of-window mean value as the pre-period covariate,
+    // and report the hash-arm difference raw vs CUPED-adjusted
+    // (diff − θ·covariate-diff) plus θ and ρ² (the variance fraction the
+    // covariate removes). Per-user means live on the ·10⁴ floor-div
+    // lattice; θ and ρ² come from exact DECIMAL(38,0) cross-moments with
+    // one IEEE division each. One partial-agg pass to user cells, one to
+    // arm/global moments; the window-midpoint scalar is a 1-row
+    // broadcast.
+    "agg_cuped_adjustment" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("dt"),
+                Exact.cents(col("value")).as("c"))
+        .tracked // midpoint scalar + user cells read it
+      val mid = ev.agg(date_add(min(col("dt")), 15).as("mid_d"))
+      val users = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("dt") < col("mid_d"), col("c"))).as("sx"),
+             sum(when(col("dt") < col("mid_d"), 1L)).as("nx"),
+             sum(when(col("dt") >= col("mid_d"), col("c"))).as("sy"),
+             sum(when(col("dt") >= col("mid_d"), 1L)).as("ny"))
+        .filter(col("nx").isNotNull && col("ny").isNotNull)
+        .withColumn("x", expr("(sx * 10000) div nx"))
+        .withColumn("y", expr("(sy * 10000) div ny"))
+        .withColumn("arm",
+          pmod(graft.olap.Sketch.spreadHash(col("user_id")), lit(2)))
+        .select("user_id", "arm", "x", "y")
+        .tracked // pooled moments + per-arm means read it
+      val pooled = users.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"))
+        .withColumn("theta",
+          (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .cast("double")
+          / (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .cast("double"))
+        .withColumn("rho2",
+          ((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+             .cast("double")
+           * (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+             .cast("double"))
+          / ((dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+               .cast("double")
+             * (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+               .cast("double")))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("na"), sum("x").as("sxa"), sum("y").as("sya"))
+      val a0 = arms.filter(col("arm") === 0)
+        .select(col("na").as("n_a"), col("sxa").as("sx_a"),
+                col("sya").as("sy_a"))
+      val a1 = arms.filter(col("arm") === 1)
+        .select(col("na").as("n_b"), col("sxa").as("sx_b"),
+                col("sya").as("sy_b"))
+      a0.crossJoin(a1).crossJoin(broadcast(pooled))
+        .withColumn("diff_raw",
+          d(col("sy_a")) / d(col("n_a")) - d(col("sy_b")) / d(col("n_b")))
+        .withColumn("diff_x",
+          d(col("sx_a")) / d(col("n_a")) - d(col("sx_b")) / d(col("n_b")))
+        .select(col("n_a"), col("n_b"),
+          (col("diff_raw") / lit(10000.0) / lit(100.0)).as("diff_raw"),
+          ((col("diff_raw") - col("theta") * col("diff_x"))
+            / lit(10000.0) / lit(100.0)).as("diff_cuped"),
+          col("theta"), col("rho2"))
+    }),
+
+    // Delta-method standard error of a ratio metric (value per event)
+    // under user-level clustering — the correct SE every experimentation
+    // platform needs because events within a user correlate: naive
+    // per-event SE is anticonservative. Per-user totals (x = events,
+    // y = cents) are exact integers from one partial-agg pass;
+    // R = ȳ/x̄ and Var(R) ≈ (Var(y) − 2R·Cov + R²·Var(x))/(n·x̄²) use
+    // exact DECIMAL(38,0) moments with a FIXED IEEE chain (each moment
+    // one division, combined once). Output in dollars per event.
+    "agg_ratio_delta_se" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("x"), sum(Exact.cents(col("value"))).as("y"))
+      u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("y")) * dec(col("y"))).as("syy"))
+        .withColumn("xbar", d(col("sx")) / d(col("n")))
+        .withColumn("r", d(col("sy")) / d(col("sx")))
+        .withColumn("var_x",
+          (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .cast("double") / d(col("n") * (col("n") - 1)))
+        .withColumn("var_y",
+          (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+            .cast("double") / d(col("n") * (col("n") - 1)))
+        .withColumn("cov_xy",
+          (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .cast("double") / d(col("n") * (col("n") - 1)))
+        .select(col("n").as("n_users"),
+          (col("r") / lit(100.0)).as("ratio"),
+          (sqrt((col("var_y") - lit(2.0) * col("r") * col("cov_xy")
+                 + col("r") * col("r") * col("var_x"))
+                / (d(col("n")) * col("xbar") * col("xbar")))
+            / lit(100.0)).as("se_delta"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -13514,6 +13621,117 @@ object SparkEntry {
          FROM dt JOIN si ON si.event_type = dt.event_type
                         AND si.dow = dt.dow
          ORDER BY dt.event_type, dt.d""",
+
+    "agg_cuped_adjustment" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt,
+                            CAST(round(value * 100, 0) AS BIGINT) AS c
+                     FROM events),
+              mid AS (SELECT min(dt) + 15 AS mid_d FROM ev),
+              uu AS (SELECT user_id,
+                            CAST(sum(CASE WHEN dt < mid_d THEN c END)
+                              AS BIGINT) AS sx,
+                            CAST(sum(CASE WHEN dt < mid_d THEN 1 END)
+                              AS BIGINT) AS nx,
+                            CAST(sum(CASE WHEN dt >= mid_d THEN c END)
+                              AS BIGINT) AS sy,
+                            CAST(sum(CASE WHEN dt >= mid_d THEN 1 END)
+                              AS BIGINT) AS ny
+                     FROM ev CROSS JOIN mid GROUP BY 1),
+              ux AS (SELECT user_id, (sx * 10000) // nx AS x,
+                            (sy * 10000) // ny AS y
+                     FROM uu
+                     WHERE nx IS NOT NULL AND ny IS NOT NULL),
+              f AS (SELECT user_id, x, y,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          string_split(CAST(user_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM ux),
+              m1 AS (SELECT user_id, x, y,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT user_id, x, y, (h1 * h1) % 2147483647 AS h2
+                     FROM m1),
+              ar AS (SELECT user_id, x, y,
+                       ((h2 * 69069 + 362437) % 2147483647) % 2 AS arm
+                     FROM m2),
+              po AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                            CAST(sum(y) AS BIGINT) AS sy,
+                            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                              AS sxx,
+                            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                              AS sxy,
+                            CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT)
+                              AS syy
+                     FROM ar),
+              th AS (SELECT n,
+                            CAST(CAST(n AS HUGEINT) * sxy
+                                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                              / CAST(CAST(n AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                              AS theta,
+                            (CAST(CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                             * CAST(CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+                              / (CAST(CAST(n AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                                 * CAST(CAST(n AS HUGEINT) * syy
+                                   - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                              AS rho2
+                     FROM po),
+              am AS (SELECT arm, count(*) AS na,
+                            CAST(sum(x) AS BIGINT) AS sxa,
+                            CAST(sum(y) AS BIGINT) AS sya
+                     FROM ar GROUP BY 1),
+              ab AS (SELECT a0.na AS n_a, a1.na AS n_b,
+                            CAST(a0.sya AS DOUBLE) / CAST(a0.na AS DOUBLE)
+                              - CAST(a1.sya AS DOUBLE)
+                                / CAST(a1.na AS DOUBLE) AS diff_raw,
+                            CAST(a0.sxa AS DOUBLE) / CAST(a0.na AS DOUBLE)
+                              - CAST(a1.sxa AS DOUBLE)
+                                / CAST(a1.na AS DOUBLE) AS diff_x
+                     FROM (SELECT * FROM am WHERE arm = 0) a0
+                     CROSS JOIN (SELECT * FROM am WHERE arm = 1) a1)
+         SELECT ab.n_a, ab.n_b,
+                ab.diff_raw / 10000.0 / 100.0 AS diff_raw,
+                (ab.diff_raw - th.theta * ab.diff_x) / 10000.0 / 100.0
+                  AS diff_cuped,
+                th.theta, th.rho2
+         FROM ab CROSS JOIN th""",
+
+    "agg_ratio_delta_se" ->
+      """WITH u AS (SELECT user_id, count(*) AS x,
+                           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+              po AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                            CAST(sum(y) AS BIGINT) AS sy,
+                            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                              AS sxx,
+                            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                              AS sxy,
+                            CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT)
+                              AS syy
+                     FROM u),
+              m AS (SELECT n,
+                           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                           CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+                           CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE) AS var_x,
+                           CAST(CAST(n AS HUGEINT) * syy
+                                - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE) AS var_y,
+                           CAST(CAST(n AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE) AS cov_xy
+                    FROM po)
+         SELECT n AS n_users, r / 100.0 AS ratio,
+                sqrt((var_y - 2.0 * r * cov_xy + r * r * var_x)
+                     / (CAST(n AS DOUBLE) * xbar * xbar)) / 100.0
+                  AS se_delta
+         FROM m""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

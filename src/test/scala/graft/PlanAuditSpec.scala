@@ -136,6 +136,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_hits",
       // 1-row total-weight scalar joined into the allocation projection
       "sample_neyman_allocation",
+      // 1-row window-midpoint scalar + 1-row arm/pooled-moment combines
+      "agg_cuped_adjustment",
       // 1-row confusion-census scalar combines
       "dedup_lsh_quality",
       // 1-row Zipf-slope scalar joined into the spectrum rows

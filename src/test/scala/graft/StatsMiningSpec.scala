@@ -13,17 +13,18 @@ class StatsMiningSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  // (type, ts-micros for ordering, event_id, cents, session-TZ date string)
-  // — the date comes from Spark itself so the replay can't drift from the
-  // session timezone the queries group by.
-  private lazy val events: Seq[(String, Long, Long, Long, String)] =
+  // (type, ts-micros for ordering, event_id, cents, session-TZ date
+  // string, user_id) — the date comes from Spark itself so the replay
+  // can't drift from the session timezone the queries group by.
+  private lazy val events: Seq[(String, Long, Long, Long, String, Long)] =
     Tables.events(spark, sfDir)
       .select(col("event_type"), unix_micros(col("ts")).as("tsl"),
         col("event_id"), graft.olap.Exact.cents(col("value")).as("c"),
-        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"),
+        col("user_id"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getString(4))).toSeq
+        r.getLong(3), r.getString(4), r.getLong(5))).toSeq
 
   test("anova f: bitwise replay of the fixed-fold moment chain") {
     val row = SparkEntry.queries("agg_anova_f")(spark, sfDir).collect().head
@@ -254,6 +255,71 @@ class StatsMiningSpec extends AnyFunSuite {
     val wStat = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
     assert(row.getAs[Long]("k") == k && row.getAs[Long]("n_total") == n)
     assert(row.getAs[Double]("w_stat") == wStat)
+  }
+
+  test("cuped: bitwise theta/rho2 replay; arms partition the users") {
+    val row = SparkEntry.queries("agg_cuped_adjustment")(spark, sfDir)
+      .collect().head
+    def spread(id: Long): Long = {
+      val h0 = id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt)
+        % 2147483647L)
+      val h1 = (h0 * 1103515245L + 12345L) % 2147483647L
+      val h2 = (h1 * h1) % 2147483647L
+      (h2 * 69069L + 362437L) % 2147483647L
+    }
+    val minD = events.map(_._5).min
+    val midD = java.time.LocalDate.parse(minD).plusDays(15).toString
+    val users = events.groupBy(_._6).flatMap { case (uid, rows) =>
+      val pre = rows.filter(_._5 < midD).map(_._4)
+      val post = rows.filter(_._5 >= midD).map(_._4)
+      if (pre.nonEmpty && post.nonEmpty)
+        Some((uid, spread(uid) % 2,
+          pre.sum * 10000L / pre.size, post.sum * 10000L / post.size))
+      else None
+    }.toSeq
+    val n = users.size.toLong
+    def mom(f: ((Long, Long, Long, Long)) => (Long, Long)) =
+      users.map { u => val (a, b) = f(u); BigInt(a) * b }.sum
+    val (sx, sy) = (users.map(u => BigInt(u._3)).sum,
+      users.map(u => BigInt(u._4)).sum)
+    val sxx = mom(u => (u._3, u._3)); val sxy = mom(u => (u._3, u._4))
+    val syy = mom(u => (u._4, u._4))
+    val num = BigInt(n) * sxy - sx * sy
+    val theta = num.toDouble / (BigInt(n) * sxx - sx * sx).toDouble
+    val rho2 = (num.toDouble * num.toDouble) /
+      ((BigInt(n) * sxx - sx * sx).toDouble *
+       (BigInt(n) * syy - sy * sy).toDouble)
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") == n)
+    assert(row.getAs[Double]("theta") == theta)
+    assert(row.getAs[Double]("rho2") == rho2)
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+  }
+
+  test("ratio delta se: bitwise moment-chain replay; se positive") {
+    val row = SparkEntry.queries("agg_ratio_delta_se")(spark, sfDir)
+      .collect().head
+    // .toSeq BEFORE the map: mapping a Map to pairs would re-key on x
+    // and silently collapse users with equal event counts
+    val users = events.groupBy(_._6).toSeq.map { case (_, rows) =>
+      (rows.size.toLong, rows.map(_._4).sum) }
+    val n = users.size.toLong
+    val sx = users.map(u => BigInt(u._1)).sum
+    val sy = users.map(u => BigInt(u._2)).sum
+    val sxx = users.map(u => BigInt(u._1) * u._1).sum
+    val sxy = users.map(u => BigInt(u._1) * u._2).sum
+    val syy = users.map(u => BigInt(u._2) * u._2).sum
+    val xbar = sx.toDouble / n.toDouble
+    val r = sy.toDouble / sx.toDouble
+    def cm(a: BigInt) = a.toDouble / (n * (n - 1)).toDouble
+    val varX = cm(BigInt(n) * sxx - sx * sx)
+    val varY = cm(BigInt(n) * syy - sy * sy)
+    val covXy = cm(BigInt(n) * sxy - sx * sy)
+    val se = math.sqrt((varY - 2.0 * r * covXy + r * r * varX)
+      / (n.toDouble * xbar * xbar)) / 100.0
+    assert(row.getAs[Long]("n_users") == n)
+    assert(row.getAs[Double]("ratio") == r / 100.0)
+    assert(row.getAs[Double]("se_delta") == se)
+    assert(se > 0.0)
   }
 
   test("stl decompose: identity det7 = seasonal + resid; trend replay") {
