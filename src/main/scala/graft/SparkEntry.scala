@@ -7100,6 +7100,35 @@ object SparkEntry {
                 / (d(col("n")) * col("xbar") * col("xbar")))
             / lit(100.0)).as("se_delta"))
     }),
+
+    // Perceptual average-hash over the REAL PNG codec round-trip — the
+    // image-dedup signature (aHash: pixel > floor-mean, row-major bits)
+    // computed from actually-decoded rasters, split into two 32-bit
+    // halves so no engine touches the BIGINT sign bit. Batched
+    // mapPartitions encode→decode like mm_png_decode (codec init
+    // amortizes per partition), zero shuffle before the output sort; the
+    // oracle recomputes the hash arithmetically from the synthesis
+    // formula — lossless grayscale PNG means decoded == synthesized.
+    "mm_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            val png = graft.multimodal.Media.PngCodec.encodeGray(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            val (dw, dh, lo, hi, nSet) =
+              graft.multimodal.Media.PngCodec.decodeAvgHash(png)
+            (id, dw.toLong, dh.toLong, lo, hi, nSet)
+          }
+        }
+        .toDF("media_id", "width", "height", "phash_lo", "phash_hi",
+              "n_set")
+        .orderBy("media_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -13732,6 +13761,36 @@ object SparkEntry {
                      / (CAST(n AS DOUBLE) * xbar * xbar)) / 100.0
                   AS se_delta
          FROM m""",
+
+    "mm_image_phash" ->
+      """WITH px AS (SELECT d.doc_id, 1 + d.doc_id % 8 AS w,
+                            1 + d.n_chars % 8 AS h, xx.x, yy.y,
+                            (d.doc_id * 31 + xx.x * 7 + yy.y * 13) % 256
+                              AS p
+                     FROM documents d
+                     CROSS JOIN (SELECT unnest(range(8)) AS x) xx
+                     CROSS JOIN (SELECT unnest(range(8)) AS y) yy
+                     WHERE xx.x < 1 + d.doc_id % 8
+                       AND yy.y < 1 + d.n_chars % 8),
+              m AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sump,
+                           count(*) AS np
+                    FROM px GROUP BY 1),
+              b AS (SELECT px.doc_id, px.w, px.h,
+                           CASE WHEN px.p > m.sump // m.np
+                                THEN 1 ELSE 0 END AS bit,
+                           px.y * px.w + px.x AS i
+                    FROM px JOIN m ON m.doc_id = px.doc_id)
+         SELECT doc_id AS media_id,
+                CAST(any_value(w) AS BIGINT) AS width,
+                CAST(any_value(h) AS BIGINT) AS height,
+                CAST(sum(CASE WHEN i < 32
+                              THEN bit * (CAST(1 AS BIGINT) << i)
+                              ELSE 0 END) AS BIGINT) AS phash_lo,
+                CAST(sum(CASE WHEN i >= 32
+                              THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                              ELSE 0 END) AS BIGINT) AS phash_hi,
+                CAST(sum(bit) AS BIGINT) AS n_set
+         FROM b GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

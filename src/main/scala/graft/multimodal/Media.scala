@@ -90,6 +90,50 @@ object Media {
       (w, h, sum % 2147483647L)
     }
 
+    /** Decode + perceptual average-hash in one pass: a REAL imageio
+      * decode, then the aHash bits — pixel > floor-mean, row-major index
+      * i = y·w + x — split into two 32-bit halves so no engine ever
+      * touches the sign bit (images are ≤ 8×8 ⇒ i ≤ 63). Exact integer
+      * arithmetic end-to-end; an external oracle recomputes the hash from
+      * the synthesis formula without any codec. Returns
+      * (w, h, hash_lo bits 0-31, hash_hi bits 32-63, n_set).
+      * Undecodable magic-valid payloads fall back to the stub dims with
+      * hash = (-1, -1, -1), keeping the fallback loud and distinguishable.
+      */
+    def decodeAvgHash(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) {
+        val (w, h, _) = FakeCodec.decode(payload)
+        return (w, h, -1L, -1L, -1L)
+      }
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val mean = sum / (w.toLong * h)
+      var lo = 0L; var hi = 0L; var nSet = 0L
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (raster.getSample(x, y, 0) > mean) {
+            val i = y * w + x
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            nSet += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, lo, hi, nSet)
+    }
+
     /** Decode + nearest-neighbor 2× downsample in one pass: a REAL
       * imageio decode of the compressed PNG, then every other pixel per
       * axis (target (⌈w/2⌉, ⌈h/2⌉), source index = 2·target index — the

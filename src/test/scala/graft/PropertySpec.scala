@@ -166,6 +166,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("png decodeAvgHash: aHash bits replay; halves stay unsigned") {
+    import graft.multimodal.Media.PngCodec
+    val dims = Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8),
+                       Gen.choose(0L, Long.MaxValue / 2))
+    forAllN(dims, n = 40) { case (w, h, seed) =>
+      def pixel(x: Int, y: Int): Int =
+        (((seed + x * 31 + y * 131) % 256) + 256).toInt % 256
+      val png = PngCodec.encodeGray(w, h, pixel)
+      val (dw, dh, lo, hi, nSet) = PngCodec.decodeAvgHash(png)
+      assert(dw == w && dh == h)
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield pixel(x, y).toLong).sum
+      val mean = sum / (w.toLong * h)
+      var elo = 0L; var ehi = 0L; var en = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        if (pixel(x, y) > mean) {
+          val i = y * w + x
+          if (i < 32) elo |= 1L << i else ehi |= 1L << (i - 32)
+          en += 1
+        }
+      assert(lo == elo && hi == ehi && nSet == en)
+      assert(lo >= 0 && hi >= 0) // 32-bit halves never touch the sign bit
+      assert(java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)
+        == nSet)
+    }
+  }
+
   test("png decodeHalf: stride-2 sample of the decoded raster, any parity") {
     import graft.multimodal.Media.PngCodec
     val dims = Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9),
