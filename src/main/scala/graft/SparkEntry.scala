@@ -7129,6 +7129,70 @@ object SparkEntry {
               "n_set")
         .orderBy("media_id")
     }),
+
+    // RAG-style sliding-window chunking: 200-char chunks at 150-char
+    // stride (50-char overlap so no retrieval boundary loses context) —
+    // the corpus-preparation pass every retrieval pipeline runs. The
+    // chunk grid derives from n_chars arithmetic (no second text scan),
+    // chunks come from one explode + substring per doc (embarrassingly
+    // parallel, zero shuffle before the output sort), and each chunk
+    // carries its token count plus the portable codepoint-fold hash so
+    // downstream chunk-level dedup is a groupBy away.
+    "text_rag_chunking" -> ((s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .filter(col("n_chars") > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), expr("(n_chars - 1) div 150"))))
+        .withColumn("chunk", expr(
+          "substring(text, cast(chunk_idx * 150 + 1 as int), 200)"))
+      chunks
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          size(TextAnalysis.tokens("chunk")).cast("long").as("n_tokens"),
+          graft.functions.CharFold.char_fold_hash(col("chunk"))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Generalized-ESD-style iterative outlier extraction over each type's
+    // daily totals: 3 rounds of "flag the farthest point, remove it,
+    // recompute" — the anomaly sweep that a single z-pass gets wrong
+    // because extreme points inflate the very moments they're judged by.
+    // The argmax key |n·x − S| is an exact BIGINT (ties to the later
+    // date), per-round moments are one partial-agg over the shrinking
+    // day-cell frame, and only the reported z spends a fixed IEEE chain.
+    // Three unrolled rounds = bounded lineage, no driver collects.
+    "ts_esd_outliers" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .tracked // three shrinking rounds re-scan it
+      var cur = daily
+      val picks = (1 to 3).map { r =>
+        val moms = cur.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("s"),
+               sum(dec(col("x")) * dec(col("x"))).as("ss"))
+        val dv = cur.join(broadcast(moms), "event_type")
+          .withColumn("dev", abs(col("x") * col("n") - col("s")))
+          .withColumn("rk", row_number().over(
+            w.partitionBy("event_type")
+              .orderBy(col("dev").desc, col("d").desc)))
+        val pick = dv.filter(col("rk") === 1)
+          .select(lit(r.toLong).as("round"), col("event_type"), col("d"),
+            col("x"), col("dev"), col("n"),
+            (d(col("dev")) / (d(col("n"))
+              * sqrt((dec(col("n")) * col("ss")
+                      - dec(col("s")) * dec(col("s"))).cast("double")
+                     / d(col("n") * (col("n") - 1))))).as("z"))
+        cur = dv.filter(col("rk") =!= 1).select("event_type", "d", "x")
+        pick
+      }
+      picks.reduce(_ unionAll _).orderBy("event_type", "round")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -13791,6 +13855,66 @@ object SparkEntry {
                               ELSE 0 END) AS BIGINT) AS phash_hi,
                 CAST(sum(bit) AS BIGINT) AS n_set
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "text_rag_chunking" ->
+      """WITH d AS (SELECT doc_id, text, n_chars FROM documents
+                    WHERE n_chars > 0),
+              ch AS (SELECT doc_id, text,
+                            CAST(unnest(range(((n_chars - 1) // 150) + 1))
+                              AS BIGINT) AS chunk_idx
+                     FROM d),
+              cc AS (SELECT doc_id, chunk_idx,
+                            substr(text, CAST(chunk_idx * 150 + 1 AS INT),
+                                   200) AS chunk
+                     FROM ch)
+         SELECT doc_id, chunk_idx,
+                CAST(length(chunk) AS BIGINT) AS chunk_len,
+                CAST(len(regexp_extract_all(translate(chunk,
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                  'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS BIGINT)
+                  AS n_tokens,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(chunk, ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 2147483647) AS chunk_hash
+         FROM cc ORDER BY doc_id, chunk_idx""",
+
+    "ts_esd_outliers" -> {
+      def round(i: Int): String =
+        s"""m$i AS (SELECT event_type, count(*) AS n,
+                          CAST(sum(x) AS BIGINT) AS s,
+                          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                            AS ss
+                   FROM c$i GROUP BY 1),
+            d$i AS (SELECT c.event_type, c.d, c.x, m.n, m.s, m.ss,
+                           abs(c.x * m.n - m.s) AS dev,
+                           row_number() OVER (PARTITION BY c.event_type
+                             ORDER BY abs(c.x * m.n - m.s) DESC, c.d DESC)
+                             AS rk
+                    FROM c$i c JOIN m$i m
+                      ON m.event_type = c.event_type),
+            p$i AS (SELECT CAST($i AS BIGINT) AS round, event_type, d, x,
+                           dev, n,
+                           CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE)
+                             * sqrt(CAST(CAST(n AS HUGEINT) * ss
+                                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                    / CAST(n * (n - 1) AS DOUBLE))) AS z
+                    FROM d$i WHERE rk = 1),
+            c${i + 1} AS (SELECT event_type, d, x FROM d$i WHERE rk <> 1)"""
+      s"""WITH c1 AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                             CAST(sum(CAST(round(value * 100, 0)
+                               AS BIGINT)) AS BIGINT) AS x
+                      FROM events GROUP BY 1, 2),
+              ${round(1)},
+              ${round(2)},
+              ${round(3)}
+          SELECT round, event_type, d, x, dev, n, z FROM p1
+          UNION ALL
+          SELECT round, event_type, d, x, dev, n, z FROM p2
+          UNION ALL
+          SELECT round, event_type, d, x, dev, n, z FROM p3
+          ORDER BY event_type, round"""
+    },
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -322,6 +322,73 @@ class StatsMiningSpec extends AnyFunSuite {
     assert(se > 0.0)
   }
 
+  test("rag chunking: overlap integrity, coverage, hash replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("text_rag_chunking")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def fold(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    docs.foreach { case (id, text) =>
+      // the fixture contract: n_chars == length(text); chunks cover the
+      // doc at stride 150 with 50 overlap
+      val n = text.length
+      val expIdx = if (n == 0) -1 else (n - 1) / 150
+      (0L to expIdx).foreach { k =>
+        val chunk = text.substring((k * 150).toInt,
+          math.min(k * 150 + 200, n).toInt)
+        val (len, _, hash) = out((id, k))
+        assert(len == chunk.length)
+        assert(hash == fold(chunk), s"doc $id chunk $k hash")
+        if (k > 0) {
+          // 50-char overlap: this chunk starts inside the previous one
+          val prev = text.substring(((k - 1) * 150).toInt,
+            math.min((k - 1) * 150 + 200, n).toInt)
+          if (prev.length == 200)
+            assert(prev.substring(150) == chunk.substring(0,
+              math.min(50, chunk.length)))
+        }
+      }
+      assert(out.keys.count(_._1 == id) == expIdx + 1)
+    }
+  }
+
+  test("esd outliers: bitwise replay of the remove-and-recompute rounds") {
+    val out = SparkEntry.queries("ts_esd_outliers")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getDate(2).toString, r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    val daily = events.groupBy(e => (e._1, e._5))
+      .map { case ((et, d), rows) => (et, d, rows.map(_._4).sum) }.toSeq
+    daily.groupBy(_._1).foreach { case (et, days0) =>
+      var days = days0.map(e => (e._2, e._3))
+      (1 to 3).foreach { r =>
+        val n = days.size.toLong
+        val s = days.map(_._2).sum
+        val ss = days.map(v => BigInt(v._2) * v._2).sum
+        val pick = days.maxBy(v => (math.abs(v._2 * n - s), v._1))
+        val dev = math.abs(pick._2 * n - s)
+        val z = dev.toDouble / (n.toDouble *
+          math.sqrt((BigInt(n) * ss - BigInt(s) * s).toDouble /
+            (n * (n - 1)).toDouble))
+        assert(out((et, r.toLong)) == ((pick._1, pick._2, dev, n, z)),
+          s"$et round $r")
+        days = days.filterNot(_ == pick)
+      }
+    }
+  }
+
   test("stl decompose: identity det7 = seasonal + resid; trend replay") {
     val rows = SparkEntry.queries("ts_stl_decompose")(spark, sfDir)
       .collect()
