@@ -7193,6 +7193,78 @@ object SparkEntry {
       }
       picks.reduce(_ unionAll _).orderBy("event_type", "round")
     }),
+
+    // Banded-Hamming near-dup pairs over the perceptual hashes — the
+    // image-dedup candidate chain closing the loop from mm_image_phash:
+    // split each 64-bit aHash into 4×16-bit bands (an exact-match band is
+    // the LSH bucket — Hamming ≤ 3 guarantees one clean band by
+    // pigeonhole), keyed self-join per band, distinct pairs, popcount
+    // verify (bit_count, codegen'd both engines). Only informative hashes
+    // (≥ 8 set bits) enter the index, mirroring production phash dedup.
+    // The banded join is the ONLY shuffle — never an all-pairs compare.
+    "dedup_phash_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            val png = graft.multimodal.Media.PngCodec.encodeGray(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            val (_, _, lo, hi, nSet) =
+              graft.multimodal.Media.PngCodec.decodeAvgHash(png)
+            (id, lo, hi, nSet)
+          }
+        }
+        .toDF("media_id", "lo", "hi", "n_set")
+        .filter(col("n_set") >= 8)
+        .tracked // band explode + both join sides read it
+      val banded = hashes.withColumn("band", explode(array(
+          struct(lit(0L).as("b"), (col("lo") % 65536).as("v")),
+          struct(lit(1L).as("b"), expr("lo div 65536").as("v")),
+          struct(lit(2L).as("b"), (col("hi") % 65536).as("v")),
+          struct(lit(3L).as("b"), expr("hi div 65536").as("v")))))
+        .select(col("media_id"), col("lo"), col("hi"),
+          col("band.b").as("b"), col("band.v").as("v"))
+      banded.select(col("media_id").as("media_a"), col("lo").as("lo_a"),
+          col("hi").as("hi_a"), col("b"), col("v"))
+        .join(banded.select(col("media_id").as("media_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b"), col("b"), col("v")),
+          Seq("b", "v"))
+        .filter(col("media_a") < col("media_b"))
+        .select("media_a", "media_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct() // multi-band collisions emit once
+        .withColumn("hamming",
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
+            + bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+        .filter(col("hamming") <= 3)
+        .select(col("media_a"), col("media_b"),
+                col("hamming").cast("long").as("hamming"))
+        .orderBy("media_a", "media_b")
+    }),
+
+    // Pure-SQL surface over the registered custom expressions: one
+    // spark.sql query exercising char_fold_hash, log2_fp AND busday_count
+    // together through the FunctionRegistry (GraftExtensions) — the
+    // contract that a SQL-only client of the engine gets the same
+    // portable lattice primitives the DataFrame API uses, oracle-checked
+    // end-to-end.
+    "sql_api_lattice_report" -> ((s, dir) => {
+      GraftExtensions.registerAll(s)
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT event_type,
+               char_fold_hash(event_type) AS type_hash,
+               count(*) AS n,
+               log2_fp(count(*)) AS log2_n_q20,
+               busday_count(min(cast(ts as date)), max(cast(ts as date)))
+                 AS busdays
+        FROM events_v
+        GROUP BY event_type
+        ORDER BY event_type""")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -13914,6 +13986,84 @@ object SparkEntry {
           UNION ALL
           SELECT round, event_type, d, x, dev, n, z FROM p3
           ORDER BY event_type, round"""
+    },
+
+    "dedup_phash_hamming" ->
+      """WITH px AS (SELECT d.doc_id, 1 + d.doc_id % 8 AS w,
+                            1 + d.n_chars % 8 AS h, xx.x, yy.y,
+                            (d.doc_id * 31 + xx.x * 7 + yy.y * 13) % 256
+                              AS p
+                     FROM documents d
+                     CROSS JOIN (SELECT unnest(range(8)) AS x) xx
+                     CROSS JOIN (SELECT unnest(range(8)) AS y) yy
+                     WHERE xx.x < 1 + d.doc_id % 8
+                       AND yy.y < 1 + d.n_chars % 8),
+              m AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sump,
+                           count(*) AS np
+                    FROM px GROUP BY 1),
+              b AS (SELECT px.doc_id,
+                           CASE WHEN px.p > m.sump // m.np
+                                THEN 1 ELSE 0 END AS bit,
+                           px.y * px.w + px.x AS i
+                    FROM px JOIN m ON m.doc_id = px.doc_id),
+              hs AS (SELECT doc_id AS media_id,
+                            CAST(sum(CASE WHEN i < 32
+                              THEN bit * (CAST(1 AS BIGINT) << i)
+                              ELSE 0 END) AS BIGINT) AS lo,
+                            CAST(sum(CASE WHEN i >= 32
+                              THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                              ELSE 0 END) AS BIGINT) AS hi,
+                            CAST(sum(bit) AS BIGINT) AS n_set
+                     FROM b GROUP BY 1),
+              hf AS (SELECT * FROM hs WHERE n_set >= 8),
+              bd AS (SELECT media_id, lo, hi, bb.b,
+                            CASE bb.b WHEN 0 THEN lo % 65536
+                                      WHEN 1 THEN lo // 65536
+                                      WHEN 2 THEN hi % 65536
+                                      ELSE hi // 65536 END AS v
+                     FROM hf CROSS JOIN
+                       (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+              pp AS (SELECT DISTINCT a.media_id AS media_a,
+                            c.media_id AS media_b, a.lo AS lo_a,
+                            a.hi AS hi_a, c.lo AS lo_b, c.hi AS hi_b
+                     FROM bd a JOIN bd c
+                       ON a.b = c.b AND a.v = c.v
+                      AND a.media_id < c.media_id)
+         SELECT media_a, media_b,
+                CAST(bit_count(xor(lo_a, lo_b))
+                     + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+         FROM pp
+         WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+         ORDER BY 1, 2""",
+
+    "sql_api_lattice_report" -> {
+      val ln = graft.functions.FixedLog2.sql("n")
+      s"""WITH g AS (SELECT event_type, count(*) AS n,
+                            min(CAST(ts AS DATE)) AS d0,
+                            max(CAST(ts AS DATE)) AS d1
+                     FROM events GROUP BY 1),
+               h AS (SELECT event_type, n, d0, d1,
+                            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(string_split(event_type, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                              (a, c) -> (a * 31 + c) % 2147483647)
+                              AS type_hash
+                     FROM g),
+               bb AS (SELECT event_type,
+                             CAST(unnest(generate_series(d0, d1 - 1,
+                               INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM h),
+               bc AS (SELECT event_type,
+                             CAST(count(*) FILTER (WHERE isodow(day) <= 5
+                               AND NOT ((month(day) = 1 AND day(day) = 1)
+                                 OR (month(day) = 7 AND day(day) = 4)
+                                 OR (month(day) = 12 AND day(day) = 25)))
+                               AS INT) AS busdays
+                      FROM bb GROUP BY 1)
+          SELECT h.event_type, h.type_hash, h.n, $ln AS log2_n_q20,
+                 coalesce(bc.busdays, CAST(0 AS INT)) AS busdays
+          FROM h LEFT JOIN bc ON bc.event_type = h.event_type
+          ORDER BY h.event_type"""
     },
   )
 

@@ -389,6 +389,68 @@ class StatsMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("phash hamming: banded join finds EVERY ham<=3 pair (pigeonhole)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def hash(id: Long, nChars: Long): (Long, Long, Long) = {
+      val w = (1 + id % 8).toInt; val h = (1 + nChars % 8).toInt
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 13) % 256, y * w + x)
+      val mean = px.map(_._1).sum / (w.toLong * h)
+      var lo = 0L; var hi = 0L; var n = 0L
+      px.foreach { case (p, i) =>
+        if (p > mean) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32); n += 1 } }
+      (lo, hi, n)
+    }
+    val informative = docs.map { case (id, nc) => id -> hash(id, nc) }
+      .filter(_._2._3 >= 8)
+    val expected = (for {
+      (a, (loA, hiA, _)) <- informative
+      (b, (loB, hiB, _)) <- informative if a < b
+      ham = java.lang.Long.bitCount(loA ^ loB) +
+        java.lang.Long.bitCount(hiA ^ hiB) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val got = SparkEntry.queries("dedup_phash_hamming")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // 4 bands over 64 bits: <=3 flipped bits leave one band untouched,
+    // so the banded index has NO recall loss at this radius
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("sql api lattice report: registered SQL functions replay") {
+    val rows = SparkEntry.queries("sql_api_lattice_report")(spark, sfDir)
+      .collect()
+    def fold(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    val byType = events.groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val n = byType(et).size.toLong
+      assert(r.getAs[Long]("type_hash") == fold(et))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("log2_n_q20") ==
+        graft.functions.FixedLog2.log2fp(n))
+      // [min, max) business days, default 3-holiday calendar
+      val ds = byType(et).map(_._5)
+      var cur = java.time.LocalDate.parse(ds.min)
+      val end = java.time.LocalDate.parse(ds.max)
+      var busdays = 0
+      while (cur.isBefore(end)) {
+        val hol = (cur.getMonthValue, cur.getDayOfMonth) match {
+          case (1, 1) | (7, 4) | (12, 25) => true
+          case _ => false
+        }
+        if (cur.getDayOfWeek.getValue <= 5 && !hol) busdays += 1
+        cur = cur.plusDays(1)
+      }
+      assert(r.getAs[Int]("busdays") == busdays, s"$et busdays")
+    }
+  }
+
   test("stl decompose: identity det7 = seasonal + resid; trend replay") {
     val rows = SparkEntry.queries("ts_stl_decompose")(spark, sfDir)
       .collect()
