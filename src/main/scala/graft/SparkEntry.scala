@@ -7265,6 +7265,138 @@ object SparkEntry {
         GROUP BY event_type
         ORDER BY event_type""")
     }),
+
+    // Forecast-baseline evaluation: naive (lag-1) vs seasonal-naive
+    // (lag-7) one-step-ahead error on each type's daily totals — the
+    // benchmark every forecasting pipeline must beat before it ships.
+    // MAE stays exact cents until ONE division; sMAPE lands on the ppm
+    // lattice via explicit floor-div (positives only). Eval rows need
+    // both lags (t ≥ 8), windows are type-keyed over day cells.
+    "ts_forecast_baseline_eval" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val byT = w.partitionBy("event_type").orderBy("d")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .withColumn("p1", lag("x", 1).over(byT))
+        .withColumn("p7", lag("x", 7).over(byT))
+        .filter(col("p7").isNotNull)
+        .withColumn("smape1",
+          expr("(abs(x - p1) * 1000000) div (x + p1)"))
+        .withColumn("smape7",
+          expr("(abs(x - p7) * 1000000) div (x + p7)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+             sum(abs(col("x") - col("p1"))).as("ae1"),
+             sum(abs(col("x") - col("p7"))).as("ae7"),
+             sum("smape1").as("sm1"), sum("smape7").as("sm7"))
+        .select(col("event_type"), col("n_eval"),
+          (col("ae1").cast("double") / col("n_eval").cast("double")
+            / lit(100.0)).as("mae_naive"),
+          (col("ae7").cast("double") / col("n_eval").cast("double")
+            / lit(100.0)).as("mae_snaive"),
+          expr("sm1 div n_eval").as("smape_naive_ppm"),
+          expr("sm7 div n_eval").as("smape_snaive_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // Stratified expansion (Horvitz–Thompson) estimation from the Neyman
+    // sample: per stratum N_h·(sample sum)/n_h on the exact lattice
+    // (floor-div), next to the true total the census knows — the
+    // estimator-quality loop every sampling pipeline closes. Signed
+    // relative error uses the make-divisible floor-div so both engines
+    // truncate identically below zero.
+    "sample_expansion_estimate" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                Exact.cents(col("value")).as("c"))
+        .tracked // weights + selection + truth scan it
+      val g = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_class"), sum("c").as("true_cents"),
+             sum(dec(col("c")) * dec(col("c"))).as("ss"))
+        .withColumn("var_num",
+          (dec(col("n_class")) * col("ss")
+            - dec(col("true_cents")) * dec(col("true_cents")))
+            .cast("long"))
+        .withColumn("wt", floor(sqrt(
+          (col("n_class") * expr("var_num div (n_class - 1)"))
+            .cast("double"))).cast("long"))
+      val tot = g.agg(sum("wt").as("total_wt"))
+      val alloc = g.crossJoin(broadcast(tot))
+        .withColumn("n_alloc", expr("(1000 * wt) div total_wt"))
+        .select("event_type", "n_class", "true_cents", "n_alloc")
+      val est = ev.join(broadcast(alloc), "event_type")
+        .withColumn("rk", row_number().over(
+          w.partitionBy("event_type")
+            .orderBy(graft.olap.Sketch.spreadHash(col("event_id")),
+                     col("event_id"))))
+        .filter(col("rk") <= col("n_alloc"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sel"), sum("c").as("sel_cents"))
+      alloc.join(est, "event_type")
+        .withColumn("est_cents",
+          expr("(sel_cents * n_class) div n_sel"))
+        .withColumn("err", col("est_cents") - col("true_cents"))
+        .withColumn("err_ppm", expr(
+          "(err * 1000000 - ((err * 1000000 % true_cents) + true_cents)" +
+          " % true_cents) div true_cents"))
+        .select("event_type", "n_class", "n_sel", "est_cents",
+                "true_cents", "err_ppm")
+        .orderBy("event_type")
+    }),
+
+    // Population Stability Index between each type's first-15-day and
+    // remaining value distributions — the drift alarm scoring pipelines
+    // run between snapshots. Bins are integer log2 magnitudes (the
+    // relative-error binning that works at any scale), the full
+    // type×bin×side grid gets add-1 smoothing so empty cells contribute,
+    // and PSI = ln2·Σ(p−q)log2(p/q) is EXACT on the FixedLog2 lattice:
+    // term = (a·n2 − b·n1)·(L(a·n2) − L(b·n1)) in DECIMAL(38,0), one
+    // final double conversion.
+    "dq_psi_value_drift" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("dt"),
+                Exact.cents(col("value")).as("c"))
+        .filter(col("c") > 0)
+        .tracked // midpoint + both sides scan it
+      val mid = ev.agg(date_add(min(col("dt")), 15).as("mid_d"))
+      val binned = ev.crossJoin(broadcast(mid))
+        .withColumn("lg", L(col("c")))
+        .withColumn("bin", expr("lg div 1048576"))
+        .withColumn("side", when(col("dt") < col("mid_d"), 1L)
+          .otherwise(2L))
+        .groupBy("event_type", "bin", "side")
+        .agg(count(lit(1)).as("cnt"))
+        .tracked // grid + totals read it
+      val grid = binned.select("event_type", "bin").distinct()
+        .join(binned.groupBy("event_type", "side").agg(sum("cnt").as("nr"))
+          .select("event_type", "side"), Seq("event_type"))
+        .join(binned, Seq("event_type", "bin", "side"), "left")
+        .select(col("event_type"), col("bin"), col("side"),
+          (coalesce(col("cnt"), lit(0L)) + 1L).as("sm"))
+      val wide = grid.groupBy("event_type", "bin")
+        .agg(sum(when(col("side") === 1L, col("sm"))).as("a"),
+             sum(when(col("side") === 2L, col("sm"))).as("b"))
+      val totals = wide.groupBy("event_type")
+        .agg(sum("a").as("n1"), sum("b").as("n2"),
+             count(lit(1)).as("n_bins"))
+      wide.join(broadcast(totals), "event_type")
+        .withColumn("term",
+          dec(col("a") * col("n2") - col("b") * col("n1"))
+            * dec(L(col("a") * col("n2")) - L(col("b") * col("n1"))))
+        .groupBy("event_type")
+        .agg(first("n_bins").as("n_bins"), first("n1").as("n1"),
+             first("n2").as("n2"), sum("term").as("tsum"))
+        .select(col("event_type"), col("n_bins"), col("n1"), col("n2"),
+          (col("tsum").cast("double") * lit(0.6931471805599453)
+            / (col("n1").cast("double") * col("n2").cast("double")
+               * lit(1048576.0))).as("psi"))
+        .orderBy("event_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -14064,6 +14196,149 @@ object SparkEntry {
                  coalesce(bc.busdays, CAST(0 AS INT)) AS busdays
           FROM h LEFT JOIN bc ON bc.event_type = h.event_type
           ORDER BY h.event_type"""
+    },
+
+    "ts_forecast_baseline_eval" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(round(value * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+              lg AS (SELECT event_type, d, x,
+                            lag(x, 1) OVER w AS p1,
+                            lag(x, 7) OVER w AS p7
+                     FROM daily WINDOW w AS (PARTITION BY event_type
+                                             ORDER BY d)),
+              e AS (SELECT event_type, x, p1, p7,
+                           (abs(x - p1) * 1000000) // (x + p1) AS smape1,
+                           (abs(x - p7) * 1000000) // (x + p7) AS smape7
+                    FROM lg WHERE p7 IS NOT NULL),
+              g AS (SELECT event_type, count(*) AS n_eval,
+                           CAST(sum(abs(x - p1)) AS BIGINT) AS ae1,
+                           CAST(sum(abs(x - p7)) AS BIGINT) AS ae7,
+                           CAST(sum(smape1) AS BIGINT) AS sm1,
+                           CAST(sum(smape7) AS BIGINT) AS sm7
+                    FROM e GROUP BY 1)
+         SELECT event_type, n_eval,
+                CAST(ae1 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0
+                  AS mae_naive,
+                CAST(ae7 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0
+                  AS mae_snaive,
+                sm1 // n_eval AS smape_naive_ppm,
+                sm7 // n_eval AS smape_snaive_ppm
+         FROM g ORDER BY event_type""",
+
+    "sample_expansion_estimate" ->
+      """WITH ev AS (SELECT event_type, event_id,
+                            CAST(round(value * 100, 0) AS BIGINT) AS c
+                     FROM events),
+              g AS (SELECT event_type, count(*) AS n_class,
+                           CAST(sum(c) AS BIGINT) AS true_cents,
+                           CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                             AS ss
+                    FROM ev GROUP BY 1),
+              v AS (SELECT event_type, n_class, true_cents,
+                           CAST(CAST(n_class AS HUGEINT) * ss
+                                - CAST(true_cents AS HUGEINT) * true_cents
+                                AS BIGINT) AS var_num
+                    FROM g),
+              wt AS (SELECT event_type, n_class, true_cents,
+                            CAST(floor(sqrt(CAST(n_class
+                              * (var_num // (n_class - 1)) AS DOUBLE)))
+                              AS BIGINT) AS wt
+                     FROM v),
+              tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM wt),
+              alloc AS (SELECT event_type, n_class, true_cents,
+                               (1000 * wt) // total_wt AS n_alloc
+                        FROM wt CROSS JOIN tot),
+              f AS (SELECT event_type, event_id, c,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          string_split(CAST(event_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c2) -> (a * 31 + c2) % 2147483647) AS h0
+                    FROM ev),
+              m1 AS (SELECT event_type, event_id, c,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT event_type, event_id, c,
+                       (h1 * h1) % 2147483647 AS h2 FROM m1),
+              hh AS (SELECT event_type, event_id, c,
+                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              rk AS (SELECT event_type, event_id, c,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY hv, event_id) AS rk
+                     FROM hh),
+              sel AS (SELECT r.event_type, count(*) AS n_sel,
+                             CAST(sum(r.c) AS BIGINT) AS sel_cents
+                      FROM rk r JOIN alloc a
+                        ON a.event_type = r.event_type
+                       AND r.rk <= a.n_alloc
+                      GROUP BY 1),
+              est AS (SELECT a.event_type, a.n_class, s.n_sel,
+                             (s.sel_cents * a.n_class) // s.n_sel
+                               AS est_cents,
+                             a.true_cents
+                      FROM alloc a JOIN sel s
+                        ON s.event_type = a.event_type),
+              er AS (SELECT event_type, n_class, n_sel, est_cents,
+                            true_cents,
+                            est_cents - true_cents AS err
+                     FROM est)
+         SELECT event_type, n_class, n_sel, est_cents, true_cents,
+                (err * 1000000 - ((err * 1000000 % true_cents)
+                   + true_cents) % true_cents) // true_cents AS err_ppm
+         FROM er ORDER BY event_type""",
+
+    "dq_psi_value_drift" -> {
+      val lan2 = graft.functions.FixedLog2.sql("an2")
+      val lbn1 = graft.functions.FixedLog2.sql("bn1")
+      val lc = graft.functions.FixedLog2.sql("c")
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                             CAST(round(value * 100, 0) AS BIGINT) AS c
+                      FROM events
+                      WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+               mid AS (SELECT min(dt) + 15 AS mid_d FROM ev),
+               binned AS (SELECT event_type, $lc // 1048576 AS bin,
+                                 CASE WHEN dt < mid_d THEN 1 ELSE 2 END
+                                   AS side,
+                                 count(*) AS cnt
+                          FROM ev CROSS JOIN mid GROUP BY 1, 2, 3),
+               grid AS (SELECT g.event_type, g.bin, s.side,
+                               coalesce(b.cnt, 0) + 1 AS sm
+                        FROM (SELECT DISTINCT event_type, bin
+                              FROM binned) g
+                        JOIN (SELECT DISTINCT event_type, side
+                              FROM binned) s
+                          ON s.event_type = g.event_type
+                        LEFT JOIN binned b
+                          ON b.event_type = g.event_type
+                         AND b.bin = g.bin AND b.side = s.side),
+               wide AS (SELECT event_type, bin,
+                               CAST(sum(CASE WHEN side = 1 THEN sm END)
+                                 AS BIGINT) AS a,
+                               CAST(sum(CASE WHEN side = 2 THEN sm END)
+                                 AS BIGINT) AS b
+                        FROM grid GROUP BY 1, 2),
+               tt AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS n1,
+                             CAST(sum(b) AS BIGINT) AS n2,
+                             count(*) AS n_bins
+                      FROM wide GROUP BY 1),
+               tm AS (SELECT w.event_type, t.n_bins, t.n1, t.n2,
+                             w.a * t.n2 AS an2, w.b * t.n1 AS bn1
+                      FROM wide w JOIN tt t
+                        ON t.event_type = w.event_type),
+               terms AS (SELECT event_type, n_bins, n1, n2,
+                                CAST(an2 - bn1 AS HUGEINT)
+                                  * ($lan2 - $lbn1) AS term
+                         FROM tm),
+               agg AS (SELECT event_type, any_value(n_bins) AS n_bins,
+                              any_value(n1) AS n1, any_value(n2) AS n2,
+                              CAST(sum(term) AS HUGEINT) AS tsum
+                       FROM terms GROUP BY 1)
+          SELECT event_type, n_bins, n1, n2,
+                 CAST(tsum AS DOUBLE) * 0.6931471805599453
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * 1048576.0) AS psi
+          FROM agg ORDER BY event_type"""
     },
   )
 

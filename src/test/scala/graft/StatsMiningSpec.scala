@@ -451,6 +451,87 @@ class StatsMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("forecast baselines: bitwise lag-error replay") {
+    val out = SparkEntry.queries("ts_forecast_baseline_eval")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val daily = events.groupBy(e => (e._1, e._5))
+      .map { case ((et, d), rows) => (et, d, rows.map(_._4).sum) }.toSeq
+    daily.groupBy(_._1).foreach { case (et, days) =>
+      val xs = days.sortBy(_._2).map(_._3).toArray
+      val evals = (7 until xs.length).map { i =>
+        (xs(i), xs(i - 1), xs(i - 7)) }
+      val n = evals.size.toLong
+      val ae1 = evals.map(e => math.abs(e._1 - e._2)).sum
+      val ae7 = evals.map(e => math.abs(e._1 - e._3)).sum
+      val sm1 = evals.map(e =>
+        math.abs(e._1 - e._2) * 1000000L / (e._1 + e._2)).sum
+      val sm7 = evals.map(e =>
+        math.abs(e._1 - e._3) * 1000000L / (e._1 + e._3)).sum
+      assert(out(et) == ((n, ae1.toDouble / n.toDouble / 100.0,
+        ae7.toDouble / n.toDouble / 100.0, sm1 / n, sm7 / n)), et)
+    }
+  }
+
+  test("expansion estimate: unbiased-ish estimator replay + signed ppm") {
+    val rows = SparkEntry.queries("sample_expansion_estimate")(spark, sfDir)
+      .collect()
+    def spread(id: Long): Long = {
+      val h0 = id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt)
+        % 2147483647L)
+      val h1 = (h0 * 1103515245L + 12345L) % 2147483647L
+      val h2 = (h1 * h1) % 2147483647L
+      (h2 * 69069L + 362437L) % 2147483647L
+    }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val all = events.filter(_._1 == et)
+      val trueCents = all.map(_._4).sum
+      assert(r.getAs[Long]("true_cents") == trueCents)
+      val nSel = r.getAs[Long]("n_sel")
+      val sel = all.sortBy(e => (spread(e._3), e._3)).take(nSel.toInt)
+      val est = sel.map(_._4).sum * r.getAs[Long]("n_class") / nSel
+      assert(r.getAs[Long]("est_cents") == est, s"$et estimate")
+      val err = est - trueCents
+      val ppm = Math.floorDiv(err * 1000000L, trueCents)
+      assert(r.getAs[Long]("err_ppm") == ppm, s"$et ppm")
+      // the expansion estimator lands within 25% of truth on this sample
+      assert(math.abs(err) < trueCents / 4)
+    }
+  }
+
+  test("psi drift: bitwise lattice replay; psi nonnegative") {
+    val out = SparkEntry.queries("dq_psi_value_drift")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val minD = events.map(_._5).min
+    val midD = java.time.LocalDate.parse(minD).plusDays(15).toString
+    events.filter(_._4 > 0).groupBy(_._1).foreach { case (et, rows) =>
+      def bin(c: Long): Long = graft.functions.FixedLog2.log2fp(c) / 1048576L
+      val side1 = rows.filter(_._5 < midD).groupBy(e => bin(e._4))
+        .view.mapValues(_.size.toLong).toMap
+      val side2 = rows.filter(_._5 >= midD).groupBy(e => bin(e._4))
+        .view.mapValues(_.size.toLong).toMap
+      val bins = (side1.keySet ++ side2.keySet).toSeq.sorted
+      val sm = bins.map(b => (side1.getOrElse(b, 0L) + 1L,
+        side2.getOrElse(b, 0L) + 1L))
+      val n1 = sm.map(_._1).sum; val n2 = sm.map(_._2).sum
+      val tsum = sm.map { case (a, b) =>
+        BigInt(a * n2 - b * n1) *
+          (graft.functions.FixedLog2.log2fp(a * n2)
+            - graft.functions.FixedLog2.log2fp(b * n1))
+      }.sum
+      val psi = tsum.toDouble * 0.6931471805599453 /
+        (n1.toDouble * n2.toDouble * 1048576.0)
+      val (gb, gn1, gn2, gpsi) = out(et)
+      assert(gb == bins.size && gn1 == n1 && gn2 == n2)
+      assert(gpsi == psi, s"$et psi")
+      assert(psi >= 0.0)
+    }
+  }
+
   test("stl decompose: identity det7 = seasonal + resid; trend replay") {
     val rows = SparkEntry.queries("ts_stl_decompose")(spark, sfDir)
       .collect()
