@@ -6634,29 +6634,11 @@ object SparkEntry {
     // in a FIXED event_type order (sort_array→aggregate ≡
     // list_sort→list_reduce, the Cramér's-V discipline), so F is bitwise
     // portable. k is the bounded type universe, never event volume.
-    "agg_anova_f" -> ((s, dir) => {
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val g = Tables.events(s, dir)
-        .select(col("event_type"), Exact.cents(col("value")).as("c"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
-             sum(dec(col("c")) * dec(col("c"))).as("ss"))
-        .withColumn("t_g", (dec(col("sc")) * dec(col("sc"))).cast("double")
-          / col("n").cast("double"))
-      g.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
-            sum(dec(col("sc"))).as("s_total"), sum(col("ss")).as("ss_total"),
-            aggregate(sort_array(collect_list(
-                struct(col("event_type"), col("t_g")))),
-              lit(0.0), (a, x) => a + x.getField("t_g")).as("t_between"))
-        .withColumn("ssb", col("t_between")
-          - (col("s_total") * col("s_total")).cast("double")
-            / col("n_total").cast("double"))
-        .withColumn("ssw", col("ss_total").cast("double") - col("t_between"))
+    "agg_anova_f" -> ((s, dir) =>
+      fixedFoldF(Tables.events(s, dir)
+          .select(col("event_type"), Exact.cents(col("value")).as("v")))
         .select(col("k"), col("n_total"), col("ssb"), col("ssw"),
-          ((col("ssb") / (col("k") - 1).cast("double"))
-            / (col("ssw") / (col("n_total") - col("k")).cast("double")))
-            .as("f_stat"))
-    }),
+                col("stat").as("f_stat"))),
 
     // DDSketch-flavored relative-error quantiles: the log-bucketed
     // companion to sketch_histogram_quantiles' fixed-width bins. Bucket =
@@ -6767,8 +6749,8 @@ object SparkEntry {
         .groupBy("event_type", "n", "block")
         .agg(max(col("n") * col("cum") - col("i") * col("sb")).as("mx"),
              min(col("n") * col("cum") - col("i") * col("sb")).as("mn"),
-             first((dec(col("n")) * col("ssb")
-               - dec(col("sb")) * dec(col("sb"))).cast("long"))
+             first(Exact.checkedLong(dec(col("n")) * col("ssb")
+               - dec(col("sb")) * dec(col("sb"))))
                .as("var_num"))
         .withColumn("rs_num", col("mx") - col("mn"))
         .filter(col("rs_num") > 0 && col("var_num") > 0) // degenerate flat
@@ -6776,6 +6758,7 @@ object SparkEntry {
       val perScale = dv.groupBy("event_type", "n")
         .agg(count(lit(1)).as("m"), sum("y").as("ys"))
         .withColumn("xs", L(col("n")))
+        .tracked // the M-product aggregate and the final join both read it
       val prod = perScale.groupBy("event_type")
         .agg(count(lit(1)).as("k"),
              aggregate(collect_list(col("m")), lit(1L), (a, b) => a * b)
@@ -6844,32 +6827,8 @@ object SparkEntry {
     // are picked by the seedless spread-hash rank (mergeable, partition-
     // independent); the id-sum checksum pins the exact selected set.
     "sample_neyman_allocation" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-                Exact.cents(col("value")).as("c"))
-        .tracked // moments + selection both scan it
-      val g = ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n_class"), sum("c").as("sc"),
-             sum(dec(col("c")) * dec(col("c"))).as("ss"))
-        .withColumn("var_num",
-          (dec(col("n_class")) * col("ss") - dec(col("sc")) * dec(col("sc")))
-            .cast("long"))
-        .withColumn("wt", floor(sqrt(
-          (col("n_class") * expr("var_num div (n_class - 1)"))
-            .cast("double"))).cast("long"))
-      val tot = g.agg(sum("wt").as("total_wt"))
-      val alloc = g.crossJoin(broadcast(tot))
-        .withColumn("n_alloc", expr("(1000 * wt) div total_wt"))
-        .select("event_type", "n_class", "wt", "n_alloc")
-      val sel = ev.join(broadcast(alloc), "event_type")
-        .withColumn("rk", row_number().over(
-          w.partitionBy("event_type")
-            .orderBy(graft.olap.Sketch.spreadHash(col("event_id")),
-                     col("event_id"))))
-        .filter(col("rk") <= col("n_alloc"))
-        .groupBy("event_type")
+      val (alloc, selected) = neymanSample(s, dir)
+      val sel = selected.groupBy("event_type")
         .agg(count(lit(1)).as("n_selected"),
              sum(col("event_id")).as("id_checksum"))
       alloc.join(sel, "event_type")
@@ -6936,26 +6895,10 @@ object SparkEntry {
                 .otherwise(0L))
               + sum(when(col("rn") === expr("(n + 2) div 2"), col("c"))
                 .otherwise(0L))).as("m2"))
-      val g = v.join(broadcast(med2), "event_type")
-        .withColumn("z", abs(col("c") * 2 - col("m2")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("z").as("sz"),
-             sum(dec(col("z")) * dec(col("z"))).as("szz"))
-        .withColumn("t_g", (dec(col("sz")) * dec(col("sz"))).cast("double")
-          / col("n").cast("double"))
-      g.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
-            sum(dec(col("sz"))).as("s_total"), sum(col("szz")).as("ss_total"),
-            aggregate(sort_array(collect_list(
-                struct(col("event_type"), col("t_g")))),
-              lit(0.0), (a, x) => a + x.getField("t_g")).as("t_between"))
-        .withColumn("ssb", col("t_between")
-          - (col("s_total") * col("s_total")).cast("double")
-            / col("n_total").cast("double"))
-        .withColumn("ssw", col("ss_total").cast("double") - col("t_between"))
-        .select(col("k"), col("n_total"),
-          ((col("ssb") / (col("k") - 1).cast("double"))
-            / (col("ssw") / (col("n_total") - col("k")).cast("double")))
-            .as("w_stat"))
+      fixedFoldF(v.join(broadcast(med2), "event_type")
+          .select(col("event_type"),
+                  abs(col("c") * 2 - col("m2")).as("v")))
+        .select(col("k"), col("n_total"), col("stat").as("w_stat"))
     }),
 
     // STL-lite decomposition of each type's daily series into
@@ -6982,6 +6925,7 @@ object SparkEntry {
         .withColumn("cnt7", count(lit(1)).over(byT.rowsBetween(-3, 3)))
         .filter(col("cnt7") === 7)
         .withColumn("det7", col("x") * 7 - col("trend7"))
+        .tracked // seasonal index + final join both read it
       val seas = tr.groupBy("event_type", "dow")
         .agg(sum("det7").as("s_num"), count(lit(1)).as("s_cnt"))
         .withColumn("seasonal", expr(
@@ -7109,26 +7053,11 @@ object SparkEntry {
     // amortizes per partition), zero shuffle before the output sort; the
     // oracle recomputes the hash arithmetically from the synthesis
     // formula — lossless grayscale PNG means decoded == synthesized.
-    "mm_image_phash" -> ((s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions { it =>
-          it.map { case (id, nChars) =>
-            val w = (1 + id % 8).toInt
-            val h = (1 + nChars % 8).toInt
-            val png = graft.multimodal.Media.PngCodec.encodeGray(w, h,
-              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
-            val (dw, dh, lo, hi, nSet) =
-              graft.multimodal.Media.PngCodec.decodeAvgHash(png)
-            (id, dw.toLong, dh.toLong, lo, hi, nSet)
-          }
-        }
-        .toDF("media_id", "width", "height", "phash_lo", "phash_hi",
-              "n_set")
-        .orderBy("media_id")
-    }),
+    "mm_image_phash" -> ((s, dir) =>
+      phashFrame(s, dir)
+        .select(col("media_id"), col("width"), col("height"),
+          col("lo").as("phash_lo"), col("hi").as("phash_hi"), col("n_set"))
+        .orderBy("media_id")),
 
     // RAG-style sliding-window chunking: 200-char chunks at 150-char
     // stride (50-char overlap so no retrieval boundary loses context) —
@@ -7203,22 +7132,8 @@ object SparkEntry {
     // (≥ 8 set bits) enter the index, mirroring production phash dedup.
     // The banded join is the ONLY shuffle — never an all-pairs compare.
     "dedup_phash_hamming" -> ((s, dir) => {
-      import s.implicits._
-      val hashes = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions { it =>
-          it.map { case (id, nChars) =>
-            val w = (1 + id % 8).toInt
-            val h = (1 + nChars % 8).toInt
-            val png = graft.multimodal.Media.PngCodec.encodeGray(w, h,
-              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
-            val (_, _, lo, hi, nSet) =
-              graft.multimodal.Media.PngCodec.decodeAvgHash(png)
-            (id, lo, hi, nSet)
-          }
-        }
-        .toDF("media_id", "lo", "hi", "n_set")
+      val hashes = phashFrame(s, dir)
+        .select("media_id", "lo", "hi", "n_set")
         .filter(col("n_set") >= 8)
         .tracked // band explode + both join sides read it
       val banded = hashes.withColumn("band", explode(array(
@@ -7307,35 +7222,11 @@ object SparkEntry {
     // relative error uses the make-divisible floor-div so both engines
     // truncate identically below zero.
     "sample_expansion_estimate" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-                Exact.cents(col("value")).as("c"))
-        .tracked // weights + selection + truth scan it
-      val g = ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n_class"), sum("c").as("true_cents"),
-             sum(dec(col("c")) * dec(col("c"))).as("ss"))
-        .withColumn("var_num",
-          (dec(col("n_class")) * col("ss")
-            - dec(col("true_cents")) * dec(col("true_cents")))
-            .cast("long"))
-        .withColumn("wt", floor(sqrt(
-          (col("n_class") * expr("var_num div (n_class - 1)"))
-            .cast("double"))).cast("long"))
-      val tot = g.agg(sum("wt").as("total_wt"))
-      val alloc = g.crossJoin(broadcast(tot))
-        .withColumn("n_alloc", expr("(1000 * wt) div total_wt"))
-        .select("event_type", "n_class", "true_cents", "n_alloc")
-      val est = ev.join(broadcast(alloc), "event_type")
-        .withColumn("rk", row_number().over(
-          w.partitionBy("event_type")
-            .orderBy(graft.olap.Sketch.spreadHash(col("event_id")),
-                     col("event_id"))))
-        .filter(col("rk") <= col("n_alloc"))
-        .groupBy("event_type")
+      val (alloc, selected) = neymanSample(s, dir)
+      val est = selected.groupBy("event_type")
         .agg(count(lit(1)).as("n_sel"), sum("c").as("sel_cents"))
-      alloc.join(est, "event_type")
+      alloc.withColumnRenamed("sc", "true_cents")
+        .join(est, "event_type")
         .withColumn("est_cents",
           expr("(sel_cents * n_class) div n_sel"))
         .withColumn("err", col("est_cents") - col("true_cents"))
@@ -7398,6 +7289,209 @@ object SparkEntry {
         .orderBy("event_type")
     }),
   )
+
+  /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
+    * and `sample_expansion_estimate` — ONE definition of the weight
+    * surrogate, budget split and spread-hash selection so the sampler and
+    * its estimator can never silently disagree. Returns
+    * (alloc: event_type, n_class, sc, wt, n_alloc;
+    *  selected rows: event_type, event_id, c + alloc columns).
+    * The DECIMAL variance numerator enters BIGINT via Exact.checkedLong —
+    * a loud failure on overflow instead of Spark's silent NULL cast (the
+    * oracle's CAST would raise; both engines must agree on failing).
+    */
+  private def neymanSample(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+              Exact.cents(col("value")).as("c"))
+      .tracked // moments + selection both scan it
+    val g = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_class"), sum("c").as("sc"),
+           sum(dec(col("c")) * dec(col("c"))).as("ss"))
+      .withColumn("var_num", Exact.checkedLong(
+        dec(col("n_class")) * col("ss") - dec(col("sc")) * dec(col("sc"))))
+      .withColumn("wt", floor(sqrt(
+        (col("n_class") * expr("var_num div (n_class - 1)"))
+          .cast("double"))).cast("long"))
+    val tot = g.agg(sum("wt").as("total_wt"))
+    val alloc = g.crossJoin(broadcast(tot))
+      .withColumn("n_alloc", expr("(1000 * wt) div total_wt"))
+      .select("event_type", "n_class", "sc", "wt", "n_alloc")
+    val selected = ev.join(broadcast(alloc), "event_type")
+      .withColumn("rk", row_number().over(
+        w.partitionBy("event_type")
+          .orderBy(graft.olap.Sketch.spreadHash(col("event_id")),
+                   col("event_id"))))
+      .filter(col("rk") <= col("n_alloc"))
+    (alloc, selected)
+  }
+
+  /** Fixed-fold one-way F chain shared by `agg_anova_f` (on raw cents)
+    * and `agg_levene_bf` (on median spreads) — ONE definition of the
+    * bitwise-portability-critical fold: per-group moments from a
+    * (event_type, v) frame, k between-terms s_g²/n_g folded in FIXED
+    * event_type order (sort_array→aggregate ≡ list_sort→list_reduce),
+    * F = (ssb/(k−1))/(ssw/(N−k)). Returns one row
+    * (k, n_total, ssb, ssw, stat).
+    */
+  private def fixedFoldF(rows: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    rows.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+           sum(dec(col("v")) * dec(col("v"))).as("ss"))
+      .withColumn("t_g", (dec(col("sv")) * dec(col("sv"))).cast("double")
+        / col("n").cast("double"))
+      .agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+           sum(dec(col("sv"))).as("s_total"), sum(col("ss")).as("ss_total"),
+           aggregate(sort_array(collect_list(
+               struct(col("event_type"), col("t_g")))),
+             lit(0.0), (a, x) => a + x.getField("t_g")).as("t_between"))
+      .withColumn("ssb", col("t_between")
+        - (col("s_total") * col("s_total")).cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("ssw", col("ss_total").cast("double") - col("t_between"))
+      .withColumn("stat",
+        (col("ssb") / (col("k") - 1).cast("double"))
+          / (col("ssw") / (col("n_total") - col("k")).cast("double")))
+  }
+
+  /** DuckDB CTE chain mirroring [[fixedFoldF]]: expects a CTE named
+    * `$src` with columns (event_type, $valCol); terminates in `f`
+    * (k, n_total, ssb, ssw) — the caller's SELECT forms the statistic
+    * with the identical division chain.
+    */
+  private def duckFixedFoldF(src: String, valCol: String): String =
+    s"""fg AS (SELECT event_type, count(*) AS n,
+                      CAST(sum($valCol) AS BIGINT) AS sv,
+                      CAST(sum(CAST($valCol AS HUGEINT) * $valCol)
+                        AS HUGEINT) AS ss
+               FROM $src GROUP BY 1),
+        ft AS (SELECT event_type, n, sv, ss,
+                      CAST(CAST(sv AS HUGEINT) * sv AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS t_g
+               FROM fg),
+        fa AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+                      CAST(sum(sv) AS HUGEINT) AS s_total,
+                      CAST(sum(ss) AS HUGEINT) AS ss_total,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(list_sort(list(struct_pack(
+                          event_type := event_type, t_g := t_g))),
+                          x -> x.t_g)),
+                        (a, b) -> a + b) AS t_between
+               FROM ft),
+        f AS (SELECT k, n_total,
+                     t_between - CAST(s_total * s_total AS DOUBLE)
+                       / CAST(n_total AS DOUBLE) AS ssb,
+                     CAST(ss_total AS DOUBLE) - t_between AS ssw
+              FROM fa)"""
+
+  /** Shared perceptual-hash frame for `mm_image_phash` and
+    * `dedup_phash_hamming` — ONE definition of the raster synthesis and
+    * the codec round-trip so the hash the dedup indexes is exactly the
+    * hash the decode query reports. Batched mapPartitions (codec init
+    * amortizes per partition), zero shuffle. Columns:
+    * (media_id, width, height, lo, hi, n_set).
+    */
+  private def phashFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + nChars % 8).toInt
+          val png = graft.multimodal.Media.PngCodec.encodeGray(w, h,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          val (dw, dh, lo, hi, nSet) =
+            graft.multimodal.Media.PngCodec.decodeAvgHash(png)
+          (id, dw.toLong, dh.toLong, lo, hi, nSet)
+        }
+      }
+      .toDF("media_id", "width", "height", "lo", "hi", "n_set")
+  }
+
+  /** DuckDB CTE chain mirroring [[phashFrame]] — the arithmetic raster
+    * recomputation both phash oracles compose (lossless grayscale PNG ⇒
+    * decoded == synthesized). Terminates in `hs` (media_id, width,
+    * height, lo, hi, n_set).
+    */
+  private val duckPhashCtes: String =
+    """px AS (SELECT d.doc_id, 1 + d.doc_id % 8 AS w,
+                     1 + d.n_chars % 8 AS h, xx.x, yy.y,
+                     (d.doc_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS p
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(8)) AS x) xx
+              CROSS JOIN (SELECT unnest(range(8)) AS y) yy
+              WHERE xx.x < 1 + d.doc_id % 8
+                AND yy.y < 1 + d.n_chars % 8),
+       m AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sump,
+                    count(*) AS np
+             FROM px GROUP BY 1),
+       b AS (SELECT px.doc_id, px.w, px.h,
+                    CASE WHEN px.p > m.sump // m.np THEN 1 ELSE 0 END
+                      AS bit,
+                    px.y * px.w + px.x AS i
+             FROM px JOIN m ON m.doc_id = px.doc_id),
+       hs AS (SELECT doc_id AS media_id,
+                     CAST(any_value(w) AS BIGINT) AS width,
+                     CAST(any_value(h) AS BIGINT) AS height,
+                     CAST(sum(CASE WHEN i < 32
+                       THEN bit * (CAST(1 AS BIGINT) << i)
+                       ELSE 0 END) AS BIGINT) AS lo,
+                     CAST(sum(CASE WHEN i >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+                     CAST(sum(bit) AS BIGINT) AS n_set
+              FROM b GROUP BY 1)"""
+
+  /** DuckDB CTE chain mirroring [[neymanSample]] — ONE oracle definition
+    * of the weight surrogate, budget split and spread-hash rank, composed
+    * by both sampling oracles. Terminates in `alloc` (event_type,
+    * n_class, sc, wt, n_alloc) and `rk` (selection rank over the event
+    * rows, carrying c for estimators).
+    */
+  private val duckNeymanCtes: String =
+    """ev AS (SELECT event_type, event_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c
+              FROM events),
+       g AS (SELECT event_type, count(*) AS n_class,
+                    CAST(sum(c) AS BIGINT) AS sc,
+                    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+             FROM ev GROUP BY 1),
+       v AS (SELECT event_type, n_class, sc,
+                    CAST(CAST(n_class AS HUGEINT) * ss
+                         - CAST(sc AS HUGEINT) * sc AS BIGINT) AS var_num
+             FROM g),
+       wt AS (SELECT event_type, n_class, sc,
+                     CAST(floor(sqrt(CAST(n_class
+                       * (var_num // (n_class - 1)) AS DOUBLE)))
+                       AS BIGINT) AS wt
+              FROM v),
+       tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM wt),
+       alloc AS (SELECT event_type, n_class, sc, wt,
+                        (1000 * wt) // total_wt AS n_alloc
+                 FROM wt CROSS JOIN tot),
+       f AS (SELECT event_type, event_id, c,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   string_split(CAST(event_id AS VARCHAR), ''),
+                   ch -> CAST(ascii(ch) AS BIGINT))),
+                 (a, c2) -> (a * 31 + c2) % 2147483647) AS h0
+             FROM ev),
+       m1 AS (SELECT event_type, event_id, c,
+                (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+       m2 AS (SELECT event_type, event_id, c, (h1 * h1) % 2147483647
+                AS h2 FROM m1),
+       hh AS (SELECT event_type, event_id, c,
+                (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+       rk AS (SELECT event_type, event_id, c,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY hv, event_id) AS rk
+              FROM hh)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -13547,32 +13641,10 @@ object SparkEntry {
          ORDER BY sel.label""",
 
     "agg_anova_f" ->
-      """WITH c AS (SELECT event_type,
-                           CAST(round(value * 100, 0) AS BIGINT) AS c
-                    FROM events),
-              g AS (SELECT event_type, count(*) AS n,
-                           CAST(sum(c) AS BIGINT) AS sc,
-                           CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
-                             AS ss
-                    FROM c GROUP BY 1),
-              t AS (SELECT event_type, n, sc, ss,
-                           CAST(CAST(sc AS HUGEINT) * sc AS DOUBLE)
-                             / CAST(n AS DOUBLE) AS t_g
-                    FROM g),
-              a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
-                           CAST(sum(sc) AS HUGEINT) AS s_total,
-                           CAST(sum(ss) AS HUGEINT) AS ss_total,
-                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                             list_transform(list_sort(list(struct_pack(
-                               event_type := event_type, t_g := t_g))),
-                               x -> x.t_g)),
-                             (a, b) -> a + b) AS t_between
-                    FROM t),
-              f AS (SELECT k, n_total,
-                           t_between - CAST(s_total * s_total AS DOUBLE)
-                             / CAST(n_total AS DOUBLE) AS ssb,
-                           CAST(ss_total AS DOUBLE) - t_between AS ssw
-                    FROM a)
+      s"""WITH c AS (SELECT event_type,
+                            CAST(round(value * 100, 0) AS BIGINT) AS c
+                     FROM events),
+              ${duckFixedFoldF("c", "c")}
          SELECT k, n_total, ssb, ssw,
                 (ssb / CAST(k - 1 AS DOUBLE))
                   / (ssw / CAST(n_total - k AS DOUBLE)) AS f_stat
@@ -13756,45 +13828,7 @@ object SparkEntry {
          ORDER BY event_type, n_frames DESC, word""",
 
     "sample_neyman_allocation" ->
-      """WITH ev AS (SELECT event_type, event_id,
-                            CAST(round(value * 100, 0) AS BIGINT) AS c
-                     FROM events),
-              g AS (SELECT event_type, count(*) AS n_class,
-                           CAST(sum(c) AS BIGINT) AS sc,
-                           CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
-                             AS ss
-                    FROM ev GROUP BY 1),
-              v AS (SELECT event_type, n_class,
-                           CAST(CAST(n_class AS HUGEINT) * ss
-                                - CAST(sc AS HUGEINT) * sc AS BIGINT)
-                             AS var_num
-                    FROM g),
-              wt AS (SELECT event_type, n_class,
-                            CAST(floor(sqrt(CAST(n_class
-                              * (var_num // (n_class - 1)) AS DOUBLE)))
-                              AS BIGINT) AS wt
-                     FROM v),
-              tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM wt),
-              alloc AS (SELECT event_type, n_class, wt,
-                               (1000 * wt) // total_wt AS n_alloc
-                        FROM wt CROSS JOIN tot),
-              f AS (SELECT event_type, event_id,
-                      list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(
-                          string_split(CAST(event_id AS VARCHAR), ''),
-                          ch -> CAST(ascii(ch) AS BIGINT))),
-                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
-                    FROM ev),
-              m1 AS (SELECT event_type, event_id,
-                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
-              m2 AS (SELECT event_type, event_id, (h1 * h1) % 2147483647
-                       AS h2 FROM m1),
-              hh AS (SELECT event_type, event_id,
-                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
-              rk AS (SELECT event_type, event_id,
-                            row_number() OVER (PARTITION BY event_type
-                              ORDER BY hv, event_id) AS rk
-                     FROM hh),
+      s"""WITH $duckNeymanCtes,
               sel AS (SELECT r.event_type, count(*) AS n_selected,
                              CAST(sum(r.event_id) AS BIGINT) AS id_checksum
                       FROM rk r JOIN alloc a
@@ -13842,7 +13876,7 @@ object SparkEntry {
     },
 
     "agg_levene_bf" ->
-      """WITH v AS (SELECT event_type,
+      s"""WITH v AS (SELECT event_type,
                            CAST(round(value * 100, 0) AS BIGINT) AS c
                     FROM events),
               r AS (SELECT event_type, c,
@@ -13858,29 +13892,7 @@ object SparkEntry {
                      FROM r GROUP BY 1),
               z AS (SELECT v.event_type, abs(v.c * 2 - md.m2) AS z
                     FROM v JOIN md ON md.event_type = v.event_type),
-              g AS (SELECT event_type, count(*) AS n,
-                           CAST(sum(z) AS BIGINT) AS sz,
-                           CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT)
-                             AS szz
-                    FROM z GROUP BY 1),
-              t AS (SELECT event_type, n, sz, szz,
-                           CAST(CAST(sz AS HUGEINT) * sz AS DOUBLE)
-                             / CAST(n AS DOUBLE) AS t_g
-                    FROM g),
-              a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
-                           CAST(sum(sz) AS HUGEINT) AS s_total,
-                           CAST(sum(szz) AS HUGEINT) AS ss_total,
-                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                             list_transform(list_sort(list(struct_pack(
-                               event_type := event_type, t_g := t_g))),
-                               x -> x.t_g)),
-                             (a, b) -> a + b) AS t_between
-                    FROM t),
-              f AS (SELECT k, n_total,
-                           t_between - CAST(s_total * s_total AS DOUBLE)
-                             / CAST(n_total AS DOUBLE) AS ssb,
-                           CAST(ss_total AS DOUBLE) - t_between AS ssw
-                    FROM a)
+              ${duckFixedFoldF("z", "z")}
          SELECT k, n_total,
                 (ssb / CAST(k - 1 AS DOUBLE))
                   / (ssw / CAST(n_total - k AS DOUBLE)) AS w_stat
@@ -14031,34 +14043,10 @@ object SparkEntry {
          FROM m""",
 
     "mm_image_phash" ->
-      """WITH px AS (SELECT d.doc_id, 1 + d.doc_id % 8 AS w,
-                            1 + d.n_chars % 8 AS h, xx.x, yy.y,
-                            (d.doc_id * 31 + xx.x * 7 + yy.y * 13) % 256
-                              AS p
-                     FROM documents d
-                     CROSS JOIN (SELECT unnest(range(8)) AS x) xx
-                     CROSS JOIN (SELECT unnest(range(8)) AS y) yy
-                     WHERE xx.x < 1 + d.doc_id % 8
-                       AND yy.y < 1 + d.n_chars % 8),
-              m AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sump,
-                           count(*) AS np
-                    FROM px GROUP BY 1),
-              b AS (SELECT px.doc_id, px.w, px.h,
-                           CASE WHEN px.p > m.sump // m.np
-                                THEN 1 ELSE 0 END AS bit,
-                           px.y * px.w + px.x AS i
-                    FROM px JOIN m ON m.doc_id = px.doc_id)
-         SELECT doc_id AS media_id,
-                CAST(any_value(w) AS BIGINT) AS width,
-                CAST(any_value(h) AS BIGINT) AS height,
-                CAST(sum(CASE WHEN i < 32
-                              THEN bit * (CAST(1 AS BIGINT) << i)
-                              ELSE 0 END) AS BIGINT) AS phash_lo,
-                CAST(sum(CASE WHEN i >= 32
-                              THEN bit * (CAST(1 AS BIGINT) << (i - 32))
-                              ELSE 0 END) AS BIGINT) AS phash_hi,
-                CAST(sum(bit) AS BIGINT) AS n_set
-         FROM b GROUP BY 1 ORDER BY 1""",
+      s"""WITH $duckPhashCtes
+         SELECT media_id, width, height, lo AS phash_lo, hi AS phash_hi,
+                n_set
+         FROM hs ORDER BY media_id""",
 
     "text_rag_chunking" ->
       """WITH d AS (SELECT doc_id, text, n_chars FROM documents
@@ -14121,32 +14109,7 @@ object SparkEntry {
     },
 
     "dedup_phash_hamming" ->
-      """WITH px AS (SELECT d.doc_id, 1 + d.doc_id % 8 AS w,
-                            1 + d.n_chars % 8 AS h, xx.x, yy.y,
-                            (d.doc_id * 31 + xx.x * 7 + yy.y * 13) % 256
-                              AS p
-                     FROM documents d
-                     CROSS JOIN (SELECT unnest(range(8)) AS x) xx
-                     CROSS JOIN (SELECT unnest(range(8)) AS y) yy
-                     WHERE xx.x < 1 + d.doc_id % 8
-                       AND yy.y < 1 + d.n_chars % 8),
-              m AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sump,
-                           count(*) AS np
-                    FROM px GROUP BY 1),
-              b AS (SELECT px.doc_id,
-                           CASE WHEN px.p > m.sump // m.np
-                                THEN 1 ELSE 0 END AS bit,
-                           px.y * px.w + px.x AS i
-                    FROM px JOIN m ON m.doc_id = px.doc_id),
-              hs AS (SELECT doc_id AS media_id,
-                            CAST(sum(CASE WHEN i < 32
-                              THEN bit * (CAST(1 AS BIGINT) << i)
-                              ELSE 0 END) AS BIGINT) AS lo,
-                            CAST(sum(CASE WHEN i >= 32
-                              THEN bit * (CAST(1 AS BIGINT) << (i - 32))
-                              ELSE 0 END) AS BIGINT) AS hi,
-                            CAST(sum(bit) AS BIGINT) AS n_set
-                     FROM b GROUP BY 1),
+      s"""WITH $duckPhashCtes,
               hf AS (SELECT * FROM hs WHERE n_set >= 8),
               bd AS (SELECT media_id, lo, hi, bb.b,
                             CASE bb.b WHEN 0 THEN lo % 65536
@@ -14228,45 +14191,7 @@ object SparkEntry {
          FROM g ORDER BY event_type""",
 
     "sample_expansion_estimate" ->
-      """WITH ev AS (SELECT event_type, event_id,
-                            CAST(round(value * 100, 0) AS BIGINT) AS c
-                     FROM events),
-              g AS (SELECT event_type, count(*) AS n_class,
-                           CAST(sum(c) AS BIGINT) AS true_cents,
-                           CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
-                             AS ss
-                    FROM ev GROUP BY 1),
-              v AS (SELECT event_type, n_class, true_cents,
-                           CAST(CAST(n_class AS HUGEINT) * ss
-                                - CAST(true_cents AS HUGEINT) * true_cents
-                                AS BIGINT) AS var_num
-                    FROM g),
-              wt AS (SELECT event_type, n_class, true_cents,
-                            CAST(floor(sqrt(CAST(n_class
-                              * (var_num // (n_class - 1)) AS DOUBLE)))
-                              AS BIGINT) AS wt
-                     FROM v),
-              tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM wt),
-              alloc AS (SELECT event_type, n_class, true_cents,
-                               (1000 * wt) // total_wt AS n_alloc
-                        FROM wt CROSS JOIN tot),
-              f AS (SELECT event_type, event_id, c,
-                      list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(
-                          string_split(CAST(event_id AS VARCHAR), ''),
-                          ch -> CAST(ascii(ch) AS BIGINT))),
-                        (a, c2) -> (a * 31 + c2) % 2147483647) AS h0
-                    FROM ev),
-              m1 AS (SELECT event_type, event_id, c,
-                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
-              m2 AS (SELECT event_type, event_id, c,
-                       (h1 * h1) % 2147483647 AS h2 FROM m1),
-              hh AS (SELECT event_type, event_id, c,
-                       (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
-              rk AS (SELECT event_type, event_id, c,
-                            row_number() OVER (PARTITION BY event_type
-                              ORDER BY hv, event_id) AS rk
-                     FROM hh),
+      s"""WITH $duckNeymanCtes,
               sel AS (SELECT r.event_type, count(*) AS n_sel,
                              CAST(sum(r.c) AS BIGINT) AS sel_cents
                       FROM rk r JOIN alloc a
@@ -14276,7 +14201,7 @@ object SparkEntry {
               est AS (SELECT a.event_type, a.n_class, s.n_sel,
                              (s.sel_cents * a.n_class) // s.n_sel
                                AS est_cents,
-                             a.true_cents
+                             a.sc AS true_cents
                       FROM alloc a JOIN sel s
                         ON s.event_type = a.event_type),
               er AS (SELECT event_type, n_class, n_sel, est_cents,

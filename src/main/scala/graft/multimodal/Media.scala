@@ -108,6 +108,13 @@ object Media {
         return (w, h, -1L, -1L, -1L)
       }
       val (w, h) = (img.getWidth, img.getHeight)
+      // ENFORCED precondition, not assumed: i = y·w + x must fit the two
+      // 32-bit halves. A 9×9 image would shift past bit 63 and silently
+      // alias pixels (JVM shifts wrap mod 64) — fail loudly instead, the
+      // FixedLog2 discipline.
+      if (w.toLong * h > 64)
+        throw new IllegalArgumentException(
+          s"decodeAvgHash requires <= 64 pixels, got ${w}x$h")
       val raster = img.getRaster
       var sum = 0L
       var y = 0

@@ -30,6 +30,23 @@ object Exact {
     */
   def onePartition(orderCol: Column): Column = pmod(hash(orderCol), lit(1))
 
+  /** DECIMAL(38,0) → BIGINT that FAILS LOUDLY when the value doesn't fit.
+    * Spark's non-ANSI cast silently returns NULL on decimal→long overflow
+    * while DuckDB's CAST raises — one engine would silently drop rows (via
+    * downstream null filters) where the other aborts, the exact
+    * silent-drift failure mode the lattice discipline exists to prevent.
+    * Used where lattice moments (n·Σx²−S², weight numerators) are about to
+    * enter BIGINT-only machinery such as log2_fp.
+    */
+  def checkedLong(c: Column): Column = {
+    val lo = lit(Long.MinValue).cast(DecimalType(38, 0))
+    val hi = lit(Long.MaxValue).cast(DecimalType(38, 0))
+    when(c.between(lo, hi), c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("lattice moment exceeds BIGINT range: "), c.cast("string")))
+        .cast("long"))
+  }
+
   /** Small-range 2-dp rate (discount/tax). */
   def rate(c: Column): Column = c.cast(DecimalType(8, 2))
 

@@ -135,9 +135,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row per-round max-score scalar into each HITS renormalize
       "graph_hits",
       // 1-row total-weight scalar joined into the allocation projection
-      "sample_neyman_allocation",
+      "sample_neyman_allocation", "sample_expansion_estimate",
       // 1-row window-midpoint scalar + 1-row arm/pooled-moment combines
       "agg_cuped_adjustment",
+      // 1-row window-midpoint scalar gating the two distribution halves
+      "dq_psi_value_drift",
       // 1-row confusion-census scalar combines
       "dedup_lsh_quality",
       // 1-row Zipf-slope scalar joined into the spectrum rows
