@@ -7288,6 +7288,49 @@ object SparkEntry {
                * lit(1048576.0))).as("psi"))
         .orderBy("event_type")
     }),
+
+    // Lagged cross-correlation between the click and purchase daily
+    // series (lags 0..3) — the lead-lag discovery a metric pipeline runs
+    // before claiming one stream predicts another. Day cells first; the
+    // aligned (a_t, b_{t+ℓ}) pairs come from 3 leads + one stack over the
+    // single 30-row joint series (deliberately one partition, keyed by
+    // the non-foldable Exact.onePartition); per-lag Pearson uses exact
+    // DECIMAL(38,0) moments and a fixed two-sqrt IEEE chain.
+    "ts_xcorr_lags" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val w = org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+      val ab = daily.groupBy("d")
+        .agg(sum(when(col("event_type") === "click", col("x"))).as("a"),
+             sum(when(col("event_type") === "purchase", col("x"))).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      val wOne = w.partitionBy(Exact.onePartition(col("d"))).orderBy("d")
+      val lagged = ab
+        .withColumn("b1", lead("b", 1).over(wOne))
+        .withColumn("b2", lead("b", 2).over(wOne))
+        .withColumn("b3", lead("b", 3).over(wOne))
+        .select(col("a"), expr(
+          "stack(4, 0L, b, 1L, b1, 2L, b2, 3L, b3) as (lag, bb)"))
+        .filter(col("bb").isNotNull)
+      lagged.groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(dec(col("a"))).as("sa"), sum(dec(col("bb"))).as("sb"),
+             sum(dec(col("a")) * dec(col("bb"))).as("sab"),
+             sum(dec(col("a")) * dec(col("a"))).as("saa"),
+             sum(dec(col("bb")) * dec(col("bb"))).as("sbb"))
+        .select(col("lag"), col("n_pairs"),
+          ((dec(col("n_pairs")) * col("sab") - col("sa") * col("sb"))
+             .cast("double")
+           / (sqrt((dec(col("n_pairs")) * col("saa")
+                    - col("sa") * col("sa")).cast("double"))
+              * sqrt((dec(col("n_pairs")) * col("sbb")
+                      - col("sb") * col("sb")).cast("double"))))
+            .as("xcorr"))
+        .orderBy("lag")
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -14265,6 +14308,48 @@ object SparkEntry {
                       * 1048576.0) AS psi
           FROM agg ORDER BY event_type"""
     },
+
+    "ts_xcorr_lags" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                               CAST(sum(CAST(round(value * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+                        FROM events
+                        WHERE event_type IN ('click', 'purchase')
+                        GROUP BY 1, 2),
+              ab AS (SELECT d,
+                            CAST(sum(CASE WHEN event_type = 'click'
+                              THEN x END) AS BIGINT) AS a,
+                            CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN x END) AS BIGINT) AS b
+                     FROM daily GROUP BY 1),
+              f AS (SELECT * FROM ab
+                    WHERE a IS NOT NULL AND b IS NOT NULL),
+              lg AS (SELECT a, b, lead(b, 1) OVER w AS b1,
+                            lead(b, 2) OVER w AS b2,
+                            lead(b, 3) OVER w AS b3
+                     FROM f WINDOW w AS (ORDER BY d)),
+              st AS (SELECT CAST(0 AS BIGINT) AS lag, a, b AS bb FROM lg
+                     UNION ALL SELECT 1, a, b1 FROM lg
+                     UNION ALL SELECT 2, a, b2 FROM lg
+                     UNION ALL SELECT 3, a, b3 FROM lg),
+              sf AS (SELECT * FROM st WHERE bb IS NOT NULL),
+              g AS (SELECT lag, count(*) AS n_pairs,
+                           CAST(sum(a) AS HUGEINT) AS sa,
+                           CAST(sum(bb) AS HUGEINT) AS sb,
+                           CAST(sum(CAST(a AS HUGEINT) * bb) AS HUGEINT)
+                             AS sab,
+                           CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT)
+                             AS saa,
+                           CAST(sum(CAST(bb AS HUGEINT) * bb) AS HUGEINT)
+                             AS sbb
+                    FROM sf GROUP BY 1)
+         SELECT lag, n_pairs,
+                CAST(CAST(n_pairs AS HUGEINT) * sab - sa * sb AS DOUBLE)
+                  / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * saa
+                               - sa * sa AS DOUBLE))
+                     * sqrt(CAST(CAST(n_pairs AS HUGEINT) * sbb
+                                 - sb * sb AS DOUBLE))) AS xcorr
+         FROM g ORDER BY lag""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -532,6 +532,34 @@ class StatsMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("xcorr lags: bitwise moment replay; lag 0 equals plain pearson") {
+    val out = SparkEntry.queries("ts_xcorr_lags")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val daily = events.filter(e => e._1 == "click" || e._1 == "purchase")
+      .groupBy(e => (e._5, e._1))
+      .map { case ((d, et), rows) => (d, et, rows.map(_._4).sum) }.toSeq
+    val byDay = daily.groupBy(_._1).collect {
+      case (d, rows) if rows.size == 2 =>
+        (d, rows.find(_._2 == "click").get._3,
+         rows.find(_._2 == "purchase").get._3)
+    }.toSeq.sortBy(_._1)
+    (0 to 3).foreach { l =>
+      val pairs = byDay.dropRight(l).map(_._2)
+        .zip(byDay.drop(l).map(_._3))
+      val n = pairs.size.toLong
+      val sa = pairs.map(p => BigInt(p._1)).sum
+      val sb = pairs.map(p => BigInt(p._2)).sum
+      val sab = pairs.map(p => BigInt(p._1) * p._2).sum
+      val saa = pairs.map(p => BigInt(p._1) * p._1).sum
+      val sbb = pairs.map(p => BigInt(p._2) * p._2).sum
+      val r = (BigInt(n) * sab - sa * sb).toDouble /
+        (math.sqrt((BigInt(n) * saa - sa * sa).toDouble) *
+         math.sqrt((BigInt(n) * sbb - sb * sb).toDouble))
+      assert(out(l.toLong) == ((n, r)), s"lag $l")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
   test("stl decompose: identity det7 = seasonal + resid; trend replay") {
     val rows = SparkEntry.queries("ts_stl_decompose")(spark, sfDir)
       .collect()
