@@ -7331,6 +7331,75 @@ object SparkEntry {
             .as("xcorr"))
         .orderBy("lag")
     }),
+
+    // b-bit minhash (b = 1, Li & König): keep only each signature
+    // component's lowest bit — 1/64 the sketch storage — and recover
+    // Jaccard from bit agreement via Ĵ = 2·(eq/k) − 1 (random bits agree
+    // half the time). Candidates come from the SAME banded-LSH join as
+    // dedup_minhash_lsh (shared MinHash.candidatePairs — one definition,
+    // estimator variants can't disagree on candidates); the full-width
+    // estimate rides along so the storage/accuracy trade is visible per
+    // pair. At 100 TB the 1-bit sketch is what actually fits in the
+    // signature store.
+    "dedup_bbit_minhash" -> ((s, dir) =>
+      MinHash.candidatePairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 16, r = 4)
+        .withColumn("eq_full", expr(
+          "size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), x -> x))")
+          .cast("long"))
+        .withColumn("eq_bits", expr(
+          "size(filter(zip_with(sig_a, sig_b," +
+          " (a, b) -> a % 2 = b % 2), x -> x))").cast("long"))
+        .withColumn("est_full", col("eq_full").cast("double") / lit(16.0))
+        .withColumn("est_1bit",
+          lit(2.0) * col("eq_bits").cast("double") / lit(16.0) - lit(1.0))
+        .filter(col("est_full") >= 0.5)
+        .select("doc_a", "doc_b", "eq_full", "eq_bits", "est_full",
+                "est_1bit")
+        .orderBy("doc_a", "doc_b")),
+
+    // Mann–Kendall trend test per type's daily series — the standard
+    // nonparametric "is this metric trending" gate (no distribution or
+    // linearity assumption, unlike ts_linreg_trend). S = Σ sign(x_j−x_i)
+    // over ordered day pairs and the tie-corrected variance (×18 to stay
+    // integral) are exact BIGINTs; the pair self-join is over DAY CELLS
+    // (n² in days per key, not events — bounded by horizon), and z spends
+    // one fixed IEEE chain. Kendall's tau rides along from the same S.
+    "ts_mann_kendall" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .tracked // pairs (both sides) + tie census read it
+      val a = daily.select(col("event_type"), col("dt").as("d_i"),
+        col("x").as("x_i"))
+      val b = daily.select(col("event_type"), col("dt").as("d_j"),
+        col("x").as("x_j"))
+      val sPerType = a.join(b, Seq("event_type"))
+        .filter(col("d_i") < col("d_j"))
+        .groupBy("event_type")
+        .agg(sum(when(col("x_j") > col("x_i"), 1L)
+          .when(col("x_j") < col("x_i"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = daily.groupBy("event_type", "x")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(lit(1L)).as("n_distinct"), sum("t").as("n_days"),
+             sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+               .as("tie18"))
+      sPerType.join(ties, "event_type")
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+            - col("tie18"))
+        .withColumn("s_adj",
+          when(col("s_stat") > 0, col("s_stat") - 1)
+            .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(0L))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          (d(col("s_adj")) / sqrt(d(col("var18")) / lit(18.0))).as("z"),
+          (d(col("s_stat")) * 2.0
+            / d(col("n_days") * (col("n_days") - 1))).as("tau"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -7490,6 +7559,44 @@ object SparkEntry {
                        ELSE 0 END) AS BIGINT) AS hi,
                      CAST(sum(bit) AS BIGINT) AS n_set
               FROM b GROUP BY 1)"""
+
+  /** DuckDB CTE chain mirroring [[MinHash.candidatePairs]] at k=16, r=4 —
+    * ONE oracle definition of signatures, banding and the candidate join,
+    * composed by `dedup_minhash_lsh` and `dedup_bbit_minhash`.
+    * Terminates in `cand` (doc_a, doc_b, sig_a, sig_b).
+    */
+  private lazy val duckMinhashCandCtes: String = {
+    val k = 16; val r = 4
+    val as = (0 until k).map(MinHash.coeffA).mkString("[", ", ", "]")
+    val bs = (0 until k).map(MinHash.coeffB).mkString("[", ", ", "]")
+    s"""h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+        sh AS (SELECT doc_id,
+                 list_transform(generate_series(1, len(th) - 2), i ->
+                   ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647)
+                   AS s
+               FROM h WHERE len(th) >= 3),
+        sg AS (SELECT doc_id,
+                 list_transform(generate_series(1, $k), i ->
+                   list_min(list_transform(s, x ->
+                     ($as[i] * x + $bs[i]) % 2147483647))) AS sig
+               FROM sh),
+        bd AS (SELECT doc_id, sig,
+                 list_transform(generate_series(0, ${k / r - 1}), b ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, $r), j ->
+                         sig[b * $r + j])),
+                     (h, x) -> (h * 31 + x) % 2147483647)) AS bands
+               FROM sg),
+        bk AS (SELECT doc_id, sig,
+                      unnest(bands) AS key,
+                      unnest(generate_series(1, len(bands))) AS band
+               FROM bd),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.sig AS sig_a, y.sig AS sig_b
+                 FROM bk x JOIN bk y
+                   ON x.band = y.band AND x.key = y.key
+                      AND x.doc_id < y.doc_id)"""
+  }
 
   /** DuckDB CTE chain mirroring [[neymanSample]] — ONE oracle definition
     * of the weight surrogate, budget split and spread-hash rank, composed
@@ -9684,44 +9791,15 @@ object SparkEntry {
                  END AS fingerprint
           FROM h ORDER BY doc_id""",
 
-    "dedup_minhash_lsh" -> {
-      val k = 16; val r = 4
-      val as = (0 until k).map(MinHash.coeffA).mkString("[", ", ", "]")
-      val bs = (0 until k).map(MinHash.coeffB).mkString("[", ", ", "]")
-      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
-            sh AS (SELECT doc_id,
-                     list_transform(generate_series(1, len(th) - 2), i ->
-                       ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % 2147483647) AS s
-                   FROM h WHERE len(th) >= 3),
-            sg AS (SELECT doc_id,
-                     list_transform(generate_series(1, $k), i ->
-                       list_min(list_transform(s, x ->
-                         ($as[i] * x + $bs[i]) % 2147483647))) AS sig
-                   FROM sh),
-            bd AS (SELECT doc_id, sig,
-                     list_transform(generate_series(0, ${k / r - 1}), b ->
-                       list_reduce(list_prepend(CAST(0 AS BIGINT),
-                           list_transform(generate_series(1, $r), j ->
-                             sig[b * $r + j])),
-                         (h, x) -> (h * 31 + x) % 2147483647)) AS bands
-                   FROM sg),
-            bk AS (SELECT doc_id, sig,
-                          unnest(bands) AS key,
-                          unnest(generate_series(1, len(bands))) AS band
-                   FROM bd),
-            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                            x.sig AS sig_a, y.sig AS sig_b
-                     FROM bk x JOIN bk y
-                       ON x.band = y.band AND x.key = y.key
-                          AND x.doc_id < y.doc_id)
+    "dedup_minhash_lsh" ->
+      s"""WITH $duckMinhashCandCtes
           SELECT doc_a, doc_b,
-                 CAST(len(list_filter(generate_series(1, $k), i ->
-                   sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0 AS est_jaccard
+                 CAST(len(list_filter(generate_series(1, 16), i ->
+                   sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 AS est_jaccard
           FROM cand
-          WHERE CAST(len(list_filter(generate_series(1, $k), i ->
-                  sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0 >= 0.5
-          ORDER BY doc_a, doc_b"""
-    },
+          WHERE CAST(len(list_filter(generate_series(1, 16), i ->
+                  sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 >= 0.5
+          ORDER BY doc_a, doc_b""",
 
     "dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents)
@@ -14350,6 +14428,56 @@ object SparkEntry {
                      * sqrt(CAST(CAST(n_pairs AS HUGEINT) * sbb
                                  - sb * sb AS DOUBLE))) AS xcorr
          FROM g ORDER BY lag""",
+
+    "dedup_bbit_minhash" ->
+      s"""WITH $duckMinhashCandCtes,
+              eqs AS (SELECT doc_a, doc_b,
+                        CAST(len(list_filter(generate_series(1, 16), i ->
+                          sig_a[i] = sig_b[i])) AS BIGINT) AS eq_full,
+                        CAST(len(list_filter(generate_series(1, 16), i ->
+                          sig_a[i] % 2 = sig_b[i] % 2)) AS BIGINT)
+                          AS eq_bits
+                      FROM cand)
+          SELECT doc_a, doc_b, eq_full, eq_bits,
+                 CAST(eq_full AS DOUBLE) / 16.0 AS est_full,
+                 2.0 * CAST(eq_bits AS DOUBLE) / 16.0 - 1.0 AS est_1bit
+          FROM eqs
+          WHERE CAST(eq_full AS DOUBLE) / 16.0 >= 0.5
+          ORDER BY doc_a, doc_b""",
+
+    "ts_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                               CAST(sum(CAST(round(value * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+              sp AS (SELECT a.event_type,
+                            CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                          WHEN b.x < a.x THEN -1
+                                          ELSE 0 END) AS BIGINT) AS s_stat
+                     FROM daily a JOIN daily b
+                       ON b.event_type = a.event_type AND a.dt < b.dt
+                     GROUP BY 1),
+              tc AS (SELECT event_type, x, count(*) AS t
+                     FROM daily GROUP BY 1, 2),
+              ti AS (SELECT event_type,
+                            CAST(count(*) AS BIGINT) AS n_distinct,
+                            CAST(sum(t) AS BIGINT) AS n_days,
+                            CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT)
+                              AS tie18
+                     FROM tc GROUP BY 1),
+              j AS (SELECT s.event_type, t.n_days, s.s_stat,
+                           t.n_days * (t.n_days - 1) * (t.n_days * 2 + 5)
+                             - t.tie18 AS var18,
+                           CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                                WHEN s.s_stat < 0 THEN s.s_stat + 1
+                                ELSE 0 END AS s_adj
+                    FROM sp s JOIN ti t ON t.event_type = s.event_type)
+         SELECT event_type, n_days, s_stat, var18,
+                CAST(s_adj AS DOUBLE)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z,
+                CAST(s_stat AS DOUBLE) * 2.0
+                  / CAST(n_days * (n_days - 1) AS DOUBLE) AS tau
+         FROM j ORDER BY event_type""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -112,7 +112,23 @@ object MinHash {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = DefaultK, r: Int = DefaultBandSize,
-                   minEstJaccard: Double = 0.2): DataFrame = {
+                   minEstJaccard: Double = 0.2): DataFrame =
+    candidatePairs(docs, idCol, textCol, k, r)
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), x -> x))")
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+
+  /** LSH candidate pairs carrying BOTH signatures — the shared
+    * generation stage behind [[nearDupPairs]] and the b-bit estimator
+    * comparison (ONE definition of the banded join so estimator variants
+    * can never disagree on candidates). Output:
+    * (doc_a, doc_b, sig_a, sig_b), one row per pair.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = DefaultK, r: Int = DefaultBandSize)
+      : DataFrame = {
     // signature rides along through the explode so candidate pairs already
     // carry both signatures — no per-side rejoin back to the corpus (the
     // naive shape re-scans the corpus twice more and recomputes minhash
@@ -130,7 +146,7 @@ object MinHash {
       // computed) exactly once — the single-job equivalent of
       // pre-materializing the signature table at real scale
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -138,12 +154,6 @@ object MinHash {
       // dedupe multi-band collisions: one row per pair
       .groupBy("doc_a", "doc_b")
       .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
-    cand
-      .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), x -> x))")
-          .cast("double") / lit(k.toDouble))
-      .filter(col("est_jaccard") >= minEstJaccard)
-      .select("doc_a", "doc_b", "est_jaccard")
   }
 }
 

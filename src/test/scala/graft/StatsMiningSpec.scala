@@ -560,6 +560,54 @@ class StatsMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("b-bit minhash: same candidates as full lsh; unbiased direction") {
+    val full = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getDouble(2)).toMap
+    val bbit = SparkEntry.queries("dedup_bbit_minhash")(spark, sfDir)
+      .collect()
+    // identical pair set (both filter est_full >= 0.5 over the SAME
+    // shared candidate generation) and identical full-width estimate
+    assert(bbit.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == full.keySet)
+    bbit.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getAs[Double]("est_full") == full(key))
+      val eqFull = r.getAs[Long]("eq_full")
+      val eqBits = r.getAs[Long]("eq_bits")
+      // equal components always have equal low bits
+      assert(eqBits >= eqFull)
+      assert(r.getAs[Double]("est_1bit") ==
+        2.0 * eqBits.toDouble / 16.0 - 1.0)
+    }
+  }
+
+  test("mann-kendall: bitwise pair-sign replay incl. tie variance") {
+    val out = SparkEntry.queries("ts_mann_kendall")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val daily = events.groupBy(e => (e._1, e._5))
+      .map { case ((et, d), rows) => (et, d, rows.map(_._4).sum) }.toSeq
+    daily.groupBy(_._1).foreach { case (et, days) =>
+      val xs = days.sortBy(_._2).map(_._3)
+      val n = xs.size.toLong
+      val sStat = (for {
+        i <- xs.indices; j <- (i + 1) until xs.size
+      } yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tie18 = xs.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (t * 2 + 5) })
+        .sum
+      val var18 = n * (n - 1) * (n * 2 + 5) - tie18
+      val sAdj = if (sStat > 0) sStat - 1
+        else if (sStat < 0) sStat + 1 else 0L
+      val z = sAdj.toDouble / math.sqrt(var18.toDouble / 18.0)
+      val tau = sStat.toDouble * 2.0 / (n * (n - 1)).toDouble
+      assert(out(et) == ((n, sStat, var18, z, tau)), et)
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
   test("stl decompose: identity det7 = seasonal + resid; trend replay") {
     val rows = SparkEntry.queries("ts_stl_decompose")(spark, sfDir)
       .collect()
