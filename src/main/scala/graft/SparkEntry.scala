@@ -7400,6 +7400,173 @@ object SparkEntry {
             / d(col("n_days") * (col("n_days") - 1))).as("tau"))
         .orderBy("event_type")
     }),
+
+    // ClickHouse-style windowFunnel: conversion depth where every later
+    // stage must land within T = 3 days of the user's FIRST view (the
+    // anchor), unlike agg_funnel_stages' unbounded chain. Deterministic
+    // variant: the anchor is min(view ts), each stage advances via
+    // min-in-window — three user-keyed aggregates + broadcast-sized
+    // stage counts, no per-user state machine. At 100 TB each stage is
+    // one partial-aggregable groupBy over a time-pruned slice.
+    "olap_window_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .tracked // three stage scans
+      val horizon = expr("INTERVAL 3 DAYS")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1")).tracked
+      val c2 = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + horizon)
+        .groupBy("user_id").agg(min("ts").as("t2")).tracked
+      val p3 = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").join(c2, "user_id")
+        .filter(col("ts") >= col("t2") && col("ts") <= col("t1") + horizon)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), lit("view").as("stage_name"),
+                col("n_users"))
+        .unionByName(c2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("click_in_window").as("stage_name"),
+                  col("n_users")))
+        .unionByName(p3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"),
+                  lit("purchase_in_window").as("stage_name"),
+                  col("n_users")))
+        .orderBy("stage")
+    }),
+
+    // Pooled-variance Student t, Cohen's d effect size and the
+    // Welch–Satterthwaite df for every event-type pair — the effect-size
+    // report A/B readouts need next to agg_two_sample_z's z. Moments are
+    // exact (cents lattice, DECIMAL(38,0) cross terms); the t/d/df
+    // formulas spend fixed IEEE chains mirrored verbatim in the oracle.
+    "agg_effect_size_t" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val stats = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+             sum(col("c") * col("c")).as("ss"))
+        .tracked // both sides of the pair self-join
+      val a = stats.select(col("event_type").as("et_a"), col("n").as("na"),
+        col("sc").as("sca"), col("ss").as("ssa"))
+      val b = stats.select(col("event_type").as("et_b"), col("n").as("nb"),
+        col("sc").as("scb"), col("ss").as("ssb"))
+      val ma = d(col("sca")) / d(col("na"))
+      val mb = d(col("scb")) / d(col("nb"))
+      val va = (dec(col("na")) * dec(col("ssa"))
+        - dec(col("sca")) * dec(col("sca"))).cast("double") /
+        d(col("na") * (col("na") - 1L))
+      val vb = (dec(col("nb")) * dec(col("ssb"))
+        - dec(col("scb")) * dec(col("scb"))).cast("double") /
+        d(col("nb") * (col("nb") - 1L))
+      val sp2 = (d(col("na") - 1L) * va + d(col("nb") - 1L) * vb) /
+        d(col("na") + col("nb") - 2L)
+      val vna = va / d(col("na"))
+      val vnb = vb / d(col("nb"))
+      a.join(b, col("et_a") < col("et_b"))
+        .select(col("et_a"), col("et_b"), col("na"), col("nb"),
+          ((ma - mb) / (sqrt(sp2)
+            * sqrt(lit(1.0) / d(col("na")) + lit(1.0) / d(col("nb")))))
+            .as("t_pooled"),
+          ((ma - mb) / sqrt(sp2)).as("cohen_d"),
+          ((vna + vnb) * (vna + vnb)
+            / (vna * vna / d(col("na") - 1L)
+               + vnb * vnb / d(col("nb") - 1L))).as("df_welch"))
+        .orderBy("et_a", "et_b")
+    }),
+
+    // Stochastic oscillator %K/%D over each type's daily closes — the
+    // bounded-momentum indicator next to ts_rsi/ts_macd. %K lives on the
+    // ppm lattice ((close−min14)·10⁶ DIV (max14−min14), numerator
+    // non-negative so Spark div ≡ DuckDB //); %D is the 3-day floor
+    // average of %K, NULL until its window is full (the NULL-gated SMA
+    // convention). Windows are keyed by event_type — day cells per key,
+    // never event rows, so the frame is horizon-bounded at any corpus
+    // size.
+    "ts_stochastic_oscillator" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val w14 = w.rowsBetween(-13, 0)
+      val w3 = w.rowsBetween(-2, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("close_c"))
+      val k = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("mn", min("close_c").over(w14))
+        .withColumn("mx", max("close_c").over(w14))
+        .withColumn("k_ppm",
+          when(col("rn") >= 14 && col("mx") > col("mn"),
+            expr("((close_c - mn) * 1000000) div (mx - mn)")))
+      k.withColumn("k3n", count(col("k_ppm")).over(w3))
+        .withColumn("k3s", sum(col("k_ppm")).over(w3))
+        .withColumn("d_ppm", when(col("k3n") === 3, expr("k3s div 3")))
+        .select("event_type", "dt", "close_c", "k_ppm", "d_ppm")
+        .orderBy("event_type", "dt")
+    }),
+
+    // Daily ingest-volume anomaly gate: each (type, day) count against
+    // its own trailing 7 closed days — z = (7n−Σn)/√(7Σn²−(Σn)²), the
+    // population-σ lattice form with ONE IEEE division, |z|>3 flags. The
+    // volume sentinel every scheduled 100 TB ingest runs before
+    // publishing a partition; day cells per key keep the window frame
+    // horizon-bounded.
+    "dq_volume_anomaly" -> ((s, dir) => {
+      val tw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt").rowsBetween(-7, -1)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"))
+      val z = (col("n") * 7L - col("s1")).cast("double") /
+        sqrt(col("var_num").cast("double"))
+      daily
+        .withColumn("wn", count(lit(1)).over(tw))
+        .withColumn("s1", sum("n").over(tw))
+        .withColumn("s2", sum(col("n") * col("n")).over(tw))
+        .filter(col("wn") === 7)
+        .withColumn("var_num", col("s2") * 7L - col("s1") * col("s1"))
+        .select(col("event_type"), col("dt"), col("n"),
+          col("s1").as("trail_sum"), col("var_num"),
+          when(col("var_num") > 0, z).as("z"),
+          when(col("var_num") > 0, abs(z) > lit(3.0)).as("is_anomaly"))
+        .orderBy("event_type", "dt")
+    }),
+
+    // Event-sequence pattern matching (the MATCH_RECOGNIZE / ClickHouse
+    // sequenceMatch niche): each user's history becomes one ordered
+    // symbol string (first letter of event_type — v/c/p/s/e are
+    // distinct), then a broadcast pattern table counts matching users
+    // per regex. Per-user strings are bounded by events-per-user (~100
+    // here; a 100 TB run sessionizes or caps first — the string is a
+    // session transcript, not an unbounded corpus), and the patterns
+    // stay in the Java∩RE2 common subset so any engine pair agrees.
+    "olap_sequence_match" -> ((s, dir) => {
+      import s.implicits._
+      val pats = Seq(
+        ("funnel_ordered", "v.*c.*p"),
+        ("click_purchase_adjacent", "cp"),
+        ("starts_with_signup", "^s"),
+        ("repeat_purchase", "pp"),
+        ("error_mid_funnel", "v[^p]*e[^p]*p"))
+        .toDF("pattern_name", "pattern")
+      val users = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("sym")))),
+          x => x.getField("sym"))).as("s"))
+      users.join(broadcast(pats))
+        .groupBy("pattern_name", "pattern")
+        .agg(sum(when(regexp_like(col("s"), col("pattern")), 1L)
+               .otherwise(0L)).as("n_users"),
+             (sum(when(regexp_like(col("s"), col("pattern")), 1L)
+               .otherwise(0L)).cast("double")
+               / count(lit(1)).cast("double")).as("frac"))
+        .orderBy("pattern_name")
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -14478,6 +14645,137 @@ object SparkEntry {
                 CAST(s_stat AS DOUBLE) * 2.0
                   / CAST(n_days * (n_days - 1) AS DOUBLE) AS tau
          FROM j ORDER BY event_type""",
+
+    "olap_window_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+              c2 AS (SELECT e.user_id, min(e.ts) AS t2
+                     FROM events e JOIN v ON v.user_id = e.user_id
+                     WHERE e.event_type = 'click' AND e.ts >= v.t1
+                       AND e.ts <= v.t1 + INTERVAL 3 DAY
+                     GROUP BY 1),
+              p3 AS (SELECT e.user_id, min(e.ts) AS t3
+                     FROM events e JOIN v ON v.user_id = e.user_id
+                                   JOIN c2 ON c2.user_id = e.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts >= c2.t2
+                       AND e.ts <= v.t1 + INTERVAL 3 DAY
+                     GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+                  (SELECT count(*) FROM v) AS n_users
+           UNION ALL
+           SELECT 2, 'click_in_window', (SELECT count(*) FROM c2)
+           UNION ALL
+           SELECT 3, 'purchase_in_window', (SELECT count(*) FROM p3))
+         ORDER BY stage""",
+
+    "agg_effect_size_t" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS sc,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                          * CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS ss
+            FROM events GROUP BY 1),
+     pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+                   a.n AS na, b.n AS nb,
+                   CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+                   CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+                   CAST(CAST(a.n AS HUGEINT) * a.ss
+                        - CAST(a.sc AS HUGEINT) * a.sc AS DOUBLE)
+                     / CAST(a.n * (a.n - 1) AS DOUBLE) AS va,
+                   CAST(CAST(b.n AS HUGEINT) * b.ss
+                        - CAST(b.sc AS HUGEINT) * b.sc AS DOUBLE)
+                     / CAST(b.n * (b.n - 1) AS DOUBLE) AS vb
+            FROM st a JOIN st b ON a.event_type < b.event_type)
+         SELECT et_a, et_b, na, nb,
+                (ma - mb)
+                  / (sqrt((CAST(na - 1 AS DOUBLE) * va
+                           + CAST(nb - 1 AS DOUBLE) * vb)
+                          / CAST(na + nb - 2 AS DOUBLE))
+                     * sqrt(1.0 / CAST(na AS DOUBLE)
+                            + 1.0 / CAST(nb AS DOUBLE))) AS t_pooled,
+                (ma - mb)
+                  / sqrt((CAST(na - 1 AS DOUBLE) * va
+                          + CAST(nb - 1 AS DOUBLE) * vb)
+                         / CAST(na + nb - 2 AS DOUBLE)) AS cohen_d,
+                (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+                  * (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+                  / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE))
+                       / CAST(na - 1 AS DOUBLE)
+                     + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE))
+                       / CAST(nb - 1 AS DOUBLE)) AS df_welch
+         FROM pr ORDER BY et_a, et_b""",
+
+    "ts_stochastic_oscillator" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                    AS close_c
+           FROM events GROUP BY 1, 2),
+     w AS (SELECT event_type, dt, close_c,
+                  row_number() OVER
+                    (PARTITION BY event_type ORDER BY dt) AS rn,
+                  min(close_c) OVER (PARTITION BY event_type ORDER BY dt
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS mn,
+                  max(close_c) OVER (PARTITION BY event_type ORDER BY dt
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS mx
+           FROM d),
+     k AS (SELECT event_type, dt, close_c,
+                  CASE WHEN rn >= 14 AND mx > mn
+                       THEN ((close_c - mn) * 1000000) // (mx - mn)
+                  END AS k_ppm
+           FROM w)
+         SELECT event_type, dt, close_c, k_ppm,
+                CASE WHEN count(k_ppm) OVER (PARTITION BY event_type
+                       ORDER BY dt
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+                     THEN CAST(sum(k_ppm) OVER (PARTITION BY event_type
+                       ORDER BY dt
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) // 3
+                       AS BIGINT)
+                END AS d_ppm
+         FROM k ORDER BY event_type, dt""",
+
+    "dq_volume_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+     w AS (SELECT event_type, dt, n,
+                  count(*) OVER tw AS wn,
+                  CAST(sum(n) OVER tw AS BIGINT) AS s1,
+                  CAST(sum(n * n) OVER tw AS BIGINT) AS s2
+           FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY dt
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, dt, n, s1 AS trail_sum,
+                7 * s2 - s1 * s1 AS var_num,
+                CASE WHEN 7 * s2 - s1 * s1 > 0
+                     THEN CAST(7 * n - s1 AS DOUBLE)
+                       / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE)) END AS z,
+                CASE WHEN 7 * s2 - s1 * s1 > 0
+                     THEN abs(CAST(7 * n - s1 AS DOUBLE)
+                       / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE))) > 3.0
+                END AS is_anomaly
+         FROM w WHERE wn = 7 ORDER BY event_type, dt""",
+
+    "olap_sequence_match" ->
+      """WITH u AS (SELECT user_id,
+                  string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS s
+           FROM events GROUP BY 1),
+     pats AS (SELECT * FROM (VALUES
+        ('funnel_ordered', 'v.*c.*p'),
+        ('click_purchase_adjacent', 'cp'),
+        ('starts_with_signup', '^s'),
+        ('repeat_purchase', 'pp'),
+        ('error_mid_funnel', 'v[^p]*e[^p]*p'))
+        p(pattern_name, pattern))
+         SELECT p.pattern_name, p.pattern,
+                CAST(sum(CASE WHEN regexp_matches(u.s, p.pattern)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+                CAST(sum(CASE WHEN regexp_matches(u.s, p.pattern)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS frac
+         FROM u CROSS JOIN pats p GROUP BY 1, 2 ORDER BY pattern_name""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -147,7 +147,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row grand-total N joined into every contingency cell
       "agg_chi2_contingency",
       // group-count-sized stats frame self-joined non-equi for the pairs
-      "agg_two_sample_z",
+      "agg_two_sample_z", "agg_effect_size_t",
+      // bounded 5-row pattern table broadcast against the user transcripts
+      "olap_sequence_match",
       // broadcast k-row centroid set scored against every vector (the
       // sim_kmeans_update shape)
       "emb_silhouette_simplified",
