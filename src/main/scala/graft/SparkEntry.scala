@@ -7567,6 +7567,334 @@ object SparkEntry {
                / count(lit(1)).cast("double")).as("frac"))
         .orderBy("pattern_name")
     }),
+
+    // Kaufman adaptive moving average: EMA whose smoothing follows the
+    // efficiency ratio er = |10-day move| / Σ|daily moves| — fast in
+    // trends, glacial in chop. ENTIRELY on the integer lattice: er/sc in
+    // ppm, (price, sc²) packed into ONE BIGINT (p·2²⁰ + sc2, both fields
+    // bounded and non-negative) so the per-series recursion folds a
+    // single-value accumulator — the same prefix-fold shape as ts_ema,
+    // immune to the DuckDB in-place-struct-accumulator hazard because
+    // there is no struct. Day cells per key bound the fold length by
+    // horizon, not corpus size.
+    "ts_kama" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val w10 = w.rowsBetween(-9, 0)
+      val wl = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("p"))
+      // per-row smoothing constant is price-only, so it precomputes:
+      // scr = er·(fast−slow)+slow with fast = 2/3, slow = 2/31 in ppm
+      val sc = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("v", abs(col("p") - lag("p", 1).over(w)))
+        .withColumn("mom", abs(col("p") - lag("p", 10).over(w)))
+        .withColumn("vol10", sum("v").over(w10))
+        .filter(col("rn") >= 11)
+        .withColumn("er_ppm", when(col("vol10") > 0,
+          expr("(mom * 1000000) div vol10")).otherwise(0L))
+        .withColumn("scr", expr("(er_ppm * 602150) div 1000000 + 64516"))
+        .withColumn("sc2", expr("(scr * scr) div 1000000"))
+        .withColumn("packed", col("p") * 1048576L + col("sc2"))
+      sc.withColumn("pl", collect_list(col("packed")).over(wl))
+        .withColumn("kama_c", expr(
+          "aggregate(slice(pl, 2, greatest(size(pl) - 1, 0)), " +
+          "element_at(pl, 1) div 1048576, " +
+          "(a, x) -> a + ((x % 1048576) * ((x div 1048576) - a)) " +
+          "div 1000000)"))
+        .select(col("event_type"), col("dt"), col("p").as("close_c"),
+          col("sc2").as("sc_ppm"), col("kama_c"))
+        .orderBy("event_type", "dt")
+    }),
+
+    // Amihud illiquidity: mean |daily return| per unit of daily traded
+    // value — THE price-impact proxy from public market microstructure.
+    // ret and illiq live on the ppm lattice (signed div truncates toward
+    // zero identically in both engines), the per-type mean is a floor
+    // division, and the worst day is an argmax over a packed
+    // (illiq, epoch-day) BIGINT so ties break deterministically without
+    // composite arg_max.
+    "ts_amihud_illiquidity" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("close_c"),
+             sum(Exact.cents(col("value"))).as("dv"))
+      daily
+        .withColumn("prev", lag("close_c", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") > 0 && col("dv") > 0)
+        .withColumn("ret_ppm",
+          expr("((close_c - prev) * 1000000) div prev"))
+        .withColumn("illiq", expr("(abs(ret_ppm) * 1000000) div dv"))
+        .withColumn("pk", col("illiq") * 100000L
+          + datediff(col("dt"), lit("1970-01-01")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("illiq").as("sum_illiq"),
+             max("illiq").as("max_illiq"),
+             max_by(col("dt"), col("pk")).as("worst_day"))
+        .withColumn("mean_illiq", expr("sum_illiq div n_days"))
+        .select("event_type", "n_days", "sum_illiq", "mean_illiq",
+                "max_illiq", "worst_day")
+        .orderBy("event_type")
+    }),
+
+    // Poisson(1) bootstrap — the resampling scheme that actually works
+    // distributed (each row draws its replicate weights independently
+    // from a hashed uniform; no global permutation, no sampling state).
+    // Weights come from the fixed ppm CDF thresholds of Poisson(1), the
+    // uniform from the portable 3-step LCG mix (mod-first so the chain
+    // never exceeds 2⁶² at any id scale). Replicate TOTALS stay exact
+    // BIGINTs; the bootstrap SE spends one IEEE chain on the exact
+    // DECIMAL(38,0) replicate moments. 32 replicates ride one explode —
+    // a constant 32× map-side expansion, partial-aggregated immediately.
+    "sample_poisson_bootstrap" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val m = 2147483647L
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                Exact.cents(col("value")).as("c"))
+        .tracked // census + replicate expansion both scan it
+      val reps = ev
+        .withColumn("r", explode(sequence(lit(1L), lit(32L))))
+        .withColumn("b0", (col("event_id") * 37L + col("r")) % m)
+        .withColumn("h1", (col("b0") * 1103515245L + 12345L) % m)
+        .withColumn("hm", (col("h1") * col("h1")) % m)
+        .withColumn("u", ((col("hm") * 69069L + 362437L) % m) % 1000000L)
+        .withColumn("wt",
+          when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+            .when(col("u") < 919699L, 2L).when(col("u") < 980988L, 3L)
+            .when(col("u") < 996312L, 4L).when(col("u") < 999380L, 5L)
+            .otherwise(6L))
+      val totals = reps.groupBy("event_type", "r")
+        .agg(sum(col("wt") * col("c")).as("swc"))
+      val boot = totals.groupBy("event_type")
+        .agg(count(lit(1)).as("n_reps"), sum("swc").as("s1"),
+             sum(dec(col("swc")) * dec(col("swc"))).as("s2"))
+      val census = ev.groupBy("event_type").agg(sum("c").as("census_total"))
+      boot.join(census, "event_type")
+        .select(col("event_type"), col("n_reps"), col("census_total"),
+          (col("s1").cast("double") / lit(32.0)).as("boot_mean_total"),
+          sqrt((dec(lit(32L)) * col("s2") - dec(col("s1")) * dec(col("s1")))
+            .cast("double") / lit(992.0)).as("boot_se_total"))
+        .orderBy("event_type")
+    }),
+
+    // Partition fingerprints: per (type, day) row count, portable
+    // LCG-mix checksum of the id set, exact cent total and id bounds —
+    // what a 100 TB replication/backfill audit compares across clusters
+    // instead of re-reading both copies. Order-free sums only, so the
+    // fingerprint is partial-aggregable and layout-independent.
+    "dq_partition_checksum" -> ((s, dir) => {
+      val m = 2147483647L
+      Tables.events(s, dir)
+        .withColumn("h1", ((col("event_id") % m) * 1103515245L + 12345L) % m)
+        .withColumn("hm", (col("h1") * col("h1")) % m)
+        .withColumn("hv", (col("hm") * 69069L + 362437L) % m)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"), sum("hv").as("checksum"),
+             sum(Exact.cents(col("value"))).as("sum_c"),
+             min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type", "dt")
+    }),
+
+    // Mutual k-NN graph over the hyperplane-LSH buckets: top-3 neighbors
+    // per vector among same-bucket candidates (keyed window, never the
+    // full cross), edge kept only when both endpoints rank each other —
+    // the construction k-NN-graph clustering and dedup canopies start
+    // from. Recall is bucket-bounded by design (the LSH dial), which is
+    // exactly the 100 TB posture.
+    "sim_knn_graph" -> ((s, dir) =>
+      graft.similarity.HyperplaneLsh
+        .knnGraph(Tables.embeddings(s, dir), nPlanes = 4, dim = 64, k = 3)
+        .orderBy("vec_a", "vec_b")),
+
+    // CUSUM control chart (both one-sided statistics) against a
+    // first-10-day baseline: S⁺ = max(0, S⁺ + d − k), S⁻ symmetric,
+    // entirely on the cents lattice with the BRANCH-FREE max
+    // (v + |v|) DIV 2 — no CASE inside the fold lambda, the documented
+    // DuckDB vectorized-CASE hazard. Two single-state prefix folds (the
+    // ts_ema shape) over per-row increments precomputed as columns;
+    // allowance k = 2% and alarm h = 10% of baseline. Day cells per key.
+    "ts_cusum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val wl = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("p"))
+        .withColumn("rn", row_number().over(w))
+        .tracked // baseline aggregate + fold rows both read it
+      val base = daily.filter(col("rn") <= 10)
+        .groupBy("event_type")
+        .agg(expr("sum(p) div 10").as("b10"))
+      val inc = daily.filter(col("rn") >= 11)
+        .join(base, "event_type")
+        .withColumn("k", expr("b10 div 50"))
+        .withColumn("h", expr("b10 div 10"))
+        .withColumn("dp", col("p") - col("b10") - col("k"))
+        .withColumn("dm", col("b10") - col("p") - col("k"))
+      val fold = "(a, x) -> ((a + x) + abs(a + x)) div 2"
+      inc
+        .withColumn("lp", collect_list(col("dp")).over(wl))
+        .withColumn("lm", collect_list(col("dm")).over(wl))
+        .withColumn("s_plus",
+          expr(s"aggregate(lp, 0L, $fold)"))
+        .withColumn("s_minus",
+          expr(s"aggregate(lm, 0L, $fold)"))
+        .select(col("event_type"), col("dt"), col("p").as("close_c"),
+          col("s_plus"), col("s_minus"),
+          (col("s_plus") > col("h") || col("s_minus") > col("h"))
+            .as("alarm"))
+        .orderBy("event_type", "dt")
+    }),
+
+    // Garman–Klass range volatility on the FixedLog2 lattice: the OHLC
+    // estimator 0.5·(ln H/L)² − (2ln2−1)·(ln C/O)² with both log-ratios
+    // as exact 2²⁰-scaled BIGINTs (hl = log2fp(H)−log2fp(L)) and the two
+    // irrational constants as ppm integers — every per-day term is an
+    // exact DECIMAL(38,0), the per-type sum is order-free, and ONE
+    // final sqrt/division chain converts to daily bits-volatility.
+    // Positive-price filter keeps log2_fp's loud domain guard happy.
+    "ts_garman_klass_vol" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max(Exact.cents(col("value"))).as("hc"),
+             min(Exact.cents(col("value"))).as("lc"),
+             min_by(Exact.cents(col("value")), col("ts")).as("oc"),
+             max_by(Exact.cents(col("value")), col("ts")).as("cc"))
+        .filter(col("lc") > 0)
+      val terms = daily
+        .withColumn("hl", L(col("hc")) - L(col("lc")))
+        .withColumn("co", L(col("cc")) - L(col("oc")))
+        .withColumn("gk", dec(col("hl")) * dec(col("hl")) * lit(500000L)
+          - dec(col("co")) * dec(col("co")) * lit(386294L))
+      terms.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("gk")).as("gs"))
+        .select(col("event_type"), col("n_days"),
+          (d(col("gs")) / (d(col("n_days")) * lit(1.099511627776e12)
+            * lit(1.0e6))).as("gk_mean_bits2"),
+          when(col("gs") > 0,
+            sqrt(d(col("gs")) / (d(col("n_days")) * lit(1.099511627776e12)
+              * lit(1.0e6)))).as("vol_bits_daily"))
+        .orderBy("event_type")
+    }),
+
+    // Transition lift: P(b follows a) against independence —
+    // lift = c_ab·N / (c_a·c_b) as exact DECIMAL rationals with BOTH a
+    // ppm floor form and one IEEE division, over the same consecutive
+    // (user-keyed lead) pairs as mine_transition_matrix. The
+    // sequence-mining score that separates real funnels from frequency
+    // artifacts.
+    "mine_transition_lift" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("a"))
+        .withColumn("b", lead("a", 1).over(w))
+        .filter(col("b").isNotNull)
+        .select("a", "b")
+        .tracked // pair counts + both marginals scan it
+      val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = pairs.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val cb = pairs.groupBy("b").agg(count(lit(1)).as("c_b"))
+      val n = pairs.agg(count(lit(1)).as("n_trans"))
+      cab.join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+        .withColumn("lift_ppm", expr(
+          "(cast(c_ab as decimal(38,0)) * n_trans * 1000000)" +
+          " div (cast(c_a as decimal(38,0)) * c_b)"))
+        .withColumn("lift",
+          (dec(col("c_ab")) * dec(col("n_trans"))).cast("double")
+            / (dec(col("c_a")) * dec(col("c_b"))).cast("double"))
+        .select("a", "b", "c_ab", "c_a", "c_b", "n_trans", "lift_ppm",
+                "lift")
+        .orderBy("a", "b")
+    }),
+
+    // 10% trimmed mean per type WITHOUT a row-level rank: cumulative
+    // counts over the (type, value) HISTOGRAM cells (keyed window over
+    // the value support, never event rows), each cell contributing
+    // max(0, overlap of its cumulative range with the kept band) — the
+    // robust-location estimate at 100 TB, where sorting rows per key is
+    // the thing you must not do.
+    "agg_trimmed_mean" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+      val cells = ev.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("cnt"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("c")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s_all"))
+      cells
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+        .join(tot, "event_type")
+        .withColumn("lo", expr("n div 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("lo"))
+            - greatest(col("cum_prev") + 1L, col("lo") + 1L) + 1L))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("s_all").as("s_all"),
+             sum("kept").as("n_trimmed"),
+             sum(col("c") * col("kept")).as("t_sum"))
+        .select(col("event_type"), col("n"), col("n_trimmed"),
+          (col("s_all").cast("double") / col("n").cast("double"))
+            .as("mean_c"),
+          (col("t_sum").cast("double") / col("n_trimmed").cast("double"))
+            .as("trimmed_mean_c"),
+          expr("t_sum div n_trimmed").as("trimmed_floor_c"))
+        .orderBy("event_type")
+    }),
+
+    // Embedding-shape outliers — the broken-vector detector every
+    // embedding pipeline runs before indexing (zeroed runs, truncated
+    // writes, fp8 blowups all distort how mass spreads over dimensions;
+    // the corpus is unit-normalized, so the L2 norm itself carries no
+    // signal). Statistic: the L1 mass Σ|qᵢ| of the 127-quantized unit
+    // vector — peaked directions score low, diffuse ones high — exact
+    // integers via the established quantize convention, per-label
+    // moments exact, z the same one-division population form as
+    // dq_volume_anomaly, top-10 total-ordered by (|z| desc, vec_id).
+    "emb_norm_outliers" -> ((s, dir) => {
+      import graft.functions.VecOps
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val e = Tables.embeddings(s, dir)
+        .withColumn("norm",
+          sqrt(VecOps.dot(col("embedding"), col("embedding"))))
+        .filter(col("norm") > 0)
+        .withColumn("nq", aggregate(
+          transform(col("embedding"), x =>
+            abs(round(x.cast("double") / col("norm") * lit(127.0), 0)
+              .cast("long"))),
+          lit(0L), (a, x) => a + x))
+        .select("vec_id", "label", "nq")
+        .tracked // moments + z projection both scan it
+      val stats = e.groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("nq").as("s1"),
+             sum(dec(col("nq")) * dec(col("nq"))).as("s2"))
+        .withColumn("var_num",
+          Exact.checkedLong(dec(col("n")) * col("s2")
+            - dec(col("s1")) * dec(col("s1"))))
+      e.join(broadcast(stats), "label")
+        .filter(col("var_num") > 0)
+        .withColumn("z", (col("n") * col("nq") - col("s1")).cast("double")
+          / sqrt(col("var_num").cast("double")))
+        .select("vec_id", "label", "nq", "z")
+        .orderBy(abs(col("z")).desc, col("vec_id"))
+        .limit(10)
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -14776,6 +15104,291 @@ object SparkEntry {
                               THEN 1 ELSE 0 END) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS frac
          FROM u CROSS JOIN pats p GROUP BY 1, 2 ORDER BY pattern_name""",
+
+    "ts_kama" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS p
+           FROM events GROUP BY 1, 2),
+     w AS (SELECT event_type, dt, p,
+                  row_number() OVER k AS rn,
+                  abs(p - lag(p, 1) OVER k) AS v,
+                  abs(p - lag(p, 10) OVER k) AS mom
+           FROM d WINDOW k AS (PARTITION BY event_type ORDER BY dt)),
+     w2 AS (SELECT event_type, dt, p, rn, mom,
+                   CAST(sum(v) OVER (PARTITION BY event_type ORDER BY dt
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS vol10
+            FROM w),
+     s AS (SELECT event_type, dt, p,
+                  CASE WHEN vol10 > 0 THEN (mom * 1000000) // vol10
+                       ELSE 0 END AS er_ppm
+           FROM w2 WHERE rn >= 11),
+     s2 AS (SELECT event_type, dt, p,
+                   ((er_ppm * 602150) // 1000000 + 64516) AS scr
+            FROM s),
+     s3 AS (SELECT event_type, dt, p,
+                   (scr * scr) // 1000000 AS sc2 FROM s2),
+     pk AS (SELECT event_type, dt, p, sc2,
+                   p * 1048576 + sc2 AS packed FROM s3),
+     l AS (SELECT event_type, dt, p, sc2,
+                  list(packed) OVER (PARTITION BY event_type ORDER BY dt
+                    ROWS UNBOUNDED PRECEDING) AS pl
+           FROM pk)
+         SELECT event_type, dt, p AS close_c, sc2 AS sc_ppm,
+                list_reduce(list_prepend(pl[1] // 1048576, pl[2:]),
+                  (a, x) -> a + ((x % 1048576) * ((x // 1048576) - a))
+                              // 1000000) AS kama_c
+         FROM l ORDER BY event_type, dt""",
+
+    "ts_amihud_illiquidity" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                    AS close_c,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS dv
+           FROM events GROUP BY 1, 2),
+     r AS (SELECT event_type, dt, close_c, dv,
+                  lag(close_c, 1) OVER (PARTITION BY event_type
+                    ORDER BY dt) AS prev
+           FROM d),
+     i AS (SELECT event_type, dt,
+                  (abs(((close_c - prev) * 1000000) // prev) * 1000000)
+                    // dv AS illiq
+           FROM r WHERE prev IS NOT NULL AND prev > 0 AND dv > 0),
+     pkd AS (SELECT event_type, dt, illiq,
+                    illiq * 100000 + (dt - DATE '1970-01-01') AS pk
+             FROM i)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(illiq) AS BIGINT) AS sum_illiq,
+                CAST(sum(illiq) AS BIGINT) // count(*) AS mean_illiq,
+                max(illiq) AS max_illiq,
+                arg_max(dt, pk) AS worst_day
+         FROM pkd GROUP BY 1 ORDER BY event_type""",
+
+    "sample_poisson_bootstrap" ->
+      """WITH ev AS (SELECT event_type, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+     reps AS (SELECT event_type, event_id, c, r
+              FROM ev CROSS JOIN
+                (SELECT unnest(generate_series(1, 32)) AS r)),
+     h0 AS (SELECT event_type, c, r,
+                   (event_id * 37 + r) % 2147483647 AS b0 FROM reps),
+     h1 AS (SELECT event_type, c, r,
+                   (b0 * 1103515245 + 12345) % 2147483647 AS h1 FROM h0),
+     h2 AS (SELECT event_type, c, r, (h1 * h1) % 2147483647 AS hm FROM h1),
+     h3 AS (SELECT event_type, c, r,
+                   ((hm * 69069 + 362437) % 2147483647) % 1000000 AS u
+            FROM h2),
+     wt AS (SELECT event_type, c, r,
+                   CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                        WHEN u < 919699 THEN 2 WHEN u < 980988 THEN 3
+                        WHEN u < 996312 THEN 4 WHEN u < 999380 THEN 5
+                        ELSE 6 END AS w
+            FROM h3),
+     totals AS (SELECT event_type, r,
+                       CAST(sum(w * c) AS BIGINT) AS swc
+                FROM wt GROUP BY 1, 2),
+     boot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+                     CAST(sum(swc) AS BIGINT) AS s1,
+                     CAST(sum(CAST(swc AS HUGEINT) * swc) AS HUGEINT) AS s2
+              FROM totals GROUP BY 1),
+     census AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS census_total
+                FROM ev GROUP BY 1)
+         SELECT b.event_type, b.n_reps, census.census_total,
+                CAST(b.s1 AS DOUBLE) / 32.0 AS boot_mean_total,
+                sqrt(CAST(32 * b.s2 - CAST(b.s1 AS HUGEINT) * b.s1
+                     AS DOUBLE) / 992.0) AS boot_se_total
+         FROM boot b JOIN census USING (event_type)
+         ORDER BY event_type""",
+
+    "dq_partition_checksum" ->
+      """WITH h AS (SELECT event_type, CAST(ts AS DATE) AS dt, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS c,
+                  (((event_id % 2147483647) * 1103515245 + 12345)
+                    % 2147483647) AS h1
+           FROM events),
+     h2 AS (SELECT event_type, dt, event_id, c,
+                   (h1 * h1) % 2147483647 AS hm FROM h),
+     h3 AS (SELECT event_type, dt, event_id, c,
+                   (hm * 69069 + 362437) % 2147483647 AS hv FROM h2)
+         SELECT event_type, dt, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(hv) AS BIGINT) AS checksum,
+                CAST(sum(c) AS BIGINT) AS sum_c,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM h3 GROUP BY 1, 2 ORDER BY event_type, dt""",
+
+    "sim_knn_graph" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(4, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+        s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket
+                     FROM embeddings),
+              pairs AS (SELECT a.vec_id AS va, b2.vec_id AS vb,
+                          ${duckDot("a.embedding", "b2.embedding")}
+                            / (sqrt(${duckDot("a.embedding", "a.embedding")})
+                               * sqrt(${duckDot("b2.embedding",
+                                 "b2.embedding")})) AS cosine
+                        FROM b a JOIN b b2 ON a.bucket = b2.bucket
+                                           AND a.vec_id <> b2.vec_id),
+              ranked AS (SELECT va, vb, cosine,
+                           row_number() OVER (PARTITION BY va
+                             ORDER BY cosine DESC, vb) AS rk
+                         FROM pairs QUALIFY rk <= 3)
+          SELECT x.va AS vec_a, x.vb AS vec_b, x.cosine AS cosine,
+                 x.rk AS rank_ab, y.rk AS rank_ba
+          FROM ranked x JOIN ranked y ON x.va = y.vb AND x.vb = y.va
+          WHERE x.va < x.vb
+          ORDER BY vec_a, vec_b"""
+    },
+
+    "ts_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS p
+           FROM events GROUP BY 1, 2),
+     r AS (SELECT event_type, dt, p,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY dt) AS rn
+           FROM d),
+     base AS (SELECT event_type,
+                     CAST(sum(p) AS BIGINT) // 10 AS b10
+              FROM r WHERE rn <= 10 GROUP BY 1),
+     inc AS (SELECT r.event_type, r.dt, r.p, b.b10,
+                    b.b10 // 50 AS k, b.b10 // 10 AS h,
+                    r.p - b.b10 - b.b10 // 50 AS dp,
+                    b.b10 - r.p - b.b10 // 50 AS dm
+             FROM r JOIN base b ON b.event_type = r.event_type
+             WHERE r.rn >= 11),
+     l AS (SELECT event_type, dt, p, h,
+                  list(dp) OVER (PARTITION BY event_type ORDER BY dt
+                    ROWS UNBOUNDED PRECEDING) AS lp,
+                  list(dm) OVER (PARTITION BY event_type ORDER BY dt
+                    ROWS UNBOUNDED PRECEDING) AS lm
+           FROM inc),
+     f AS (SELECT event_type, dt, p, h,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), lp),
+                    (a, x) -> ((a + x) + abs(a + x)) // 2) AS s_plus,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), lm),
+                    (a, x) -> ((a + x) + abs(a + x)) // 2) AS s_minus
+           FROM l)
+         SELECT event_type, dt, p AS close_c, s_plus, s_minus,
+                s_plus > h OR s_minus > h AS alarm
+         FROM f ORDER BY event_type, dt""",
+
+    "ts_garman_klass_vol" -> {
+      val lh = graft.functions.FixedLog2.sql("hc")
+      val ll = graft.functions.FixedLog2.sql("lc")
+      val lcc = graft.functions.FixedLog2.sql("cc")
+      val lo = graft.functions.FixedLog2.sql("oc")
+      s"""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS dt, ts,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cent
+           FROM events),
+     d AS (SELECT event_type, dt,
+                  max(cent) AS hc, min(cent) AS lc,
+                  arg_min(cent, ts) AS oc, arg_max(cent, ts) AS cc
+           FROM c GROUP BY 1, 2),
+     t AS (SELECT event_type, $lh - $ll AS hl, $lcc - $lo AS co
+           FROM d WHERE lc > 0),
+     g AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(CAST(hl AS HUGEINT) * hl * 500000
+                         - CAST(co AS HUGEINT) * co * 386294)
+                    AS HUGEINT) AS gs
+           FROM t GROUP BY 1)
+         SELECT event_type, n_days,
+                CAST(gs AS DOUBLE) / (CAST(n_days AS DOUBLE)
+                  * 1099511627776.0 * 1000000.0) AS gk_mean_bits2,
+                CASE WHEN gs > 0
+                     THEN sqrt(CAST(gs AS DOUBLE) / (CAST(n_days AS DOUBLE)
+                       * 1099511627776.0 * 1000000.0))
+                END AS vol_bits_daily
+         FROM g ORDER BY event_type"""
+    },
+
+    "mine_transition_lift" ->
+      """WITH p AS (SELECT event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS b
+           FROM events),
+     pp AS (SELECT a, b FROM p WHERE b IS NOT NULL),
+     cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+             FROM pp GROUP BY 1, 2),
+     ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM pp GROUP BY 1),
+     cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_b FROM pp GROUP BY 1),
+     n AS (SELECT CAST(count(*) AS BIGINT) AS n_trans FROM pp)
+         SELECT cab.a, cab.b, cab.c_ab, ca.c_a, cb.c_b, n.n_trans,
+                CAST((CAST(cab.c_ab AS HUGEINT) * n.n_trans * 1000000)
+                  // (CAST(ca.c_a AS HUGEINT) * cb.c_b) AS BIGINT)
+                  AS lift_ppm,
+                CAST(CAST(cab.c_ab AS HUGEINT) * n.n_trans AS DOUBLE)
+                  / CAST(CAST(ca.c_a AS HUGEINT) * cb.c_b AS DOUBLE)
+                  AS lift
+         FROM cab JOIN ca ON ca.a = cab.a
+                  JOIN cb ON cb.b = cab.b
+                  CROSS JOIN n
+         ORDER BY cab.a, cab.b""",
+
+    "agg_trimmed_mean" ->
+      """WITH ev AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+     cells AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+               FROM ev GROUP BY 1, 2),
+     cum AS (SELECT event_type, c, cnt,
+                    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM cells),
+     tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS s_all
+             FROM ev GROUP BY 1),
+     k AS (SELECT cum.event_type, cum.c, cum.cnt, cum.cum,
+                  cum.cum - cum.cnt AS cum_prev,
+                  tot.n, tot.s_all, tot.n // 10 AS lo
+           FROM cum JOIN tot ON tot.event_type = cum.event_type),
+     kept AS (SELECT event_type, c, n, s_all,
+                     greatest(CAST(0 AS BIGINT),
+                       least(cum, n - lo)
+                         - greatest(cum_prev + 1, lo + 1) + 1) AS kept
+              FROM k)
+         SELECT event_type, max(n) AS n,
+                CAST(sum(kept) AS BIGINT) AS n_trimmed,
+                CAST(max(s_all) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                  AS mean_c,
+                CAST(CAST(sum(c * kept) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE)
+                  AS trimmed_mean_c,
+                CAST(sum(c * kept) AS BIGINT)
+                  // CAST(sum(kept) AS BIGINT) AS trimmed_floor_c
+         FROM kept GROUP BY 1 ORDER BY event_type""",
+
+    "emb_norm_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+                  sqrt(${duckDot("embedding", "embedding")}) AS norm
+           FROM embeddings),
+     q AS (SELECT vec_id, label,
+                  CAST(list_sum(list_transform(
+                    generate_series(1, len(embedding)),
+                    i -> abs(CAST(round(CAST(embedding[i] AS DOUBLE) / norm
+                      * CAST(127 AS DOUBLE), 0) AS BIGINT)))) AS BIGINT)
+                    AS nq
+           FROM e WHERE norm > 0),
+     st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(nq) AS BIGINT) AS s1,
+                   CAST(sum(CAST(nq AS HUGEINT) * nq) AS HUGEINT) AS s2
+            FROM q GROUP BY 1),
+     v AS (SELECT label, n, s1,
+                  CAST(CAST(n AS HUGEINT) * s2
+                    - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS var_num
+           FROM st)
+         SELECT q.vec_id, q.label, q.nq,
+                CAST(v.n * q.nq - v.s1 AS DOUBLE)
+                  / sqrt(CAST(v.var_num AS DOUBLE)) AS z
+         FROM q JOIN v ON v.label = q.label
+         WHERE v.var_num > 0
+         ORDER BY abs(CAST(v.n * q.nq - v.s1 AS DOUBLE)
+           / sqrt(CAST(v.var_num AS DOUBLE))) DESC, q.vec_id
+         LIMIT 10""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

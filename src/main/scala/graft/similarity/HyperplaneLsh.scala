@@ -65,4 +65,34 @@ object HyperplaneLsh {
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** Mutual k-NN graph over the LSH buckets: each vector's top-k
+    * same-bucket neighbors by (cosine desc, vec_id) — a keyed window over
+    * bucket-local candidates, never the full cross — then an edge
+    * survives only if BOTH endpoints rank each other (the mutual-kNN
+    * criterion k-NN-graph clustering and dedup-canopy construction use).
+    * Canonical (vec_a < vec_b) output with both ranks.
+    */
+  def knnGraph(vectors: DataFrame, nPlanes: Int, dim: Int,
+               k: Int): DataFrame = {
+    val b = withBuckets(vectors, nPlanes, dim)
+    val pairs = b.select(col("bucket"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      .join(b.select(col("bucket"), col("vec_id").as("vb"),
+        col("embedding").as("eb")), Seq("bucket"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cosine", VecOps.cosine(col("ea"), col("eb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va").orderBy(col("cosine").desc, col("vb"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("va", "vb", "cosine", "rk")
+    ranked.as("x").join(ranked.as("y"),
+        col("x.va") === col("y.vb") && col("x.vb") === col("y.va"))
+      .filter(col("x.va") < col("x.vb"))
+      .select(col("x.va").as("vec_a"), col("x.vb").as("vec_b"),
+        col("x.cosine").as("cosine"), col("x.rk").as("rank_ab"),
+        col("y.rk").as("rank_ba"))
+  }
 }

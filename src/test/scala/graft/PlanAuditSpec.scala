@@ -104,6 +104,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_cramers_v",
       // 1-row basket-count scalar into the rule metrics
       "mine_association_rules",
+      // 1-row transition-total scalar into the lift rationals
+      "mine_transition_lift",
       // 1-row corpus totals (N docs × T tokens) into the scoring chain
       "text_bm25_topk",
       // 1-row series-count scalar gating the market basket dates
