@@ -7895,6 +7895,329 @@ object SparkEntry {
         .orderBy(abs(col("z")).desc, col("vec_id"))
         .limit(10)
     }),
+
+    // Butterfly (2×2 biclique) census of the order–part BIPARTITE graph —
+    // the bipartite clustering primitive, and the scale-correct way to
+    // count co-purchase squares: wedges are generated per ORDER, so the
+    // join volume is Σ C(order width, 2) — bounded by basket size, never
+    // by part degree (the projection's hub problem that forced degree
+    // caps on the unipartite queries). Butterflies = Σ C(co-orders, 2),
+    // exact integers end-to-end.
+    "graph_butterflies" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val wedges = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok")
+          && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y"))
+      wedges.groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_pairs"), sum("cnt").as("n_wedges"),
+             sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"),
+             max("cnt").as("max_copairs"))
+    }),
+
+    // Granger-style lead screen: does yesterday's click revenue improve
+    // the purchase forecast beyond purchase's own lag? Exact centered
+    // moments (day cells, DECIMAL(38,0) cross terms), then ONE fixed
+    // IEEE chain solves the 2×2 normal equations and forms the nested-SSE
+    // F — the causality triage a metrics warehouse runs before any real
+    // model. One aggregate row; nothing here scales with event volume.
+    "ts_granger_screen" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(sum(when(col("event_type") === "purchase",
+               Exact.cents(col("value"))).otherwise(0L)).as("pc"),
+             sum(when(col("event_type") === "click",
+               Exact.cents(col("value"))).otherwise(0L)).as("cc"))
+      // single-key series: the one-partition window is deliberate and
+      // keyed non-foldably (day cells only — see Exact.onePartition)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(Exact.onePartition(col("dt"))).orderBy("dt")
+      val lagged = daily
+        .withColumn("x1", lag("pc", 1).over(wk))
+        .withColumn("x2", lag("cc", 1).over(wk))
+        .filter(col("x1").isNotNull)
+        .select(col("pc").as("y"), col("x1"), col("x2"))
+      val mom = lagged.agg(
+        count(lit(1)).as("n"), sum("y").as("sy"), sum("x1").as("s1"),
+        sum("x2").as("s2"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+        sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+        sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val c11 = (dec(col("n")) * col("s11") - dec(col("s1")) * dec(col("s1"))).cast("double")
+      val c22 = (dec(col("n")) * col("s22") - dec(col("s2")) * dec(col("s2"))).cast("double")
+      val c12 = (dec(col("n")) * col("s12") - dec(col("s1")) * dec(col("s2"))).cast("double")
+      val c1y = (dec(col("n")) * col("s1y") - dec(col("s1")) * dec(col("sy"))).cast("double")
+      val c2y = (dec(col("n")) * col("s2y") - dec(col("s2")) * dec(col("sy"))).cast("double")
+      val cyy = (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))).cast("double")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val sseF = cyy - b1 * c1y - b2 * c2y
+      val sseR = cyy - (c1y / c11) * c1y
+      mom.select(col("n"), b1.as("beta_own_lag"), b2.as("beta_click_lag"),
+        sseF.as("sse_full"), sseR.as("sse_restricted"),
+        ((sseR - sseF) / (sseF / d(col("n") - 3L))).as("f_stat"))
+    }),
+
+    // Simpson's-paradox screen: the (discount → quantity) association
+    // judged pooled AND per brand, with only the SIGNS of exact centered
+    // covariance numerators compared — signs of integers, so the flip
+    // report is bitwise trivially and immune to IEEE noise. The
+    // aggregation-bias tripwire every metrics rollup should run before
+    // shipping a "discounts don't work" conclusion.
+    "agg_simpson_check" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def covSign(g: DataFrame): DataFrame = g
+        .withColumn("cov_num", Exact.checkedLong(
+          dec(col("n")) * col("sdq") - dec(col("sd")) * dec(col("sq"))))
+        .withColumn("assoc_sign", signum(col("cov_num")).cast("long"))
+      val j = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          Exact.cents(col("l_discount")).as("d"),
+          col("l_quantity").cast("long").as("q"))
+        .tracked // pooled + per-brand moments scan it
+      val perBrand = covSign(j.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("q").as("sq"),
+             sum(dec(col("d")) * dec(col("q"))).as("sdq")))
+      val pooled = covSign(j.agg(count(lit(1)).as("n"), sum("d").as("sd"),
+          sum("q").as("sq"), sum(dec(col("d")) * dec(col("q"))).as("sdq")))
+        .select(col("assoc_sign").as("pooled_sign"))
+      perBrand.crossJoin(broadcast(pooled))
+        .select(col("p_brand"), col("n"), col("cov_num"),
+          col("assoc_sign"), col("pooled_sign"),
+          (col("assoc_sign") =!= lit(0L)
+            && col("assoc_sign") =!= col("pooled_sign")).as("sign_flip"))
+        .orderBy("p_brand")
+    }),
+
+    // Image entropy over the REAL PNG decode: 16-bin luminance histogram
+    // per image (one raster pass), then Shannon entropy on the FixedLog2
+    // lattice — (N·log2fp N − Σ c·log2fp c)/N/2²⁰, the same exact-entropy
+    // chain as agg_entropy_by_group — the flat-image / noise-image
+    // quality gate a multimodal ingest runs per asset. Decode is
+    // per-row local; the entropy is partial-aggregable per image.
+    "mm_image_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val L = graft.functions.FixedLog2.log2_fp _
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            val (dw, dh, bins) = graft.multimodal.Media.PngCodec
+              .decodeHistogram16(graft.multimodal.Media.PngCodec
+                .encodeGray(w, h,
+                  (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+            (id, dw, dh, bins)
+          }
+        }
+        .toDF("media_id", "width", "height", "bins")
+      media
+        .select(col("media_id"), col("width"), col("height"),
+          explode(col("bins")).as("cnt"))
+        .filter(col("cnt") > 0)
+        .groupBy("media_id", "width", "height")
+        .agg(sum("cnt").as("n_pixels"), count(lit(1)).as("n_bins"),
+             sum(col("cnt") * L(col("cnt"))).as("sclog"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("n_bins"),
+          ((col("n_pixels") * L(col("n_pixels")) - col("sclog"))
+            .cast("double") / col("n_pixels").cast("double")
+            / lit(1048576.0)).as("entropy_bits"))
+        .orderBy("media_id")
+    }),
+
+    // Partition-level TTL retention: write the events day-partitioned,
+    // sweep everything older than the last 10 days as a pure METADATA
+    // directory drop (zero data rewrite — what makes retention affordable
+    // at 100 TB), then certify the sweep by joining the survivors back
+    // against the full per-day source counts. A partition the sweep
+    // should have dropped but didn't (or vice versa) fails the oracle.
+    "layout_ttl_sweep" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ttl").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("dt"))
+      ev.write.mode("overwrite").partitionBy("dt").parquet(base)
+      graft.olap.Layout.ttlSweep(s, base, "dt", keepDays = 10)
+      val kept = s.read.parquet(base)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n_kept"))
+      ev.groupBy("dt").agg(count(lit(1)).as("n_rows"))
+        .join(kept, Seq("dt"), "left")
+        .select(col("dt"), col("n_rows"),
+          when(col("n_kept").isNotNull, lit("kept")).otherwise(lit("dropped"))
+            .as("action"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("dt")
+    }),
+
+    // Rolling 10-day beta of purchase revenue on click revenue — the
+    // windowed-regression form of ts_beta: exact DECIMAL window moments
+    // over day cells (w·Sxy−SxSy over w·Sxx−Sx², ONE IEEE division per
+    // day). Single joint series ⇒ the deliberate one-partition window,
+    // keyed non-foldably (Exact.onePartition) per the house rule; the
+    // frame is day cells, horizon-bounded at any volume.
+    "ts_rolling_beta" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(Exact.onePartition(col("dt"))).orderBy("dt")
+      val w10 = wk.rowsBetween(-9, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(sum(when(col("event_type") === "click",
+               Exact.cents(col("value"))).otherwise(0L)).as("x"),
+             sum(when(col("event_type") === "purchase",
+               Exact.cents(col("value"))).otherwise(0L)).as("y"))
+      daily
+        .withColumn("rn", row_number().over(wk))
+        .withColumn("sx", sum("x").over(w10))
+        .withColumn("sy", sum("y").over(w10))
+        .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(w10))
+        .withColumn("sxy", sum(dec(col("x")) * dec(col("y"))).over(w10))
+        .filter(col("rn") >= 10)
+        .withColumn("var_num", (lit(10L) * col("sxx")
+          - dec(col("sx")) * dec(col("sx"))).cast("double"))
+        .select(col("dt"), col("x"), col("y"),
+          when(col("var_num") > 0,
+            (lit(10L) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+              .cast("double") / col("var_num")).as("beta_10d"))
+        .orderBy("dt")
+    }),
+
+    // Low-energy (silence-proxy) window ratio per audio asset: windows
+    // whose energy falls below the asset's own mean — silent = e·W < Σe
+    // in exact integers, no IEEE threshold. The trim-silence triage step
+    // of an audio ingest, riding the same real windowing machinery as
+    // mm_audio_window.
+    "mm_audio_silence" -> ((s, dir) => {
+      val w = graft.multimodal.Media.audioWindows(
+          graft.multimodal.Media.asMedia(
+            Tables.documents(s, dir).filter(col("doc_id") < 200),
+            "doc_id", "text"), windowSize = 64, hop = 32)
+        .toDF()
+        .tracked // per-media totals + the flag pass both scan it
+      val tot = w.groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+             sum("energy").as("total_energy"),
+             max("energy").as("max_energy"))
+      w.join(tot, "media_id")
+        .withColumn("is_silent",
+          col("energy") * col("n_windows") < col("total_energy"))
+        .groupBy("media_id", "n_windows", "total_energy", "max_energy")
+        .agg(sum(when(col("is_silent"), 1L).otherwise(0L))
+          .as("n_silent"))
+        .select("media_id", "n_windows", "n_silent", "total_energy",
+                "max_energy")
+        .orderBy("media_id")
+    }),
+
+    // Top-decile value concentration: what share of each type's total
+    // value the top 10% of events carry — the same histogram-overlap
+    // machinery as agg_trimmed_mean (cumulative counts over value CELLS,
+    // never a row-level rank), share exact in ppm plus one IEEE double.
+    "agg_top_decile_share" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+      val cells = ev.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("cnt"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("c")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s_all"))
+      cells
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+        .join(tot, "event_type")
+        .withColumn("lo", expr("n div 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n"))
+            - greatest(col("cum_prev") + 1L, col("n") - col("lo") + 1L)
+            + 1L))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("s_all").as("s_all"),
+             sum("kept").as("n_top"),
+             sum(col("c") * col("kept")).as("top_sum"))
+        .select(col("event_type"), col("n"), col("n_top"), col("top_sum"),
+          expr("(1000000 * top_sum) div s_all").as("share_ppm"),
+          (col("top_sum").cast("double") / col("s_all").cast("double"))
+            .as("share"))
+        .orderBy("event_type")
+    }),
+
+    // Linear counting — the small-cardinality sketch that beats HLL below
+    // ~m distinct (the regime where HLL's estimator biases): m = 1024
+    // hashed bitmap positions per type, est = m·ln(m/z) with the log on
+    // the FixedLog2 lattice (exact BIGINT bits), ONE double multiply by
+    // ln 2 at the end. True distinct rides along for the error readout.
+    "sketch_linear_counting" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val m = 2147483647L
+      val pos = Tables.events(s, dir)
+        .withColumn("h1",
+          ((col("user_id") % m) * 1103515245L + 12345L) % m)
+        .withColumn("hm", (col("h1") * col("h1")) % m)
+        .withColumn("p", ((col("hm") * 69069L + 362437L) % m) % 1024L)
+        .select(col("event_type"), col("p"), col("user_id"))
+        .tracked // occupancy + true-distinct both scan it
+      val occ = pos.groupBy("event_type")
+        .agg(countDistinct("p").as("occupied"),
+             countDistinct("user_id").as("n_true"))
+        .withColumn("z", lit(1024L) - col("occupied"))
+      occ
+        .withColumn("est_bits",
+          when(col("z") > 0, lit(1024L) * (L(lit(1024L)) - L(col("z")))))
+        .select(col("event_type"), lit(1024L).as("m"), col("z"),
+          col("n_true"),
+          (col("est_bits").cast("double") * lit(0.6931471805599453)
+            / lit(1048576.0)).as("est_lc"))
+        .orderBy("event_type")
+    }),
+
+    // Reciprocity of the directed transition graph (a→b consecutive
+    // event types per user): binary — reciprocated directed edges over
+    // all directed edges — and weighted — Σ min(c_ab, c_ba) / Σ c_ab —
+    // both exact integers until one ppm floor-div each. The symmetry
+    // diagnostic for any directed interaction graph.
+    "graph_transition_reciprocity" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("a"))
+        .withColumn("b", lead("a", 1).over(w))
+        .filter(col("b").isNotNull && col("b") =!= col("a"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .tracked // both directions of the reverse join
+      val rev = pairs.select(col("a").as("b"), col("b").as("a"),
+        col("c_ab").as("c_ba"))
+      pairs.join(rev, Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_directed"),
+             sum(when(col("c_ba").isNotNull, 1L).otherwise(0L))
+               .as("n_reciprocated"),
+             sum("c_ab").as("w_total"),
+             sum(least(col("c_ab"), coalesce(col("c_ba"), lit(0L))))
+               .as("w_min"))
+        .select(col("n_directed"), col("n_reciprocated"),
+          expr("(1000000 * n_reciprocated) div n_directed")
+            .as("r_binary_ppm"),
+          col("w_total"), col("w_min"),
+          expr("(1000000 * w_min) div w_total").as("r_weighted_ppm"))
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -15389,6 +15712,277 @@ object SparkEntry {
          ORDER BY abs(CAST(v.n * q.nq - v.s1 AS DOUBLE)
            / sqrt(CAST(v.var_num AS DOUBLE))) DESC, q.vec_id
          LIMIT 10""",
+
+    "graph_butterflies" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+     w AS (SELECT a.p AS x, b.p AS y
+           FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+     cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(cnt) AS BIGINT) AS n_wedges,
+                CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_butterflies,
+                CAST(max(cnt) AS BIGINT) AS max_copairs
+         FROM cn""",
+
+    "ts_granger_screen" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pc,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cc
+           FROM events GROUP BY 1),
+     l AS (SELECT pc AS y, lag(pc) OVER (ORDER BY dt) AS x1,
+                  lag(cc) OVER (ORDER BY dt) AS x2
+           FROM d),
+     r AS (SELECT y, x1, x2 FROM l WHERE x1 IS NOT NULL),
+     m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x1) AS BIGINT) AS s1,
+                  CAST(sum(x2) AS BIGINT) AS s2,
+                  CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+                  CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+                  CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+                  CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+                  CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+                  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           FROM r),
+     c AS (SELECT n,
+                  CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
+                  CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
+                  CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
+                  CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS c1y,
+                  CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS c2y,
+                  CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+           FROM m),
+     b AS (SELECT n, c1y, c2y, cyy, c11,
+                  (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                  (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+           FROM c)
+         SELECT n, b1 AS beta_own_lag, b2 AS beta_click_lag,
+                cyy - b1 * c1y - b2 * c2y AS sse_full,
+                cyy - (c1y / c11) * c1y AS sse_restricted,
+                ((cyy - (c1y / c11) * c1y) - (cyy - b1 * c1y - b2 * c2y))
+                  / ((cyy - b1 * c1y - b2 * c2y)
+                     / CAST(n - 3 AS DOUBLE)) AS f_stat
+         FROM b""",
+
+    "agg_simpson_check" ->
+      """WITH j AS (SELECT p.p_brand,
+                  CAST(round(l.l_discount * 100, 0) AS BIGINT) AS d,
+                  CAST(l.l_quantity AS BIGINT) AS q
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+     g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(d) AS BIGINT) AS sd,
+                  CAST(sum(q) AS BIGINT) AS sq,
+                  CAST(sum(CAST(d AS HUGEINT) * q) AS HUGEINT) AS sdq
+           FROM j GROUP BY 1),
+     gb AS (SELECT p_brand, n,
+                   CAST(CAST(n AS HUGEINT) * sdq
+                     - CAST(sd AS HUGEINT) * sq AS BIGINT) AS cov_num
+            FROM g),
+     p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(d) AS BIGINT) AS sd,
+                  CAST(sum(q) AS BIGINT) AS sq,
+                  CAST(sum(CAST(d AS HUGEINT) * q) AS HUGEINT) AS sdq
+           FROM j),
+     ps AS (SELECT CAST(sign(CAST(CAST(n AS HUGEINT) * sdq
+                     - CAST(sd AS HUGEINT) * sq AS BIGINT)) AS BIGINT)
+                     AS pooled_sign
+            FROM p)
+         SELECT gb.p_brand, gb.n, gb.cov_num,
+                CAST(sign(gb.cov_num) AS BIGINT) AS assoc_sign,
+                ps.pooled_sign,
+                sign(gb.cov_num) <> 0
+                  AND CAST(sign(gb.cov_num) AS BIGINT) <> ps.pooled_sign
+                  AS sign_flip
+         FROM gb CROSS JOIN ps ORDER BY gb.p_brand""",
+
+    "mm_image_entropy" -> {
+      val lc = graft.functions.FixedLog2.sql("cnt")
+      val ln = graft.functions.FixedLog2.sql("n_pixels")
+      s"""WITH dims AS (SELECT doc_id,
+                              CAST(1 + doc_id % 8 AS INT) AS width,
+                              CAST(1 + n_chars % 8 AS INT) AS height
+                       FROM documents),
+              xs AS (SELECT doc_id, width, height,
+                            unnest(range(0, CAST(width AS BIGINT))) AS x
+                     FROM dims),
+              xy AS (SELECT doc_id, width, height, x,
+                            unnest(range(0, CAST(height AS BIGINT))) AS y
+                     FROM xs),
+              px AS (SELECT doc_id, width, height,
+                            ((doc_id * 31 + x * 7 + y * 13) % 256) // 16
+                              AS bin
+                     FROM xy),
+              bins AS (SELECT doc_id, width, height, bin,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM px GROUP BY 1, 2, 3, 4),
+              g AS (SELECT doc_id AS media_id, width, height,
+                           CAST(sum(cnt) AS BIGINT) AS n_pixels,
+                           CAST(count(*) AS BIGINT) AS n_bins,
+                           CAST(sum(CAST(cnt AS HUGEINT) * $lc) AS HUGEINT)
+                             AS sclog
+                    FROM bins GROUP BY 1, 2, 3)
+          SELECT media_id, width, height, n_pixels, n_bins,
+                 CAST(CAST(n_pixels AS HUGEINT) * $ln - sclog AS DOUBLE)
+                   / CAST(n_pixels AS DOUBLE) / 1048576.0 AS entropy_bits
+          FROM g ORDER BY media_id"""
+    },
+
+    "layout_ttl_sweep" ->
+      """WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1),
+     c AS (SELECT CAST(max(CAST(dt AS DATE)) - 9 AS DATE) AS cutoff FROM d)
+         SELECT d.dt, d.n_rows,
+                CASE WHEN CAST(d.dt AS DATE) >= c.cutoff THEN 'kept'
+                     ELSE 'dropped' END AS action,
+                CASE WHEN CAST(d.dt AS DATE) >= c.cutoff THEN d.n_rows
+                     ELSE 0 END AS n_kept
+         FROM d CROSS JOIN c ORDER BY dt""",
+
+    "ts_rolling_beta" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+     w AS (SELECT dt, x, y,
+                  row_number() OVER (ORDER BY dt) AS rn,
+                  CAST(sum(x) OVER tw AS BIGINT) AS sx,
+                  CAST(sum(y) OVER tw AS BIGINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * x) OVER tw AS HUGEINT)
+                    AS sxx,
+                  CAST(sum(CAST(x AS HUGEINT) * y) OVER tw AS HUGEINT)
+                    AS sxy
+           FROM d WINDOW tw AS (ORDER BY dt
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+     v AS (SELECT dt, x, y,
+                  CAST(10 * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    AS var_num,
+                  CAST(10 * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    AS cov_num
+           FROM w WHERE rn >= 10)
+         SELECT dt, x, y,
+                CASE WHEN var_num > 0 THEN cov_num / var_num END
+                  AS beta_10d
+         FROM v ORDER BY dt""",
+
+    "mm_audio_silence" ->
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                      WHERE doc_id < 200 AND octet_length(encode(text)) > 0),
+             b AS (SELECT media_id, nb, ${duckHexBytes("h")} AS bytes
+                   FROM hx),
+             w AS (SELECT media_id, nb, bytes,
+                          CAST(unnest(generate_series(0,
+                            CAST((nb - 1) // 32 AS INT))) AS INT)
+                            AS window_idx
+                   FROM b),
+             e AS (SELECT media_id, window_idx,
+                          CAST(list_sum(list_transform(
+                            generate_series(window_idx * 32 + 1,
+                              window_idx * 32 + least(64, nb - window_idx * 32)),
+                            j -> (bytes[j] - 128) * (bytes[j] - 128)))
+                            AS BIGINT) AS energy
+                   FROM w),
+             t AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_windows,
+                          CAST(sum(energy) AS BIGINT) AS total_energy,
+                          CAST(max(energy) AS BIGINT) AS max_energy
+                   FROM e GROUP BY 1)
+         SELECT e.media_id, t.n_windows,
+                CAST(sum(CASE WHEN e.energy * t.n_windows < t.total_energy
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+                t.total_energy, t.max_energy
+         FROM e JOIN t ON t.media_id = e.media_id
+         GROUP BY 1, 2, 4, 5 ORDER BY e.media_id""",
+
+    "agg_top_decile_share" ->
+      """WITH ev AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+     cells AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+               FROM ev GROUP BY 1, 2),
+     cum AS (SELECT event_type, c, cnt,
+                    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM cells),
+     tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS s_all
+             FROM ev GROUP BY 1),
+     k AS (SELECT cum.event_type, cum.c, cum.cnt, cum.cum,
+                  cum.cum - cum.cnt AS cum_prev,
+                  tot.n, tot.s_all, tot.n // 10 AS lo
+           FROM cum JOIN tot ON tot.event_type = cum.event_type),
+     kept AS (SELECT event_type, c, n, s_all,
+                     greatest(CAST(0 AS BIGINT),
+                       least(cum, n)
+                         - greatest(cum_prev + 1, n - lo + 1) + 1) AS kept
+              FROM k)
+         SELECT event_type, max(n) AS n,
+                CAST(sum(kept) AS BIGINT) AS n_top,
+                CAST(sum(c * kept) AS BIGINT) AS top_sum,
+                CAST((1000000 * CAST(sum(c * kept) AS HUGEINT))
+                  // max(s_all) AS BIGINT) AS share_ppm,
+                CAST(CAST(sum(c * kept) AS BIGINT) AS DOUBLE)
+                  / CAST(max(s_all) AS DOUBLE) AS share
+         FROM kept GROUP BY 1 ORDER BY event_type""",
+
+    "sketch_linear_counting" -> {
+      val lm = graft.functions.FixedLog2.sql("1024")
+      val lz = graft.functions.FixedLog2.sql("z")
+      s"""WITH h AS (SELECT event_type, user_id,
+                  ((((user_id % 2147483647) * 1103515245 + 12345)
+                     % 2147483647)
+                   * (((user_id % 2147483647) * 1103515245 + 12345)
+                     % 2147483647)) % 2147483647 AS hm
+           FROM events),
+     p AS (SELECT event_type, user_id,
+                  ((hm * 69069 + 362437) % 2147483647) % 1024 AS p
+           FROM h),
+     o AS (SELECT event_type,
+                  CAST(count(DISTINCT p) AS BIGINT) AS occupied,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+           FROM p GROUP BY 1),
+     z AS (SELECT event_type, n_true, 1024 - occupied AS z FROM o),
+     e AS (SELECT event_type, n_true, z,
+                  CASE WHEN z > 0 THEN 1024 * ($lm - $lz) END AS est_bits
+           FROM z)
+         SELECT event_type, CAST(1024 AS BIGINT) AS m,
+                CAST(z AS BIGINT) AS z, n_true,
+                CAST(est_bits AS DOUBLE) * 0.6931471805599453 / 1048576.0
+                  AS est_lc
+         FROM e ORDER BY event_type"""
+    },
+
+    "graph_transition_reciprocity" ->
+      """WITH pr AS (SELECT user_id, event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS b
+           FROM events),
+     c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+           FROM pr WHERE b IS NOT NULL AND b <> a GROUP BY 1, 2),
+     j AS (SELECT c.a, c.b, c.c_ab, r.c_ab AS c_ba
+           FROM c LEFT JOIN c r ON r.a = c.b AND r.b = c.a)
+         SELECT CAST(count(*) AS BIGINT) AS n_directed,
+                CAST(sum(CASE WHEN c_ba IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_reciprocated,
+                CAST((1000000 * sum(CASE WHEN c_ba IS NOT NULL
+                       THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                  AS r_binary_ppm,
+                CAST(sum(c_ab) AS BIGINT) AS w_total,
+                CAST(sum(least(c_ab, coalesce(c_ba, 0))) AS BIGINT)
+                  AS w_min,
+                CAST((1000000 * sum(least(c_ab, coalesce(c_ba, 0))))
+                  // sum(c_ab) AS BIGINT) AS r_weighted_ppm
+         FROM j""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

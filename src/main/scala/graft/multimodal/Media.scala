@@ -166,6 +166,34 @@ object Media {
       (tw, th, sum % 2147483647L)
     }
 
+    /** Decode + 16-bin luminance histogram (bin = sample DIV 16) in one
+      * pass — the distribution input for image-entropy quality scoring.
+      * Returns (w, h, bins[16]); undecodable magic-valid payloads return
+      * the stub dims with an EMPTY bin array (zero pixels — loud in any
+      * downstream count, the decodeAvgHash sentinel convention).
+      */
+    def decodeHistogram16(payload: Array[Byte]): (Int, Int, Array[Long]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) {
+        val (w, h, _) = FakeCodec.decode(payload)
+        return (w, h, Array.empty[Long])
+      }
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bins = new Array[Long](16)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bins(raster.getSample(x, y, 0) / 16) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, bins)
+    }
+
     /** Encode a w×h 8-bit grayscale image (pixel(x, y) masked to a byte)
       * as real compressed PNG bytes.
       */

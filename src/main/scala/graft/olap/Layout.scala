@@ -66,4 +66,30 @@ object Layout {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Partition-level TTL retention sweep over a date-partitioned store
+    * (`partCol=YYYY-MM-DD` directories): drop every partition strictly
+    * older than (max partition − keepDays + 1). The sweep is pure
+    * METADATA — the cutoff comes from the directory listing and deletion
+    * is a directory drop, zero data read/rewrite, which is what makes a
+    * retention policy affordable at 100 TB (the partition-pruning dual:
+    * pruning skips old data at read time, TTL reclaims it at rest).
+    * Returns (cutoff date string, partitions dropped).
+    */
+  def ttlSweep(spark: SparkSession, baseDir: String, partCol: String,
+               keepDays: Int): (String, Int) = {
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path).map(_.getPath)
+      .filter(_.getName.startsWith(s"$partCol="))
+      .map(p => (p, p.getName.stripPrefix(s"$partCol=")))
+    require(parts.nonEmpty, s"no $partCol= partitions under $baseDir")
+    // ISO dates order lexicographically — no parsing needed
+    val maxDay = parts.map(_._2).max
+    val cutoff = java.time.LocalDate.parse(maxDay)
+      .minusDays(keepDays - 1L).toString
+    val expired = parts.filter(_._2 < cutoff)
+    expired.foreach { case (p, _) => fs.delete(p, true) }
+    (cutoff, expired.length)
+  }
 }

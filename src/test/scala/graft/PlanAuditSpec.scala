@@ -106,6 +106,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "mine_association_rules",
       // 1-row transition-total scalar into the lift rationals
       "mine_transition_lift",
+      // 1-row pooled-sign scalar joined onto the per-brand rows
+      "agg_simpson_check",
       // 1-row corpus totals (N docs × T tokens) into the scoring chain
       "text_bm25_topk",
       // 1-row series-count scalar gating the market basket dates
