@@ -8218,6 +8218,230 @@ object SparkEntry {
           col("w_total"), col("w_min"),
           expr("(1000000 * w_min) div w_total").as("r_weighted_ppm"))
     }),
+
+    // ADF-style unit-root screen per type: regress Δp on (p lag, time
+    // index) — the same exact-moment 2×2 solve as ts_granger_screen —
+    // and report the lag coefficient's t statistic (a strongly negative
+    // t rejects the random-walk null). Every moment is an exact
+    // DECIMAL(38,0); the t spends one fixed IEEE chain including the
+    // (X'X)⁻¹ diagonal term σ̂²·n·c22/det. Day cells per key.
+    "ts_adf_screen" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val rows = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("p"))
+        .withColumn("x1", lag("p", 1).over(w))
+        .withColumn("x2", row_number().over(w).cast("long"))
+        .filter(col("x1").isNotNull)
+        .withColumn("y", col("p") - col("x1"))
+      val mom = rows.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("y").as("sy"), sum("x1").as("s1"),
+        sum("x2").as("s2"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+        sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+        sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val c11 = (dec(col("n")) * col("s11") - dec(col("s1")) * dec(col("s1"))).cast("double")
+      val c22 = (dec(col("n")) * col("s22") - dec(col("s2")) * dec(col("s2"))).cast("double")
+      val c12 = (dec(col("n")) * col("s12") - dec(col("s1")) * dec(col("s2"))).cast("double")
+      val c1y = (dec(col("n")) * col("s1y") - dec(col("s1")) * dec(col("sy"))).cast("double")
+      val c2y = (dec(col("n")) * col("s2y") - dec(col("s2")) * dec(col("sy"))).cast("double")
+      val cyy = (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))).cast("double")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val sse = cyy - b1 * c1y - b2 * c2y
+      val tStat = b1 / sqrt((sse / (d(col("n")) * d(col("n") - 3L)))
+        * d(col("n")) * c22 / det)
+      mom.select(col("event_type"), col("n"), b1.as("gamma"),
+          b2.as("trend"), tStat.as("t_stat"))
+        .orderBy("event_type")
+    }),
+
+    // Wald–Wolfowitz runs test on each type's daily up/down sequence —
+    // the randomness screen (too few runs = trending, too many =
+    // mean-reverting). Runs/n1/n2 are exact integers from keyed lag
+    // comparisons (ties dropped, the standard convention); z is one
+    // fixed IEEE chain from those integers.
+    "ts_runs_test" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val signs = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("p"))
+        .withColumn("prev", lag("p", 1).over(w))
+        .filter(col("prev").isNotNull && col("p") =!= col("prev"))
+        .withColumn("sgn", when(col("p") > col("prev"), 1L).otherwise(-1L))
+      val runs = signs
+        .withColumn("prev_sgn", lag("sgn", 1).over(w))
+        .groupBy("event_type")
+        .agg(sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n1"),
+             sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n2"),
+             (sum(when(col("prev_sgn").isNull
+                 || col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L)))
+               .as("runs"))
+      val n = d(col("n1") + col("n2"))
+      val mu = lit(2.0) * d(col("n1")) * d(col("n2")) / n + lit(1.0)
+      val vr = (lit(2.0) * d(col("n1")) * d(col("n2"))
+        * (lit(2.0) * d(col("n1")) * d(col("n2")) - n)) /
+        (n * n * (n - lit(1.0)))
+      runs.select(col("event_type"), col("n1"), col("n2"), col("runs"),
+          ((d(col("runs")) - mu) / sqrt(vr)).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // KS uniformity audit of the engine's own LCG spread hash — the
+    // self-test any hash-partitioned sampler owes its users: D =
+    // max|F̂(u) − u/10⁶| evaluated on the integer lattice at both sides
+    // of every occupied cell (the discrete-KS boundary convention), via
+    // the global two-level prefix sum — never a single-partition window
+    // over the support.
+    "agg_hash_uniformity_ks" -> ((s, dir) => {
+      val m = 2147483647L
+      val cells = Tables.events(s, dir)
+        .withColumn("h1", ((col("event_id") % m) * 1103515245L + 12345L) % m)
+        .withColumn("hm", (col("h1") * col("h1")) % m)
+        .withColumn("u", ((col("hm") * 69069L + 362437L) % m) % 1000000L)
+        .groupBy("u").agg(count(lit(1)).as("cnt"))
+      val cum = graft.text.Packing.withStreamOffset(
+        cells, "u", "cnt", "cum_prev", bucketSize = 10000L)
+        .withColumn("cum", col("cum_prev") + col("cnt"))
+      val tot = cells.agg(sum("cnt").as("n"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"),
+          greatest(
+            abs(col("cum") * lit(1000000L) - col("n") * (col("u") + 1L)),
+            abs(col("cum_prev") * lit(1000000L) - col("n") * col("u")))
+            .as("dn"))
+        .groupBy("n").agg(max("dn").as("d_num"))
+        .select(col("n"), col("d_num"),
+          (col("d_num").cast("double")
+            / (col("n").cast("double") * lit(1.0e6))).as("d_stat"),
+          ((col("d_num").cast("double")
+            / (col("n").cast("double") * lit(1.0e6)))
+            * sqrt(col("n").cast("double"))).as("d_sqrt_n"))
+    }),
+
+    // The dq_volume_anomaly gate as a STREAMING monitor: per-day counts
+    // come from the watermarked tumbling aggregation (the unbounded
+    // ingest path), the trailing-7 z runs sink-side on finalized windows
+    // — the split a production monitor uses, since an anomaly verdict is
+    // only meaningful once its window is final. Streamed counts == batch
+    // counts, so the oracle is the batch SQL verbatim.
+    "stream_volume_anomaly" -> ((s, dir) => {
+      val tw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("date").rowsBetween(-7, -1)
+      val daily = graft.streaming.EventStream.runTumblingDaily(s, dir)
+        .select(col("event_type"), col("date"), col("n"))
+      val z = (col("n") * 7L - col("s1")).cast("double") /
+        sqrt(col("var_num").cast("double"))
+      daily
+        .withColumn("wn", count(lit(1)).over(tw))
+        .withColumn("s1", sum("n").over(tw))
+        .withColumn("s2", sum(col("n") * col("n")).over(tw))
+        .filter(col("wn") === 7)
+        .withColumn("var_num", col("s2") * 7L - col("s1") * col("s1"))
+        .select(col("event_type"), col("date").as("dt"), col("n"),
+          col("s1").as("trail_sum"), col("var_num"),
+          when(col("var_num") > 0, z).as("z"),
+          when(col("var_num") > 0, abs(z) > lit(3.0)).as("is_anomaly"))
+        .orderBy("event_type", "dt")
+    }),
+
+    // Power analysis / minimum detectable effect per metric: with this
+    // type's variance and a 50/50 split of its current volume, what
+    // lift could a two-arm test detect at α = 0.05, power = 0.8?
+    // mde = (z_α/2 + z_β)·√(2σ²/n_arm) with the two z's as DEFINED
+    // constants (1.96, 0.8416) — variance from exact DECIMAL moments,
+    // the mde one fixed IEEE chain. The sizing readout every experiment
+    // platform publishes next to its metrics.
+    "agg_mde_power" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val stats = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+             sum(dec(col("c")) * dec(col("c"))).as("ss"))
+        .withColumn("n_arm", expr("n div 2"))
+      val v = (dec(col("n")) * col("ss") - dec(col("sc")) * dec(col("sc")))
+        .cast("double") / d(col("n") * (col("n") - 1L))
+      val mde = lit(1.96 + 0.8416) * sqrt(lit(2.0) * v / d(col("n_arm")))
+      stats.select(col("event_type"), col("n"), col("n_arm"),
+          (d(col("sc")) / d(col("n")) / lit(100.0)).as("mean_value"),
+          (v / lit(10000.0)).as("var_value"),
+          (mde / lit(100.0)).as("mde_abs"),
+          (mde / (d(col("sc")) / d(col("n")))).as("mde_rel"))
+        .orderBy("event_type")
+    }),
+
+    // Markov holding times from the self-inclusive transition counts:
+    // P(stay) = c_aa/c_a· and the geometric expected dwell
+    // E[steps] = c_a·/(c_a·−c_aa), both exact to one ppm floor-div plus
+    // one IEEE division — how long a user lingers in each behavioral
+    // state, the summary a session model starts from.
+    "ts_markov_holding" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("a"))
+        .withColumn("b", lead("a", 1).over(w))
+        .filter(col("b").isNotNull)
+        .groupBy("a")
+        .agg(count(lit(1)).as("c_total"),
+             sum(when(col("b") === col("a"), 1L).otherwise(0L)).as("c_self"))
+        .filter(col("c_total") > col("c_self"))
+        .select(col("a").as("state"), col("c_total"), col("c_self"),
+          expr("(1000000 * c_self) div c_total").as("p_self_ppm"),
+          expr("(1000000 * c_total) div (c_total - c_self)")
+            .as("hold_steps_ppm"),
+          (col("c_total").cast("double")
+            / (col("c_total") - col("c_self")).cast("double"))
+            .as("hold_steps"))
+        .orderBy("state")
+    }),
+
+    // Per-source document-length outliers — the corpus-intake screen
+    // (truncated scrapes, concatenated pages) as robust MAD flags on
+    // n_chars: median and MAD by positional rank (exact, an existing
+    // value), the 1.4826 normal-consistency constant as the DEFINED
+    // integer 14826/10⁴ so the flag comparison stays on the integer
+    // lattice. The agg_mad_outliers machinery pointed at the corpus.
+    "dq_doc_length_outliers" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val v = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .tracked // median, MAD and flag passes scan it
+      val n = v.groupBy("source").agg(count(lit(1)).as("n"))
+      val med = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("source").orderBy("n_chars", "doc_id")))
+        .join(broadcast(n), "source")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col("n_chars").as("med_len"))
+      val dev = v.join(broadcast(med), "source")
+        .withColumn("adev", abs(col("n_chars") - col("med_len")))
+      val mad = dev
+        .withColumn("rn", row_number().over(
+          w.partitionBy("source").orderBy("adev", "doc_id")))
+        .join(broadcast(n), "source")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col("adev").as("mad_len"))
+      dev.join(broadcast(mad), "source")
+        .groupBy("source", "med_len", "mad_len")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("adev") * 10000L > col("mad_len") * 3L * 14826L,
+               1L).otherwise(0L)).as("n_outliers"))
+        .select("source", "n_docs", "med_len", "mad_len", "n_outliers")
+        .orderBy("source")
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -15983,6 +16207,199 @@ object SparkEntry {
                 CAST((1000000 * sum(least(c_ab, coalesce(c_ba, 0))))
                   // sum(c_ab) AS BIGINT) AS r_weighted_ppm
          FROM j""",
+
+    "ts_adf_screen" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS p
+           FROM events GROUP BY 1, 2),
+     r0 AS (SELECT event_type, dt, p,
+                   lag(p) OVER k AS x1,
+                   CAST(row_number() OVER k AS BIGINT) AS x2
+            FROM d WINDOW k AS (PARTITION BY event_type ORDER BY dt)),
+     r AS (SELECT event_type, p - x1 AS y, x1, x2
+           FROM r0 WHERE x1 IS NOT NULL),
+     m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x1) AS BIGINT) AS s1,
+                  CAST(sum(x2) AS BIGINT) AS s2,
+                  CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+                  CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+                  CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+                  CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+                  CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+                  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           FROM r GROUP BY 1),
+     c AS (SELECT event_type, n,
+                  CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
+                  CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
+                  CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
+                  CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS c1y,
+                  CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS c2y,
+                  CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+           FROM m),
+     b AS (SELECT event_type, n, c1y, c2y, cyy, c11, c22, c12,
+                  c11 * c22 - c12 * c12 AS det,
+                  (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                  (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+           FROM c)
+         SELECT event_type, n, b1 AS gamma, b2 AS trend,
+                b1 / sqrt(((cyy - b1 * c1y - b2 * c2y)
+                  / (CAST(n AS DOUBLE) * CAST(n - 3 AS DOUBLE)))
+                  * CAST(n AS DOUBLE) * c22 / det) AS t_stat
+         FROM b ORDER BY event_type""",
+
+    "ts_runs_test" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS p
+           FROM events GROUP BY 1, 2),
+     s0 AS (SELECT event_type, dt, p,
+                   lag(p) OVER (PARTITION BY event_type ORDER BY dt)
+                     AS prev
+            FROM d),
+     s AS (SELECT event_type, dt,
+                  CASE WHEN p > prev THEN 1 ELSE -1 END AS sgn
+           FROM s0 WHERE prev IS NOT NULL AND p <> prev),
+     s2 AS (SELECT event_type, sgn,
+                   lag(sgn) OVER (PARTITION BY event_type ORDER BY dt)
+                     AS prev_sgn
+            FROM s),
+     g AS (SELECT event_type,
+                  CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn
+                    THEN 1 ELSE 0 END) AS BIGINT) AS runs
+           FROM s2 GROUP BY 1)
+         SELECT event_type, n1, n2, runs,
+                (CAST(runs AS DOUBLE)
+                 - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 + n2 AS DOUBLE)))
+                       / (CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 AS DOUBLE)
+                          * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS z
+         FROM g ORDER BY event_type""",
+
+    "agg_hash_uniformity_ks" ->
+      """WITH h AS (SELECT ((((event_id % 2147483647) * 1103515245
+                     + 12345) % 2147483647)
+                   * (((event_id % 2147483647) * 1103515245 + 12345)
+                     % 2147483647)) % 2147483647 AS hm
+           FROM events),
+     u AS (SELECT ((hm * 69069 + 362437) % 2147483647) % 1000000 AS u
+           FROM h),
+     cells AS (SELECT u, CAST(count(*) AS BIGINT) AS cnt
+               FROM u GROUP BY 1),
+     cum AS (SELECT u, cnt,
+                    CAST(sum(cnt) OVER (ORDER BY u
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM cells),
+     tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+     d AS (SELECT t.n,
+                  greatest(abs(c.cum * 1000000 - t.n * (c.u + 1)),
+                           abs((c.cum - c.cnt) * 1000000 - t.n * c.u))
+                    AS dn
+           FROM cum c CROSS JOIN tot t)
+         SELECT n, CAST(max(dn) AS BIGINT) AS d_num,
+                CAST(max(dn) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1000000.0) AS d_stat,
+                (CAST(max(dn) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1000000.0))
+                  * sqrt(CAST(n AS DOUBLE)) AS d_sqrt_n
+         FROM d GROUP BY 1""",
+
+    "stream_volume_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+     w AS (SELECT event_type, dt, n,
+                  count(*) OVER tw AS wn,
+                  CAST(sum(n) OVER tw AS BIGINT) AS s1,
+                  CAST(sum(n * n) OVER tw AS BIGINT) AS s2
+           FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY dt
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, dt, n, s1 AS trail_sum,
+                7 * s2 - s1 * s1 AS var_num,
+                CASE WHEN 7 * s2 - s1 * s1 > 0
+                     THEN CAST(7 * n - s1 AS DOUBLE)
+                       / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE)) END AS z,
+                CASE WHEN 7 * s2 - s1 * s1 > 0
+                     THEN abs(CAST(7 * n - s1 AS DOUBLE)
+                       / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE))) > 3.0
+                END AS is_anomaly
+         FROM w WHERE wn = 7 ORDER BY event_type, dt""",
+
+    "agg_mde_power" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sc,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                         * CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS ss
+           FROM events GROUP BY 1),
+     v AS (SELECT event_type, n, sc, n // 2 AS n_arm,
+                  CAST(CAST(n AS HUGEINT) * ss
+                       - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE) AS var_c
+           FROM st)
+         SELECT event_type, n, n_arm,
+                CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                  AS mean_value,
+                var_c / 10000.0 AS var_value,
+                (1.96 + 0.8416) * sqrt(2.0 * var_c
+                  / CAST(n_arm AS DOUBLE)) / 100.0 AS mde_abs,
+                (1.96 + 0.8416) * sqrt(2.0 * var_c
+                  / CAST(n_arm AS DOUBLE))
+                  / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_rel
+         FROM v ORDER BY event_type""",
+
+    "ts_markov_holding" ->
+      """WITH p AS (SELECT event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS b
+           FROM events),
+     g AS (SELECT a, CAST(count(*) AS BIGINT) AS c_total,
+                  CAST(sum(CASE WHEN b = a THEN 1 ELSE 0 END) AS BIGINT)
+                    AS c_self
+           FROM p WHERE b IS NOT NULL GROUP BY 1)
+         SELECT a AS state, c_total, c_self,
+                (1000000 * c_self) // c_total AS p_self_ppm,
+                (1000000 * c_total) // (c_total - c_self)
+                  AS hold_steps_ppm,
+                CAST(c_total AS DOUBLE)
+                  / CAST(c_total - c_self AS DOUBLE) AS hold_steps
+         FROM g WHERE c_total > c_self ORDER BY state""",
+
+    "dq_doc_length_outliers" ->
+      """WITH v AS (SELECT source, doc_id, n_chars FROM documents),
+     n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY 1),
+     r AS (SELECT v.source, v.n_chars,
+                  row_number() OVER (PARTITION BY v.source
+                    ORDER BY v.n_chars, v.doc_id) AS rn, n.n
+           FROM v JOIN n ON n.source = v.source),
+     med AS (SELECT source, n_chars AS med_len FROM r
+             WHERE rn = (n + 1) // 2),
+     dev AS (SELECT v.source, v.doc_id,
+                    abs(v.n_chars - med.med_len) AS adev, med.med_len
+             FROM v JOIN med ON med.source = v.source),
+     r2 AS (SELECT dev.source, dev.adev,
+                   row_number() OVER (PARTITION BY dev.source
+                     ORDER BY dev.adev, dev.doc_id) AS rn, n.n
+            FROM dev JOIN n ON n.source = dev.source),
+     mad AS (SELECT source, adev AS mad_len FROM r2
+             WHERE rn = (n + 1) // 2)
+         SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,
+                max(dev.med_len) AS med_len,
+                max(mad.mad_len) AS mad_len,
+                CAST(sum(CASE WHEN dev.adev * 10000
+                       > mad.mad_len * 3 * 14826
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev JOIN mad ON mad.source = dev.source
+         GROUP BY 1 ORDER BY dev.source""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

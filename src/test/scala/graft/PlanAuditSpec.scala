@@ -124,6 +124,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_modularity",
       // broadcast 1-row (n1, n2) scalar into the lattice projection
       "agg_ks_statistic",
+      // broadcast 1-row total-count scalar into the lattice D terms
+      "agg_hash_uniformity_ks",
       // broadcast 1-row histogram-rank and boundary-day scalars
       "sample_time_purged_split",
       // broadcast 1-row per-round max-norm scalar into the renormalize
