@@ -8442,6 +8442,91 @@ object SparkEntry {
         .select("source", "n_docs", "med_len", "mad_len", "n_outliers")
         .orderBy("source")
     }),
+
+    // TwoNN intrinsic-dimension estimate (Facco et al., public method)
+    // of the embedding corpus: per point the ratio μ = r₂/r₁ of its two
+    // nearest cosine distances, ID = n/Σln μ. Neighbors come from the
+    // hyperplane-LSH buckets (per-bucket join — the scale path; a
+    // bucket-local 2-NN is the standard lower-bound variant), μ is
+    // floored to the ppm lattice from bitwise-identical distance chains,
+    // the log runs on the FixedLog2 lattice, and ONE IEEE chain converts
+    // bits → nats at the end. The manifold-dimension QA that decides
+    // whether an embedding column deserves its width.
+    "emb_intrinsic_dim" -> ((s, dir) => {
+      import graft.functions.VecOps
+      val L = graft.functions.FixedLog2.log2_fp _
+      val b = graft.similarity.HyperplaneLsh
+        .withBuckets(Tables.embeddings(s, dir), nPlanes = 4, dim = 64)
+      val pairs = b.select(col("bucket"), col("vec_id").as("va"),
+          col("embedding").as("ea"))
+        .join(b.select(col("bucket"), col("vec_id").as("vb"),
+          col("embedding").as("eb")), Seq("bucket"))
+        .filter(col("va") =!= col("vb"))
+        .withColumn("dist",
+          lit(1.0) - VecOps.cosine(col("ea"), col("eb")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("va").orderBy(col("dist"), col("vb"))
+      val two = pairs
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy("va")
+        .agg(max(when(col("rk") === 1, col("dist"))).as("r1"),
+             max(when(col("rk") === 2, col("dist"))).as("r2"))
+        .filter(col("r1") > 0 && col("r2").isNotNull)
+        .withColumn("mu_ppm",
+          floor(col("r2") / col("r1") * lit(1000000.0)).cast("long"))
+        .filter(col("mu_ppm") > 1000000L)
+      two.agg(count(lit(1)).as("n_points"),
+          sum(L(col("mu_ppm")) - L(lit(1000000L))).as("denom_bits"))
+        .select(col("n_points"), col("denom_bits"),
+          (col("n_points").cast("double") * lit(1048576.0)
+            / (col("denom_bits").cast("double")
+               * lit(0.6931471805599453))).as("id_hat"))
+    }),
+
+    // Sequential probability ratio test per metric: is the daily total
+    // running at baseline μ₀ or at a 5% lift μ₁? The LLR is kept as the
+    // EXACT integer score Σ(2Δμ·x − (μ₁²−μ₀²)) (the 2σ² factor moved to
+    // the boundary), baseline moments come from the first 10 days, and
+    // the accept/reject boundaries spend one IEEE chain with ln 19 as a
+    // DEFINED constant. The always-on alternative to fixed-horizon
+    // testing — decisions per day, exact cumulative state.
+    "agg_sprt_monitor" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dt")
+      val wcum = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .withColumn("rn", row_number().over(w))
+        .tracked // baseline + monitored slice both read it
+      val base = daily.filter(col("rn") <= 10)
+        .groupBy("event_type")
+        .agg(expr("sum(x) div 10").as("mu0"),
+             sum(dec(col("x")) * dec(col("x"))).as("ss"),
+             sum("x").as("sx"))
+        .withColumn("var_num", Exact.checkedLong(
+          dec(lit(10L)) * col("ss") - dec(col("sx")) * dec(col("sx"))))
+        .withColumn("mu1", col("mu0") + expr("mu0 div 20"))
+        .select("event_type", "mu0", "mu1", "var_num")
+      val scored = daily.filter(col("rn") >= 11)
+        .join(broadcast(base), "event_type")
+        .withColumn("term", lit(2L) * (col("mu1") - col("mu0")) * col("x")
+          - (col("mu1") * col("mu1") - col("mu0") * col("mu0")))
+        .withColumn("cum_score", sum("term").over(wcum))
+      // boundary: LLR >= ln 19 ⇔ score >= 2σ²·ln 19, σ² = var_num/90
+      val thr = lit(2.0) * (d(col("var_num")) / lit(90.0)) *
+        lit(2.9444389791664403)
+      scored.select(col("event_type"), col("dt"), col("x"),
+          col("cum_score"),
+          when(d(col("cum_score")) >= thr, lit("accept_lift"))
+            .when(d(col("cum_score")) <= -thr, lit("accept_baseline"))
+            .otherwise(lit("continue")).as("decision"))
+        .orderBy("event_type", "dt")
+    }),
   )
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
@@ -16400,6 +16485,86 @@ object SparkEntry {
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM dev JOIN mad ON mad.source = dev.source
          GROUP BY 1 ORDER BY dev.source""",
+
+    "emb_intrinsic_dim" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(4, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+        s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      val lmu = graft.functions.FixedLog2.sql("mu_ppm")
+      val lone = graft.functions.FixedLog2.sql("1000000")
+      s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket
+                     FROM embeddings),
+              pairs AS (SELECT a.vec_id AS va, b2.vec_id AS vb,
+                          1.0 - ${duckDot("a.embedding", "b2.embedding")}
+                            / (sqrt(${duckDot("a.embedding", "a.embedding")})
+                               * sqrt(${duckDot("b2.embedding",
+                                 "b2.embedding")})) AS dist
+                        FROM b a JOIN b b2 ON a.bucket = b2.bucket
+                                           AND a.vec_id <> b2.vec_id),
+              r AS (SELECT va, dist,
+                           row_number() OVER (PARTITION BY va
+                             ORDER BY dist, vb) AS rk
+                    FROM pairs QUALIFY rk <= 2),
+              two AS (SELECT va,
+                             max(CASE WHEN rk = 1 THEN dist END) AS r1,
+                             max(CASE WHEN rk = 2 THEN dist END) AS r2
+                      FROM r GROUP BY 1),
+              mu AS (SELECT va,
+                            CAST(floor(r2 / r1 * 1000000) AS BIGINT)
+                              AS mu_ppm
+                     FROM two
+                     WHERE r1 > 0 AND r2 IS NOT NULL),
+              f AS (SELECT va, mu_ppm FROM mu WHERE mu_ppm > 1000000),
+              g AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                           CAST(sum($lmu - $lone) AS BIGINT)
+                             AS denom_bits
+                    FROM f)
+          SELECT n_points, denom_bits,
+                 CAST(n_points AS DOUBLE) * 1048576.0
+                   / (CAST(denom_bits AS DOUBLE) * 0.6931471805599453)
+                   AS id_hat
+          FROM g"""
+    },
+
+    "agg_sprt_monitor" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+     r AS (SELECT event_type, dt, x,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY dt) AS rn
+           FROM d),
+     base AS (SELECT event_type,
+                     CAST(sum(x) AS BIGINT) // 10 AS mu0,
+                     CAST(10 * sum(CAST(x AS HUGEINT) * x)
+                       - CAST(sum(x) AS HUGEINT) * sum(x) AS BIGINT)
+                       AS var_num
+              FROM r WHERE rn <= 10 GROUP BY 1),
+     b2 AS (SELECT event_type, mu0, mu0 + mu0 // 20 AS mu1, var_num
+            FROM base),
+     sc AS (SELECT r.event_type, r.dt, r.x, b2.var_num,
+                   2 * (b2.mu1 - b2.mu0) * r.x
+                     - (b2.mu1 * b2.mu1 - b2.mu0 * b2.mu0) AS term
+            FROM r JOIN b2 ON b2.event_type = r.event_type
+            WHERE r.rn >= 11),
+     cumq AS (SELECT event_type, dt, x, var_num,
+                     CAST(sum(term) OVER (PARTITION BY event_type
+                       ORDER BY dt ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_score
+              FROM sc)
+         SELECT event_type, dt, x, cum_score,
+                CASE WHEN CAST(cum_score AS DOUBLE)
+                       >= 2.0 * (CAST(var_num AS DOUBLE) / 90.0)
+                          * 2.9444389791664403 THEN 'accept_lift'
+                     WHEN CAST(cum_score AS DOUBLE)
+                       <= -(2.0 * (CAST(var_num AS DOUBLE) / 90.0)
+                          * 2.9444389791664403) THEN 'accept_baseline'
+                     ELSE 'continue' END AS decision
+         FROM cumq ORDER BY event_type, dt""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by

@@ -175,6 +175,82 @@ class RunsAdfSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("intrinsic dimension: bucketed TwoNN replay, sane ID band") {
+    import graft.functions.FixedLog2
+    val row = SparkEntry.queries("emb_intrinsic_dim")(spark, sfDir)
+      .collect().head
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) =>
+        acc + a(i).toDouble * b(i).toDouble)
+    val planes = graft.similarity.HyperplaneLsh.planes(4, 64)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (dot(v, p) > 0) 1L << i else 0L }.sum
+    val mus = vecs.groupBy(v => bucket(v._2)).values.flatMap { bs =>
+      bs.flatMap { case (va, ea) =>
+        val ds = bs.filter(_._1 != va)
+          .map { case (vb, eb) =>
+            (1.0 - dot(ea, eb) / (math.sqrt(dot(ea, ea))
+              * math.sqrt(dot(eb, eb))), vb) }
+          .sortBy(identity).take(2)
+        if (ds.size == 2 && ds.head._1 > 0)
+          Some(math.floor(ds(1)._1 / ds.head._1 * 1000000.0).toLong)
+        else None
+      }
+    }.filter(_ > 1000000L).toSeq
+    val n = mus.size.toLong
+    val denom = mus.map(mu =>
+      FixedLog2.log2fp(mu) - FixedLog2.log2fp(1000000L)).sum
+    assert(row.getAs[Long]("n_points") == n)
+    assert(row.getAs[Long]("denom_bits") == denom)
+    val id = n.toDouble * 1048576.0 / (denom.toDouble * 0.6931471805599453)
+    assert(row.getAs[Double]("id_hat") == id)
+    // a 64-d embedding's intrinsic dimension lives in (2, 64]
+    assert(id > 2.0 && id <= 64.0)
+  }
+
+  test("sprt monitor: exact integer score replay and decisions") {
+    val out = SparkEntry.queries("agg_sprt_monitor")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"),
+        graft.olap.Exact.cents(col("value")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2))
+      .map { case ((et, d), rows) => (et, d, rows.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+      .map { case (et, rows) => et -> rows.sortBy(_._2) }
+    daily.foreach { case (et, series) =>
+      val base = series.take(10).map(_._3)
+      val mu0 = base.sum / 10
+      val mu1 = mu0 + mu0 / 20
+      val varNum = (BigInt(10) * base.map(x => BigInt(x) * x).sum
+        - BigInt(base.sum) * base.sum).toLong
+      val thr = 2.0 * (varNum.toDouble / 90.0) * 2.9444389791664403
+      var cum = 0L
+      series.drop(10).foreach { case (_, d, x) =>
+        cum += 2L * (mu1 - mu0) * x - (mu1 * mu1 - mu0 * mu0)
+        val (qx, qc, qd) = out((et, d))
+        assert(qx == x && qc == cum)
+        val expect = if (cum.toDouble >= thr) "accept_lift"
+          else if (cum.toDouble <= -thr) "accept_baseline"
+          else "continue"
+        assert(qd == expect)
+      }
+    }
+    // non-degenerate at this SF: the walk actually moves both ways
+    // (boundary crossings appear at larger SFs; sf0.001 stays inside)
+    val cums = out.values.map(_._2)
+    assert(cums.exists(_ > 0L) || cums.exists(_ < 0L))
+    assert(cums.toSet.size > 1)
+  }
+
   test("doc length outliers: MAD flags replay per source") {
     val out = SparkEntry.queries("dq_doc_length_outliers")(spark, sfDir)
       .collect()
