@@ -7514,26 +7514,11 @@ object SparkEntry {
     // volume sentinel every scheduled 100 TB ingest runs before
     // publishing a partition; day cells per key keep the window frame
     // horizon-bounded.
-    "dq_volume_anomaly" -> ((s, dir) => {
-      val tw = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("dt").rowsBetween(-7, -1)
-      val daily = Tables.events(s, dir)
-        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
-        .agg(count(lit(1)).as("n"))
-      val z = (col("n") * 7L - col("s1")).cast("double") /
-        sqrt(col("var_num").cast("double"))
-      daily
-        .withColumn("wn", count(lit(1)).over(tw))
-        .withColumn("s1", sum("n").over(tw))
-        .withColumn("s2", sum(col("n") * col("n")).over(tw))
-        .filter(col("wn") === 7)
-        .withColumn("var_num", col("s2") * 7L - col("s1") * col("s1"))
-        .select(col("event_type"), col("dt"), col("n"),
-          col("s1").as("trail_sum"), col("var_num"),
-          when(col("var_num") > 0, z).as("z"),
-          when(col("var_num") > 0, abs(z) > lit(3.0)).as("is_anomaly"))
-        .orderBy("event_type", "dt")
-    }),
+    "dq_volume_anomaly" -> ((s, dir) =>
+      trailing7VolumeGate(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+          .agg(count(lit(1)).as("n")))),
 
     // Event-sequence pattern matching (the MATCH_RECOGNIZE / ClickHouse
     // sequenceMatch niche): each user's history becomes one ordered
@@ -7660,7 +7645,9 @@ object SparkEntry {
         .tracked // census + replicate expansion both scan it
       val reps = ev
         .withColumn("r", explode(sequence(lit(1L), lit(32L))))
-        .withColumn("b0", (col("event_id") * 37L + col("r")) % m)
+        // mod-first: (id % m)·37 + r ≡ id·37 + r (mod m) with identical
+        // non-negative b0, but never exceeds 2⁶² at any id scale
+        .withColumn("b0", ((col("event_id") % m) * 37L + col("r")) % m)
         .withColumn("h1", (col("b0") * 1103515245L + 12345L) % m)
         .withColumn("hm", (col("h1") * col("h1")) % m)
         .withColumn("u", ((col("hm") * 69069L + 362437L) % m) % 1000000L)
@@ -8153,7 +8140,8 @@ object SparkEntry {
              sum("kept").as("n_top"),
              sum(col("c") * col("kept")).as("top_sum"))
         .select(col("event_type"), col("n"), col("n_top"), col("top_sum"),
-          expr("(1000000 * top_sum) div s_all").as("share_ppm"),
+          expr("(1000000 * cast(top_sum as decimal(38,0))) div s_all")
+            .as("share_ppm"),
           (col("top_sum").cast("double") / col("s_all").cast("double"))
             .as("share"))
         .orderBy("event_type")
@@ -8334,25 +8322,10 @@ object SparkEntry {
     // — the split a production monitor uses, since an anomaly verdict is
     // only meaningful once its window is final. Streamed counts == batch
     // counts, so the oracle is the batch SQL verbatim.
-    "stream_volume_anomaly" -> ((s, dir) => {
-      val tw = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("date").rowsBetween(-7, -1)
-      val daily = graft.streaming.EventStream.runTumblingDaily(s, dir)
-        .select(col("event_type"), col("date"), col("n"))
-      val z = (col("n") * 7L - col("s1")).cast("double") /
-        sqrt(col("var_num").cast("double"))
-      daily
-        .withColumn("wn", count(lit(1)).over(tw))
-        .withColumn("s1", sum("n").over(tw))
-        .withColumn("s2", sum(col("n") * col("n")).over(tw))
-        .filter(col("wn") === 7)
-        .withColumn("var_num", col("s2") * 7L - col("s1") * col("s1"))
-        .select(col("event_type"), col("date").as("dt"), col("n"),
-          col("s1").as("trail_sum"), col("var_num"),
-          when(col("var_num") > 0, z).as("z"),
-          when(col("var_num") > 0, abs(z) > lit(3.0)).as("is_anomaly"))
-        .orderBy("event_type", "dt")
-    }),
+    "stream_volume_anomaly" -> ((s, dir) =>
+      trailing7VolumeGate(
+        graft.streaming.EventStream.runTumblingDaily(s, dir)
+          .select(col("event_type"), col("date").as("dt"), col("n")))),
 
     // Power analysis / minimum detectable effect per metric: with this
     // type's variance and a 50/50 split of its current volume, what
@@ -8453,17 +8426,10 @@ object SparkEntry {
     // bits → nats at the end. The manifold-dimension QA that decides
     // whether an embedding column deserves its width.
     "emb_intrinsic_dim" -> ((s, dir) => {
-      import graft.functions.VecOps
       val L = graft.functions.FixedLog2.log2_fp _
-      val b = graft.similarity.HyperplaneLsh
-        .withBuckets(Tables.embeddings(s, dir), nPlanes = 4, dim = 64)
-      val pairs = b.select(col("bucket"), col("vec_id").as("va"),
-          col("embedding").as("ea"))
-        .join(b.select(col("bucket"), col("vec_id").as("vb"),
-          col("embedding").as("eb")), Seq("bucket"))
-        .filter(col("va") =!= col("vb"))
-        .withColumn("dist",
-          lit(1.0) - VecOps.cosine(col("ea"), col("eb")))
+      val pairs = graft.similarity.HyperplaneLsh
+        .bucketPairs(Tables.embeddings(s, dir), nPlanes = 4, dim = 64)
+        .withColumn("dist", lit(1.0) - col("cosine"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("va").orderBy(col("dist"), col("vb"))
       val two = pairs
@@ -8528,6 +8494,31 @@ object SparkEntry {
         .orderBy("event_type", "dt")
     }),
   )
+
+  /** THE trailing-7-day volume z gate shared by `dq_volume_anomaly`
+    * (batch daily counts) and `stream_volume_anomaly` (the watermarked
+    * tumbling counts) — ONE definition of the window, the lattice
+    * z = (7n−Σn)/√(7Σn²−(Σn)²) and the |z|>3 flag, so the
+    * streamed == batch bitwise pin is structural rather than maintained.
+    * Input schema: (event_type, dt, n).
+    */
+  private def trailing7VolumeGate(daily: DataFrame): DataFrame = {
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("dt").rowsBetween(-7, -1)
+    val z = (col("n") * 7L - col("s1")).cast("double") /
+      sqrt(col("var_num").cast("double"))
+    daily
+      .withColumn("wn", count(lit(1)).over(tw))
+      .withColumn("s1", sum("n").over(tw))
+      .withColumn("s2", sum(col("n") * col("n")).over(tw))
+      .filter(col("wn") === 7)
+      .withColumn("var_num", col("s2") * 7L - col("s1") * col("s1"))
+      .select(col("event_type"), col("dt"), col("n"),
+        col("s1").as("trail_sum"), col("var_num"),
+        when(col("var_num") > 0, z).as("z"),
+        when(col("var_num") > 0, abs(z) > lit(3.0)).as("is_anomaly"))
+      .orderBy("event_type", "dt")
+  }
 
   /** Shared Neyman-allocation machinery for `sample_neyman_allocation`
     * and `sample_expansion_estimate` — ONE definition of the weight
@@ -15804,7 +15795,8 @@ object SparkEntry {
               FROM ev CROSS JOIN
                 (SELECT unnest(generate_series(1, 32)) AS r)),
      h0 AS (SELECT event_type, c, r,
-                   (event_id * 37 + r) % 2147483647 AS b0 FROM reps),
+                   ((event_id % 2147483647) * 37 + r) % 2147483647 AS b0
+            FROM reps),
      h1 AS (SELECT event_type, c, r,
                    (b0 * 1103515245 + 12345) % 2147483647 AS h1 FROM h0),
      h2 AS (SELECT event_type, c, r, (h1 * h1) % 2147483647 AS hm FROM h1),

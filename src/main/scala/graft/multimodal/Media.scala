@@ -186,7 +186,14 @@ object Media {
       while (y < h) {
         var x = 0
         while (x < w) {
-          bins(raster.getSample(x, y, 0) / 16) += 1L
+          val s = raster.getSample(x, y, 0)
+          // ENFORCED precondition (the decodeAvgHash discipline): the
+          // 16-bin layout assumes 8-bit samples — a 16-bit grayscale
+          // PNG would index past the array with a bare AIOOBE otherwise
+          if (s < 0 || s > 255)
+            throw new IllegalArgumentException(
+              s"decodeHistogram16 requires 8-bit samples, got $s")
+          bins(s / 16) += 1L
           x += 1
         }
         y += 1

@@ -48,23 +48,35 @@ object HyperplaneLsh {
     vectors.select(col("vec_id"), col("embedding"), sig.as("bucket"))
   }
 
+  /** THE shared LSH candidate generation: every same-bucket ordered pair
+    * (va ≠ vb) with its exact cosine attached — the one definition of
+    * "candidates share a sign-bit bucket" that nearDupPairs, knnGraph
+    * and the intrinsic-dimension estimator all build on, so the
+    * bucketing/pruning convention cannot silently diverge between them.
+    * Returns (bucket, va, vb, cosine).
+    */
+  def bucketPairs(vectors: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val b = withBuckets(vectors, nPlanes, dim)
+    b.select(col("bucket"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      .join(b.select(col("bucket"), col("vec_id").as("vb"),
+        col("embedding").as("eb")), Seq("bucket"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cosine", VecOps.cosine(col("ea"), col("eb")))
+      .select("bucket", "va", "vb", "cosine")
+  }
+
   /** Prune-then-verify near-dup search: candidate pairs share a bucket
     * (the shuffle is the bucket self-join, not an O(n²) cross), then exact
     * cosine verifies. Recall trades against `nPlanes` (more planes →
     * smaller buckets → cheaper + lower recall), the standard LSH dial.
     */
   def nearDupPairs(vectors: DataFrame, nPlanes: Int, dim: Int,
-                   minCosine: Double): DataFrame = {
-    val b = withBuckets(vectors, nPlanes, dim)
-    b.select(col("bucket"), col("vec_id").as("vec_a"),
-             col("embedding").as("emb_a"))
-      .join(b.select(col("bucket"), col("vec_id").as("vec_b"),
-                     col("embedding").as("emb_b")), Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", VecOps.cosine(col("emb_a"), col("emb_b")))
+                   minCosine: Double): DataFrame =
+    bucketPairs(vectors, nPlanes, dim)
+      .filter(col("va") < col("vb"))
       .filter(col("cosine") >= minCosine)
-      .select("vec_a", "vec_b", "cosine")
-  }
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cosine"))
 
   /** Mutual k-NN graph over the LSH buckets: each vector's top-k
     * same-bucket neighbors by (cosine desc, vec_id) — a keyed window over
@@ -75,13 +87,7 @@ object HyperplaneLsh {
     */
   def knnGraph(vectors: DataFrame, nPlanes: Int, dim: Int,
                k: Int): DataFrame = {
-    val b = withBuckets(vectors, nPlanes, dim)
-    val pairs = b.select(col("bucket"), col("vec_id").as("va"),
-        col("embedding").as("ea"))
-      .join(b.select(col("bucket"), col("vec_id").as("vb"),
-        col("embedding").as("eb")), Seq("bucket"))
-      .filter(col("va") =!= col("vb"))
-      .withColumn("cosine", VecOps.cosine(col("ea"), col("eb")))
+    val pairs = bucketPairs(vectors, nPlanes, dim)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("va").orderBy(col("cosine").desc, col("vb"))
     val ranked = pairs

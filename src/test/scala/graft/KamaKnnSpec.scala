@@ -94,7 +94,7 @@ class KamaKnnSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4)))).toMap
     val m = 2147483647L
     def weight(id: Long, r: Long): Long = {
-      val b0 = (id * 37L + r) % m
+      val b0 = ((id % m) * 37L + r) % m
       val h1 = (b0 * 1103515245L + 12345L) % m
       val hm = (h1 * h1) % m
       val u = ((hm * 69069L + 362437L) % m) % 1000000L
