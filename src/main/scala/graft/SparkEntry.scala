@@ -8493,6 +8493,150 @@ object SparkEntry {
             .otherwise(lit("continue")).as("decision"))
         .orderBy("event_type", "dt")
     }),
+
+    // Seasonal Mann–Kendall: the trend gate that ignores day-of-week
+    // cycles by comparing only same-weekday day pairs — S and the
+    // tie-corrected ×18 variance computed per (type, dow) stratum and
+    // SUMMED (the Hirsch–Slack form), everything exact BIGINTs until
+    // one z chain. Pair volume is Σ_dow C(n_dow, 2) per key — 7× less
+    // than plain MK and still horizon-bounded.
+    "ts_seasonal_mann_kendall" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(sum(Exact.cents(col("value"))).as("x"))
+        .withColumn("dow", dayofweek(col("dt")).cast("long"))
+        .tracked // pair sides + tie census read it
+      val a = daily.select(col("event_type"), col("dow"),
+        col("dt").as("d_i"), col("x").as("x_i"))
+      val b = daily.select(col("event_type"), col("dow"),
+        col("dt").as("d_j"), col("x").as("x_j"))
+      val sPerType = a.join(b, Seq("event_type", "dow"))
+        .filter(col("d_i") < col("d_j"))
+        .groupBy("event_type")
+        .agg(sum(when(col("x_j") > col("x_i"), 1L)
+          .when(col("x_j") < col("x_i"), -1L).otherwise(0L)).as("s_stat"))
+      val strata = daily.groupBy("event_type", "dow", "x")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type", "dow")
+        .agg(sum("t").as("n_d"),
+             sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+               .as("tie18"))
+        .groupBy("event_type")
+        .agg(sum("n_d").as("n_days"),
+             sum(col("n_d") * (col("n_d") - 1) * (col("n_d") * 2 + 5)
+               - col("tie18")).as("var18"))
+      sPerType.join(strata, "event_type")
+        .withColumn("s_adj",
+          when(col("s_stat") > 0, col("s_stat") - 1)
+            .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(0L))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          (d(col("s_adj")) / sqrt(d(col("var18")) / lit(18.0))).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // ABC class migration between the horizon's two halves — does a
+    // part's revenue class persist? Each half reuses the established
+    // cum-share classification (deliberate onePartition window over the
+    // PART frame, the documented small-frame exemption), the migration
+    // matrix is one exact count per (class_h1, class_h2) cell. The
+    // assortment-drift report a replenishment pipeline runs monthly.
+    "olap_abc_migration" -> ((s, dir) => {
+      def classify(rev: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(Exact.onePartition(col("l_partkey")))
+          .orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val total = rev.agg(sum(col("cents")).as("total_cents"))
+        rev.withColumn("cum", sum(col("cents")).over(w))
+          .crossJoin(broadcast(total))
+          .withColumn("abc_class",
+            when(col("cum") * 100 <= col("total_cents") * 80, "A")
+              .when(col("cum") * 100 <= col("total_cents") * 95, "B")
+              .otherwise("C"))
+          .select("l_partkey", "abc_class")
+      }
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_shipdate"),
+          Exact.cents(col("l_extendedprice")).as("c"))
+        .tracked // both halves scan it
+      def half(pred: org.apache.spark.sql.Column) = classify(
+        li.filter(pred).groupBy("l_partkey").agg(sum("c").as("cents")))
+      val cut = lit("1995-01-01").cast("date")
+      half(col("l_shipdate") < cut)
+        .withColumnRenamed("abc_class", "class_h1")
+        .join(half(col("l_shipdate") >= cut)
+          .withColumnRenamed("abc_class", "class_h2"), "l_partkey")
+        .groupBy("class_h1", "class_h2")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("class_h1", "class_h2")
+    }),
+
+    // Average-neighbor-degree curve k_nn(k) — assortativity's richer
+    // sibling: for each log2 degree bucket, the edge-weighted mean
+    // neighbor degree, exact integers to one floor-div + one double.
+    // Rising curve = hubs prefer hubs. Same symmetrized co-purchase
+    // edges as graph_assortativity; degrees join back per endpoint.
+    "graph_knn_degree_curve" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok")
+          && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val sym = e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+        .tracked // degree aggregate + both endpoint joins read it
+      val deg = sym.groupBy("c").agg(count(lit(1)).as("dc")).tracked
+      sym
+        .join(deg.select(col("c"), col("dc").as("deg_c")), "c")
+        .join(deg.select(col("c").as("x"), col("dc").as("deg_x")), "x")
+        .withColumn("kb", expr("length(bin(deg_c)) - 1"))
+        .groupBy("kb")
+        .agg(count(lit(1)).as("n_edges"), sum("deg_x").as("sum_nb_deg"))
+        .select(col("kb").as("log2_degree"), col("n_edges"),
+          col("sum_nb_deg"),
+          expr("sum_nb_deg div n_edges").as("knn_floor"),
+          (col("sum_nb_deg").cast("double")
+            / col("n_edges").cast("double")).as("knn"))
+        .orderBy("log2_degree")
+    }),
+
+    // Two-step transition structure: path counts n₂(a,c) = Σ_b c_ab·c_bc
+    // — the matrix square, expressed as the keyed self-join matrix
+    // multiply (the shape a distributed Markov power iteration uses) —
+    // plus each row's two-step distribution in ppm. Exact integers to
+    // one floor-div + one IEEE division.
+    "mine_transition_2step" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val c1 = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("a"))
+        .withColumn("b", lead("a", 1).over(w))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .tracked // both sides of the matrix square
+      val n2 = c1.select(col("a"), col("b"), col("c_ab"))
+        .join(c1.select(col("a").as("b"), col("b").as("cc"),
+          col("c_ab").as("c_bc")), "b")
+        .groupBy("a", "cc")
+        .agg(sum(Exact.checkedLong(dec(col("c_ab")) * dec(col("c_bc"))))
+          .as("n2"))
+      val rowTot = n2.groupBy("a").agg(sum("n2").as("row_total"))
+      n2.join(rowTot, "a")
+        .select(col("a"), col("cc").as("c"), col("n2"),
+          expr("(1000000 * cast(n2 as decimal(38,0))) div row_total")
+            .as("p2_ppm"),
+          (col("n2").cast("double") / col("row_total").cast("double"))
+            .as("p2"))
+        .orderBy("a", "c")
+    }),
   )
 
   /** THE trailing-7-day volume z gate shared by `dq_volume_anomaly`
@@ -16557,6 +16701,119 @@ object SparkEntry {
                           * 2.9444389791664403) THEN 'accept_baseline'
                      ELSE 'continue' END AS decision
          FROM cumq ORDER BY event_type, dt""",
+
+    "ts_seasonal_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS x,
+                  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+           FROM events GROUP BY 1, 2, 4),
+     sp AS (SELECT a.event_type,
+                   CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.dow = a.dow
+                 AND a.dt < b.dt
+            GROUP BY 1),
+     tc AS (SELECT event_type, dow, x, count(*) AS t
+            FROM daily GROUP BY 1, 2, 3),
+     st AS (SELECT event_type, dow, CAST(sum(t) AS BIGINT) AS n_d,
+                   CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT)
+                     AS tie18
+            FROM tc GROUP BY 1, 2),
+     v AS (SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n_days,
+                  CAST(sum(n_d * (n_d - 1) * (n_d * 2 + 5) - tie18)
+                    AS BIGINT) AS var18
+           FROM st GROUP BY 1),
+     j AS (SELECT s.event_type, v.n_days, s.s_stat, v.var18,
+                  CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END AS s_adj
+           FROM sp s JOIN v ON v.event_type = s.event_type)
+         SELECT event_type, n_days, s_stat, var18,
+                CAST(s_adj AS DOUBLE)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z
+         FROM j ORDER BY event_type""",
+
+    "olap_abc_migration" ->
+      """WITH li AS (SELECT l_partkey,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+                  l_shipdate
+           FROM lineitem),
+     r1 AS (SELECT l_partkey, CAST(sum(c) AS BIGINT) AS cents
+            FROM li WHERE l_shipdate < DATE '1995-01-01' GROUP BY 1),
+     t1 AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM r1),
+     c1 AS (SELECT r1.l_partkey,
+                   CASE WHEN CAST(sum(r1.cents) OVER (ORDER BY r1.cents
+                       DESC, r1.l_partkey ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) * 100 <= t1.total_cents * 80 THEN 'A'
+                        WHEN CAST(sum(r1.cents) OVER (ORDER BY r1.cents
+                       DESC, r1.l_partkey ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) * 100 <= t1.total_cents * 95 THEN 'B'
+                        ELSE 'C' END AS class_h1
+            FROM r1 CROSS JOIN t1),
+     r2 AS (SELECT l_partkey, CAST(sum(c) AS BIGINT) AS cents
+            FROM li WHERE l_shipdate >= DATE '1995-01-01' GROUP BY 1),
+     t2 AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM r2),
+     c2 AS (SELECT r2.l_partkey,
+                   CASE WHEN CAST(sum(r2.cents) OVER (ORDER BY r2.cents
+                       DESC, r2.l_partkey ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) * 100 <= t2.total_cents * 80 THEN 'A'
+                        WHEN CAST(sum(r2.cents) OVER (ORDER BY r2.cents
+                       DESC, r2.l_partkey ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) * 100 <= t2.total_cents * 95 THEN 'B'
+                        ELSE 'C' END AS class_h2
+            FROM r2 CROSS JOIN t2)
+         SELECT c1.class_h1, c2.class_h2,
+                CAST(count(*) AS BIGINT) AS n_parts
+         FROM c1 JOIN c2 ON c2.l_partkey = c1.l_partkey
+         GROUP BY 1, 2 ORDER BY class_h1, class_h2""",
+
+    "graph_knn_degree_curve" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+     e AS (SELECT DISTINCT a.p AS u, b.p AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+     sym AS (SELECT u AS c, v AS x FROM e
+             UNION ALL SELECT v, u FROM e),
+     deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
+             FROM sym GROUP BY 1),
+     j AS (SELECT d1.dc AS deg_c, d2.dc AS deg_x
+           FROM sym s JOIN deg d1 ON d1.c = s.c
+                      JOIN deg d2 ON d2.c = s.x),
+     g AS (SELECT CAST(length(bin(deg_c)) - 1 AS BIGINT)
+                    AS log2_degree,
+                  CAST(count(*) AS BIGINT) AS n_edges,
+                  CAST(sum(deg_x) AS BIGINT) AS sum_nb_deg
+           FROM j GROUP BY 1)
+         SELECT log2_degree, n_edges, sum_nb_deg,
+                sum_nb_deg // n_edges AS knn_floor,
+                CAST(sum_nb_deg AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                  AS knn
+         FROM g ORDER BY log2_degree""",
+
+    "mine_transition_2step" ->
+      """WITH p AS (SELECT event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS b
+           FROM events),
+     c1 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM p WHERE b IS NOT NULL GROUP BY 1, 2),
+     n2 AS (SELECT x.a, y.b AS c,
+                   CAST(sum(CAST(x.c_ab AS HUGEINT) * y.c_ab) AS BIGINT)
+                     AS n2
+            FROM c1 x JOIN c1 y ON y.a = x.b
+            GROUP BY 1, 2),
+     rt AS (SELECT a, CAST(sum(n2) AS BIGINT) AS row_total
+            FROM n2 GROUP BY 1)
+         SELECT n2.a, n2.c, n2.n2,
+                CAST((1000000 * CAST(n2.n2 AS HUGEINT)) // rt.row_total
+                  AS BIGINT) AS p2_ppm,
+                CAST(n2.n2 AS DOUBLE) / CAST(rt.row_total AS DOUBLE)
+                  AS p2
+         FROM n2 JOIN rt ON rt.a = n2.a
+         ORDER BY n2.a, n2.c""",
   )
 
   /** DuckDB fragment: decode a hex-string column `h` (as produced by
