@@ -31,26 +31,57 @@ object Bench {
     // the driver always calls with no args = full run)
     val only = args.headOption.map(_.split(",").toSeq)
     def keep(name: String): Boolean = only.forall(_.exists(name.contains))
+    // Host-noise instrumentation (BENCH_r05 recorded 527 s where the same
+    // code measures 241 s on a quiet host — the artifact could not prove
+    // that about itself). Two in-artifact signals make contention
+    // self-diagnosing:
+    //  (a) per-query PROCESS CPU seconds next to wall seconds — a
+    //      descheduled JVM accrues wall but not CPU, so contended queries
+    //      show wall >> cpu while genuinely heavy ones show cpu ≈
+    //      parallelism × wall;
+    //  (b) a fixed CALIBRATION query re-timed every 25 queries — constant
+    //      work, so any drift in its reading is the host, not the engine.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec(): Double = {
+      val t = osBean.getProcessCpuTime
+      if (t < 0) 0.0 else t / 1e9
+    }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 8)
+        // mod before summing: 2e7 raw 64-bit hashes overflow an ANSI sum
+        .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     var done = 0
     val cacheCensus = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val cpuByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    calibrate() // discard: first run JIT-compiles the calibration path
+    calibration += ((0, calibrate()))
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
       .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
+        val c0 = cpuSec()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
+          val dc = cpuSec() - c0
           // release the frames the closure registered — 241 queries x2 in
           // one JVM; leaked caches evict each other and poison later
           // queries (round 4's sketch_bloom_join 12x regression). Release
           // sits OUTSIDE the timed region: each run re-executes its full
           // plan, so run-2 "min" is steady-state JIT, not a warm cache.
           CacheRegistry.releaseAll()
-          dt
+          (dt, dc)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           CacheRegistry.releaseAll()
-          -1.0 // sentinel: a failed run must not pose as a measurement
+          (-1.0, 0.0) // sentinel: a failed run must not pose as a measurement
         }
       }
       // per-query cache census AFTER release: a nonzero residual is either
@@ -60,10 +91,15 @@ object Bench {
       // reclaim those so genuine leaks stand out as monotone growth.
       cacheCensus(name) = CacheRegistry.census(spark)
       done += 1
-      if (done % 25 == 0) System.gc()
-      val ok = times.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      if (done % 25 == 0) { System.gc(); calibration += ((done, calibrate())) }
+      val ok = times.filter(_._1 >= 0)
+      // report the min-wall run's CPU next to its wall: the pair from ONE
+      // run is the contention diagnostic (a mixed min-of-each would not be)
+      val best = if (ok.isEmpty) (-1.0, 0.0) else ok.minBy(_._1)
+      cpuByQuery(name) = best._2
+      name -> best._1
     }
+    calibration += ((done, calibrate()))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total so a broken
@@ -83,8 +119,15 @@ object Bench {
     val census = cacheCensus.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val cacheMax = if (cacheCensus.isEmpty) 0 else cacheCensus.values.max
+    val cpuMap = cpuByQuery.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val cpuTotal = cpuByQuery.values.sum
+    val calArr = calibration.map { case (i, s) =>
+      s"""{"after":$i,"sec":${f(s)}}""" }.mkString("[", ",", "]")
+    val calMin = calibration.map(_._2).min
+    val calMax = calibration.map(_._2).max
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cache":$census,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"calibration":$calArr,"cache":$census,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces channel for the driver: the same line, unframed, on disk
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -99,8 +142,11 @@ object Bench {
     // first-line vs last-line consumers). The driver's tail-capture parses
     // the LAST line; cache_max is the peak post-release cache census (0 =
     // no leaked frames anywhere in the run).
+    // calib_max/calib_min ≈ 1 certifies a quiet host; a drifting ratio
+    // (and wall >> cpu in the full line's per-query maps) marks the run
+    // as contention-inflated — read BENCH numbers through that lens.
     println(
-      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }

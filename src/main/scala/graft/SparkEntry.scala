@@ -457,8 +457,12 @@ object SparkEntry {
       cells.join(rowTot, "event_type").join(colTot, "dow")
         .crossJoin(broadcast(n))
         .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+        // dev² computed in DECIMAL(38,0) but OUTPUT as checked BIGINT:
+        // decimal output columns hash engine-dependently downstream, and
+        // the loud checkedLong overflow is the house discipline anyway
         .select(col("event_type"), col("dow"), col("o"), col("r"), col("c"),
-          (col("dev").cast("decimal(38,0)") * col("dev").cast("decimal(38,0)"))
+          Exact.checkedLong(col("dev").cast("decimal(38,0)")
+              * col("dev").cast("decimal(38,0)"))
             .as("chi2_num"),
           (col("n") * col("r") * col("c")).as("chi2_den"))
         .withColumn("chi2_cell",
@@ -4186,14 +4190,16 @@ object SparkEntry {
     // bitwise. Pairs come from a self-join of the GROUP-COUNT-sized
     // stats frame — never of the data.
     "agg_two_sample_z" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val stats = Tables.events(s, dir)
         .select(col("event_type"), Exact.cents(col("value")).as("c"))
         .groupBy("event_type")
+        // Σx² on the decimal lattice from the first product: a raw BIGINT
+        // c·c sum wraps SILENTLY at corpus scale where the oracle aborts
         .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-             sum(col("c") * col("c")).as("ss"))
+             sum(dec(col("c")) * dec(col("c"))).as("ss"))
         .tracked // both sides of the pair self-join
-      def d(c: org.apache.spark.sql.Column) = c.cast("double")
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val a = stats.select(col("event_type").as("et_a"), col("n").as("na"),
         col("sc").as("sca"), col("ss").as("ssa"))
       val b = stats.select(col("event_type").as("et_b"), col("n").as("nb"),
@@ -5414,6 +5420,9 @@ object SparkEntry {
                  * (dec(col("cumb")) * lit(2L) + dec(col("cb"))))
                .as("u2"),
              sum(t * t * t - t).as("tie3"))
+        // doubled-U leaves the decimal lattice as a checked BIGINT here:
+        // decimal output columns hash engine-dependently downstream
+        .withColumn("u2", Exact.checkedLong(col("u2")))
         // all-tied pair ⇒ σ = 0 (tie3 hits its N³−N ceiling): null z, not
         // an engine-dependent inf/nan — the guard is an EXACT integer
         // comparison, portable by construction
@@ -5486,7 +5495,8 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_types"),
              sum("tf").as("n_tokens"),
-             sum(dec(col("tf")) * (dec(col("tf")) - lit(1L)))
+             Exact.checkedLong(
+               sum(dec(col("tf")) * (dec(col("tf")) - lit(1L))))
                .as("rep_pairs"))
         .withColumn("simpson",
           when(col("n_tokens") > 1L,
@@ -5697,11 +5707,15 @@ object SparkEntry {
     // value v is 2r̄ = 2·cum_all(<v) + c_all(v) + 1 (always integer), so
     // each group's doubled rank-sum 2R_i is an exact Σ over its value
     // counts, with the global cumulative from the two-level prefix sum.
-    // Per-group terms (2R_i)²/(4n_i) are one IEEE division each and are
-    // combined in a FIXED fold order (sort_array → aggregate, mirrored by
-    // the oracle's list_sort → list_reduce), never a partition-order
-    // double sum; tie correction 1 − Σ(t³−t)/(N³−N) stays exact until its
-    // final division. H rides on every group row via a 1-row broadcast.
+    // Per-group terms (2R_i)²/(4n_i) are kept EXACT as q16 fixed-point
+    // integers ⌊16·(2R_i)²/(4n_i)⌋, so the cross-group sum is order-free
+    // partial aggregation (no double fold of any kind — the previous
+    // fixed-order sort_array→aggregate fold proved DuckDB-build-sensitive
+    // through list_reduce and HUGEINT→DOUBLE); tie correction
+    // 1 − Σ(t³−t)/(N³−N) stays exact until its final division, every
+    // →DOUBLE cast routed through BIGINT (the one conversion that is
+    // correctly rounded on every build). H rides on every group row via a
+    // 1-row broadcast.
     "agg_kruskal_wallis" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val cnt = Tables.events(s, dir)
@@ -5717,26 +5731,34 @@ object SparkEntry {
         .agg(sum("c").as("n"),
              sum(dec(col("c")) * (dec(col("cum")) * lit(2L)
                  + dec(col("ct")) + lit(1L))).as("r2"))
-        .withColumn("term",
-          (col("r2") * col("r2")).cast("double")
-            / (lit(4.0) * col("n").cast("double")))
+        // q16 fixed-point per-group term ⌊16·R²/(4n)⌋ — an EXACT BIGINT,
+        // so the cross-group sum is order-free partial aggregation. The
+        // old formulation folded DOUBLE terms in a fixed sort order and
+        // leaned on HUGEINT→DOUBLE casts, both of which proved DuckDB-
+        // build-sensitive; this needs neither (BIGINT→DOUBLE is the one
+        // correctly-rounded-everywhere conversion).
+        .withColumn("term_q16", expr("(r2 * r2 * 16) DIV (4 * n)"))
         .tracked // feeds both the H scalar and the report rows
       val ties = tot.agg(
         sum(dec(col("ct")) * dec(col("ct")) * dec(col("ct"))
             - dec(col("ct"))).as("t3"))
       val h = g.agg(sum("n").as("nt"),
-          aggregate(sort_array(collect_list(struct(col("et"), col("term")))),
-            lit(0.0), (a, x) => a + x.getField("term")).as("s"))
+          sum(dec(col("term_q16"))).as("sq"))
         .crossJoin(ties)
         .select(col("nt"),
-          (lit(12.0) / (dec(col("nt")) * dec(col("nt") + 1)).cast("double")
-             * col("s")
+          (lit(12.0)
+             / Exact.checkedLong(dec(col("nt")) * dec(col("nt") + 1))
+                 .cast("double")
+             * (Exact.checkedLong(col("sq")).cast("double") / lit(16.0))
            - lit(3.0) * (col("nt") + 1).cast("double")).as("h"),
-          (lit(1.0) - col("t3").cast("double")
-             / (dec(col("nt")) * dec(col("nt")) * dec(col("nt"))
-                - dec(col("nt"))).cast("double")).as("corr"))
+          (lit(1.0) - Exact.checkedLong(col("t3")).cast("double")
+             / Exact.checkedLong(dec(col("nt")) * dec(col("nt"))
+                 * dec(col("nt")) - dec(col("nt"))).cast("double"))
+            .as("corr"))
       g.crossJoin(broadcast(h))
-        .select(col("et").as("event_type"), col("n"), col("r2"),
+        // 2R_i leaves the decimal lattice as a checked BIGINT at output
+        .select(col("et").as("event_type"), col("n"),
+                Exact.checkedLong(col("r2")).as("r2"),
                 col("nt").as("n_total"), col("h"),
                 // corr = 0 ⇔ every value tied (one group of size N):
                 // null, not an engine-dependent division by zero
@@ -7447,8 +7469,12 @@ object SparkEntry {
       val stats = Tables.events(s, dir)
         .select(col("event_type"), Exact.cents(col("value")).as("c"))
         .groupBy("event_type")
+        // second moment in DECIMAL(38,0): a raw BIGINT c·c sum wraps
+        // SILENTLY at corpus scale on Spark while the oracle's HUGEINT
+        // sum → BIGINT cast aborts loudly — the decimal lattice keeps
+        // both engines exact (the neighboring anova/mde discipline)
         .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-             sum(col("c") * col("c")).as("ss"))
+             sum(dec(col("c")) * dec(col("c"))).as("ss"))
         .tracked // both sides of the pair self-join
       val a = stats.select(col("event_type").as("et_a"), col("n").as("na"),
         col("sc").as("sca"), col("ss").as("ssa"))
@@ -8626,8 +8652,11 @@ object SparkEntry {
         .join(c1.select(col("a").as("b"), col("b").as("cc"),
           col("c_ab").as("c_bc")), "b")
         .groupBy("a", "cc")
-        .agg(sum(Exact.checkedLong(dec(col("c_ab")) * dec(col("c_bc"))))
-          .as("n2"))
+        // sum the DECIMAL products FIRST, checkedLong the aggregate: the
+        // per-term check left a BIGINT sum that could still wrap silently
+        // where the oracle's HUGEINT sum + one cast aborts loudly
+        .agg(Exact.checkedLong(
+          sum(dec(col("c_ab")) * dec(col("c_bc")))).as("n2"))
       val rowTot = n2.groupBy("a").agg(sum("n2").as("row_total"))
       n2.join(rowTot, "a")
         .select(col("a"), col("cc").as("c"), col("n2"),
@@ -11455,9 +11484,10 @@ object SparkEntry {
                     CROSS JOIN n)
          SELECT event_type, dow, o, r, c,
                 CAST(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
-                     AS DECIMAL(38,0)) AS chi2_num,
+                     AS BIGINT) AS chi2_num,
                 n * r * c AS chi2_den,
-                CAST(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT) AS DOUBLE)
+                CAST(CAST(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
+                          AS BIGINT) AS DOUBLE)
                   / CAST(n * r * c AS DOUBLE) AS chi2_cell
          FROM j ORDER BY event_type, dow""",
 
@@ -13895,7 +13925,7 @@ object SparkEntry {
                            CAST(sum(b.c) AS BIGINT) AS nb,
                            CAST(sum(CAST(a.c AS HUGEINT)
                              * (CAST(b.cum AS HUGEINT) * 2 + b.c))
-                             AS DECIMAL(38,0)) AS u2,
+                             AS BIGINT) AS u2,
                            CAST(sum(CAST(a.c + b.c AS HUGEINT)
                              * (a.c + b.c) * (a.c + b.c) - (a.c + b.c))
                              AS HUGEINT) AS tie3
@@ -13904,14 +13934,15 @@ object SparkEntry {
          SELECT et_a, et_b, na, nb, u2,
                 CASE WHEN tie3 < CAST(na + nb AS HUGEINT) * (na + nb)
                                  * (na + nb) - (na + nb) THEN
-                CAST(CAST(u2 AS HUGEINT) - CAST(na AS HUGEINT) * nb
-                     AS DOUBLE)
+                CAST(CAST(CAST(u2 AS HUGEINT) - CAST(na AS HUGEINT) * nb
+                     AS BIGINT) AS DOUBLE)
                   / (2.0 * sqrt(
-                      CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / 12.0
+                      CAST(CAST(CAST(na AS HUGEINT) * nb AS BIGINT)
+                           AS DOUBLE) / 12.0
                       * (CAST(na + nb + 1 AS DOUBLE)
-                         - CAST(tie3 AS DOUBLE)
-                           / CAST(CAST(na + nb AS HUGEINT)
-                                  * (na + nb - 1) AS DOUBLE))))
+                         - CAST(CAST(tie3 AS BIGINT) AS DOUBLE)
+                           / CAST(CAST(CAST(na + nb AS HUGEINT)
+                                  * (na + nb - 1) AS BIGINT) AS DOUBLE))))
                 END AS z
          FROM p ORDER BY 1, 2""",
 
@@ -13955,13 +13986,14 @@ object SparkEntry {
                 FROM documents) GROUP BY 1, 2)
          SELECT lang, count(*) AS n_types,
                 CAST(sum(tf) AS BIGINT) AS n_tokens,
-                CAST(sum(CAST(tf AS HUGEINT) * (tf - 1)) AS DECIMAL(38,0))
+                CAST(sum(CAST(tf AS HUGEINT) * (tf - 1)) AS BIGINT)
                   AS rep_pairs,
                 CASE WHEN sum(tf) > 1 THEN
                   CAST(CAST(sum(CAST(tf AS HUGEINT) * (tf - 1))
-                       AS HUGEINT) AS DOUBLE)
-                    / CAST(CAST(sum(tf) AS HUGEINT)
-                           * (CAST(sum(tf) AS HUGEINT) - 1) AS DOUBLE)
+                       AS BIGINT) AS DOUBLE)
+                    / CAST(CAST(CAST(sum(tf) AS HUGEINT)
+                           * (CAST(sum(tf) AS HUGEINT) - 1)
+                           AS BIGINT) AS DOUBLE)
                 END AS simpson
          FROM f GROUP BY lang ORDER BY lang""",
 
@@ -14140,29 +14172,28 @@ object SparkEntry {
                              AS DECIMAL(38,0)) AS r2
                     FROM c JOIN tot ON tot.v = c.v GROUP BY 1),
               terms AS (SELECT et, n, r2,
-                               CAST(CAST(r2 AS HUGEINT)
-                                    * CAST(r2 AS HUGEINT) AS DOUBLE)
-                                 / (4.0 * CAST(n AS DOUBLE)) AS term
+                               CAST(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT)
+                                    * 16 // (4 * CAST(n AS HUGEINT))
+                                    AS BIGINT) AS term_q16
                         FROM g),
               ties AS (SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
-                              AS HUGEINT) AS t3
+                              AS BIGINT) AS t3
                        FROM t0),
               hh AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
-                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                              list_transform(list_sort(list(struct_pack(
-                                et := et, term := term))),
-                                x -> x.term)),
-                              (a, b) -> a + b) AS s
+                            CAST(sum(CAST(term_q16 AS HUGEINT)) AS BIGINT)
+                              AS sq
                      FROM terms),
               hs AS (SELECT nt,
-                            12.0 / CAST(CAST(nt AS HUGEINT) * (nt + 1)
-                                        AS DOUBLE) * s
+                            12.0 / CAST(CAST(CAST(nt AS HUGEINT) * (nt + 1)
+                                        AS BIGINT) AS DOUBLE)
+                              * (CAST(sq AS DOUBLE) / 16.0)
                               - 3.0 * CAST(nt + 1 AS DOUBLE) AS h,
                             1.0 - CAST((SELECT t3 FROM ties) AS DOUBLE)
-                              / CAST(CAST(nt AS HUGEINT) * nt * nt - nt
-                                     AS DOUBLE) AS corr
+                              / CAST(CAST(CAST(nt AS HUGEINT) * nt * nt - nt
+                                     AS BIGINT) AS DOUBLE) AS corr
                      FROM hh)
-         SELECT terms.et AS event_type, terms.n, terms.r2,
+         SELECT terms.et AS event_type, terms.n,
+                CAST(terms.r2 AS BIGINT) AS r2,
                 hs.nt AS n_total, hs.h,
                 CASE WHEN hs.corr <> 0.0 THEN hs.h / hs.corr
                 END AS h_tie_corrected

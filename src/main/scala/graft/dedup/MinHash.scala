@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.CacheRegistry.QueryCached
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -144,8 +145,12 @@ object MinHash {
       // materialize the bucket frame once: both sides of the self-join
       // read it from cache, so the corpus is scanned (and every signature
       // computed) exactly once — the single-job equivalent of
-      // pre-materializing the signature table at real scale
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pre-materializing the signature table at real scale. Registered
+      // with CacheRegistry (not a raw persist) so Bench/Verify release it
+      // after the query materializes — two queries share candidatePairs
+      // and a leaked cache per call is the accumulating-cache failure
+      // mode the registry exists to prevent.
+      .tracked
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))

@@ -78,6 +78,10 @@ object Layout {
     */
   def ttlSweep(spark: SparkSession, baseDir: String, partCol: String,
                keepDays: Int): (String, Int) = {
+    // keepDays <= 0 would place the cutoff AFTER the max partition and
+    // silently delete every partition — a destructive footgun a retention
+    // API must refuse, not obey
+    require(keepDays >= 1, s"ttlSweep keepDays must be >= 1, got $keepDays")
     val path = new org.apache.hadoop.fs.Path(baseDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(path).map(_.getPath)

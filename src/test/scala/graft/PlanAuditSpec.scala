@@ -116,6 +116,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "wm_freshness_report",
       // 1-row grand-total scalars joined into hierarchy/Pareto shares
       "olap_percent_of_parent", "olap_abc_classification",
+      // same 1-row grand-total scalar combine, once per compared period
+      "olap_abc_migration",
       // 1-row erased x kept audit scalars per table
       "inc_gdpr_erasure",
       // per-relation 1-row child-stats x 1-row orphan-stats combines

@@ -303,8 +303,7 @@ class RobustOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val dev = r.getAs[Long]("o") * n - r.getAs[Long]("r") * r.getAs[Long]("c")
       // the exact rational is the declared (o·N − r·c)²/(N·r·c)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("chi2_num").toBigInteger)
-        == BigInt(dev) * BigInt(dev))
+      assert(BigInt(r.getAs[Long]("chi2_num")) == BigInt(dev) * BigInt(dev))
       assert(r.getAs[Long]("chi2_den") ==
         n * r.getAs[Long]("r") * r.getAs[Long]("c"))
       assert(r.getAs[Double]("chi2_cell") >= 0.0)
@@ -361,7 +360,7 @@ class RobustOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("nb") == ys.length.toLong)
       // 2U_a by direct pair enumeration (sf0.001 is small enough)
       val u2 = xs.map(x => 2L * ys.count(_ < x) + ys.count(_ == x)).map(BigInt(_)).sum
-      assert(BigInt(r.getAs[java.math.BigDecimal]("u2").toBigInteger) == u2)
+      assert(BigInt(r.getAs[Long]("u2")) == u2)
       // tie term over the merged sample, then the query's operand order
       val tie3 = (xs ++ ys).groupBy(identity).values
         .map(g => BigInt(g.size).pow(3) - g.size).sum
@@ -427,8 +426,7 @@ class RobustOpsSpec extends AnyFunSuite {
       val nTok = freqs.sum.toLong
       assert(r.getAs[Long]("n_tokens") == nTok)
       val rep = freqs.map(f => BigInt(f) * (f - 1)).sum
-      assert(BigInt(r.getAs[java.math.BigDecimal]("rep_pairs")
-        .toBigInteger) == rep)
+      assert(BigInt(r.getAs[Long]("rep_pairs")) == rep)
       if (nTok > 1) {
         val d = rep.toDouble / (BigInt(nTok) * BigInt(nTok - 1)).toDouble
         assert(r.getAs[Double]("simpson") == d, lang)
@@ -478,13 +476,14 @@ class RobustOpsSpec extends AnyFunSuite {
       val rsum = es.map(e => BigInt(r2ByValue(e._2))).sum
       val row = rows.find(_.getAs[String]("event_type") == et).get
       assert(row.getAs[Long]("n") == es.length.toLong, et)
-      assert(BigInt(row.getAs[java.math.BigDecimal]("r2")
-        .toBigInteger) == rsum, et)
-      et -> ((rsum * rsum).toDouble / (4.0 * es.length.toDouble))
+      assert(BigInt(row.getAs[Long]("r2")) == rsum, et)
+      // q16 fixed-point term ⌊16·(2R)²/(4n)⌋ — exact, order-free
+      et -> (rsum * rsum * 16) / (4 * es.length)
     }
     val n = BigInt(all.length)
-    val s = terms.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
-    val h = 12.0 / (n * (n + 1)).toDouble * s - 3.0 * (all.length + 1).toDouble
+    val s = terms.map(_._2).sum
+    val h = 12.0 / (n * (n + 1)).toDouble * (s.toDouble / 16.0) -
+      3.0 * (all.length + 1).toDouble
     val t3 = all.groupBy(identity).values
       .map(g => BigInt(g.size).pow(3) - g.size).sum
     val corr = 1.0 - t3.toDouble / (n * n * n - n).toDouble
@@ -494,8 +493,7 @@ class RobustOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("h_tie_corrected") == h / corr)
     }
     // doubled global rank-sums must telescope to n(n+1) over all groups
-    assert(rows.map(r => BigInt(r.getAs[java.math.BigDecimal]("r2")
-      .toBigInteger)).sum == n * (n + 1))
+    assert(rows.map(r => BigInt(r.getAs[Long]("r2"))).sum == n * (n + 1))
   }
 
   test("rich club: local threshold-ladder replay") {
