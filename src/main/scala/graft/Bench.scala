@@ -145,8 +145,10 @@ object Bench {
     // calib_max/calib_min ≈ 1 certifies a quiet host; a drifting ratio
     // (and wall >> cpu in the full line's per-query maps) marks the run
     // as contention-inflated — read BENCH numbers through that lens.
+    // "pinned" = deliberate process-lifetime shared frames (GraphFrames);
+    // cache_max residuals up to pinned + transient checkpoints are healthy
     println(
-      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }

@@ -1114,16 +1114,14 @@ object SparkEntry {
     // totally by (revenue desc, partkey); thresholds compare exact
     // integers (cum·100 vs total·k), no percent doubles in the cut.
     "olap_abc_classification" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Exact.onePartition(col("l_partkey")))
-        .orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
       val rev = Tables.lineitem(s, dir)
         .groupBy("l_partkey")
         .agg(sum(Exact.cents(col("l_extendedprice"))).as("cents"))
       val total = rev.agg(sum(col("cents")).as("total_cents"))
-      rev.withColumn("cum", sum(col("cents")).over(w))
+      // keyed two-level cumulative (Packing.withCumDesc): the part-sized
+      // revenue walk runs per revenue cell, never through one partition —
+      // holds at 10^9 parts where the old onePartition window serialized
+      graft.text.Packing.withCumDesc(rev, "l_partkey", "cents", "cum")
         .crossJoin(broadcast(total))
         .withColumn("abc_class",
           when(col("cum") * 100 <= col("total_cents") * 80, "A")
@@ -1373,15 +1371,13 @@ object SparkEntry {
     // generation is linear in lineitems). The edge frame is persisted:
     // degrees, wedges, and closures all reuse one scan.
     "graph_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .tracked
-      graft.olap.Triangles.stats(e)
+      // shared pinned frames (GraphFrames): edges, degrees, orientation
+      // AND sorted adjacency built once per process+SF — the
+      // materialized-derived-table posture; clustering_coeff shares all 4
+      val G = graft.olap.GraphFrames
+      graft.olap.Triangles.stats(G.coPurchaseEdges(s, dir),
+          G.coPurchaseDegrees(s, dir), G.coPurchaseOriented(s, dir),
+          G.coPurchaseAdjacency(s, dir))
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
                 (lit(3.0) * col("n_triangles").cast("double")
                   / col("n_wedges").cast("double")).as("transitivity"))
@@ -1392,15 +1388,7 @@ object SparkEntry {
     // induced-subgraph semi-joins over a shrinking edge list — the
     // bounded-iteration shape shared with graph_pagerank.
     "graph_kcore" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"),
-              col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .tracked
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
       // peelStats is eager (per-round 1-row collects), so the base edge
       // cache can be released before returning the tiny result frame
       val out = graft.olap.KCore.peelStats(e, 3).orderBy("round")
@@ -1412,13 +1400,7 @@ object SparkEntry {
     // any production graph (power-law or not?): one degree count + one
     // bucket groupBy, both partial-aggregable, portable floor(log2).
     "graph_degree_distribution" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val e = pairs.select((col("l_partkey") * 2).as("u"),
-                           (col("l_suppkey") * 2 + 1).as("v"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
-                               (col("l_partkey") * 2).as("v")))
-      e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      graft.olap.GraphFrames.partSuppDegrees(s, dir)
         .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_degree"),
@@ -1433,13 +1415,12 @@ object SparkEntry {
     // of sums appear), a single fixed IEEE chain at the end. Two keyed
     // joins to attach endpoint degrees, one global aggregate.
     "graph_assortativity" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("u"),
                            (col("l_suppkey") * 2 + 1).as("v"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
                                (col("l_partkey") * 2).as("v")))
-      val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      val deg = graft.olap.GraphFrames.partSuppDegrees(s, dir)
       val withDeg = e
         .join(deg.select(col("n").as("u"), col("d").as("ju")), "u")
         .join(deg.select(col("n").as("v"), col("d").as("kv")), "v")
@@ -1495,8 +1476,7 @@ object SparkEntry {
     // materialized per round (the KCore discipline) so finished frontiers
     // release their caches.
     "graph_bfs_reach" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("src"),
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
@@ -1512,8 +1492,7 @@ object SparkEntry {
     // the tie-break rides inside the lexicographic max). Output is the
     // community-size histogram.
     "graph_label_prop" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("src"),
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
@@ -1525,8 +1504,7 @@ object SparkEntry {
     }),
 
     "graph_pagerank" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val fwd = pairs.select((col("l_partkey") * 2).as("src"),
                              (col("l_suppkey") * 2 + 1).as("dst"))
       val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
@@ -3788,15 +3766,11 @@ object SparkEntry {
     // as BIGINT, so the distribution's mass is order-independent and
     // bitwise-portable. Nodes with d < 2 (cc undefined) land in bucket -1.
     "graph_clustering_coeff" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .tracked // referenced 3× inside perNodeCounts (degree build ×2 + probe)
-      graft.olap.Triangles.perNodeCounts(e)
+      // pinned shared frames — one adjacency build serves triangles too
+      val G = graft.olap.GraphFrames
+      graft.olap.Triangles.perNodeCounts(G.coPurchaseEdges(s, dir),
+          G.coPurchaseDegrees(s, dir), G.coPurchaseOriented(s, dir),
+          G.coPurchaseAdjacency(s, dir))
         .select(
           when(col("d") < 2, lit(-1L)).otherwise(
             least(expr("(20 * t) DIV (d * (d - 1))"), lit(9L)))
@@ -3821,18 +3795,12 @@ object SparkEntry {
     // made deterministic by the (cn desc, x, y) total order.
     "graph_common_neighbors" -> ((s, dir) => {
       val cap = 32L
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .tracked
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
       val sym = e.select(col("u").as("c"), col("v").as("x"))
         .unionAll(e.select(col("v").as("c"), col("u").as("x")))
-      val okc = sym.groupBy("c").agg(count(lit(1)).as("dc"))
-        .filter(col("dc") <= cap).select("c")
+      // pinned full-degree frame (≡ sym.groupBy count) serves the cap
+      val okc = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
+        .filter(col("d") <= cap).select(col("n").as("c"))
       // the capped adjacency is BOTH wedge sides — cache it so the
       // degree-filter semi-join runs once, not once per side
       val capped = sym.join(okc, Seq("c"), "leftsemi").tracked
@@ -3855,18 +3823,12 @@ object SparkEntry {
     // IEEE division, deterministic (jaccard desc, x, y) top-20 boundary.
     "graph_jaccard_links" -> ((s, dir) => {
       val cap = 64L
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .tracked
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
       val sym = e.select(col("u").as("c"), col("v").as("x"))
         .unionAll(e.select(col("v").as("c"), col("u").as("x")))
-      // full degrees serve the cap filter AND the du/dv lookups — one scan
-      val deg = sym.groupBy("c").agg(count(lit(1)).as("dc")).tracked
+      // pinned full-degree frame serves the cap filter AND du/dv lookups
+      val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
+        .select(col("n").as("c"), col("d").as("dc"))
       val okc = deg.filter(col("dc") <= cap).select("c")
       val capped = sym.join(okc, Seq("c"), "leftsemi").tracked
       val cnPairs = capped.as("s1").join(capped.as("s2"), Seq("c"))
@@ -4061,9 +4023,7 @@ object SparkEntry {
     // magnitudes stay < 2⁵³ so the double conversion is exact on both
     // engines.
     "graph_modularity" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .tracked
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("src"),
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
@@ -5064,9 +5024,8 @@ object SparkEntry {
     // attenuated paths, HITS separates pointing-well (hubs = parts)
     // from pointed-at-well (authorities = suppliers).
     "graph_hits" -> ((s, dir) => {
-      val e = Tables.lineitem(s, dir)
+      val e = graft.olap.GraphFrames.partSuppPairs(s, dir)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .distinct().tracked
       def norm(x: DataFrame, keyCol: String, vCol: String): DataFrame = {
         val mx = x.agg(max(col(vCol)).as("mx"))
         x.crossJoin(broadcast(mx))
@@ -5330,8 +5289,7 @@ object SparkEntry {
     // normalization, no teleport. Edge frame persisted across rounds;
     // deterministic (katz desc, node) top-20 boundary.
     "graph_katz_centrality" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("src"),
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
@@ -5776,15 +5734,12 @@ object SparkEntry {
     // same two keyed degree joins graph_assortativity makes, zero extra
     // shuffles, thresholds bounded by the ladder not the data.
     "graph_rich_club" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("u"),
                            (col("l_suppkey") * 2 + 1).as("v"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
                                (col("l_partkey") * 2).as("v")))
-        .tracked // degree count + two degree joins read it
-      val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
-        .tracked
+      val deg = graft.olap.GraphFrames.partSuppDegrees(s, dir)
       val em = e
         .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
         .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -5857,13 +5812,7 @@ object SparkEntry {
     // exact DECIMAL(38,0); one fixed IEEE chain.
     "graph_degree_gini" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val e = pairs.select((col("l_partkey") * 2).as("u"),
-                           (col("l_suppkey") * 2 + 1).as("v"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
-                               (col("l_partkey") * 2).as("v")))
-      val hist = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val hist = graft.olap.GraphFrames.partSuppDegrees(s, dir)
         .groupBy("d").agg(count(lit(1)).as("m"))
       graft.text.Packing.withStreamOffset(hist, "d", "m", "cumm", 64L)
         .agg(sum("m").as("n_nodes"),
@@ -6021,8 +5970,7 @@ object SparkEntry {
     // same frontier shape as graph_bfs_reach but batched over sources so
     // the engine amortizes one edge scan per round across all of them.
     "graph_harmonic_sample" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
       val e = pairs.select((col("l_partkey") * 2).as("src"),
                            (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
@@ -8564,19 +8512,15 @@ object SparkEntry {
 
     // ABC class migration between the horizon's two halves — does a
     // part's revenue class persist? Each half reuses the established
-    // cum-share classification (deliberate onePartition window over the
-    // PART frame, the documented small-frame exemption), the migration
-    // matrix is one exact count per (class_h1, class_h2) cell. The
-    // assortment-drift report a replenishment pipeline runs monthly.
+    // cum-share classification (keyed two-level cumulative — scales to
+    // 10^9 parts), the migration matrix is one exact count per
+    // (class_h1, class_h2) cell. The assortment-drift report a
+    // replenishment pipeline runs monthly.
     "olap_abc_migration" -> ((s, dir) => {
       def classify(rev: DataFrame): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(Exact.onePartition(col("l_partkey")))
-          .orderBy(col("cents").desc, col("l_partkey"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
         val total = rev.agg(sum(col("cents")).as("total_cents"))
-        rev.withColumn("cum", sum(col("cents")).over(w))
+        // keyed two-level cumulative — see olap_abc_classification
+        graft.text.Packing.withCumDesc(rev, "l_partkey", "cents", "cum")
           .crossJoin(broadcast(total))
           .withColumn("abc_class",
             when(col("cum") * 100 <= col("total_cents") * 80, "A")
@@ -8606,18 +8550,12 @@ object SparkEntry {
     // Rising curve = hubs prefer hubs. Same symmetrized co-purchase
     // edges as graph_assortativity; degrees join back per endpoint.
     "graph_knn_degree_curve" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok")
-          && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
       val sym = e.select(col("u").as("c"), col("v").as("x"))
         .unionAll(e.select(col("v").as("c"), col("u").as("x")))
-        .tracked // degree aggregate + both endpoint joins read it
-      val deg = sym.groupBy("c").agg(count(lit(1)).as("dc")).tracked
+      // pinned full-degree frame (≡ sym.groupBy count), renamed
+      val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
+        .select(col("n").as("c"), col("d").as("dc"))
       sym
         .join(deg.select(col("c"), col("dc").as("deg_c")), "c")
         .join(deg.select(col("c").as("x"), col("dc").as("deg_x")), "x")

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.CacheRegistry.QueryCached
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -90,7 +91,7 @@ object SimHash {
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked // registered: released by Bench/Verify post-materialization
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
@@ -119,7 +120,7 @@ object SimHash {
     import org.apache.spark.sql.functions._
     val sh = docs
       .select(col(idCol).as("doc_id"), simhash32(col(textCol)).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked // registered: released by Bench/Verify post-materialization
     val exact = sh.select(col("doc_id"), col("simhash"),
       col("simhash").as("key"))
     val flips = sh.select(col("doc_id"), col("simhash"),

@@ -1,5 +1,6 @@
 package graft.olap
 
+import graft.CacheRegistry.QueryCached
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -98,7 +99,7 @@ object Sketch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("scope", "hv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked // registered: released by Bench/Verify post-materialization
     val perGroup = sketches.groupBy("scope").agg(kmvSummary(k).head,
       kmvSummary(k).tail: _*)
     // global k-min of the merged hash sets: sort+limit plans as
@@ -125,7 +126,7 @@ object Sketch {
     def sketch(df: DataFrame, c: Column) =
       df.select(spreadHash(c).as("hv")).distinct()
         .orderBy(col("hv").asc).limit(k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .tracked // registered: released by Bench/Verify post-materialization
     val sa = sketch(a, ca)
     val sb = sketch(b, cb)
     val merged = sa.unionByName(sb).distinct().orderBy(col("hv").asc).limit(k)

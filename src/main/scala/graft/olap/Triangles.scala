@@ -25,6 +25,34 @@ import graft.dedup.NgramJaccard
   */
 object Triangles {
 
+  /** Undirected degree of every endpoint — node-sized; callers cache
+    * (query-scoped `.tracked`) or pin (GraphFrames process memo).
+    */
+  def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** Degree-ordered orientation: each edge directed from its (degree, id)-
+    * smaller endpoint. Out-degree bounded by ~sqrt(2m).
+    */
+  def orientationOf(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"))
+
+  /** Sorted out-neighbor list per source — the priciest aggregate of the
+    * whole triangle machinery, and exactly what is worth pinning when two
+    * queries share the edge frame.
+    */
+  def adjacencyOf(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+
   /** Per-node triangle participation counts under the same degree-ordered
     * orientation. Instead of summing |N⁺(a) ∩ N⁺(b)| per oriented edge,
     * the intersection is materialized (`array_intersect` of the two sorted
@@ -39,25 +67,18 @@ object Triangles {
     *         number of triangles it participates in (t = 0 included)
     */
   def perNodeCounts(e: DataFrame): DataFrame = {
-    // node-sized and referenced 3× (both endpoint-degree joins + the final
-    // left join); uncached, each reference re-runs the full degree
-    // aggregation over the edge frame
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-      .tracked
-    val ed = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val oriented = ed.select(
-        when(col("du") < col("dv") ||
-             (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("a"), col("v").as("b")))
-          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
-      .select(col("o.a").as("a"), col("o.b").as("b"))
-      .tracked // consumed twice: adjacency build + per-edge probe (registered for post-query release)
-    val adj = oriented.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
-      .tracked // consumed twice (na + nb probes); adjacency build is the query's priciest aggregate
+    val deg = degreesOf(e).tracked
+    val oriented = orientationOf(e, deg).tracked
+    val adj = adjacencyOf(oriented).tracked
+    perNodeCounts(e, deg, oriented, adj)
+  }
+
+  /** Prebuilt-frame variant: callers supply (already cached or pinned)
+    * degree, orientation and adjacency frames so that two queries over the
+    * same edge frame share ONE adjacency build.
+    */
+  def perNodeCounts(e: DataFrame, deg: DataFrame, oriented: DataFrame,
+                    adj: DataFrame): DataFrame = {
     val corners = oriented
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
@@ -74,24 +95,15 @@ object Triangles {
     * @return one row: (n_nodes, n_edges, n_wedges, n_triangles)
     */
   def stats(e: DataFrame): DataFrame = {
-    // referenced 3× (endpoint-degree joins + wedge aggregate) — cached so
-    // the degree aggregation runs once (same fix as perNodeCounts)
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-      .tracked
-    val ed = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val oriented = ed.select(
-        when(col("du") < col("dv") ||
-             (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("a"), col("v").as("b")))
-          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
-      .select(col("o.a").as("a"), col("o.b").as("b"))
-      .tracked
-    val adj = oriented.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
-      .tracked // consumed twice (na + nb probes)
+    val deg = degreesOf(e).tracked
+    val oriented = orientationOf(e, deg).tracked
+    val adj = adjacencyOf(oriented).tracked
+    stats(e, deg, oriented, adj)
+  }
+
+  /** Prebuilt-frame variant of [[stats]] — see [[perNodeCounts]]. */
+  def stats(e: DataFrame, deg: DataFrame, oriented: DataFrame,
+            adj: DataFrame): DataFrame = {
     // every oriented edge's source has an adjacency row (inner join is
     // lossless); the target may have none (left join, counts 0)
     val tri = oriented

@@ -56,6 +56,40 @@ object Packing {
       .drop(bucket, intra, offset)
   }
 
+  /** Adds `<outCol>` = INCLUSIVE running sum of `valCol` over the total
+    * order (valCol DESC, keyCol ASC) — the Pareto/ABC cumulative — via the
+    * same two-level scan as [[withStreamOffset]], so the data-sized frame
+    * never serializes through one window partition. The level-1 bucket is
+    * `-(valCol div cellSize)`: a value-aligned coarsening that ascends as
+    * valCol descends, so bucket order composes with the in-bucket
+    * (valCol desc, keyCol) order into exactly the old single-window total
+    * order — cum values are bit-identical. Equal values always share a
+    * bucket (bucket is a function of valCol alone), so the tiebreak never
+    * crosses buckets. Level 2 runs over O(distinct valCol cells) rows.
+    */
+  def withCumDesc(df: DataFrame, keyCol: String, valCol: String,
+                  outCol: String, cellSize: Long = 1048576L): DataFrame = {
+    val b = "__cum_bucket"
+    val t = "__cum_total"
+    val off = "__cum_offset"
+    val bucketed = df.withColumn(b, expr(s"-($valCol div $cellSize)"))
+    val wIntra = Window.partitionBy(col(b))
+      .orderBy(col(valCol).desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // O(#cells) by construction — the deliberate small-frame single
+    // partition, keyed non-foldably (see Exact.onePartition)
+    val wB = Window.partitionBy(graft.olap.Exact.onePartition(col(b)))
+      .orderBy(col(b))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col(b))
+      .agg(sum(col(valCol)).as(t))
+      .withColumn(off, sum(col(t)).over(wB) - col(t))
+      .select(col(b), col(off))
+    bucketed.join(broadcast(offsets), b)
+      .withColumn(outCol, col(off) + sum(col(valCol)).over(wIntra))
+      .drop(b, off)
+  }
+
   /** Maps each document to the training sequences it occupies: explodes to
     * one row per (document, sequence) with the token overlap. Sequences are
     * `seqLen` tokens each, numbered from 0 over the concatenated stream.
