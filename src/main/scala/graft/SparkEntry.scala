@@ -1448,9 +1448,7 @@ object SparkEntry {
     // size), the blocking that keeps basket mining feasible at any scale;
     // support and confidence are exact counts + one division each.
     "mine_frequent_pairs" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val items = graft.olap.GraphFrames.orderPartItems(s, dir)
       val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairs = items.as("a")
         .join(items.as("b"),
@@ -1784,6 +1782,8 @@ object SparkEntry {
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
         col("ft"), col("text").as("text_b"))
       a.join(b, Seq("lang", "blk", "ft")).filter(col("id_a") < col("id_b"))
+        // spread pairs before the quadratic DP — see link_block_damerau
+        .repartition(32, col("id_a"), col("id_b"))
         .withColumn("lev", levenshtein(col("text_a"), col("text_b"))
           .cast("long"))
         .groupBy("lang")
@@ -1810,6 +1810,17 @@ object SparkEntry {
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
         col("ft"), col("text").as("text_b"))
       a.join(b, Seq("lang", "blk", "ft")).filter(col("id_a") < col("id_b"))
+        // spread the candidate pairs uniformly BEFORE the O(len²) DP: the
+        // block join leaves them partitioned by (lang, blk, ft) — a few
+        // hot blocking keys concentrate the quadratic work in 1-2 tasks
+        // (measured: wall ≈ cpu, i.e. single-threaded). The partition
+        // count must be EXPLICIT: AQE sizes shuffles by bytes, and these
+        // few-MB pair rows coalesce straight back into one task while
+        // their per-row cost is quadratic in text length (measured: the
+        // no-number form re-serialized the DP). 32 = the local lane
+        // count; a cluster deployment sizes this like any other
+        // compute-bound stage, by cores not bytes.
+        .repartition(32, col("id_a"), col("id_b"))
         .withColumn("dl", graft.functions.DamerauLevenshtein
           .damerau_levenshtein(col("text_a"), col("text_b")).cast("long"))
         .groupBy("lang")
@@ -2437,10 +2448,7 @@ object SparkEntry {
     // canonical-id hash split; singletons are their own canonical.
     "sample_dedup_aware_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = SimHash.bandedNearDupPairs(docs, "doc_id", "text",
-        maxHamming = 1, bands = 2)
-      val labels = graft.dedup.Components
-        .canonicalLabels(pairs, "doc_a", "doc_b")
+      val labels = nearDupLabels(s, dir)
       docs.select("doc_id").join(labels, Seq("doc_id"), "left")
         .withColumn("canonical_id",
           coalesce(col("canonical_id"), col("doc_id")))
@@ -2638,10 +2646,7 @@ object SparkEntry {
     // keyed joins + partial-aggregable min per round, deterministic
     // fixpoint — completes signature → candidates → clusters → survivors.
     "dedup_cc_canonical" -> ((s, dir) => {
-      val pairs = SimHash.bandedNearDupPairs(Tables.documents(s, dir),
-        "doc_id", "text", maxHamming = 1, bands = 2)
-      graft.dedup.Components.canonicalLabels(pairs, "doc_a", "doc_b")
-        .orderBy("doc_id")
+      nearDupLabels(s, dir).orderBy("doc_id")
     }),
 
     // Corpus duplication report: cluster-size histogram over the CC
@@ -2649,9 +2654,7 @@ object SparkEntry {
     // of my corpus is duplicated" summary a pipeline emits after
     // clustering. Two partial-aggregable groupBys over the label frame.
     "dedup_cluster_stats" -> ((s, dir) => {
-      val pairs = SimHash.bandedNearDupPairs(Tables.documents(s, dir),
-        "doc_id", "text", maxHamming = 1, bands = 2)
-      graft.dedup.Components.canonicalLabels(pairs, "doc_a", "doc_b")
+      nearDupLabels(s, dir)
         .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .withColumn("docs_to_drop", (col("sz") - 1) * col("n_clusters"))
@@ -5510,10 +5513,9 @@ object SparkEntry {
     // (lift, part_a, part_b) is a deterministic total order.
     "mine_association_rules" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .tracked // basket count + item counts + pair self-join read it
+      // pinned shared (order, part) items — basket count + item counts +
+      // pair self-join all read the one cached frame
+      val items = graft.olap.GraphFrames.orderPartItems(s, dir)
       val nBaskets = items.select("ok").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
@@ -7865,9 +7867,8 @@ object SparkEntry {
     // caps on the unipartite queries). Butterflies = Σ C(co-orders, 2),
     // exact integers end-to-end.
     "graph_butterflies" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
+      val li = graft.olap.GraphFrames.orderPartItems(s, dir)
+        .select(col("ok"), col("pk").as("p"))
       val wedges = li.as("a")
         .join(li.as("b"), col("a.ok") === col("b.ok")
           && col("a.p") < col("b.p"))
@@ -8613,6 +8614,22 @@ object SparkEntry {
     * streamed == batch bitwise pin is structural rather than maintained.
     * Input schema: (event_type, dt, n).
     */
+  /** Pinned canonical near-dup labels over the standard corpus banding
+    * (SimHash banded, Hamming ≤ 1, 2 bands): three queries — canonical
+    * labels, cluster stats, dedup-aware split — derive from this one
+    * clustering, and connected components is the most expensive dedup
+    * step, so it runs once per process+SF (the materialized-dedup-table
+    * posture a production corpus pipeline takes).
+    */
+  private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CacheRegistry.pinned(s"neardup_labels:$dir") {
+      graft.dedup.Components.canonicalLabels(
+        SimHash.bandedNearDupPairs(docs, "doc_id", "text",
+          maxHamming = 1, bands = 2), "doc_a", "doc_b")
+    }
+  }
+
   private def trailing7VolumeGate(daily: DataFrame): DataFrame = {
     val tw = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("dt").rowsBetween(-7, -1)
@@ -8711,7 +8728,7 @@ object SparkEntry {
                         AS HUGEINT) AS ss
                FROM $src GROUP BY 1),
         ft AS (SELECT event_type, n, sv, ss,
-                      CAST(CAST(sv AS HUGEINT) * sv AS DOUBLE)
+                      CAST(CAST(CAST(sv AS HUGEINT) * sv AS BIGINT) AS DOUBLE)
                         / CAST(n AS DOUBLE) AS t_g
                FROM fg),
         fa AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
@@ -12898,12 +12915,12 @@ object SparkEntry {
                 (CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE)
                   - CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE))
                 / sqrt(
-                    (CAST(CAST(a.n AS HUGEINT) * a.ss
-                          - CAST(a.sc AS HUGEINT) * a.sc AS DOUBLE)
+                    (CAST(CAST(CAST(a.n AS HUGEINT) * a.ss
+                          - CAST(a.sc AS HUGEINT) * a.sc AS BIGINT) AS DOUBLE)
                      / CAST(a.n * (a.n - 1) AS DOUBLE))
                       / CAST(a.n AS DOUBLE)
-                  + (CAST(CAST(b.n AS HUGEINT) * b.ss
-                          - CAST(b.sc AS HUGEINT) * b.sc AS DOUBLE)
+                  + (CAST(CAST(CAST(b.n AS HUGEINT) * b.ss
+                          - CAST(b.sc AS HUGEINT) * b.sc AS BIGINT) AS DOUBLE)
                      / CAST(b.n * (b.n - 1) AS DOUBLE))
                       / CAST(b.n AS DOUBLE)) AS z
          FROM s a JOIN s b ON a.event_type < b.event_type
@@ -13970,13 +13987,12 @@ object SparkEntry {
                   AS conf_a_b,
                 CAST(p.n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE)
                   AS conf_b_a,
-                CAST(CAST(p.n_pair AS HUGEINT) * nb.n_baskets AS DOUBLE)
-                  / CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item AS DOUBLE)
+                CAST(CAST(CAST(p.n_pair AS HUGEINT) * nb.n_baskets AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item AS BIGINT) AS DOUBLE)
                   AS lift,
-                CAST(CAST(p.n_pair AS HUGEINT) * nb.n_baskets
-                     - CAST(ia.n_item AS HUGEINT) * ib.n_item AS DOUBLE)
-                  / CAST(CAST(nb.n_baskets AS HUGEINT) * nb.n_baskets
-                         AS DOUBLE) AS leverage
+                CAST(CAST(CAST(p.n_pair AS HUGEINT) * nb.n_baskets
+                     - CAST(ia.n_item AS HUGEINT) * ib.n_item AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(CAST(nb.n_baskets AS HUGEINT) * nb.n_baskets AS BIGINT) AS DOUBLE) AS leverage
          FROM p
          JOIN ic ia ON ia.pk = p.part_a
          JOIN ic ib ON ib.pk = p.part_b
@@ -14009,7 +14025,7 @@ object SparkEntry {
                     JOIN ct ON ct.dow = g.dow
                     CROSS JOIN n),
               t AS (SELECT event_type, dow, n, nr, nc,
-                           CAST(CAST(dev AS HUGEINT) * dev AS DOUBLE)
+                           CAST(CAST(CAST(dev AS HUGEINT) * dev AS BIGINT) AS DOUBLE)
                              / CAST(n * r * c AS DOUBLE) AS cell
                     FROM j),
               f AS (SELECT n AS n_total, nr AS n_rows, nc AS n_cols,
@@ -14178,8 +14194,7 @@ object SparkEntry {
          SELECT k, n_rich, e_rich,
                 CASE WHEN n_rich > 1 THEN
                   CAST(e_rich AS DOUBLE)
-                    / CAST(CAST(n_rich AS HUGEINT) * (n_rich - 1)
-                           AS DOUBLE)
+                    / CAST(CAST(CAST(n_rich AS HUGEINT) * (n_rich - 1) AS BIGINT) AS DOUBLE)
                 END AS phi
          FROM r ORDER BY k""",
 
@@ -14199,9 +14214,9 @@ object SparkEntry {
                       FROM tok)
          SELECT t.lang, t.token, t.tf, t.n_docs_with,
                 CASE WHEN nd.nd > 1 THEN
-                  CAST(CAST(nd.nd AS HUGEINT) * t.sxx
-                       - CAST(t.tf AS HUGEINT) * t.tf AS DOUBLE)
-                    / CAST((CAST(nd.nd AS HUGEINT) - 1) * t.tf AS DOUBLE)
+                  CAST(CAST(CAST(nd.nd AS HUGEINT) * t.sxx
+                       - CAST(t.tf AS HUGEINT) * t.tf AS BIGINT) AS DOUBLE)
+                    / CAST(CAST((CAST(nd.nd AS HUGEINT) - 1) * t.tf AS BIGINT) AS DOUBLE)
                 END AS vmr
          FROM top t JOIN nd ON nd.lang = t.lang
          WHERE t.rnk <= 20
@@ -14229,8 +14244,8 @@ object SparkEntry {
                                AS HUGEINT) AS tw
                       FROM cum)
          SELECT n_nodes, CAST(sum_deg AS BIGINT) AS sum_degree,
-                CAST(tw - CAST(n_nodes + 1 AS HUGEINT) * sum_deg AS DOUBLE)
-                  / CAST(CAST(n_nodes AS HUGEINT) * sum_deg AS DOUBLE)
+                CAST(CAST(tw - CAST(n_nodes + 1 AS HUGEINT) * sum_deg AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(CAST(n_nodes AS HUGEINT) * sum_deg AS BIGINT) AS DOUBLE)
                   AS gini
          FROM agg""",
 
@@ -14246,7 +14261,7 @@ object SparkEntry {
                               AS sclog
                      FROM c GROUP BY 1)
           SELECT dow, n_events, n_types,
-                 CAST(CAST(n_events AS HUGEINT) * $ln - sclog AS DOUBLE)
+                 CAST(CAST(CAST(n_events AS HUGEINT) * $ln - sclog AS BIGINT) AS DOUBLE)
                    / CAST(n_events AS DOUBLE) / 1048576.0 AS entropy_bits
           FROM g ORDER BY dow"""
     },
@@ -14452,9 +14467,9 @@ object SparkEntry {
           SELECT n,
                  CAST(minum AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
                    AS mi_bits,
-                 CAST(CAST(n AS HUGEINT) * $ln - sxlog AS DOUBLE)
+                 CAST(CAST(CAST(n AS HUGEINT) * $ln - sxlog AS BIGINT) AS DOUBLE)
                    / CAST(n AS DOUBLE) / 1048576.0 AS h_type_bits,
-                 CAST(CAST(n AS HUGEINT) * $ln - sylog AS DOUBLE)
+                 CAST(CAST(CAST(n AS HUGEINT) * $ln - sylog AS BIGINT) AS DOUBLE)
                    / CAST(n AS DOUBLE) / 1048576.0 AS h_dow_bits
           FROM nn CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy"""
     },
@@ -14479,8 +14494,7 @@ object SparkEntry {
                                  JOIN tsrc ON tsrc.source = st.source
                                  CROSS JOIN tot)
           SELECT source, any_value(t_s) AS n_tokens,
-                 CAST(sum(CAST(c_sw AS HUGEINT) * ($lnum - $lden))
-                     AS DOUBLE)
+                 CAST(CAST(sum(CAST(c_sw AS HUGEINT) * ($lnum - $lden)) AS BIGINT) AS DOUBLE)
                    / CAST(any_value(t_s) AS DOUBLE) / 1048576.0 AS kl_bits
           FROM terms GROUP BY 1 ORDER BY 1"""
     },
@@ -14499,7 +14513,7 @@ object SparkEntry {
                terms AS (SELECT p.e_from, p.n, t.row_n
                          FROM p JOIN t ON t.e_from = p.e_from)
           SELECT e_from, any_value(row_n) AS n_out,
-                 CAST(sum(CAST(n AS HUGEINT) * ($li - $lj)) AS DOUBLE)
+                 CAST(CAST(sum(CAST(n AS HUGEINT) * ($li - $lj)) AS BIGINT) AS DOUBLE)
                    / CAST(any_value(row_n) AS DOUBLE) / 1048576.0
                    AS h_next_bits
           FROM terms GROUP BY 1 ORDER BY 1"""
@@ -14530,7 +14544,7 @@ object SparkEntry {
                               AS sclog
                      FROM h GROUP BY 1)
           SELECT event_type, n_windows, n_patterns,
-                 CAST(CAST(n_windows AS HUGEINT) * $lnw - sclog AS DOUBLE)
+                 CAST(CAST(CAST(n_windows AS HUGEINT) * $lnw - sclog AS BIGINT) AS DOUBLE)
                    / CAST(n_windows AS DOUBLE) / 1048576.0
                    AS perm_entropy_bits
           FROM g ORDER BY event_type"""
@@ -14727,7 +14741,7 @@ object SparkEntry {
                               AS sclog
                      FROM c GROUP BY 1)
           SELECT date, n_events, n_types,
-                 CAST(CAST(n_events AS HUGEINT) * $ln - sclog AS DOUBLE)
+                 CAST(CAST(CAST(n_events AS HUGEINT) * $ln - sclog AS BIGINT) AS DOUBLE)
                    / CAST(n_events AS DOUBLE) / 1048576.0 AS entropy_bits
           FROM g ORDER BY date"""
     },
@@ -15135,11 +15149,11 @@ object SparkEntry {
                                AS sy
                       FROM jn GROUP BY 1)
           SELECT event_type, n_scales, n_blocks,
-                 CAST(CAST(n_scales AS HUGEINT) * sxy
-                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                   / CAST(CAST(bigm AS HUGEINT)
+                 CAST(CAST(CAST(n_scales AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(CAST(bigm AS HUGEINT)
                           * (CAST(n_scales AS HUGEINT) * sxx
-                             - CAST(sx AS HUGEINT) * sx) AS DOUBLE)
+                             - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS DOUBLE)
                    / 2.0 AS hurst
           FROM ag ORDER BY event_type"""
     },
@@ -15326,19 +15340,19 @@ object SparkEntry {
                               AS syy
                      FROM ar),
               th AS (SELECT n,
-                            CAST(CAST(n AS HUGEINT) * sxy
-                                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                              / CAST(CAST(n AS HUGEINT) * sxx
-                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                            CAST(CAST(CAST(n AS HUGEINT) * sxy
+                                 - CAST(sx AS HUGEINT) * sy AS BIGINT) AS DOUBLE)
+                              / CAST(CAST(CAST(n AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx AS BIGINT) AS DOUBLE)
                               AS theta,
-                            (CAST(CAST(n AS HUGEINT) * sxy
-                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                             * CAST(CAST(n AS HUGEINT) * sxy
-                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE))
-                              / (CAST(CAST(n AS HUGEINT) * sxx
-                                   - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                                 * CAST(CAST(n AS HUGEINT) * syy
-                                   - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                            (CAST(CAST(CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS BIGINT) AS DOUBLE)
+                             * CAST(CAST(CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS BIGINT) AS DOUBLE))
+                              / (CAST(CAST(CAST(n AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx AS BIGINT) AS DOUBLE)
+                                 * CAST(CAST(CAST(n AS HUGEINT) * syy
+                                   - CAST(sy AS HUGEINT) * sy AS BIGINT) AS DOUBLE))
                               AS rho2
                      FROM po),
               am AS (SELECT arm, count(*) AS na,
@@ -15378,14 +15392,14 @@ object SparkEntry {
               m AS (SELECT n,
                            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
                            CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
-                           CAST(CAST(n AS HUGEINT) * sxx
-                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           CAST(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS BIGINT) AS DOUBLE)
                              / CAST(n * (n - 1) AS DOUBLE) AS var_x,
-                           CAST(CAST(n AS HUGEINT) * syy
-                                - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                           CAST(CAST(CAST(n AS HUGEINT) * syy
+                                - CAST(sy AS HUGEINT) * sy AS BIGINT) AS DOUBLE)
                              / CAST(n * (n - 1) AS DOUBLE) AS var_y,
-                           CAST(CAST(n AS HUGEINT) * sxy
-                                - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                           CAST(CAST(CAST(n AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sy AS BIGINT) AS DOUBLE)
                              / CAST(n * (n - 1) AS DOUBLE) AS cov_xy
                     FROM po)
          SELECT n AS n_users, r / 100.0 AS ratio,
@@ -15440,8 +15454,8 @@ object SparkEntry {
             p$i AS (SELECT CAST($i AS BIGINT) AS round, event_type, d, x,
                            dev, n,
                            CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE)
-                             * sqrt(CAST(CAST(n AS HUGEINT) * ss
-                                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                             * sqrt(CAST(CAST(CAST(n AS HUGEINT) * ss
+                                      - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
                                     / CAST(n * (n - 1) AS DOUBLE))) AS z
                     FROM d$i WHERE rk = 1),
             c${i + 1} AS (SELECT event_type, d, x FROM d$i WHERE rk <> 1)"""
@@ -15653,11 +15667,11 @@ object SparkEntry {
                              AS sbb
                     FROM sf GROUP BY 1)
          SELECT lag, n_pairs,
-                CAST(CAST(n_pairs AS HUGEINT) * sab - sa * sb AS DOUBLE)
-                  / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * saa
-                               - sa * sa AS DOUBLE))
-                     * sqrt(CAST(CAST(n_pairs AS HUGEINT) * sbb
-                                 - sb * sb AS DOUBLE))) AS xcorr
+                CAST(CAST(CAST(n_pairs AS HUGEINT) * sab - sa * sb AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(CAST(CAST(n_pairs AS HUGEINT) * saa
+                               - sa * sa AS BIGINT) AS DOUBLE))
+                     * sqrt(CAST(CAST(CAST(n_pairs AS HUGEINT) * sbb
+                                 - sb * sb AS BIGINT) AS DOUBLE))) AS xcorr
          FROM g ORDER BY lag""",
 
     "dedup_bbit_minhash" ->
@@ -15745,11 +15759,11 @@ object SparkEntry {
                    a.n AS na, b.n AS nb,
                    CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
                    CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
-                   CAST(CAST(a.n AS HUGEINT) * a.ss
-                        - CAST(a.sc AS HUGEINT) * a.sc AS DOUBLE)
+                   CAST(CAST(CAST(a.n AS HUGEINT) * a.ss
+                        - CAST(a.sc AS HUGEINT) * a.sc AS BIGINT) AS DOUBLE)
                      / CAST(a.n * (a.n - 1) AS DOUBLE) AS va,
-                   CAST(CAST(b.n AS HUGEINT) * b.ss
-                        - CAST(b.sc AS HUGEINT) * b.sc AS DOUBLE)
+                   CAST(CAST(CAST(b.n AS HUGEINT) * b.ss
+                        - CAST(b.sc AS HUGEINT) * b.sc AS BIGINT) AS DOUBLE)
                      / CAST(b.n * (b.n - 1) AS DOUBLE) AS vb
             FROM st a JOIN st b ON a.event_type < b.event_type)
          SELECT et_a, et_b, na, nb,
@@ -15933,8 +15947,7 @@ object SparkEntry {
                 FROM ev GROUP BY 1)
          SELECT b.event_type, b.n_reps, census.census_total,
                 CAST(b.s1 AS DOUBLE) / 32.0 AS boot_mean_total,
-                sqrt(CAST(32 * b.s2 - CAST(b.s1 AS HUGEINT) * b.s1
-                     AS DOUBLE) / 992.0) AS boot_se_total
+                sqrt(CAST(CAST(32 * b.s2 - CAST(b.s1 AS HUGEINT) * b.s1 AS BIGINT) AS DOUBLE) / 992.0) AS boot_se_total
          FROM boot b JOIN census USING (event_type)
          ORDER BY event_type""",
 
@@ -16059,8 +16072,8 @@ object SparkEntry {
                 CAST((CAST(cab.c_ab AS HUGEINT) * n.n_trans * 1000000)
                   // (CAST(ca.c_a AS HUGEINT) * cb.c_b) AS BIGINT)
                   AS lift_ppm,
-                CAST(CAST(cab.c_ab AS HUGEINT) * n.n_trans AS DOUBLE)
-                  / CAST(CAST(ca.c_a AS HUGEINT) * cb.c_b AS DOUBLE)
+                CAST(CAST(CAST(cab.c_ab AS HUGEINT) * n.n_trans AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(CAST(ca.c_a AS HUGEINT) * cb.c_b AS BIGINT) AS DOUBLE)
                   AS lift
          FROM cab JOIN ca ON ca.a = cab.a
                   JOIN cb ON cb.b = cab.b
@@ -16165,12 +16178,12 @@ object SparkEntry {
                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
            FROM r),
      c AS (SELECT n,
-                  CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
-                  CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
-                  CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
-                  CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS c1y,
-                  CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS c2y,
-                  CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+                  CAST(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS DOUBLE) AS c11,
+                  CAST(CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS BIGINT) AS DOUBLE) AS c22,
+                  CAST(CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS BIGINT) AS DOUBLE) AS c12,
+                  CAST(CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS BIGINT) AS DOUBLE) AS c1y,
+                  CAST(CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS BIGINT) AS DOUBLE) AS c2y,
+                  CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS DOUBLE) AS cyy
            FROM m),
      b AS (SELECT n, c1y, c2y, cyy, c11,
                   (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
@@ -16242,7 +16255,7 @@ object SparkEntry {
                              AS sclog
                     FROM bins GROUP BY 1, 2, 3)
           SELECT media_id, width, height, n_pixels, n_bins,
-                 CAST(CAST(n_pixels AS HUGEINT) * $ln - sclog AS DOUBLE)
+                 CAST(CAST(CAST(n_pixels AS HUGEINT) * $ln - sclog AS BIGINT) AS DOUBLE)
                    / CAST(n_pixels AS DOUBLE) / 1048576.0 AS entropy_bits
           FROM g ORDER BY media_id"""
     },
@@ -16279,9 +16292,9 @@ object SparkEntry {
            FROM d WINDOW tw AS (ORDER BY dt
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
      v AS (SELECT dt, x, y,
-                  CAST(10 * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  CAST(CAST(10 * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS DOUBLE)
                     AS var_num,
-                  CAST(10 * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  CAST(CAST(10 * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS DOUBLE)
                     AS cov_num
            FROM w WHERE rn >= 10)
          SELECT dt, x, y,
@@ -16420,12 +16433,12 @@ object SparkEntry {
                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
            FROM r GROUP BY 1),
      c AS (SELECT event_type, n,
-                  CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
-                  CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
-                  CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
-                  CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS c1y,
-                  CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS c2y,
-                  CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+                  CAST(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS DOUBLE) AS c11,
+                  CAST(CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS BIGINT) AS DOUBLE) AS c22,
+                  CAST(CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS BIGINT) AS DOUBLE) AS c12,
+                  CAST(CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS BIGINT) AS DOUBLE) AS c1y,
+                  CAST(CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS BIGINT) AS DOUBLE) AS c2y,
+                  CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS DOUBLE) AS cyy
            FROM m),
      b AS (SELECT event_type, n, c1y, c2y, cyy, c11, c22, c12,
                   c11 * c22 - c12 * c12 AS det,
@@ -16531,8 +16544,8 @@ object SparkEntry {
                     AS BIGINT) AS ss
            FROM events GROUP BY 1),
      v AS (SELECT event_type, n, sc, n // 2 AS n_arm,
-                  CAST(CAST(n AS HUGEINT) * ss
-                       - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                  CAST(CAST(CAST(n AS HUGEINT) * ss
+                       - CAST(sc AS HUGEINT) * sc AS BIGINT) AS DOUBLE)
                     / CAST(n * (n - 1) AS DOUBLE) AS var_c
            FROM st)
          SELECT event_type, n, n_arm,

@@ -18,22 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphFrames {
 
+  /** Distinct (order, part) item set — the shared base of the co-purchase
+    * graph family AND the market-basket miners (frequent pairs,
+    * association rules, butterflies).
+    */
+  def orderPartItems(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.pinned(s"orderpart:$dir") {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
   /** Co-purchase part–part edges `(u, v)` with `u < v`, distinct: two
     * parts are linked iff some order contains both. Wedge volume is
     * bounded by order width (orders are small by construction), so the
     * self-join is scale-safe; the distinct is the one shuffle.
     */
-  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = orderPartItems(s, dir)
     CacheRegistry.pinned(s"copurchase:$dir") {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
       li.as("a")
         .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
     }
+  }
 
   /** Undirected degree per node of the co-purchase graph — shared by the
     * triangle machinery, common-neighbors/jaccard cap filters and the
