@@ -8511,6 +8511,159 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Theil–Sen slope per series, CALENDAR-DAY variant: where the
+    // original ts_theil_sen takes IEEE slopes over bar indices, this one
+    // measures cents/day over actual date gaps with slopes quantized to
+    // the EXACT ppm lattice via the spelled-out floor division (both
+    // engines), the median a rank pick over the keyed pair frame. Pair
+    // volume is C(n_days, 2) per key — horizon-bounded, never event rows.
+    "ts_theil_sen_days" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("c"))
+        .withColumn("dn",
+          datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long"))
+        .tracked // both sides of the pair join
+      val a = d.select(col("event_type"), col("c").as("ca"),
+        col("dn").as("da"))
+      val b = d.select(col("event_type"), col("c").as("cb"),
+        col("dn").as("db"))
+      val p = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+        .withColumn("num", (col("cb") - col("ca")) * lit(1000000L))
+        .withColumn("den", col("db") - col("da"))
+        // floor division spelled out in integers (Spark DIV and DuckDB //
+        // both truncate toward zero; the pmod makes the numerator exactly
+        // divisible, so truncate ≡ floor on both)
+        .withColumn("slope_ppm",
+          expr("(num - ((num % den) + den) % den) DIV den"))
+      p.withColumn("rn",
+          row_number().over(W.partitionBy("event_type").orderBy("slope_ppm")))
+        .withColumn("np",
+          count(lit(1)).over(W.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max("np").as("n_pairs"),
+             // lower median: the first order statistic with 2·rn ≥ n+1 —
+             // deterministic under ties (value-defined, not row-defined)
+             min(when(col("rn") * 2 >= col("np") + 1, col("slope_ppm")))
+               .as("slope_ppm_med"))
+        .orderBy("event_type")
+    }),
+
+    // Haar wavelet energy per series and level (1..3 = 2/4/8-day scales)
+    // over the first 32 daily closes: detail coefficient per block is the
+    // first-half-minus-second-half EXACT cent sum (the unnormalized Haar
+    // transform — integers end to end), energy the DECIMAL sum of squares
+    // leaving as a checked BIGINT. The multi-scale volatility
+    // decomposition a regime dashboard plots; incomplete tail blocks are
+    // dropped (count = 2^level), so the transform is well-defined at any
+    // series length.
+    "ts_haar_energy" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("c"))
+        .withColumn("i", row_number()
+          .over(W.partitionBy("event_type").orderBy("dt")).cast("long") - 1)
+        .filter(col("i") < 32)
+      val lv = d.select(col("event_type"), col("c"), col("i"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("level"))
+        .withColumn("blk", expr("i div shiftleft(1, int(level))"))
+        .withColumn("sc",
+          when(expr("(i div shiftleft(1, int(level) - 1)) % 2") === 0,
+            col("c")).otherwise(-col("c")))
+      lv.groupBy("level", "event_type", "blk")
+        .agg(sum("sc").as("detail"), count(lit(1)).as("m"))
+        .filter(col("m") === expr("cast(shiftleft(1, int(level)) as bigint)"))
+        .groupBy("event_type", "level")
+        .agg(count(lit(1)).as("n_blocks"),
+             Exact.checkedLong(sum(dec(col("detail")) * dec(col("detail"))))
+               .as("energy"))
+        .orderBy("event_type", "level")
+    }),
+
+    // Single changepoint by binary segmentation on daily revenue: t*
+    // maximizes the between-segment objective S_L²/n_L + S_R²/n_R,
+    // quantized to the EXACT integer f_q = ⌊S_L²/n_L⌋ + ⌊S_R²/n_R⌋
+    // (DECIMAL squares, one DIV each — quantization error ≤ 2 on a ~1e12
+    // objective, deterministic on both engines); the argmax is a keyed
+    // rank over (f_q desc, t). Prefix sums come from one keyed window
+    // over day cells — horizon-bounded.
+    "ts_changepoint_binseg" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wcum = W.partitionBy("event_type").orderBy("dt")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wall = W.partitionBy("event_type")
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(sum(Exact.cents(col("value"))).as("c"))
+        .withColumn("i", row_number()
+          .over(W.partitionBy("event_type").orderBy("dt")).cast("long"))
+        .withColumn("n", count(lit(1)).over(wall))
+        .withColumn("sl", sum("c").over(wcum))
+        .withColumn("st", sum("c").over(wall))
+      val f = d.filter(col("i") < col("n"))
+        .withColumn("fq",
+          expr("(cast(sl as decimal(38,0)) * sl) DIV i")
+            + expr("(cast(st - sl as decimal(38,0)) * (st - sl)) DIV (n - i)"))
+      f.withColumn("rk", row_number().over(
+          W.partitionBy("event_type").orderBy(col("fq").desc, col("i"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("i").as("t_star"), col("fq").as("f_q"),
+          expr("sl DIV i").as("mean_before_c"),
+          expr("(st - sl) DIV (n - i)").as("mean_after_c"))
+        .orderBy("event_type")
+    }),
+
+    // Sample-ratio-mismatch guardrail: the 1-df χ² of the hash-split arm
+    // counts against 50/50 — THE first check an experimentation readout
+    // runs before any metric (a biased splitter invalidates everything
+    // downstream). Seed reduces mod-first (the documented overflow-safe
+    // LCG discipline); χ² numerator exact through DECIMAL, the 3.8415
+    // critical compare done in scaled integers so the flag is portable.
+    // The fixture's signup split genuinely trips it.
+    "agg_srm_check" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val m = 2147483647L
+      val arm = ((col("user_id") % m) * 1103515245L + 12345L) % m
+      Tables.events(s, dir)
+        .withColumn("arm", when(arm % 2 === 0, "a").otherwise("b"))
+        .groupBy("event_type")
+        .agg(sum(when(col("arm") === "a", 1L).otherwise(0L)).as("na"),
+             sum(when(col("arm") === "b", 1L).otherwise(0L)).as("nb"))
+        .withColumn("srm_num", Exact.checkedLong(
+          dec(col("na") - col("nb")) * dec(col("na") - col("nb"))))
+        .withColumn("srm_den", col("na") + col("nb"))
+        .withColumn("srm_chi2",
+          col("srm_num").cast("double") / col("srm_den").cast("double"))
+        .withColumn("srm_flag",
+          when(dec(col("srm_num")) * lit(10000L)
+                 > dec(col("srm_den")) * lit(38415L), 1L).otherwise(0L))
+        .select("event_type", "na", "nb", "srm_num", "srm_den",
+          "srm_chi2", "srm_flag")
+        .orderBy("event_type")
+    }),
+
+    // Cumulative-distinct-users curve per series: each user reduces to
+    // their first day ONCE (the partial-aggregable trick — a naive
+    // count(distinct) per day rescans all history per cell), then one
+    // keyed running sum over day cells. The audience-growth curve every
+    // dashboard draws, exact and shuffle-minimal at any scale.
+    "olap_cumulative_distinct" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("dt"))
+        .groupBy("event_type", "dt")
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum("new_users").over(W.partitionBy("event_type").orderBy("dt")
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .orderBy("event_type", "dt")
+    }),
+
     // ABC class migration between the horizon's two halves — does a
     // part's revenue class persist? Each half reuses the established
     // cum-share classification (keyed two-level cumulative — scales to
@@ -14152,6 +14305,124 @@ object SparkEntry {
                 CASE WHEN hs.corr <> 0.0 THEN hs.h / hs.corr
                 END AS h_tie_corrected
          FROM terms CROSS JOIN hs ORDER BY event_type""",
+
+    "ts_theil_sen_days" ->
+      """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                            CAST(round(arg_max(value, ts) * 100, 0)
+                                 AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, c,
+                           CAST(datediff('day', DATE '1970-01-01', dt)
+                                AS BIGINT) AS dn
+                    FROM d0),
+              p AS (SELECT a.event_type,
+                           (b.c - a.c) * 1000000 AS num,
+                           b.dn - a.dn AS den
+                    FROM d a JOIN d b ON a.event_type = b.event_type
+                                     AND a.dn < b.dn),
+              sl AS (SELECT event_type,
+                            CAST((num - ((num % den) + den) % den) // den
+                                 AS BIGINT) AS slope_ppm
+                     FROM p),
+              r AS (SELECT event_type, slope_ppm,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY slope_ppm) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM sl)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+                CAST(min(CASE WHEN rn * 2 >= n + 1 THEN slope_ppm END)
+                     AS BIGINT) AS slope_ppm_med
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    "ts_haar_energy" ->
+      """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                            CAST(round(arg_max(value, ts) * 100, 0)
+                                 AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, c,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY dt) - 1 AS i
+                    FROM d0 QUALIFY i < 32),
+              lv AS (SELECT l.level, d.event_type,
+                            d.i // (1 << l.level) AS blk,
+                            CASE WHEN (d.i // (1 << (l.level - 1))) % 2 = 0
+                                 THEN d.c ELSE -d.c END AS sc
+                     FROM d CROSS JOIN
+                       (SELECT unnest([1, 2, 3]) AS level) l),
+              det AS (SELECT level, event_type, blk,
+                             CAST(sum(sc) AS BIGINT) AS detail
+                      FROM lv GROUP BY 1, 2, 3
+                      HAVING count(*) = (1 << level))
+         SELECT event_type, CAST(level AS BIGINT) AS level,
+                count(*) AS n_blocks,
+                CAST(sum(CAST(detail AS HUGEINT) * detail) AS BIGINT)
+                  AS energy
+         FROM det GROUP BY 1, 2 ORDER BY event_type, level""",
+
+    "ts_changepoint_binseg" ->
+      """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                            CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                 AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, dt, c,
+                           CAST(row_number() OVER (PARTITION BY event_type
+                             ORDER BY dt) AS BIGINT) AS i,
+                           CAST(count(*) OVER (PARTITION BY event_type)
+                                AS BIGINT) AS n,
+                           CAST(sum(c) OVER (PARTITION BY event_type
+                             ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS sl,
+                           CAST(sum(c) OVER (PARTITION BY event_type)
+                                AS BIGINT) AS st
+                    FROM d0),
+              f AS (SELECT event_type, i, n, sl, st,
+                           CAST(CAST(sl AS HUGEINT) * sl // i
+                                + CAST(st - sl AS HUGEINT) * (st - sl)
+                                  // (n - i) AS BIGINT) AS fq
+                    FROM d WHERE i < n)
+         SELECT event_type, n AS n_days, i AS t_star, fq AS f_q,
+                sl // i AS mean_before_c,
+                (st - sl) // (n - i) AS mean_after_c
+         FROM f
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY fq DESC, i) = 1
+         ORDER BY event_type""",
+
+    "agg_srm_check" ->
+      """WITH h AS (SELECT event_type,
+                           CASE WHEN (((user_id % 2147483647) * 1103515245
+                                       + 12345) % 2147483647) % 2 = 0
+                                THEN 'a' ELSE 'b' END AS arm
+                    FROM events),
+              c AS (SELECT event_type,
+                           CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)
+                                AS BIGINT) AS na,
+                           CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)
+                                AS BIGINT) AS nb
+                    FROM h GROUP BY 1)
+         SELECT event_type, na, nb,
+                CAST(CAST(na - nb AS HUGEINT) * (na - nb) AS BIGINT)
+                  AS srm_num,
+                na + nb AS srm_den,
+                CAST(CAST(CAST(na - nb AS HUGEINT) * (na - nb) AS BIGINT)
+                     AS DOUBLE) / CAST(na + nb AS DOUBLE) AS srm_chi2,
+                CASE WHEN CAST(na - nb AS HUGEINT) * (na - nb) * 10000
+                          > CAST(na + nb AS HUGEINT) * 38415
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                END AS srm_flag
+         FROM c ORDER BY event_type""",
+
+    "olap_cumulative_distinct" ->
+      """WITH fd AS (SELECT event_type, user_id,
+                            min(CAST(ts AS DATE)) AS dt
+                     FROM events GROUP BY 1, 2),
+              nw AS (SELECT event_type, dt, count(*) AS new_users
+                     FROM fd GROUP BY 1, 2)
+         SELECT event_type, dt, CAST(new_users AS BIGINT) AS new_users,
+                CAST(sum(new_users) OVER (PARTITION BY event_type
+                  ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS cum_users
+         FROM nw ORDER BY event_type, dt""",
 
     "graph_rich_club" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
