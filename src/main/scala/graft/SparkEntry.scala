@@ -3582,14 +3582,19 @@ object SparkEntry {
     // with m2·sqrt(m2) instead of pow(x, 1.5) — pow is not
     // correctly-rounded across engines, sqrt is.
     "agg_skew_kurtosis" -> ((s, dir) => {
+      def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val agg = Tables.events(s, dir)
         .withColumn("cc", Exact.cents(col("value")))
         .withColumn("d", expr("(cc - ((cc % 100) + 100) % 100) DIV 100"))
         .groupBy("event_type")
+        // third/fourth powers on the DECIMAL lattice: d⁴ ≈ 1e14 per row
+        // wraps a raw BIGINT sum within ~1e5 rows — silently on Spark,
+        // loudly on the oracle (the effect-size-t asymmetry)
         .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
-             sum(col("d") * col("d")).as("s2"),
-             sum(col("d") * col("d") * col("d")).as("s3"),
-             sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
+             sum(dd(col("d")) * dd(col("d"))).as("s2"),
+             sum(dd(col("d")) * dd(col("d")) * dd(col("d"))).as("s3"),
+             sum(dd(col("d")) * dd(col("d")) * dd(col("d")) * dd(col("d")))
+               .as("s4"))
       val nd = col("n").cast("double")
       val m = col("s1").cast("double") / nd
       val e2 = col("s2").cast("double") / nd
@@ -3635,10 +3640,13 @@ object SparkEntry {
 
     "agg_value_stats" -> ((s, dir) => {
       val c = Exact.cents(col("value"))
+      val cd = c.cast("decimal(38,0)")
       Tables.events(s, dir)
         .groupBy("event_type")
+        // Σc² on the decimal lattice: c² ≈ 1e11 per row wraps a raw
+        // BIGINT sum at corpus row counts — silently on Spark only
         .agg(count(lit(1)).as("n"), sum(c).as("sc"),
-             sum(c * c).as("ssq"))
+             sum(cd * cd).as("ssq"))
         .select(col("event_type"), col("n"),
           (col("sc").cast("double") / (col("n").cast("double") * lit(100.0)))
             .as("mean_value"),
@@ -8644,6 +8652,103 @@ object SparkEntry {
         .select("event_type", "na", "nb", "srm_num", "srm_den",
           "srm_chi2", "srm_flag")
         .orderBy("event_type")
+    }),
+
+    // Peak concurrency report: distinct users per (day, hour) cell, then
+    // per-day active hours / peak hourly users / user-hours — the
+    // capacity-planning readout. Distinct-per-cell is the only shuffle;
+    // cells are horizon-bounded (24/day) regardless of event volume.
+    "olap_peak_concurrency" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("dt"),
+                 date_trunc("hour", col("ts")).as("hr"))
+        .agg(countDistinct("user_id").as("u"))
+        .groupBy("dt")
+        .agg(count(lit(1)).as("n_active_hours"),
+             max("u").as("peak_hourly_users"),
+             sum("u").as("user_hours"))
+        .orderBy("dt")),
+
+    // Hapax-legomena share per language: the vocabulary-richness /
+    // boilerplate tripwire next to Heaps' law — a corpus whose hapax
+    // share collapses is template-flooded. Exact ppm floor division.
+    "text_hapax_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens("text")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_types"),
+             sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_ppm", expr("(1000000 * n_hapax) DIV n_types"))
+        .orderBy("lang")),
+
+    // Ingest-order vs event-time certification: timestamp regressions per
+    // type along the event_id sequence. The fixture is CLEAN (zero
+    // regressions at every SF) and that certification is the point —
+    // like the referential-integrity audit, the value is the proved
+    // invariant plus a counter that a spec proves actually counts.
+    "dq_ts_monotonicity" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .withColumn("pts", lag(col("ts"), 1)
+          .over(W.partitionBy("event_type").orderBy("event_id")))
+        .filter(col("pts").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_checked"),
+             sum(when(col("ts") < col("pts"), 1L).otherwise(0L))
+               .as("n_regressions"))
+        .withColumn("regression_ppm",
+          expr("(1000000 * n_regressions) DIV n_checked"))
+        .orderBy("event_type")
+    }),
+
+    // Inter-visit gap per series: median and p90 of the minutes between a
+    // user's consecutive same-type events — rank picks over the (type,
+    // gap-minute) HISTOGRAM (weighted-median discipline: cells, never a
+    // row-level global rank), gaps from one user-keyed lag.
+    "olap_intervisit_gap" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val g = Tables.events(s, dir)
+        .withColumn("pts", lag(col("ts"), 1).over(
+          W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")))
+        .filter(col("pts").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) - unix_micros(pts)) DIV 60000000")
+            .as("gap_min"))
+      val wc = W.partitionBy("event_type").orderBy("gap_min")
+        .rowsBetween(W.unboundedPreceding, 0)
+      g.groupBy("event_type", "gap_min").agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum("m").over(wc))
+        .withColumn("n", sum("m").over(W.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max("n").as("n_gaps"),
+             min(when(col("cum") * 2 >= col("n") + 1, col("gap_min")))
+               .as("median_gap_min"),
+             min(when(col("cum") * 10 >= col("n") * 9, col("gap_min")))
+               .as("p90_gap_min"))
+        .orderBy("event_type")
+    }),
+
+    // Per-bit balance of the corpus simhash — the dedup-health sibling of
+    // the sampler-hash KS audit: a biased bit halves banding entropy and
+    // floods buckets. Imbalance 2·n_set − n, the 3.1σ critical compare in
+    // scaled integers ((2s−n)²·100 > n·961) so the flag is portable.
+    "dedup_simhash_bit_balance" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.documents(s, dir)
+        .select(SimHash.simhash32(col("text")).as("simhash"))
+        .select(col("simhash"),
+          explode(sequence(lit(0L), lit(31L))).as("bit"))
+        .groupBy("bit")
+        .agg(sum(expr("(simhash div shiftleft(1, int(bit))) % 2"))
+               .as("n_set"),
+             count(lit(1)).as("n_docs"))
+        .withColumn("imbalance", col("n_set") * 2 - col("n_docs"))
+        .withColumn("biased_flag",
+          when(dec(col("imbalance")) * dec(col("imbalance")) * lit(100L)
+                 > dec(col("n_docs")) * lit(961L), 1L).otherwise(0L))
+        .select("bit", "n_set", "n_docs", "imbalance", "biased_flag")
+        .orderBy("bit")
     }),
 
     // Cumulative-distinct-users curve per series: each user reduces to
@@ -14411,6 +14516,83 @@ object SparkEntry {
                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
                 END AS srm_flag
          FROM c ORDER BY event_type""",
+
+    "olap_peak_concurrency" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS dt,
+                           date_trunc('hour', ts) AS hr,
+                           count(DISTINCT user_id) AS u
+                    FROM events GROUP BY 1, 2)
+         SELECT dt, count(*) AS n_active_hours,
+                CAST(max(u) AS BIGINT) AS peak_hourly_users,
+                CAST(sum(u) AS BIGINT) AS user_hours
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    "text_hapax_ratio" ->
+      """WITH f AS (SELECT lang, token, count(*) AS tf FROM (
+                SELECT lang, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                FROM documents) GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_types,
+                CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                CAST(1000000 * sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                     // count(*) AS BIGINT) AS hapax_ppm
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    "dq_ts_monotonicity" ->
+      """WITH o AS (SELECT event_type, ts,
+                           lag(ts) OVER (PARTITION BY event_type
+                             ORDER BY event_id) AS pts
+                    FROM events)
+         SELECT event_type, count(*) AS n_checked,
+                CAST(sum(CASE WHEN ts < pts THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_regressions,
+                CAST(1000000 * sum(CASE WHEN ts < pts THEN 1 ELSE 0 END)
+                     // count(*) AS BIGINT) AS regression_ppm
+         FROM o WHERE pts IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "olap_intervisit_gap" ->
+      """WITH o AS (SELECT event_type, user_id, ts,
+                           lag(ts) OVER (PARTITION BY event_type, user_id
+                             ORDER BY ts, event_id) AS pts
+                    FROM events),
+              g AS (SELECT event_type,
+                           CAST(datediff('microsecond', pts, ts)
+                                // 60000000 AS BIGINT) AS gap_min
+                    FROM o WHERE pts IS NOT NULL),
+              h AS (SELECT event_type, gap_min, count(*) AS m
+                    FROM g GROUP BY 1, 2),
+              c AS (SELECT event_type, gap_min, m,
+                           CAST(sum(m) OVER (PARTITION BY event_type
+                             ORDER BY gap_min ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                           CAST(sum(m) OVER (PARTITION BY event_type)
+                                AS BIGINT) AS n
+                    FROM h)
+         SELECT event_type, max(n) AS n_gaps,
+                CAST(min(CASE WHEN cum * 2 >= n + 1 THEN gap_min END)
+                     AS BIGINT) AS median_gap_min,
+                CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_min END)
+                     AS BIGINT) AS p90_gap_min
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    "dedup_simhash_bit_balance" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+              sh AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+              bb AS (SELECT bit,
+                            CAST(sum((sh.simhash // (1 << bit)) % 2)
+                                 AS BIGINT) AS n_set,
+                            count(*) AS n_docs
+                     FROM sh CROSS JOIN
+                       (SELECT unnest(generate_series(0, 31)) AS bit) b
+                     GROUP BY 1)
+          SELECT CAST(bit AS BIGINT) AS bit, n_set, n_docs,
+                 2 * n_set - n_docs AS imbalance,
+                 CASE WHEN CAST(2 * n_set - n_docs AS HUGEINT)
+                           * (2 * n_set - n_docs) * 100
+                           > CAST(n_docs AS HUGEINT) * 961
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                 END AS biased_flag
+          FROM bb ORDER BY bit""",
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,

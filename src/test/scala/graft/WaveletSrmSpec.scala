@@ -43,7 +43,8 @@ class WaveletSrmSpec extends AnyFunSuite {
         q.toLong
       }).sorted
       val n = slopes.length
-      val med = slopes((n + 1) / 2 - 1) // first rank with 2rn >= n+1
+      // first rank r with 2r >= n+1 is ceil((n+1)/2) = (n+2)/2 in ints
+      val med = slopes((n + 2) / 2 - 1)
       val (qn, qm) = out(et)
       assert(qn == n.toLong && qm == med, et)
       // a slope estimator on the fixture's bounded closes stays bounded
