@@ -8751,6 +8751,172 @@ object SparkEntry {
         .orderBy("bit")
     }),
 
+    // G-test of value-mix homogeneity: are the three fixed value buckets
+    // ($0-75 / 75-150 / 150+) distributed identically across event types?
+    // The log-likelihood-ratio sibling of agg_chi2_contingency, and a
+    // FixedLog2 showcase: each cell's O·ln(O·N/(R·C)) term is the exact
+    // integer O·(log2fp(O·N) − log2fp(R·C)), decimal-summed order-free;
+    // the df=8 critical compare happens on the same lattice
+    // (crit_q = ⌊15.507/(2ln2)·2²⁰⌋ = 11729304) so the flag is portable.
+    // 15 cells by construction — every frame after the first groupBy is
+    // bounded, and the 1-row total attaches via broadcast.
+    "agg_g_test" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val L = graft.functions.FixedLog2.log2_fp _
+      val c = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .groupBy(col("event_type"),
+                 least(lit(2L), expr("cc DIV 7500")).as("vb"))
+        .agg(count(lit(1)).as("o")).tracked
+      val r = c.groupBy("event_type").agg(sum("o").as("rt"))
+      val k = c.groupBy("vb").agg(sum("o").as("ct"))
+      val n = c.agg(sum("o").as("nt"))
+      c.join(broadcast(r), "event_type").join(broadcast(k), "vb")
+        .crossJoin(broadcast(n))
+        .withColumn("term",
+          dec(col("o")) * dec(L(col("o") * col("nt")) -
+                              L(col("rt") * col("ct"))))
+        .agg(max("nt").as("n_events"), count(lit(1)).as("n_cells"),
+             sum("term").cast("long").as("g_scaled"))
+        .select(col("n_events"), col("n_cells"), col("g_scaled"),
+          lit(8L).as("df"),
+          (col("g_scaled").cast("double") * lit(1.3862943611198906)
+            / lit(1048576.0)).as("g_stat"),
+          when(col("g_scaled") > lit(11729304L), 1L).otherwise(0L)
+            .as("reject_flag"))
+    }),
+
+    // Poisson rate-shift guardrail: per type, first-half vs second-half
+    // event counts against their day exposures — the conditional-binomial
+    // score test (n1·E − n·e1)²/(n·e1·e2) vs χ²(1), cross-multiplied into
+    // one exact integer compare (10⁴·num² > 38415·den) so the flag is
+    // portable. The global date bounds attach as a 1-row broadcast.
+    "agg_poisson_rate_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d")).tracked
+      val b = ev.agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("mn"),
+          date_add(col("mn"),
+            ((datediff(col("mx"), col("mn")) + 1) / 2)
+              .cast("int")).as("mid"), col("mx"))
+      ev.crossJoin(broadcast(b))
+        .groupBy("event_type")
+        .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("n1"),
+             sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("n2"),
+             datediff(min("mid"), min("mn")).cast("long").as("e1"),
+             (datediff(min("mx"), min("mid")) + 1).cast("long").as("e2"))
+        .withColumn("num", col("n1") * (col("e1") + col("e2")) -
+                           (col("n1") + col("n2")) * col("e1"))
+        .withColumn("den", (col("n1") + col("n2")) * col("e1") * col("e2"))
+        .select(col("event_type"), col("n1"), col("n2"), col("e1"),
+          col("e2"),
+          expr("(10000 * n1 * e2) DIV (n2 * e1)").as("rate_ratio_q4"),
+          expr("""CAST((CAST(num AS DECIMAL(38,0)) * num * 10000) DIV den
+                  AS BIGINT)""").as("score_q4"),
+          when(expr("CAST(num AS DECIMAL(38,0)) * num * 10000") >
+               expr("CAST(den AS DECIMAL(38,0)) * 38415"), 1L)
+            .otherwise(0L).as("rate_shift_flag"))
+        .orderBy("event_type")
+    }),
+
+    // Tukey HSD post-hoc: after the one-way ANOVA, which of the 10 type
+    // pairs actually differ in mean value? Means quantized to the q8 cents
+    // lattice (⌊256·S/n⌋), within-group SS to ⌊S²/n⌋ cells — the
+    // statistic is DEFINED on those lattices (the kruskal discipline) so
+    // both engines compare identical integers: 100·Δq²·(N−k)·2·nₐn_b vs
+    // 1488·2¹⁶·SSW·(nₐ+n_b), q²(5,∞)=14.88 truncated at 2dp; the q4 ratio
+    // of the two sides carries continuous signal beside the flag. The
+    // 5-row stats self-join and 1-row totals combine are bounded
+    // broadcasts (allowlisted BNLJ shapes).
+    "agg_tukey_hsd" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cc").as("s"),
+             sum(expr("CAST(cc AS DECIMAL(38,0)) * cc")).as("ss")).tracked
+      val t = g.agg(sum("n").cast("long").as("nn"),
+                    count(lit(1)).as("k"),
+                    sum(expr("ss - (CAST(s AS DECIMAL(38,0)) * s) DIV n"))
+                      .cast("long").as("ssw_q"))
+      val a = g.select(col("event_type").as("type_a"), col("n").as("n_a"),
+                       col("s").as("s_a"))
+      val b = g.select(col("event_type").as("type_b"), col("n").as("n_b"),
+                       col("s").as("s_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .crossJoin(broadcast(t))
+        .withColumn("dq", expr("(256 * s_a) DIV n_a - (256 * s_b) DIV n_b"))
+        .withColumn("lhs", expr(
+          "CAST(100 AS DECIMAL(38,0)) * dq * dq * (nn - k) * 2 * n_a * n_b"))
+        .withColumn("rhs", expr(
+          "CAST(1488 AS DECIMAL(38,0)) * 65536 * ssw_q * (n_a + n_b)"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("dq").as("mean_diff_q8"),
+          expr("CAST((CAST(10000 AS DECIMAL(38,0)) * lhs) DIV rhs AS BIGINT)")
+            .as("hsd_ratio_q4"),
+          when(col("lhs") > col("rhs"), 1L).otherwise(0L).as("hsd_flag"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Systematic time-spaced thinning: within each (type, day) cell, rank
+    // by (ts, event_id) and keep every 20th row at offset 7 — the
+    // even-spacing downsample a hash split can't give. Windows are keyed
+    // by day cell so no partition outgrows a day at any volume; the
+    // report is per-type kept counts with id/cents checksums.
+    "sample_systematic" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val o = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .withColumn("r", row_number().over(
+          W.partitionBy(col("event_type"), to_date(col("ts")))
+            .orderBy("ts", "event_id")))
+      val tot = o.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      val kept = o.filter(col("r") % 20 === 7)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), sum("event_id").as("id_checksum"),
+             sum("cc").as("cents_kept"))
+      tot.join(kept, "event_type")
+        .select("event_type", "n_total", "n_kept", "id_checksum",
+                "cents_kept")
+        .orderBy("event_type")
+    }),
+
+    // Ornstein-Uhlenbeck mean-reversion half-life per type: AR(1) slope of
+    // the daily cents totals on the q16 lattice (φ_q16 = ⌊2¹⁶·(nΣxy −
+    // ΣxΣy)/(nΣx² − (Σx)²)⌋, exact decimal moments), then half-life
+    // −ln2/ln|φ| = 2²⁰/(16·2²⁰ − log2fp(|φ|_q16)) on the FixedLog2
+    // lattice, q8 — integers end to end, defined only for 0 < |φ| < 1.
+    // Day cells bound every frame; the lag window is keyed per type.
+    "ts_ou_halflife" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val L = graft.functions.FixedLog2.log2_fp _
+      val d = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(sum("cc").as("x"))
+      d.withColumn("px",
+          lag(col("x"), 1).over(W.partitionBy("event_type").orderBy("dt")))
+        .filter(col("px").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(x AS DECIMAL(38,0)) * px")).as("sxy"),
+             sum("x").as("sx"), sum("px").as("sp"),
+             sum(expr("CAST(px AS DECIMAL(38,0)) * px")).as("spp"))
+        .withColumn("phi_q16", expr(
+          """CAST((65536 * (CAST(n AS DECIMAL(38,0)) * sxy -
+             CAST(sx AS DECIMAL(38,0)) * sp)) DIV
+             (CAST(n AS DECIMAL(38,0)) * spp -
+              CAST(sp AS DECIMAL(38,0)) * sp) AS BIGINT)"""))
+        .withColumn("aphi", abs(col("phi_q16")))
+        .withColumn("lphi", when(col("aphi") >= 1L, L(col("aphi"))))
+        .select(col("event_type"), col("n"), col("phi_q16"),
+          when(col("aphi").between(1L, 65535L),
+            expr("268435456 DIV (16777216 - lphi)"))
+            .as("halflife_q8"),
+          when(col("aphi").between(1L, 65535L), 1L).otherwise(0L)
+            .as("reverting_flag"))
+        .orderBy("event_type")
+    }),
+
     // Cumulative-distinct-users curve per series: each user reduces to
     // their first day ONCE (the partial-aggregable trick — a naive
     // count(distinct) per day rescans all history per cell), then one
@@ -14593,6 +14759,151 @@ object SparkEntry {
                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
                  END AS biased_flag
           FROM bb ORDER BY bit""",
+
+    "agg_g_test" -> {
+      val lon = graft.functions.FixedLog2.sql("on_")
+      val lrc = graft.functions.FixedLog2.sql("rc")
+      s"""WITH c AS (SELECT event_type,
+                            least(CAST(2 AS BIGINT),
+                                  CAST(round(value*100,0) AS BIGINT) // 7500)
+                              AS vb, count(*) AS o
+                     FROM events GROUP BY 1, 2),
+               r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+                     FROM c GROUP BY 1),
+               k AS (SELECT vb, CAST(sum(o) AS BIGINT) AS ct
+                     FROM c GROUP BY 1),
+               n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM c),
+               t AS (SELECT c.o, c.o * n.nt AS on_, r.rt * k.ct AS rc
+                     FROM c JOIN r USING (event_type) JOIN k USING (vb)
+                     CROSS JOIN n)
+          SELECT (SELECT nt FROM n) AS n_events,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(CAST(o AS HUGEINT) * ($lon - $lrc)) AS BIGINT)
+                   AS g_scaled,
+                 CAST(8 AS BIGINT) AS df,
+                 CAST(CAST(sum(CAST(o AS HUGEINT) * ($lon - $lrc))
+                      AS BIGINT) AS DOUBLE)
+                   * 1.3862943611198906 / 1048576.0 AS g_stat,
+                 CASE WHEN CAST(sum(CAST(o AS HUGEINT) * ($lon - $lrc))
+                           AS BIGINT) > 11729304
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                 END AS reject_flag
+          FROM t"""
+    },
+
+    "agg_poisson_rate_test" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                           max(CAST(ts AS DATE)) AS mx FROM events),
+              s AS (SELECT mn,
+                           mn + CAST((datediff('day', mn, mx) + 1) // 2
+                                     AS INTEGER) AS mid,
+                           mx FROM b),
+              g AS (SELECT event_type,
+                           CAST(sum(CASE WHEN CAST(ts AS DATE) < s.mid
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                           CAST(sum(CASE WHEN CAST(ts AS DATE) >= s.mid
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                           CAST(datediff('day', min(s.mn), min(s.mid))
+                                AS BIGINT) AS e1,
+                           CAST(datediff('day', min(s.mid), min(s.mx)) + 1
+                                AS BIGINT) AS e2
+                    FROM events, s GROUP BY 1)
+         SELECT event_type, n1, n2, e1, e2,
+                CAST((10000 * n1 * e2) // (n2 * e1) AS BIGINT)
+                  AS rate_ratio_q4,
+                CAST((CAST(n1*(e1+e2) - (n1+n2)*e1 AS HUGEINT)
+                      * (n1*(e1+e2) - (n1+n2)*e1) * 10000)
+                     // ((n1+n2) * e1 * e2) AS BIGINT) AS score_q4,
+                CASE WHEN CAST(n1*(e1+e2) - (n1+n2)*e1 AS HUGEINT)
+                          * (n1*(e1+e2) - (n1+n2)*e1) * 10000
+                          > CAST((n1+n2) AS HUGEINT) * e1 * e2 * 38415
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                END AS rate_shift_flag
+         FROM g ORDER BY event_type""",
+
+    "agg_tukey_hsd" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                AS BIGINT) AS s,
+                           CAST(sum(CAST(CAST(round(value * 100, 0)
+                                    AS BIGINT) AS HUGEINT)
+                                    * CAST(round(value * 100, 0) AS BIGINT))
+                                AS BIGINT) AS ss
+                    FROM events GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                           CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(ss - (CAST(s AS HUGEINT) * s) // n)
+                                AS BIGINT) AS ssw_q
+                    FROM g),
+              p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                           a.n AS n_a, b.n AS n_b,
+                           (256 * a.s) // a.n - (256 * b.s) // b.n AS dq,
+                           100 * CAST((256*a.s)//a.n - (256*b.s)//b.n
+                                      AS HUGEINT)
+                               * ((256*a.s)//a.n - (256*b.s)//b.n)
+                               * (t.nn - t.k) * 2 * a.n * b.n AS lhs,
+                           1488 * 65536 * CAST(t.ssw_q AS HUGEINT)
+                               * (a.n + b.n) AS rhs
+                    FROM g a JOIN g b ON a.event_type < b.event_type
+                    CROSS JOIN t)
+         SELECT type_a, type_b, n_a, n_b,
+                CAST(dq AS BIGINT) AS mean_diff_q8,
+                CAST((10000 * lhs) // rhs AS BIGINT) AS hsd_ratio_q4,
+                CASE WHEN lhs > rhs THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS hsd_flag
+         FROM p ORDER BY type_a, type_b""",
+
+    "sample_systematic" ->
+      """WITH o AS (SELECT event_type, event_id,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                           row_number() OVER (
+                             PARTITION BY event_type, CAST(ts AS DATE)
+                             ORDER BY ts, event_id) AS r
+                    FROM events),
+              tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+                      FROM o GROUP BY 1),
+              kept AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n_kept,
+                              CAST(sum(event_id) AS BIGINT) AS id_checksum,
+                              CAST(sum(cents) AS BIGINT) AS cents_kept
+                       FROM o WHERE r % 20 = 7 GROUP BY 1)
+         SELECT event_type, n_total, n_kept, id_checksum, cents_kept
+         FROM tot JOIN kept USING (event_type) ORDER BY event_type""",
+
+    "ts_ou_halflife" -> {
+      val lphi = graft.functions.FixedLog2.sql("abs(phi_q16)")
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                            CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                 AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+               l AS (SELECT event_type, x,
+                            lag(x) OVER (PARTITION BY event_type
+                                         ORDER BY dt) AS px
+                     FROM d),
+               a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(CAST(x AS HUGEINT) * px) AS BIGINT)
+                              AS sxy,
+                            CAST(sum(x) AS BIGINT) AS sx,
+                            CAST(sum(px) AS BIGINT) AS sp,
+                            CAST(sum(CAST(px AS HUGEINT) * px) AS BIGINT)
+                              AS spp
+                     FROM l WHERE px IS NOT NULL GROUP BY 1),
+               p AS (SELECT event_type, n,
+                            CAST((65536 * (CAST(n AS HUGEINT)*sxy
+                                           - CAST(sx AS HUGEINT)*sp))
+                                 // (CAST(n AS HUGEINT)*spp
+                                     - CAST(sp AS HUGEINT)*sp) AS BIGINT)
+                              AS phi_q16
+                     FROM a)
+          SELECT event_type, n, phi_q16,
+                 CASE WHEN abs(phi_q16) BETWEEN 1 AND 65535
+                      THEN CAST(268435456 // (16777216 - $lphi) AS BIGINT)
+                      ELSE NULL END AS halflife_q8,
+                 CASE WHEN abs(phi_q16) BETWEEN 1 AND 65535
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                 END AS reverting_flag
+          FROM p ORDER BY event_type"""
+    },
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,

@@ -118,6 +118,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "olap_percent_of_parent", "olap_abc_classification",
       // same 1-row grand-total scalar combine, once per compared period
       "olap_abc_migration",
+      // 1-row grand-total scalar into the 15-cell G-term projection
+      "agg_g_test",
+      // 1-row global date-bounds scalar broadcast onto the event rows
+      "agg_poisson_rate_test",
+      // 5-row stats self-join (a < b pairs) + 1-row totals combine
+      "agg_tukey_hsd",
       // 1-row erased x kept audit scalars per table
       "inc_gdpr_erasure",
       // per-relation 1-row child-stats x 1-row orphan-stats combines
