@@ -8917,6 +8917,141 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Cohen's kappa inter-labeler agreement between the two cheap length
+    // labelings every curation pipeline accumulates (char-class terciles
+    // vs word-count terciles): κ = (N·ΣOᵢᵢ − ΣRᵢCᵢ)/(N² − ΣRᵢCᵢ), exact
+    // integers through one final IEEE division. The contingency is ≤ 9
+    // cells after the first groupBy, so margins and totals are bounded
+    // 1-row broadcasts (allowlisted scalar combines).
+    "agg_cohens_kappa" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val words = length(col("text")) -
+        length(regexp_replace(col("text"), lit(" "), lit(""))) + 1
+      val l = Tables.documents(s, dir).select(
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L).as("la"),
+        when(words < 40, 0L).when(words < 69, 1L).otherwise(2L).as("lb"))
+      val o = l.groupBy("la", "lb").agg(count(lit(1)).as("n")).tracked
+      val tot = o.agg(sum("n").cast("long").as("n_total"),
+        sum(when(col("la") === col("lb"), col("n")).otherwise(0L))
+          .cast("long").as("n_agree"))
+      val r = o.groupBy("la").agg(sum("n").as("rn"))
+      val k = o.groupBy("lb").agg(sum("n").as("cn"))
+      val chance = r.join(k, col("la") === col("lb"))
+        .agg(Exact.checkedLong(sum(dec(col("rn")) * dec(col("cn"))))
+          .as("chance"))
+      tot.crossJoin(broadcast(chance))
+        .select(col("n_total"), col("n_agree"), col("chance"),
+          Exact.checkedLong(dec(col("n_total")) * dec(col("n_agree"))
+            - dec(col("chance"))).as("kappa_num"),
+          Exact.checkedLong(dec(col("n_total")) * dec(col("n_total"))
+            - dec(col("chance"))).as("kappa_den"))
+        .withColumn("kappa", col("kappa_num").cast("double")
+          / col("kappa_den").cast("double"))
+    }),
+
+    // Stationary distribution of the user-journey Markov chain: three q16
+    // power-iteration steps π′ⱼ = Σᵢ (πᵢ·nᵢⱼ) div rᵢ over the transition
+    // counts — integer floor-division per term on both engines, so the
+    // iterate is DEFINED on the lattice and bitwise portable. The chain is
+    // k×k (k = event types) after one user-keyed lead window, so every
+    // iteration frame is bounded and broadcast; the normalizer is the
+    // allowlisted 1-row combine.
+    "mine_markov_stationary" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("event_type").as("e_from"),
+          lead(col("event_type"), 1).over(W).as("e_to"))
+        .filter(col("e_to").isNotNull)
+      val p = pairs.groupBy("e_from", "e_to").agg(count(lit(1)).as("n"))
+      val t = p.groupBy("e_from").agg(sum("n").cast("long").as("row_n"))
+      val pt = p.join(t, "e_from").tracked // k² rows, read 3×
+      val st = p.select(col("e_from").as("event_type")).distinct().tracked
+      var pi = st.select(col("event_type"), lit(65536L).as("v"))
+      for (_ <- 1 to 3) {
+        val mass = broadcast(pt)
+          .join(broadcast(pi),
+            pi("event_type") === pt("e_from"))
+          .select(col("e_to"), expr("(v * n) DIV row_n").as("m"))
+          .groupBy(col("e_to")).agg(sum("m").cast("long").as("mv"))
+        pi = st.join(mass, st("event_type") === mass("e_to"), "left")
+          .select(st("event_type"), coalesce(col("mv"), lit(0L)).as("v"))
+      }
+      val z = pi.agg(sum("v").cast("long").as("total"))
+      pi.crossJoin(broadcast(z))
+        .select(col("event_type"), col("v").as("pi_q16"),
+          (col("v").cast("double") / col("total").cast("double"))
+            .as("pi_share"))
+        .orderBy("event_type")
+    }),
+
+    // Adamic-Adar link prediction on the co-purchase graph: the
+    // hub-discounted sibling of jaccard_links — AA(x,y) = Σ_z 1/log d(z)
+    // over common neighbors z, each reciprocal-log an exact q20 integer
+    // ⌊2⁴⁰/log2fp(d)⌋ (the subtract-the-remainder form keeps the division
+    // exact in both engines; ln vs log2 is a constant factor that never
+    // reorders scores). Same degree-capped wedge generation as the other
+    // link predictors; deterministic (aa desc, x, y) top-20 boundary.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val cap = 64L
+      val L = graft.functions.FixedLog2.log2_fp _
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
+      val sym = e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
+        .select(col("n").as("c"), col("d").as("dc"))
+      // wedge centers have dc >= 2 by construction, so log2fp(dc) >= 2^20
+      // and the per-center term is exact: 2^40 minus its remainder mod L
+      // divides L exactly — the double division below is then lossless.
+      val term = deg.filter(col("dc") <= cap && col("dc") >= 2L)
+        .withColumn("lg", L(col("dc")))
+        .select(col("c"),
+          ((lit(1099511627776L) - pmod(lit(1099511627776L), col("lg")))
+            / col("lg")).cast("long").as("aa_term"))
+      val capped = sym.join(term, Seq("c")).tracked
+      capped.as("s1")
+        .join(capped.as("s2"), Seq("c"))
+        .filter(col("s1.x") < col("s2.x"))
+        .select(col("s1.x").as("x"), col("s2.x").as("y"),
+          col("s1.aa_term").as("aa_term"))
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("cn"), sum("aa_term").as("aa_q20"))
+        .join(e, col("x") === col("u") && col("y") === col("v"), "leftanti")
+        .select(col("x"), col("y"), col("cn"), col("aa_q20"),
+          (col("aa_q20").cast("double") / lit(1048576.0)).as("adamic_adar"))
+        .orderBy(col("aa_q20").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
+    // North-star multimodal: DC-removed zero-crossing rate over the same
+    // 64/32 overlapping sample windows as mm_audio_window — the voicing /
+    // spectral-tilt feature beside energy in every VAD front-end. Exact
+    // integer DC removal (ns·b[j] vs window sum), strict sign-change
+    // count; row-local flatMap, zero shuffle.
+    "mm_audio_zcr" -> ((s, dir) =>
+      graft.multimodal.Media.audioZcr(
+          graft.multimodal.Media.asMedia(
+            Tables.documents(s, dir).filter(col("doc_id") < 200),
+            "doc_id", "text"), windowSize = 64, hop = 32)
+        .toDF()
+        .withColumn("zcr", when(col("n_samples") >= 2L,
+          col("crossings").cast("double")
+            / (col("n_samples") - 1L).cast("double")))
+        .orderBy("media_id", "window_idx")),
+
+    // Hubness census of the embedding space: the k-occurrence histogram
+    // N_k(x) = how many vectors list x in their directed bucket-bounded
+    // top-3 neighbor lists. Hubs (N_k ≫ k) poison ANN recall and dedup
+    // canopies; antihubs (N_k = 0, kept explicit via the left join) are
+    // unreachable — this is the standard diagnostic for both, over the
+    // same LSH candidate generation as every other sim_* query.
+    "emb_hubness" -> ((s, dir) =>
+      graft.similarity.HyperplaneLsh
+        .kOccurrence(Tables.embeddings(s, dir), nPlanes = 4, dim = 64, k = 3)
+        .groupBy("n_k").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("n_k")),
+
     // Cumulative-distinct-users curve per series: each user reduces to
     // their first day ONCE (the partial-aggregable trick — a naive
     // count(distinct) per day rescans all history per cell), then one
@@ -14903,6 +15038,172 @@ object SparkEntry {
                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
                  END AS reverting_flag
           FROM p ORDER BY event_type"""
+    },
+
+    "agg_cohens_kappa" ->
+      """WITH l AS (SELECT CASE WHEN n_chars < 220 THEN 0
+                                WHEN n_chars < 380 THEN 1 ELSE 2 END AS la,
+                           CASE WHEN length(text)
+                                     - length(replace(text, ' ', '')) + 1
+                                     < 40 THEN 0
+                                WHEN length(text)
+                                     - length(replace(text, ' ', '')) + 1
+                                     < 69 THEN 1
+                                ELSE 2 END AS lb
+                    FROM documents),
+              o AS (SELECT la, lb, count(*) AS n FROM l GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                             CAST(sum(CASE WHEN la = lb THEN n ELSE 0 END)
+                                  AS BIGINT) AS n_agree
+                      FROM o),
+              marg AS (SELECT CAST(sum(r.rn * c.cn) AS BIGINT) AS chance
+                       FROM (SELECT la, sum(n) AS rn FROM o GROUP BY 1) r
+                       JOIN (SELECT lb, sum(n) AS cn FROM o GROUP BY 1) c
+                         ON r.la = c.lb)
+         SELECT t.n_total, t.n_agree, m.chance,
+                CAST(t.n_total * t.n_agree - m.chance AS BIGINT)
+                  AS kappa_num,
+                CAST(t.n_total * t.n_total - m.chance AS BIGINT)
+                  AS kappa_den,
+                CAST(t.n_total * t.n_agree - m.chance AS DOUBLE)
+                  / CAST(t.n_total * t.n_total - m.chance AS DOUBLE)
+                  AS kappa
+         FROM tot t, marg m""",
+
+    "mine_markov_stationary" ->
+      """WITH s AS (SELECT event_type AS e_from,
+                           lead(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS e_to
+                    FROM events),
+              p AS (SELECT e_from, e_to, count(*) AS n FROM s
+                    WHERE e_to IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT e_from, CAST(sum(n) AS BIGINT) AS row_n
+                    FROM p GROUP BY 1),
+              st AS (SELECT DISTINCT e_from AS event_type FROM p),
+              pi0 AS (SELECT event_type, CAST(65536 AS BIGINT) AS v FROM st),
+              pi1 AS (SELECT st.event_type,
+                             coalesce(CAST(sum((pi0.v * p.n) // t.row_n)
+                               AS BIGINT), 0) AS v
+                      FROM st
+                      LEFT JOIN p ON p.e_to = st.event_type
+                      LEFT JOIN pi0 ON pi0.event_type = p.e_from
+                      LEFT JOIN t ON t.e_from = p.e_from
+                      GROUP BY 1),
+              pi2 AS (SELECT st.event_type,
+                             coalesce(CAST(sum((pi1.v * p.n) // t.row_n)
+                               AS BIGINT), 0) AS v
+                      FROM st
+                      LEFT JOIN p ON p.e_to = st.event_type
+                      LEFT JOIN pi1 ON pi1.event_type = p.e_from
+                      LEFT JOIN t ON t.e_from = p.e_from
+                      GROUP BY 1),
+              pi3 AS (SELECT st.event_type,
+                             coalesce(CAST(sum((pi2.v * p.n) // t.row_n)
+                               AS BIGINT), 0) AS v
+                      FROM st
+                      LEFT JOIN p ON p.e_to = st.event_type
+                      LEFT JOIN pi2 ON pi2.event_type = p.e_from
+                      LEFT JOIN t ON t.e_from = p.e_from
+                      GROUP BY 1),
+              z AS (SELECT CAST(sum(v) AS BIGINT) AS total FROM pi3)
+         SELECT pi3.event_type, pi3.v AS pi_q16,
+                CAST(pi3.v AS DOUBLE) / CAST(z.total AS DOUBLE) AS pi_share
+         FROM pi3, z ORDER BY event_type""",
+
+    "graph_adamic_adar" -> {
+      val lg = graft.functions.FixedLog2.sql("dc")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                      FROM lineitem),
+               e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+               sym AS (SELECT u AS c, v AS x FROM e
+                       UNION ALL SELECT v, u FROM e),
+               deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
+                       FROM sym GROUP BY 1),
+               term AS (SELECT c,
+                          CAST(1099511627776 // $lg AS BIGINT) AS aa_term
+                        FROM deg WHERE dc <= 64 AND dc >= 2),
+               w AS (SELECT s1.x AS x, s2.x AS y, term.aa_term
+                     FROM sym s1
+                     JOIN sym s2 ON s1.c = s2.c AND s1.x < s2.x
+                     JOIN term ON term.c = s1.c),
+               sc AS (SELECT x, y, count(*) AS cn,
+                             CAST(sum(aa_term) AS BIGINT) AS aa_q20
+                      FROM w GROUP BY 1, 2),
+               nz AS (SELECT sc.* FROM sc
+                      WHERE NOT EXISTS (SELECT 1 FROM e
+                                        WHERE e.u = sc.x AND e.v = sc.y))
+          SELECT x, y, cn, aa_q20,
+                 CAST(aa_q20 AS DOUBLE) / CAST(1048576 AS DOUBLE)
+                   AS adamic_adar
+          FROM nz ORDER BY aa_q20 DESC, x, y LIMIT 20"""
+    },
+
+    // same 64/32 window enumeration as mm_audio_window; centered samples
+    // are ns·b[j] − wsum (exact integer DC removal), a crossing is a
+    // strict sign change, counted branch-free as (1 − sign(prod)) // 2
+    "mm_audio_zcr" ->
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                      WHERE doc_id < 200 AND octet_length(encode(text)) > 0),
+             b AS (SELECT media_id, nb, ${duckHexBytes("h")} AS bytes
+                   FROM hx),
+             w AS (SELECT media_id, nb, bytes,
+                          CAST(unnest(generate_series(0,
+                            CAST((nb - 1) // 32 AS INT))) AS INT)
+                            AS window_idx
+                   FROM b),
+             c AS (SELECT media_id, window_idx, bytes,
+                          least(64, nb - window_idx * 32) AS ns
+                   FROM w),
+             d AS (SELECT media_id, window_idx, bytes, ns,
+                          CAST(list_sum(list_transform(
+                            generate_series(window_idx * 32 + 1,
+                                            window_idx * 32 + ns),
+                            j -> bytes[j])) AS BIGINT) AS wsum
+                   FROM c),
+             x AS (SELECT media_id, window_idx, ns,
+                          CAST(coalesce(list_sum(list_transform(
+                            generate_series(window_idx * 32 + 1,
+                                            window_idx * 32 + ns - 1),
+                            j -> (1 - sign((ns * bytes[j] - wsum)
+                                   * (ns * bytes[j + 1] - wsum))) // 2)), 0)
+                            AS BIGINT) AS crossings
+                   FROM d)
+         SELECT media_id, window_idx, CAST(ns AS BIGINT) AS n_samples,
+                crossings,
+                CASE WHEN ns >= 2 THEN CAST(crossings AS DOUBLE)
+                       / CAST(ns - 1 AS DOUBLE) END AS zcr
+         FROM x ORDER BY media_id, window_idx""",
+
+    "emb_hubness" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(4, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+        s"CASE WHEN ${duckDot("embedding", pl)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket
+                     FROM embeddings),
+              pairs AS (SELECT a.vec_id AS va, b2.vec_id AS vb,
+                          ${duckDot("a.embedding", "b2.embedding")}
+                            / (sqrt(${duckDot("a.embedding", "a.embedding")})
+                               * sqrt(${duckDot("b2.embedding",
+                                 "b2.embedding")})) AS cosine
+                        FROM b a JOIN b b2 ON a.bucket = b2.bucket
+                                           AND a.vec_id <> b2.vec_id),
+              ranked AS (SELECT va, vb,
+                           row_number() OVER (PARTITION BY va
+                             ORDER BY cosine DESC, vb) AS rk
+                         FROM pairs QUALIFY rk <= 3),
+              occ AS (SELECT vb AS vec_id, count(*) AS occ
+                      FROM ranked GROUP BY 1),
+              allv AS (SELECT e.vec_id, coalesce(o.occ, 0) AS n_k
+                       FROM embeddings e
+                       LEFT JOIN occ o ON o.vec_id = e.vec_id)
+          SELECT n_k, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM allv GROUP BY 1 ORDER BY 1"""
     },
 
     "olap_cumulative_distinct" ->

@@ -386,6 +386,48 @@ object Media {
     }
   }
 
+  /** One DC-removed zero-crossing count per analysis window: the voicing /
+    * spectral-tilt feature VAD front-ends pair with energy. Raw bytes are
+    * all-positive, so the DC offset is removed exactly in integers by
+    * comparing ns·b[j] against the window sum (≡ b[j] vs the window mean
+    * without ever forming a fractional mean); a crossing is a strict sign
+    * change between consecutive centered samples.
+    */
+  case class AudioZcr(media_id: Long, window_idx: Int, n_samples: Long,
+                      crossings: Long)
+
+  /** Same 8-bit PCM windowing contract as [[audioWindows]] (windowSize
+    * every hop, short tail window), emitting the exact integer
+    * zero-crossing count per window. Row-local flatMap — zero shuffle,
+    * same explode parallelism as frame sampling.
+    */
+  def audioZcr(media: Dataset[MediaRow], windowSize: Int,
+               hop: Int): Dataset[AudioZcr] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val nWin = if (n == 0) 0 else (n - 1) / hop + 1
+      (0 until nWin).iterator.map { i =>
+        val start = i * hop
+        val end = math.min(start + windowSize, n)
+        val ns = (end - start).toLong
+        var wsum = 0L
+        var j = start
+        while (j < end) { wsum += (m.payload(j) & 0xff); j += 1 }
+        var cr = 0L
+        j = start
+        while (j < end - 1) {
+          val a = ns * (m.payload(j) & 0xff) - wsum
+          val b = ns * (m.payload(j + 1) & 0xff) - wsum
+          if (a * b < 0) cr += 1
+          j += 1
+        }
+        AudioZcr(m.media_id, i, ns, cr)
+      }
+    }
+  }
+
   /** Resize stage (STUB): a real impl re-encodes the payload at the target
     * dimensions; the stub rewrites the declared metadata and truncates the
     * payload proportionally so downstream stages see a consistent

@@ -85,6 +85,29 @@ object HyperplaneLsh {
     * criterion k-NN-graph clustering and dedup-canopy construction use).
     * Canonical (vec_a < vec_b) output with both ranks.
     */
+  /** k-occurrence (hubness) census over the DIRECTED bucket-bounded kNN
+    * lists: N_k(x) = how many other vectors list x among their top-k
+    * same-bucket neighbors (cosine desc, vec_id tiebreak — the knnGraph
+    * ranking stage before the mutual filter). High-dimensional corpora
+    * grow hubs (N_k ≫ k) and antihubs (N_k = 0); the census is the
+    * standard retrieval-quality diagnostic for both. Left join keeps the
+    * antihubs explicit as n_k = 0.
+    */
+  def kOccurrence(vectors: DataFrame, nPlanes: Int, dim: Int,
+                  k: Int): DataFrame = {
+    val pairs = bucketPairs(vectors, nPlanes, dim)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va").orderBy(col("cosine").desc, col("vb"))
+    val occ = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(count(lit(1)).as("occ"))
+    vectors.select("vec_id")
+      .join(occ, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("occ"), lit(0L)).as("n_k"))
+  }
+
   def knnGraph(vectors: DataFrame, nPlanes: Int, dim: Int,
                k: Int): DataFrame = {
     val pairs = bucketPairs(vectors, nPlanes, dim)

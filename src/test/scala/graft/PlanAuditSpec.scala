@@ -120,6 +120,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "olap_abc_migration",
       // 1-row grand-total scalar into the 15-cell G-term projection
       "agg_g_test",
+      // 1-row totals x 1-row chance-margin combine over the <=9-cell grid
+      "agg_cohens_kappa",
+      // 1-row normalizer onto the k-row stationary vector
+      "mine_markov_stationary",
       // 1-row global date-bounds scalar broadcast onto the event rows
       "agg_poisson_rate_test",
       // 5-row stats self-join (a < b pairs) + 1-row totals combine
