@@ -9052,6 +9052,129 @@ object SparkEntry {
         .groupBy("n_k").agg(count(lit(1)).as("n_vectors"))
         .orderBy("n_k")),
 
+    // EXACT sliding 7-day distinct users (WAU) per day — the window-
+    // distinct that has no direct operator anywhere: re-expressed as the
+    // first-in-window difference array. A user-day (d, prev) is the
+    // user's first active day inside windows ending e ∈ [max(d, prev+7),
+    // d+6]; emitting +1/−1 at the range bounds and prefix-summing the
+    // (bounded, ~90-row) day axis gives the exact count with ONE user-day
+    // dedup shuffle + ONE keyed lag window — never a day×history rescan
+    // or an explode-7 re-dedup. The day-axis cumulative runs on the
+    // deliberate onePartition key (dimension-sized frame).
+    "olap_wau_sliding_distinct" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val seg = ud.withColumn("prev",
+        lag(col("d"), 1).over(W.partitionBy("user_id").orderBy("d")))
+      val delta = seg.select(
+          when(col("prev").isNull, col("d"))
+            .otherwise(greatest(col("d"), date_add(col("prev"), 7)))
+            .as("e"), lit(1L).as("v"))
+        .unionAll(seg.select(date_add(col("d"), 7).as("e"),
+          lit(-1L).as("v")))
+        .groupBy("e").agg(sum("v").as("dv"))
+      val days = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts")))
+          .as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      days.join(delta, days("day") === delta("e"), "left")
+        .select(col("day"), coalesce(col("dv"), lit(0L)).as("dv"))
+        .withColumn("wau", sum("dv").over(
+          W.partitionBy(Exact.onePartition(col("day"))).orderBy("day")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .select("day", "wau")
+        .orderBy("day")
+    }),
+
+    // Global path-motif census: nodes, edges, wedges, triangles and open
+    // 3-paths in one report — P₃ = Σ_e (dᵤ−1)(dᵥ−1) − 3T needs only the
+    // pinned degree frame joined back to edges (never a path
+    // materialization), and T reuses the shared compact-forward closure.
+    // The motif ratios are the graph's shape fingerprint (tree-like vs
+    // clustered) at any scale.
+    "graph_path3_census" -> ((s, dir) => {
+      val G = graft.olap.GraphFrames
+      val e = G.coPurchaseEdges(s, dir)
+      val deg = G.coPurchaseDegrees(s, dir)
+      val base = graft.olap.Triangles.stats(e, deg,
+        G.coPurchaseOriented(s, dir), G.coPurchaseAdjacency(s, dir))
+      val p3 = e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .agg(sum((col("du") - 1) * (col("dv") - 1)).as("pp"))
+      base.crossJoin(broadcast(p3))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (col("pp") - lit(3L) * col("n_triangles")).as("n_path3"))
+    }),
+
+    // Historical VaR(5%) + CVaR (expected shortfall) per series: the exact
+    // positional ⌈0.05n⌉-th worst q20 daily return and the exact mean of
+    // the tail — rank picks over keyed windows (ties at the boundary are
+    // value-equal, so every output is order-free), integer sums until the
+    // final divisions. The risk pair every returns pipeline reports.
+    "ts_var_cvar" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val bars = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(max_by(Exact.cents(col("value")), col("ts")).as("c"))
+      val rets = bars
+        .withColumn("prev", lag(col("c"), 1).over(
+          W.partitionBy("event_type").orderBy("date")))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          floor((col("c") - col("prev")).cast("double")
+            / col("prev").cast("double") * lit(1048576.0))
+            .cast("long").as("x"))
+      val ranked = rets
+        .withColumn("rn", row_number().over(
+          W.partitionBy("event_type").orderBy("x")))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+        .withColumn("kk", expr("(n * 5 + 99) DIV 100"))
+      ranked.filter(col("rn") <= col("kk"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"), max("kk").as("n_tail"),
+          max("x").as("var_q20"), sum("x").as("tail_sum"))
+        .select(col("event_type"), col("n_days"), col("n_tail"),
+          col("var_q20"),
+          (col("var_q20").cast("double") / lit(1048576.0)).as("var_5pct"),
+          (col("tail_sum").cast("double") / col("n_tail").cast("double")
+            / lit(1048576.0)).as("cvar_5pct"))
+        .orderBy("event_type")
+    }),
+
+    // Truss support: per co-purchase edge, the number of triangles through
+    // it — the edge-strength measure k-truss decomposition peels on. The
+    // shared compact-forward closure emits each triangle ONCE; exploding
+    // its three canonical edges and counting is 3·T rows (linear in
+    // triangles, never wedges), left-joined back so support-0 edges stay
+    // explicit. Output is the support histogram — the truss profile.
+    "graph_truss_support" -> ((s, dir) => {
+      val G = graft.olap.GraphFrames
+      val e = G.coPurchaseEdges(s, dir)
+      val adj = G.coPurchaseAdjacency(s, dir)
+      val tris = G.coPurchaseOriented(s, dir)
+        .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          explode(array_intersect(col("na"), col("nb"))).as("w"))
+      val sup = tris.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("w")).as("u"),
+            greatest(col("a"), col("w")).as("v")),
+          struct(least(col("b"), col("w")).as("u"),
+            greatest(col("b"), col("w")).as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      e.join(sup, Seq("u", "v"), "left")
+        .select(coalesce(col("support"), lit(0L)).as("support"))
+        .groupBy("support").agg(count(lit(1)).as("n_edges"))
+        .orderBy("support")
+    }),
+
     // Cumulative-distinct-users curve per series: each user reduces to
     // their first day ONCE (the partial-aggregable trick — a naive
     // count(distinct) per day rescans all history per cell), then one
@@ -15205,6 +15328,135 @@ object SparkEntry {
           SELECT n_k, CAST(count(*) AS BIGINT) AS n_vectors
           FROM allv GROUP BY 1 ORDER BY 1"""
     },
+
+    // first-in-window difference array: user-day (d, prev) is first inside
+    // windows ending e in [max(d, prev+7), d+6]; +1/-1 at the bounds,
+    // prefix sum over the bounded day axis = exact sliding distinct
+    "olap_wau_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+              lagd AS (SELECT user_id, d,
+                              lag(d) OVER (PARTITION BY user_id
+                                           ORDER BY d) AS prev
+                       FROM ud),
+              seg AS (SELECT CASE WHEN prev IS NULL THEN d
+                                  ELSE greatest(d, prev + 7) END AS e_start,
+                             d + 7 AS e_next
+                      FROM lagd),
+              delta AS (SELECT e_start AS e, 1 AS v FROM seg
+                        UNION ALL SELECT e_next, -1 FROM seg),
+              dd AS (SELECT e, CAST(sum(v) AS BIGINT) AS dv
+                     FROM delta GROUP BY 1),
+              bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                                max(CAST(ts AS DATE)) AS mx FROM events),
+              days AS (SELECT CAST(unnest(generate_series(mn, mx,
+                                INTERVAL 1 DAY)) AS DATE) AS day
+                       FROM bounds),
+              cum AS (SELECT days.day, coalesce(dd.dv, 0) AS dv
+                      FROM days LEFT JOIN dd ON dd.e = days.day)
+         SELECT day, CAST(sum(dv) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS wau
+         FROM cum ORDER BY day""",
+
+    "graph_path3_census" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              sym AS (SELECT u AS c, v AS x FROM e
+                      UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d
+                      FROM sym GROUP BY 1),
+              ord AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+                      FROM e JOIN deg du ON du.c = e.u
+                             JOIN deg dv ON dv.c = e.v),
+              dir AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                                  THEN u ELSE v END AS a,
+                             CASE WHEN du < dv OR (du = dv AND u < v)
+                                  THEN v ELSE u END AS b
+                      FROM ord),
+              tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                      FROM dir d1
+                      JOIN dir d2 ON d2.a = d1.b
+                      JOIN dir d3 ON d3.a = d1.a AND d3.b = d2.b),
+              w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+                    FROM deg),
+              p3 AS (SELECT CAST(sum((du.d - 1) * (dv.d - 1)) AS BIGINT)
+                       AS pp
+                     FROM e JOIN deg du ON du.c = e.u
+                            JOIN deg dv ON dv.c = e.v),
+              ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+              nv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT nv.n_nodes, ne.n_edges, w.wedges AS n_wedges,
+                tri.t AS n_triangles, p3.pp - 3 * tri.t AS n_path3
+         FROM nv, ne, w, tri, p3""",
+
+    "ts_var_cvar" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                           CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                             AS c
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type,
+                           CAST(floor(CAST(c - lag(c) OVER w AS DOUBLE)
+                                / CAST(lag(c) OVER w AS DOUBLE)
+                                * CAST(1048576 AS DOUBLE)) AS BIGINT) AS x
+                    FROM b WINDOW w AS (PARTITION BY event_type
+                                        ORDER BY date)),
+              q AS (SELECT event_type, x,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY x) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM r WHERE x IS NOT NULL),
+              v AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+                           CAST(max((n * 5 + 99) // 100) AS BIGINT)
+                             AS n_tail,
+                           max(x) AS var_q20,
+                           CAST(sum(x) AS BIGINT) AS tail_sum
+                    FROM q WHERE rn <= (n * 5 + 99) // 100
+                    GROUP BY 1)
+         SELECT event_type, n_days, n_tail, var_q20,
+                CAST(var_q20 AS DOUBLE) / CAST(1048576 AS DOUBLE)
+                  AS var_5pct,
+                CAST(tail_sum AS DOUBLE) / CAST(n_tail AS DOUBLE)
+                  / CAST(1048576 AS DOUBLE) AS cvar_5pct
+         FROM v ORDER BY event_type""",
+
+    // triangle multiset is method-independent, so the wedge-free support
+    // census here matches Spark's compact-forward enumeration exactly
+    "graph_truss_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              sym AS (SELECT u AS c, v AS x FROM e
+                      UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d
+                      FROM sym GROUP BY 1),
+              ord AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+                      FROM e JOIN deg du ON du.c = e.u
+                             JOIN deg dv ON dv.c = e.v),
+              dir AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                                  THEN u ELSE v END AS a,
+                             CASE WHEN du < dv OR (du = dv AND u < v)
+                                  THEN v ELSE u END AS b
+                      FROM ord),
+              tri AS (SELECT d1.a AS x, d1.b AS y, d2.b AS z
+                      FROM dir d1
+                      JOIN dir d2 ON d2.a = d1.b
+                      JOIN dir d3 ON d3.a = d1.a AND d3.b = d2.b),
+              sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support
+                      FROM (SELECT least(x, y) AS u, greatest(x, y) AS v
+                            FROM tri
+                            UNION ALL SELECT least(y, z), greatest(y, z)
+                            FROM tri
+                            UNION ALL SELECT least(x, z), greatest(x, z)
+                            FROM tri)
+                      GROUP BY 1, 2),
+              alle AS (SELECT coalesce(s.support, 0) AS support
+                       FROM e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v)
+         SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+         FROM alle GROUP BY 1 ORDER BY 1""",
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,

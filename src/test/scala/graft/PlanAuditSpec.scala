@@ -124,6 +124,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_cohens_kappa",
       // 1-row normalizer onto the k-row stationary vector
       "mine_markov_stationary",
+      // 1-row motif scalars (stats x edges x triangles x P3) combined
+      "graph_path3_census",
       // 1-row global date-bounds scalar broadcast onto the event rows
       "agg_poisson_rate_test",
       // 5-row stats self-join (a < b pairs) + 1-row totals combine
