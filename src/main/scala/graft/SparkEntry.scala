@@ -9175,6 +9175,189 @@ object SparkEntry {
         .orderBy("support")
     }),
 
+    // Randomization (permutation) test for the purchase-vs-rest value
+    // difference: 64 deterministic sign-splits from the spread-hash chain,
+    // statistic d = |n·S₁ − n₁·S| (zero-mean under exchangeability),
+    // DECIMAL-exact per split, p̂ = (#{|d_p| ≥ |d_obs|}+1)/65. ONE pass:
+    // the 64 re-labelings are gated sums inside a single wide partial
+    // aggregation — never 64 scans and never an explode — which is the
+    // only shape that survives 100 TB. Monte-Carlo over fixed hash splits,
+    // so reruns, retries and the oracle all see identical permutations.
+    "agg_permutation_test" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val h = Tables.events(s, dir).select(
+        col("event_type"), Exact.cents(col("value")).as("cc"),
+        graft.olap.Sketch.spreadHash(col("event_id")).as("h3"))
+      def bit(p: Int) = expr(
+        s"((h3 * 1000003 + ${p * 7919 + 12345}) % 2147483647 >> 7) & 1")
+      val base = Seq(
+        count(lit(1)).as("n"), sum(col("cc")).as("s"),
+        sum(when(col("event_type") === "purchase", col("cc"))
+          .otherwise(0L)).as("s_obs"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_obs"))
+      val perms = (0 until 64).flatMap { p =>
+        Seq(sum(when(bit(p) === 1, col("cc")).otherwise(0L)).as(s"s$p"),
+            sum(when(bit(p) === 1, 1L).otherwise(0L)).as(s"m$p"))
+      }
+      val agg = h.agg((base ++ perms).head, (base ++ perms).tail: _*)
+      val dObs = abs(dec(col("n")) * dec(col("s_obs"))
+        - dec(col("n_obs")) * dec(col("s")))
+      val ge = (0 until 64).map { p =>
+        when(abs(dec(col("n")) * dec(col(s"s$p"))
+          - dec(col(s"m$p")) * dec(col("s"))) >= dObs, 1L).otherwise(0L)
+      }.reduce(_ + _)
+      agg.select(col("n").as("n_events"), col("n_obs").as("n_treat"),
+        Exact.checkedLong(dObs).as("d_obs"), ge.as("n_perm_ge"),
+        ((ge + lit(1L)).cast("double") / lit(65.0)).as("p_value"))
+    }),
+
+    // Held-out unigram perplexity — the data-quality statistic an LLM
+    // pretraining pipeline runs per source: train add-one-smoothed
+    // unigram counts on even doc_ids, score the odd half, cross-entropy
+    // bits on the FixedLog2 lattice (order-free exact sums). Sources
+    // whose held-out half surprises the other half's LM are drifted or
+    // contaminated. Vocab join is the only shuffle beside the two
+    // tokenize groupBys; the (T, V) scalars ride a 1-row broadcast.
+    "text_heldout_perplexity" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w")).tracked
+      val tr = tok.filter(col("doc_id") % 2 === 0)
+        .groupBy("w").agg(count(lit(1)).as("c")).tracked
+      val stats = tr.agg(sum("c").cast("long").as("t_train"),
+        count(lit(1)).as("v_train"))
+      tok.filter(col("doc_id") % 2 === 1)
+        .join(tr, Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("bits_term",
+          L(col("t_train") + col("v_train"))
+            - L(coalesce(col("c"), lit(0L)) + 1L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("bits_term").cast("decimal(38,0)")).cast("long")
+            .as("bits_q20"))
+        .withColumn("bits_per_token",
+          col("bits_q20").cast("double") / col("n_tokens").cast("double")
+            / lit(1048576.0))
+        .orderBy("source")
+    }),
+
+    // North-star multimodal: 2×2 tile census through the REAL PNG codec —
+    // encode each doc's deterministic grayscale raster as compressed PNG
+    // bytes, decode them back and emit per-quadrant pixel counts + sums
+    // (the ViT-patching shape). Grayscale PNG is lossless, so the oracle
+    // recomputes every tile sum arithmetically from the synthesis
+    // formula. Batched mapPartitions both stages, zero shuffle.
+    "mm_image_tiles" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            graft.multimodal.Media.MediaRow(id,
+              graft.multimodal.Media.PngCodec.encodeGray(w, h,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt),
+              "png")
+          }
+        }
+      media.mapPartitions { rows =>
+        rows.flatMap { m =>
+          val (w, h, tiles) =
+            graft.multimodal.Media.PngCodec.decodeQuadrants(m.payload)
+          tiles.map { case (r, c, npx, sum) =>
+            (m.media_id, w.toLong, h.toLong, r.toLong, c.toLong, npx, sum)
+          }
+        }
+      }.toDF("media_id", "width", "height", "tile_row", "tile_col",
+          "n_px", "px_sum")
+        .orderBy("media_id", "tile_row", "tile_col")
+    }),
+
+    // Goertzel spectral power at periods 7 and 10 of the centered daily
+    // totals — "is the series weekly-seasonal?" asked in the frequency
+    // domain. The two-term recurrence sₙ = yₙ + (c·sₙ₋₁) div 2¹⁶ − sₙ₋₂
+    // runs on the q16 coefficient lattice (c = ⌊2¹⁶·2cos(2π/k)⌋) with the
+    // (s₁,s₂) state packed into ONE BIGINT — the documented DuckDB
+    // in-place-struct fold hazard — so both engines fold the identical
+    // branch-free integer sequence. Day cells bound the series; the fold
+    // is a codegen higher-order aggregate over a per-type array.
+    "ts_goertzel_power" -> ((s, dir) => {
+      val B = 1073741824L // 2^30: state bias
+      val M = 2147483648L // 2^31: pack modulus
+      def fold(cq: Long) =
+        s"""aggregate(ys, CAST(${B * M + B} AS BIGINT), (a, yq) ->
+           |  (yq + ($cq * (a div $M - $B)) div 65536
+           |     - (a % $M - $B) + $B) * $M
+           |  + (a div $M - $B) + $B)""".stripMargin
+      def power(cq: Long, k: String) = {
+        val s1 = s"($k div $M - $B)"
+        val s2 = s"($k % $M - $B)"
+        s"($s1 * $s1 + $s2 * $s2 - ($cq * $s1 * $s2) div 65536)"
+      }
+      Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(sum("cc").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+          sort_array(collect_list(struct(col("dt"), col("x")))).as("xs"))
+        .withColumn("ys",
+          expr("transform(xs, v -> (v.x - sx div n_days) div 1024)"))
+        .withColumn("k7", expr(fold(81722L)))
+        .withColumn("k10", expr(fold(106039L)))
+        .select(col("event_type"), col("n_days"),
+          expr(power(81722L, "k7")).as("power_p7"),
+          expr(power(106039L, "k10")).as("power_p10"),
+          when(expr(power(81722L, "k7")) > expr(power(106039L, "k10")), 1L)
+            .otherwise(0L).as("weekly_dominant"))
+        .orderBy("event_type")
+    }),
+
+    // Deterministic hash-steered random walks (the node2vec/PPR sampling
+    // primitive): 6 steps from the 64 highest-degree parts, next hop =
+    // neighbor at index hash(seed, step, node) mod degree over the
+    // indexed adjacency. Each step is one equi-join against the tracked
+    // adjacency — walk fan-out never touches non-frontier nodes, the
+    // sampling posture that makes walks tractable on a 100 TB graph.
+    // Reruns and the oracle see identical walks (no RNG state).
+    "graph_random_walk_visits" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
+      val sym = e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      val adj = sym
+        .withColumn("idx",
+          row_number().over(W.partitionBy("c").orderBy("x")) - 1)
+        .tracked // probed once per step
+      val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
+        .select(col("n").as("node"), col("d").as("dn"))
+      val seeds = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
+        .orderBy(col("d").desc, col("n")).limit(64)
+        .select(col("n").as("seed"), col("n").as("node"))
+      var frontier = seeds
+      var visits: DataFrame = null
+      for (t <- 1 to 6) {
+        val mix = (col("seed") * lit(1000003L)
+          + lit(t.toLong * 7919L + 12345L)
+          + col("node") * lit(31L)) % lit(2147483647L)
+        frontier = frontier.join(deg, "node")
+          .withColumn("pick", mix % col("dn"))
+          .join(adj, col("c") === col("node") && col("idx") === col("pick"))
+          .select(col("seed"), col("x").as("node"))
+        visits = if (visits == null) frontier.select("node")
+          else visits.unionAll(frontier.select("node"))
+      }
+      visits.groupBy("node").agg(count(lit(1)).as("visits"))
+        .orderBy(col("visits").desc, col("node"))
+        .limit(20)
+    }),
+
     // Cumulative-distinct-users curve per series: each user reduces to
     // their first day ONCE (the partial-aggregable trick — a naive
     // count(distinct) per day rescans all history per cell), then one
@@ -15457,6 +15640,195 @@ object SparkEntry {
                        FROM e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v)
          SELECT support, CAST(count(*) AS BIGINT) AS n_edges
          FROM alle GROUP BY 1 ORDER BY 1""",
+
+    // 64 hash sign-splits as gated sums in one wide aggregation; the
+    // spread-hash chain replayed inline exactly as sample_hash_split does
+    "agg_permutation_test" -> {
+      val sums = (0 until 64).map { p =>
+        s"""sum(CASE WHEN ((h3 * 1000003 + ${p * 7919 + 12345})
+           |  % 2147483647 >> 7) & 1 = 1 THEN cc ELSE 0 END) AS s$p,
+           |sum(CASE WHEN ((h3 * 1000003 + ${p * 7919 + 12345})
+           |  % 2147483647 >> 7) & 1 = 1 THEN 1 ELSE 0 END) AS m$p"""
+          .stripMargin
+      }.mkString(",\n")
+      val dterms = (0 until 64).map { p =>
+        s"abs(CAST(n AS DECIMAL(38,0)) * s$p" +
+          s" - CAST(m$p AS DECIMAL(38,0)) * s) AS d$p"
+      }.mkString(",\n")
+      val cnt = (0 until 64)
+        .map(p => s"(CASE WHEN d$p >= d_obs THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, event_type,
+                            CAST(round(value * 100, 0) AS BIGINT) AS cc
+                     FROM events),
+              f AS (SELECT *,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(event_id AS VARCHAR),
+                                                    ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM e),
+              h AS (SELECT event_id, event_type, cc,
+                           ((((h0 * 1103515245 + 12345) % 2147483647)
+                             * ((h0 * 1103515245 + 12345) % 2147483647))
+                            % 2147483647
+                            * 69069 + 362437) % 2147483647 AS h3
+                    FROM f),
+              agg AS (SELECT count(*) AS n, sum(cc) AS s,
+                             sum(CASE WHEN event_type = 'purchase'
+                                      THEN cc ELSE 0 END) AS s_obs,
+                             sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS n_obs,
+                             $sums
+                      FROM h),
+              d AS (SELECT n, s, n_obs, s_obs,
+                           abs(CAST(n AS DECIMAL(38,0)) * s_obs
+                               - CAST(n_obs AS DECIMAL(38,0)) * s) AS d_obs,
+                           $dterms
+                    FROM agg)
+         SELECT CAST(n AS BIGINT) AS n_events,
+                CAST(n_obs AS BIGINT) AS n_treat,
+                CAST(d_obs AS BIGINT) AS d_obs,
+                CAST($cnt AS BIGINT) AS n_perm_ge,
+                CAST(($cnt) + 1 AS DOUBLE) / CAST(65 AS DOUBLE) AS p_value
+         FROM d"""
+    },
+
+    "text_heldout_perplexity" -> {
+      val lTot =
+        graft.functions.FixedLog2.sql("(SELECT t_train + v_train FROM stats)")
+      val lCp = graft.functions.FixedLog2.sql("cp")
+      s"""WITH tok AS (SELECT doc_id, source,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+               tr AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                      FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+               stats AS (SELECT CAST(sum(c) AS BIGINT) AS t_train,
+                                CAST(count(*) AS BIGINT) AS v_train
+                         FROM tr),
+               ev AS (SELECT tok.source, coalesce(tr.c, 0) + 1 AS cp
+                      FROM tok LEFT JOIN tr ON tr.w = tok.w
+                      WHERE tok.doc_id % 2 = 1),
+               terms AS (SELECT source, $lTot - $lCp AS bits_q20 FROM ev)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(bits_q20) AS BIGINT) AS bits_q20,
+                 CAST(sum(bits_q20) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / CAST(1048576 AS DOUBLE) AS bits_per_token
+          FROM terms GROUP BY 1 ORDER BY 1"""
+    },
+
+    // lossless grayscale PNG: every tile sum recomputed arithmetically
+    // from the synthesis formula pixel(x,y) = (id*31 + x*7 + y*13) % 256
+    "mm_image_tiles" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           CAST(1 + doc_id % 8 AS BIGINT) AS w,
+                           CAST(1 + n_chars % 8 AS BIGINT) AS h
+                    FROM documents WHERE doc_id < 500),
+              t AS (SELECT media_id, w, h,
+                           (w + 1) // 2 AS tw, (h + 1) // 2 AS th,
+                           unnest([0, 0, 1, 1]) AS tile_row,
+                           unnest([0, 1, 0, 1]) AS tile_col
+                    FROM m),
+              b AS (SELECT *,
+                           CASE WHEN tile_col = 0 THEN 0 ELSE tw END AS x0,
+                           CASE WHEN tile_col = 0 THEN tw - 1 ELSE w - 1
+                           END AS x1,
+                           CASE WHEN tile_row = 0 THEN 0 ELSE th END AS y0,
+                           CASE WHEN tile_row = 0 THEN th - 1 ELSE h - 1
+                           END AS y1
+                    FROM t),
+              nz AS (SELECT * FROM b WHERE x1 >= x0 AND y1 >= y0)
+         SELECT media_id, w AS width, h AS height,
+                CAST(tile_row AS BIGINT) AS tile_row,
+                CAST(tile_col AS BIGINT) AS tile_col,
+                CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS n_px,
+                CAST(list_sum(flatten(list_transform(
+                  generate_series(y0, y1), y ->
+                    list_transform(generate_series(x0, x1), x ->
+                      (media_id * 31 + x * 7 + y * 13) % 256))))
+                  AS BIGINT) AS px_sum
+         FROM nz ORDER BY media_id, tile_row, tile_col""",
+
+    // identical packed-state fold as the Spark higher-order aggregate;
+    // state (s1,s2) biased by 2^30 and packed into one BIGINT so the
+    // documented DuckDB in-place-struct hazard cannot touch it
+    "ts_goertzel_power" -> {
+      val B = 1073741824L
+      val M = 2147483648L
+      def fold(cq: Long) =
+        s"""list_reduce(list_prepend(CAST(${B * M + B} AS BIGINT), ys),
+           |  (a, yq) ->
+           |    (yq + ($cq * (a // $M - $B)) // 65536
+           |       - (a % $M - $B) + $B) * $M
+           |    + (a // $M - $B) + $B)""".stripMargin
+      def power(cq: Long, k: String) = {
+        val s1 = s"($k // $M - $B)"
+        val s2 = s"($k % $M - $B)"
+        s"($s1 * $s1 + $s2 * $s2 - ($cq * $s1 * $s2) // 65536)"
+      }
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                            CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                 AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+              sgg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                             CAST(sum(x) AS BIGINT) AS sx,
+                             list(x ORDER BY dt) AS xs
+                      FROM d GROUP BY 1),
+              y AS (SELECT event_type, n_days,
+                           list_transform(xs,
+                             v -> (v - sx // n_days) // 1024) AS ys
+                    FROM sgg),
+              g AS (SELECT event_type, n_days,
+                           ${fold(81722L)} AS k7,
+                           ${fold(106039L)} AS k10
+                    FROM y)
+          SELECT event_type, n_days,
+                 CAST(${power(81722L, "k7")} AS BIGINT) AS power_p7,
+                 CAST(${power(106039L, "k10")} AS BIGINT) AS power_p10,
+                 CASE WHEN ${power(81722L, "k7")}
+                        > ${power(106039L, "k10")}
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                 END AS weekly_dominant
+          FROM g ORDER BY event_type"""
+    },
+
+    "graph_random_walk_visits" -> {
+      def step(t: Int) =
+        s"""w$t AS (SELECT w.seed, adj.x AS node
+           |        FROM w${t - 1} w
+           |        JOIN deg d ON d.c = w.node
+           |        JOIN adj ON adj.c = w.node
+           |         AND adj.idx = (w.seed * 1000003 + ${t * 7919 + 12345}
+           |                        + w.node * 31) % 2147483647 % d.d)"""
+          .stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                      FROM lineitem),
+               e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+               sym AS (SELECT u AS c, v AS x FROM e
+                       UNION ALL SELECT v, u FROM e),
+               deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d
+                       FROM sym GROUP BY 1),
+               adj AS (SELECT c, x,
+                              row_number() OVER (PARTITION BY c
+                                                 ORDER BY x) - 1 AS idx
+                       FROM sym),
+               seeds AS (SELECT c FROM deg ORDER BY d DESC, c LIMIT 64),
+               w0 AS (SELECT c AS seed, c AS node FROM seeds),
+               ${step(1)},
+               ${step(2)},
+               ${step(3)},
+               ${step(4)},
+               ${step(5)},
+               ${step(6)},
+               visits AS (SELECT node FROM w1 UNION ALL SELECT node FROM w2
+                          UNION ALL SELECT node FROM w3
+                          UNION ALL SELECT node FROM w4
+                          UNION ALL SELECT node FROM w5
+                          UNION ALL SELECT node FROM w6)
+          SELECT node, CAST(count(*) AS BIGINT) AS visits
+          FROM visits GROUP BY 1 ORDER BY visits DESC, node LIMIT 20"""
+    },
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,

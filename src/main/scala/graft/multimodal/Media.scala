@@ -166,6 +166,48 @@ object Media {
       (tw, th, sum % 2147483647L)
     }
 
+    /** Decode + 2×2 quadrant census in one pass: the tiling primitive
+      * patch-based vision pipelines (ViT patching, tiled augmentation)
+      * run after decode. Tile bounds split at ⌈w/2⌉ × ⌈h/2⌉ (left/top
+      * tiles take the ceiling half — the decodeHalf convention); a 1-wide
+      * or 1-tall image simply has no right/bottom tiles. Per tile:
+      * (tile_row, tile_col, n_px, band-0 pixel sum) — exact integers an
+      * external oracle recomputes from the synthesis formula.
+      * Undecodable magic-valid payloads return the stub dims with an
+      * EMPTY tile list (the decodeHistogram16 sentinel convention).
+      */
+    def decodeQuadrants(payload: Array[Byte])
+        : (Int, Int, Seq[(Int, Int, Long, Long)]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) {
+        val (w, h, _) = FakeCodec.decode(payload)
+        return (w, h, Seq.empty)
+      }
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
+      val raster = img.getRaster
+      val tiles = for {
+        r <- 0 to 1
+        c <- 0 to 1
+        x0 = if (c == 0) 0 else tw
+        x1 = if (c == 0) tw - 1 else w - 1
+        y0 = if (r == 0) 0 else th
+        y1 = if (r == 0) th - 1 else h - 1
+        if x1 >= x0 && y1 >= y0
+      } yield {
+        var sum = 0L
+        var y = y0
+        while (y <= y1) {
+          var x = x0
+          while (x <= x1) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (r, c, (x1 - x0 + 1).toLong * (y1 - y0 + 1), sum)
+      }
+      (w, h, tiles)
+    }
+
     /** Decode + 16-bin luminance histogram (bin = sample DIV 16) in one
       * pass — the distribution input for image-entropy quality scoring.
       * Returns (w, h, bins[16]); undecodable magic-valid payloads return

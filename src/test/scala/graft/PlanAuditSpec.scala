@@ -126,6 +126,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "mine_markov_stationary",
       // 1-row motif scalars (stats x edges x triangles x P3) combined
       "graph_path3_census",
+      // 1-row (T, V) LM-stats broadcast onto the held-out token stream
+      "text_heldout_perplexity",
       // 1-row global date-bounds scalar broadcast onto the event rows
       "agg_poisson_rate_test",
       // 5-row stats self-join (a < b pairs) + 1-row totals combine
