@@ -9061,31 +9061,118 @@ object SparkEntry {
     // dedup shuffle + ONE keyed lag window — never a day×history rescan
     // or an explode-7 re-dedup. The day-axis cumulative runs on the
     // deliberate onePartition key (dimension-sized frame).
-    "olap_wau_sliding_distinct" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val ud = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      val seg = ud.withColumn("prev",
-        lag(col("d"), 1).over(W.partitionBy("user_id").orderBy("d")))
-      val delta = seg.select(
-          when(col("prev").isNull, col("d"))
-            .otherwise(greatest(col("d"), date_add(col("prev"), 7)))
-            .as("e"), lit(1L).as("v"))
-        .unionAll(seg.select(date_add(col("d"), 7).as("e"),
-          lit(-1L).as("v")))
-        .groupBy("e").agg(sum("v").as("dv"))
-      val days = Tables.events(s, dir)
-        .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts")))
-          .as("mx"))
-        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
-      days.join(delta, days("day") === delta("e"), "left")
-        .select(col("day"), coalesce(col("dv"), lit(0L)).as("dv"))
-        .withColumn("wau", sum("dv").over(
-          W.partitionBy(Exact.onePartition(col("day"))).orderBy("day")
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, 0)))
-        .select("day", "wau")
+    "olap_wau_sliding_distinct" -> ((s, dir) =>
+      graft.olap.SlidingDistinct.perDay(Tables.events(s, dir),
+          col("user_id"), to_date(col("ts")), windowDays = 7)
+        .withColumnRenamed("n_distinct", "wau")
+        .orderBy("day")),
+
+    // DAU/MAU stickiness per day — "what share of the monthly audience
+    // shows up daily?", the engagement ratio every growth dashboard
+    // tracks. DAU is one per-day distinct; MAU is the 30-day sliding
+    // distinct through the SAME SlidingDistinct difference-array operator
+    // as WAU (one operator, every window length), exact at any scale.
+    "olap_dau_mau_stickiness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mau = graft.olap.SlidingDistinct.perDay(ev,
+          col("user_id"), to_date(col("ts")), windowDays = 30)
+        .withColumnRenamed("n_distinct", "mau")
+      val dau = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .groupBy("d").agg(count(lit(1)).as("dau"))
+      mau.join(dau, mau("day") === dau("d"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("mau"),
+          when(col("mau") > 0, coalesce(col("dau"), lit(0L)).cast("double")
+            / col("mau").cast("double")).as("stickiness"))
         .orderBy("day")
+    }),
+
+    // Last-touch attribution: for every purchase, the user's most recent
+    // strictly-prior non-purchase event is the credited channel — ONE
+    // keyed window with an (unbounded, −1) frame and an ignore-nulls
+    // last(), never a self-join against history. Purchases with no prior
+    // touch stay explicit as 'none'; lag sums are exact integer seconds.
+    "olap_attribution_lasttouch" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"), expr("unix_micros(ts)").as("us"))
+      e.withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(W))
+        .withColumn("ch_us",
+          last(when(col("event_type") =!= "purchase", col("us")),
+            ignoreNulls = true).over(W))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("channel"), lit("none")).as("channel"),
+          when(col("channel").isNotNull,
+            expr("(us - ch_us) DIV 1000000")).as("lag_s"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          coalesce(sum("lag_s"), lit(0L)).as("lag_seconds_sum"))
+        .withColumn("avg_lag_seconds",
+          when(col("channel") =!= "none",
+            col("lag_seconds_sum").cast("double")
+              / col("n_purchases").cast("double")))
+        .orderBy("channel")
+    }),
+
+    // Largest-connected-component share of the co-purchase graph — the
+    // connectivity certification run before any graph algorithm is
+    // trusted (a fragmented graph silently voids centrality/propagation
+    // results). Reuses the dedup suite's pointer-jumping connected
+    // components (log-round convergence, pre-partitioned edge cache) on
+    // the graph edge frame; the census is component-sized, not edge-sized.
+    "graph_lcc_share" -> ((s, dir) => {
+      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
+      graft.dedup.Components.canonicalLabels(e, "u", "v")
+        .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+        .agg(sum("sz").cast("long").as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          max("sz").as("lcc_size"))
+        .select(col("n_nodes"), col("n_components"), col("lcc_size"),
+          (col("lcc_size").cast("double") / col("n_nodes").cast("double"))
+            .as("lcc_share"))
+    }),
+
+    // Delete-one-DAY jackknife variance of the per-type mean value — the
+    // grouped-resampling SE that respects within-day correlation (the
+    // i.i.d. formula understates it). Leave-one-out means on the q10
+    // lattice θᵢ = ⌊2¹⁰(S−sᵢ)/(n−nᵢ)⌋, then the (d−1)(dΣθ²−(Σθ)²)/d²
+    // spread with decimal-exact moments — integers end to end, one final
+    // sqrt. Day cells bound every frame; the per-type totals broadcast.
+    "agg_jackknife_variance" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("ni"), sum("cc").as("si"))
+      val t = g.groupBy("event_type")
+        .agg(sum("ni").cast("long").as("n"), sum("si").cast("long").as("s"))
+      val th = g.join(broadcast(t), "event_type")
+        .select(col("event_type"),
+          expr("(1024 * (s - si)) DIV (n - ni)").as("theta"))
+      th.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("theta").cast("long").as("st"),
+          sum(expr("CAST(theta AS DECIMAL(38,0)) * theta")).as("stt"))
+        .join(broadcast(t), "event_type")
+        // the θ-spread core leaves the decimal lattice as a checked
+        // BIGINT BEFORE the final division: DuckDB's DECIMAL `//`
+        // ROUNDS (measured: N/900 = x.74 gave x+1) where BIGINT `//`
+        // truncates like Spark's DIV — and θ is mean-scaled, so the
+        // core is BIGINT-safe at any data volume
+        .withColumn("core", Exact.checkedLong(expr(
+          "n_days * stt - CAST(st AS DECIMAL(38,0)) * st")))
+        .select(col("event_type"), col("n_days"),
+          expr("(1024 * s) DIV n").as("mean_q10"),
+          expr("((n_days - 1) * core) DIV (n_days * n_days)")
+            .as("jk_var_num_q20"),
+          (sqrt(expr("((n_days - 1) * core) DIV (n_days * n_days)")
+            .cast("double")) / lit(1024.0)).as("jk_se"))
+        .orderBy("event_type")
     }),
 
     // Global path-motif census: nodes, edges, wedges, triangles and open
@@ -15829,6 +15916,126 @@ object SparkEntry {
           SELECT node, CAST(count(*) AS BIGINT) AS visits
           FROM visits GROUP BY 1 ORDER BY visits DESC, node LIMIT 20"""
     },
+
+    "olap_dau_mau_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+              dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+                      FROM ud GROUP BY 1),
+              lagd AS (SELECT user_id, d,
+                              lag(d) OVER (PARTITION BY user_id
+                                           ORDER BY d) AS prev
+                       FROM ud),
+              seg AS (SELECT CASE WHEN prev IS NULL THEN d
+                                  ELSE greatest(d, prev + 30) END AS e_start,
+                             d + 30 AS e_next
+                      FROM lagd),
+              delta AS (SELECT e_start AS e, 1 AS v FROM seg
+                        UNION ALL SELECT e_next, -1 FROM seg),
+              dd AS (SELECT e, CAST(sum(v) AS BIGINT) AS dv
+                     FROM delta GROUP BY 1),
+              bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                                max(CAST(ts AS DATE)) AS mx FROM events),
+              days AS (SELECT CAST(unnest(generate_series(mn, mx,
+                                INTERVAL 1 DAY)) AS DATE) AS day
+                       FROM bounds),
+              cum AS (SELECT days.day, coalesce(dd.dv, 0) AS dv
+                      FROM days LEFT JOIN dd ON dd.e = days.day),
+              mau AS (SELECT day, CAST(sum(dv) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS mau
+                      FROM cum)
+         SELECT m.day, coalesce(da.dau, 0) AS dau, m.mau,
+                CASE WHEN m.mau > 0 THEN CAST(coalesce(da.dau, 0) AS DOUBLE)
+                       / CAST(m.mau AS DOUBLE) END AS stickiness
+         FROM mau m LEFT JOIN dau da ON da.d = m.day
+         ORDER BY m.day""",
+
+    "olap_attribution_lasttouch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                           epoch_us(ts) AS us FROM events),
+              w AS (SELECT event_type, us,
+                           last_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                             OVER pre AS channel,
+                           last_value(CASE WHEN event_type <> 'purchase'
+                                      THEN us END IGNORE NULLS)
+                             OVER pre AS ch_us
+                    FROM e
+                    WINDOW pre AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)),
+              p AS (SELECT coalesce(channel, 'none') AS channel,
+                           CASE WHEN channel IS NOT NULL
+                                THEN (us - ch_us) // 1000000 END AS lag_s
+                    FROM w WHERE event_type = 'purchase')
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(coalesce(sum(lag_s), 0) AS BIGINT) AS lag_seconds_sum,
+                CASE WHEN channel <> 'none'
+                     THEN CAST(sum(lag_s) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE)
+                END AS avg_lag_seconds
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    // component labels via recursive min-label closure: the label SET is
+    // method-independent, so sizes match Spark's pointer jumping exactly
+    "graph_lcc_share" ->
+      """WITH RECURSIVE
+              li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              sym AS (SELECT u AS a, v AS b FROM e
+                      UNION ALL SELECT v, u FROM e),
+              reach(node, label) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+                UNION
+                SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+                WHERE r.label < s.b),
+              lab AS (SELECT node, min(label) AS label
+                      FROM reach GROUP BY 1),
+              comp AS (SELECT label, CAST(count(*) AS BIGINT) AS sz
+                       FROM lab GROUP BY 1)
+         SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+                CAST(count(*) AS BIGINT) AS n_components,
+                CAST(max(sz) AS BIGINT) AS lcc_size,
+                CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+                  AS lcc_share
+         FROM comp""",
+
+    "agg_jackknife_variance" ->
+      """WITH r AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cc
+                    FROM events),
+              g AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS ni,
+                           CAST(sum(cc) AS BIGINT) AS si
+                    FROM r GROUP BY 1, 2),
+              t AS (SELECT event_type, CAST(sum(ni) AS BIGINT) AS n,
+                           CAST(sum(si) AS BIGINT) AS s
+                    FROM g GROUP BY 1),
+              th AS (SELECT g.event_type,
+                            (1024 * (t.s - g.si)) // (t.n - g.ni) AS theta
+                     FROM g JOIN t ON t.event_type = g.event_type),
+              a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                           CAST(sum(theta) AS BIGINT) AS st,
+                           CAST(sum(CAST(theta AS DECIMAL(38,0)) * theta)
+                                AS DECIMAL(38,0)) AS stt
+                    FROM th GROUP BY 1),
+              core AS (SELECT event_type, n_days, st,
+                              CAST(n_days * stt
+                                   - CAST(st AS DECIMAL(38,0)) * st
+                                   AS BIGINT) AS core
+                       FROM a)
+         SELECT c.event_type, c.n_days,
+                (1024 * t.s) // t.n AS mean_q10,
+                ((c.n_days - 1) * c.core)
+                  // (c.n_days * c.n_days) AS jk_var_num_q20,
+                sqrt(CAST(((c.n_days - 1) * c.core)
+                     // (c.n_days * c.n_days) AS DOUBLE))
+                  / CAST(1024 AS DOUBLE) AS jk_se
+         FROM core c JOIN t ON t.event_type = c.event_type
+         ORDER BY c.event_type""",
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,
