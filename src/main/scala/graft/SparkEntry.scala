@@ -9445,6 +9445,169 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Lincoln–Petersen capture–recapture: estimate the per-type user
+    // population from two single-day "capture" samples (first and last
+    // active day) — the coverage estimator crawl/census pipelines use
+    // when the full population is unobservable. N̂ = n₁n₂ div m₁₂ exact;
+    // the true count rides along so the estimator's bias is measured,
+    // not assumed. Global date bounds attach as the 1-row broadcast.
+    "agg_capture_recapture" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          to_date(col("ts")).as("d")).tracked
+      val b = ev.agg(min("d").as("mn"), max("d").as("mx"))
+      ev.crossJoin(broadcast(b))
+        .groupBy("event_type", "user_id")
+        .agg(max(when(col("d") === col("mn"), 1L).otherwise(0L)).as("c1"),
+             max(when(col("d") === col("mx"), 1L).otherwise(0L)).as("c2"))
+        .groupBy("event_type")
+        .agg(sum("c1").cast("long").as("n1"),
+          sum("c2").cast("long").as("n2"),
+          sum(col("c1") * col("c2")).cast("long").as("m12"),
+          sum(when(col("c1") === 1L || col("c2") === 1L, 1L).otherwise(0L))
+            .cast("long").as("n_seen"),
+          count(lit(1)).as("n_true"))
+        .select(col("event_type"), col("n1"), col("n2"), col("m12"),
+          col("n_seen"), col("n_true"),
+          when(col("m12") > 0, expr("(n1 * n2) DIV m12")).as("n_hat"),
+          when(col("m12") > 0,
+            (expr("(n1 * n2) DIV m12") - col("n_true")).cast("double")
+              / col("n_true").cast("double")).as("rel_bias"))
+        .orderBy("event_type")
+    }),
+
+    // Spectral flatness of the per-window audio energies (Wiener
+    // entropy): geometric vs arithmetic mean in the FixedLog2 domain —
+    // tonal media score near −∞, noise near 0, the VAD/music-speech
+    // discriminator. Zero-energy windows can't enter the log and are
+    // counted out LOUDLY as their own column. Same audioWindows explode
+    // as mm_audio_window; per-media aggregation is the only shuffle.
+    "mm_audio_flatness" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val w = graft.multimodal.Media.audioWindows(
+          graft.multimodal.Media.asMedia(
+            Tables.documents(s, dir).filter(col("doc_id") < 200),
+            "doc_id", "text"), windowSize = 64, hop = 32)
+        .toDF().tracked
+      val nz = w.filter(col("energy") > 0)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(L(col("energy"))).cast("long").as("sle"),
+          sum("energy").cast("long").as("se"))
+      val z = w.filter(col("energy") === 0)
+        .groupBy("media_id").agg(count(lit(1)).as("nzero"))
+      nz.join(z, Seq("media_id"), "left")
+        .withColumn("flatness_log2_q20",
+          expr("sle DIV n_windows") - L(expr("se DIV n_windows")))
+        .select(col("media_id"), col("n_windows"),
+          coalesce(col("nzero"), lit(0L)).as("n_zero_windows"),
+          col("flatness_log2_q20"),
+          (col("flatness_log2_q20").cast("double") / lit(1048576.0))
+            .as("flatness_log2"))
+        .orderBy("media_id")
+    }),
+
+    // Engle–Granger-lite cointegration screen between the purchase and
+    // view daily totals: exact q16 hedge ratio (decimal moments), exact
+    // integer residuals scaled through the regression denominator, then
+    // the residual lag-1 autocorrelation with BIGINT-checked moments —
+    // the pairs-trading / do-these-series-share-a-trend screen. The
+    // stationarity flag is the EXACT cross-multiplied compare ρ < 1/2
+    // (4·num² < den_a·den_b in DECIMAL), so no double ever gates it.
+    "ts_cointegration_screen" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .withColumn("cc", Exact.cents(col("value")))
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(sum(when(col("event_type") === "purchase", col("cc"))
+          .otherwise(0L)).as("y"),
+          sum(when(col("event_type") === "view", col("cc"))
+            .otherwise(0L)).as("x")).tracked
+      val m = d.agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      val bet = m.select(col("n"), col("sx"), col("sy"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("bnum"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("bden"))
+      val res = d.crossJoin(broadcast(bet))
+        .select(col("dt"), col("n"), col("bnum"), col("bden"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * bden * y
+                 - bden * sy
+                 - bnum * (CAST(n AS DECIMAL(38,0)) * x - sx))
+                 DIV (CAST(bden AS DECIMAL(38,0)) * n) AS BIGINT)""")
+            .as("r"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(Exact.onePartition(col("dt"))).orderBy("dt")
+      val ac = res
+        .withColumn("pr", lag(col("r"), 1).over(W))
+        .filter(col("pr").isNotNull)
+        .agg(count(lit(1)).as("np"),
+          sum("r").cast("long").as("sr"), sum("pr").cast("long").as("sp"),
+          Exact.checkedLong(sum(expr("CAST(r AS DECIMAL(38,0)) * pr")))
+            .as("srp"),
+          Exact.checkedLong(sum(expr("CAST(r AS DECIMAL(38,0)) * r")))
+            .as("srr"),
+          Exact.checkedLong(sum(expr("CAST(pr AS DECIMAL(38,0)) * pr")))
+            .as("spp"))
+        .select(col("np"),
+          (col("np") * col("srp") - col("sr") * col("sp")).as("rnum"),
+          (col("np") * col("srr") - col("sr") * col("sr")).as("ra"),
+          (col("np") * col("spp") - col("sp") * col("sp")).as("rb"))
+      bet.crossJoin(broadcast(ac))
+        .select(col("n").as("n_days"),
+          expr("CAST((65536 * bnum) DIV bden AS BIGINT)").as("beta_q16"),
+          col("np").as("n_pairs"), col("rnum").as("rho_num"),
+          col("ra").as("rho_den_a"), col("rb").as("rho_den_b"),
+          (col("rnum").cast("double")
+            / sqrt(col("ra").cast("double") * col("rb").cast("double")))
+            .as("resid_autocorr"),
+          when(col("rnum") < 0 ||
+            expr("CAST(4 AS DECIMAL(38,0)) * rnum * rnum") <
+              expr("CAST(ra AS DECIMAL(38,0)) * rb"), 1L)
+            .otherwise(0L).as("cointegrated_flag"))
+    }),
+
+    // Contrastive pair sampling — the training-pair generator embedding
+    // models consume: per doc, up to 2 hash-ordered DIFFERENT-source
+    // negatives drawn from the doc's hash bucket (bucketed candidate
+    // generation: the window never orders more than one bucket, so the
+    // sort is keyed and the pairing is reproducible at any scale — no
+    // RNG state, no global sort). Per-source census with an id checksum
+    // so the exact pairing is oracle-pinned.
+    "sample_contrastive_pairs" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("hv", "doc_id")
+      var df = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.olap.Sketch.spreadHash(col("doc_id")).as("hv"))
+        .withColumn("bucket", col("hv") % 8)
+      for (k <- 1 to 6) {
+        df = df.withColumn(s"d$k", lead(col("doc_id"), k).over(W))
+          .withColumn(s"s$k", lead(col("source"), k).over(W))
+      }
+      val negs = expr(
+        """filter(array(named_struct('d', d1, 's', s1),
+           named_struct('d', d2, 's', s2), named_struct('d', d3, 's', s3),
+           named_struct('d', d4, 's', s4), named_struct('d', d5, 's', s5),
+           named_struct('d', d6, 's', s6)),
+           c -> c.d IS NOT NULL AND c.s <> source)""")
+      df.withColumn("negs", negs)
+        .select(col("source"),
+          when(size(col("negs")) >= 1, expr("negs[0].d")).as("neg1"),
+          when(size(col("negs")) >= 2, expr("negs[1].d")).as("neg2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("neg1").isNotNull, 1L).otherwise(0L))
+            .as("n_with_neg1"),
+          sum(when(col("neg2").isNotNull, 1L).otherwise(0L))
+            .as("n_with_neg2"),
+          sum(coalesce(col("neg1"), lit(0L))
+            + coalesce(col("neg2"), lit(0L))).as("neg_id_checksum"))
+        .orderBy("source")
+    }),
+
     // Cumulative-distinct-users curve per series: each user reduces to
     // their first day ONCE (the partial-aggregable trick — a naive
     // count(distinct) per day rescans all history per cell), then one
@@ -16036,6 +16199,192 @@ object SparkEntry {
                   / CAST(1024 AS DOUBLE) AS jk_se
          FROM core c JOIN t ON t.event_type = c.event_type
          ORDER BY c.event_type""",
+
+    "agg_capture_recapture" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                           max(CAST(ts AS DATE)) AS mx FROM events),
+              u AS (SELECT event_type, user_id,
+                           max(CASE WHEN CAST(ts AS DATE) =
+                               (SELECT mn FROM b) THEN 1 ELSE 0 END) AS c1,
+                           max(CASE WHEN CAST(ts AS DATE) =
+                               (SELECT mx FROM b) THEN 1 ELSE 0 END) AS c2
+                    FROM events GROUP BY 1, 2),
+              a AS (SELECT event_type,
+                           CAST(sum(c1) AS BIGINT) AS n1,
+                           CAST(sum(c2) AS BIGINT) AS n2,
+                           CAST(sum(c1 * c2) AS BIGINT) AS m12,
+                           CAST(sum(CASE WHEN c1 = 1 OR c2 = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+                           CAST(count(*) AS BIGINT) AS n_true
+                    FROM u GROUP BY 1)
+         SELECT event_type, n1, n2, m12, n_seen, n_true,
+                CASE WHEN m12 > 0 THEN (n1 * n2) // m12 END AS n_hat,
+                CASE WHEN m12 > 0 THEN
+                  CAST((n1 * n2) // m12 - n_true AS DOUBLE)
+                    / CAST(n_true AS DOUBLE) END AS rel_bias
+         FROM a ORDER BY event_type""",
+
+    "mm_audio_flatness" -> {
+      val le = graft.functions.FixedLog2.sql("e")
+      val lm = graft.functions.FixedLog2.sql("(a.se // a.n_windows)")
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                      WHERE doc_id < 200 AND octet_length(encode(text)) > 0),
+             b AS (SELECT media_id, nb, ${duckHexBytes("h")} AS bytes
+                   FROM hx),
+             w AS (SELECT media_id, nb, bytes,
+                          CAST(unnest(generate_series(0,
+                            CAST((nb - 1) // 32 AS INT))) AS INT)
+                            AS window_idx
+                   FROM b),
+             c AS (SELECT media_id, window_idx, bytes,
+                          least(64, nb - window_idx * 32) AS ns
+                   FROM w),
+             en AS (SELECT media_id,
+                           CAST(list_sum(list_transform(
+                             generate_series(window_idx * 32 + 1,
+                                             window_idx * 32 + ns),
+                             j -> (bytes[j] - 128) * (bytes[j] - 128)))
+                             AS BIGINT) AS e
+                    FROM c),
+             nz AS (SELECT media_id, e, $le AS le FROM en WHERE e > 0),
+             ag AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_windows,
+                           CAST(sum(le) AS BIGINT) AS sle,
+                           CAST(sum(e) AS BIGINT) AS se
+                    FROM nz GROUP BY 1),
+             z AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_zero
+                   FROM en WHERE e = 0 GROUP BY 1)
+         SELECT a.media_id, a.n_windows,
+                coalesce(z.n_zero, 0) AS n_zero_windows,
+                CAST(a.sle // a.n_windows - $lm AS BIGINT)
+                  AS flatness_log2_q20,
+                CAST(a.sle // a.n_windows - $lm AS DOUBLE)
+                  / CAST(1048576 AS DOUBLE) AS flatness_log2
+         FROM ag a LEFT JOIN z ON z.media_id = a.media_id
+         ORDER BY a.media_id"""
+    },
+
+    "ts_cointegration_screen" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+                           CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+              m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(CAST(x AS DECIMAL(38,0)) * x)
+                                AS DECIMAL(38,0)) AS sxx,
+                           CAST(sum(CAST(x AS DECIMAL(38,0)) * y)
+                                AS DECIMAL(38,0)) AS sxy
+                    FROM d),
+              bet AS (SELECT n, sx, sy,
+                             CAST(n AS DECIMAL(38,0)) * sxy
+                               - CAST(sx AS DECIMAL(38,0)) * sy AS bnum,
+                             CAST(n AS DECIMAL(38,0)) * sxx
+                               - CAST(sx AS DECIMAL(38,0)) * sx AS bden
+                      FROM m),
+              -- the residual division must TRUNCATE like Spark's DIV:
+              -- DECIMAL // rounds in DuckDB, HUGEINT // truncates, so the
+              -- exact decimal dividend/divisor route through HUGEINT
+              res AS (SELECT d.dt,
+                             CAST(CAST(CAST(bet.n AS DECIMAL(38,0))
+                                     * bet.bden * d.y
+                               - bet.bden * bet.sy
+                               - bet.bnum * (CAST(bet.n AS DECIMAL(38,0))
+                                               * d.x - bet.sx) AS HUGEINT)
+                               // CAST(CAST(bet.bden AS DECIMAL(38,0))
+                                       * bet.n AS HUGEINT)
+                               AS BIGINT) AS r
+                      FROM d, bet),
+              lagr AS (SELECT dt, r, lag(r) OVER (ORDER BY dt) AS pr
+                       FROM res),
+              ac AS (SELECT CAST(count(*) AS BIGINT) AS np,
+                            CAST(sum(r) AS BIGINT) AS sr,
+                            CAST(sum(pr) AS BIGINT) AS sp,
+                            CAST(sum(CAST(r AS DECIMAL(38,0)) * pr)
+                                 AS BIGINT) AS srp,
+                            CAST(sum(CAST(r AS DECIMAL(38,0)) * r)
+                                 AS BIGINT) AS srr,
+                            CAST(sum(CAST(pr AS DECIMAL(38,0)) * pr)
+                                 AS BIGINT) AS spp
+                     FROM lagr WHERE pr IS NOT NULL),
+              rho AS (SELECT np,
+                             np * srp - sr * sp AS rnum,
+                             np * srr - sr * sr AS ra,
+                             np * spp - sp * sp AS rb
+                      FROM ac)
+         SELECT b.n AS n_days,
+                CAST(CAST(65536 * b.bnum AS HUGEINT)
+                     // CAST(b.bden AS HUGEINT) AS BIGINT) AS beta_q16,
+                r2.np AS n_pairs, r2.rnum AS rho_num, r2.ra AS rho_den_a,
+                r2.rb AS rho_den_b,
+                CAST(r2.rnum AS DOUBLE)
+                  / sqrt(CAST(r2.ra AS DOUBLE) * CAST(r2.rb AS DOUBLE))
+                  AS resid_autocorr,
+                CASE WHEN r2.rnum < 0 OR
+                          CAST(4 AS DECIMAL(38,0)) * r2.rnum * r2.rnum
+                            < CAST(r2.ra AS DECIMAL(38,0)) * r2.rb
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                END AS cointegrated_flag
+         FROM bet b, rho r2""",
+
+    "sample_contrastive_pairs" ->
+      """WITH f AS (SELECT doc_id, source,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(doc_id AS VARCHAR),
+                                                    ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM documents),
+              hsh AS (SELECT doc_id, source,
+                             ((((h0 * 1103515245 + 12345) % 2147483647)
+                               * ((h0 * 1103515245 + 12345) % 2147483647))
+                              % 2147483647
+                              * 69069 + 362437) % 2147483647 AS hv
+                      FROM f),
+              w AS (SELECT doc_id, source, hv, hv % 8 AS bucket FROM hsh),
+              nxt AS (SELECT doc_id, source, bucket,
+                             lead(doc_id, 1) OVER win AS d1,
+                             lead(source, 1) OVER win AS s1,
+                             lead(doc_id, 2) OVER win AS d2,
+                             lead(source, 2) OVER win AS s2,
+                             lead(doc_id, 3) OVER win AS d3,
+                             lead(source, 3) OVER win AS s3,
+                             lead(doc_id, 4) OVER win AS d4,
+                             lead(source, 4) OVER win AS s4,
+                             lead(doc_id, 5) OVER win AS d5,
+                             lead(source, 5) OVER win AS s5,
+                             lead(doc_id, 6) OVER win AS d6,
+                             lead(source, 6) OVER win AS s6
+                      FROM w WINDOW win AS (PARTITION BY bucket
+                                            ORDER BY hv, doc_id)),
+              cand AS (SELECT doc_id, source,
+                              list_filter([
+                                {'d': d1, 's': s1}, {'d': d2, 's': s2},
+                                {'d': d3, 's': s3}, {'d': d4, 's': s4},
+                                {'d': d5, 's': s5}, {'d': d6, 's': s6}],
+                                c -> c.d IS NOT NULL AND c.s <> source)
+                                AS negs
+                       FROM nxt),
+              pick AS (SELECT doc_id, source,
+                              CASE WHEN len(negs) >= 1 THEN negs[1].d END
+                                AS neg1,
+                              CASE WHEN len(negs) >= 2 THEN negs[2].d END
+                                AS neg2
+                       FROM cand)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN neg1 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_with_neg1,
+                CAST(sum(CASE WHEN neg2 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_with_neg2,
+                CAST(sum(coalesce(neg1, 0) + coalesce(neg2, 0)) AS BIGINT)
+                  AS neg_id_checksum
+         FROM pick GROUP BY 1 ORDER BY 1""",
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,

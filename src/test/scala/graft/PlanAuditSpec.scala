@@ -129,6 +129,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row (T, V) LM-stats broadcast onto the held-out token stream
       "text_heldout_perplexity",
       // 1-row global date-bounds scalar broadcast onto the event rows
+      "agg_capture_recapture",
+      // 1-row regression scalars onto day rows + 1-row rho combine
+      "ts_cointegration_screen",
+      // 1-row global date-bounds scalar broadcast onto the event rows
       "agg_poisson_rate_test",
       // 5-row stats self-join (a < b pairs) + 1-row totals combine
       "agg_tukey_hsd",
