@@ -9437,6 +9437,11 @@ object SparkEntry {
           .withColumn("pick", mix % col("dn"))
           .join(adj, col("c") === col("node") && col("idx") === col("pick"))
           .select(col("seed"), col("x").as("node"))
+          // each frontier is <= |seeds| rows but feeds BOTH the next step
+          // AND the visits union — untracked, the union's branches
+          // re-derive every earlier step (21 adjacency probes instead
+          // of 6; measured 62 s -> ~1 s at sf0.1)
+          .tracked
         visits = if (visits == null) frontier.select("node")
           else visits.unionAll(frontier.select("node"))
       }
@@ -9606,6 +9611,115 @@ object SparkEntry {
           sum(coalesce(col("neg1"), lit(0L))
             + coalesce(col("neg2"), lit(0L))).as("neg_id_checksum"))
         .orderBy("source")
+    }),
+
+    // Hill tail-index estimator over the top-200 order totals — "how
+    // heavy is the revenue tail?" (α ≈ 1 Zipf-like, α large thin). The
+    // order statistics come from one rank window, the log-moment is the
+    // exact FixedLog2 sum Σ(log2fp(xᵢ) − log2fp(x₍ₖ₊₁₎)), and α spends
+    // one IEEE chain. Pairs with the Zipf/Heaps text laws on the exact
+    // same lattice.
+    "agg_hill_tail_index" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(Exact.onePartition(col("x"))).orderBy(col("x").desc)
+      // distributed top-k first (TakeOrderedAndProject — per-partition
+      // heads, never a global sort); the rank window then runs over the
+      // 201-row frame (deliberate onePartition). Value ties at either
+      // boundary are harmless: the statistic reads only the x multiset.
+      val r = Tables.orders(s, dir)
+        .select(Exact.cents(col("o_totalprice")).as("x"))
+        .orderBy(col("x").desc).limit(201)
+        .withColumn("rn", row_number().over(W))
+        .tracked
+      val xk = r.filter(col("rn") === 201).select(L(col("x")).as("lxk"))
+      r.filter(col("rn") <= 200)
+        .crossJoin(broadcast(xk))
+        .agg(count(lit(1)).as("k"),
+          (sum(L(col("x"))) - lit(200L) * max("lxk")).cast("long")
+            .as("s_q20"))
+        .withColumn("hill_alpha",
+          col("k").cast("double") * lit(1048576.0)
+            / (col("s_q20").cast("double") * lit(0.6931471805599453)))
+    }),
+
+    // MATTR lexical diversity (moving-average type-token ratio): distinct
+    // tokens per sliding 50-token window, averaged per source — the
+    // length-robust diversity score (plain TTR collapses as docs grow;
+    // MATTR does not). Entirely row-local via codegen higher-order
+    // functions (transform/slice/array_distinct) — zero shuffle until
+    // the per-source reduce.
+    "text_mattr_diversity" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"),
+          greatest(size(col("toks")) - 49, lit(0)).cast("long")
+            .as("n_windows"),
+          coalesce(expr(
+            """aggregate(transform(sequence(0, size(toks) - 50),
+               i -> size(array_distinct(slice(toks, i + 1, 50)))),
+               CAST(0 AS BIGINT), (a, x) -> a + x)"""), lit(0L))
+            .as("dsum"))
+        .filter(col("n_windows") > 0)
+        .groupBy("source")
+        .agg(sum("n_windows").cast("long").as("n_windows"),
+          sum("dsum").cast("long").as("distinct_sum"))
+        .withColumn("mattr", col("distinct_sum").cast("double")
+          / col("n_windows").cast("double") / lit(50.0))
+        .orderBy("source"))
+      ,
+
+    // Order-to-ship business-day lag histogram through the codegen
+    // busday expression over the lineitem→orders FK join (the one real
+    // fact-to-fact equi-join in the calendar family): [order, ship)
+    // busdays in O(1) per row, log₂ lag buckets, non-positive spans kept
+    // explicit as bucket −1 (a data-quality signal, not a silent drop).
+    "cal_order_ship_busdays" -> ((s, dir) => {
+      val j = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          to_date(col("l_shipdate")).as("sd"),
+          Exact.cents(col("l_extendedprice")).as("cents"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"),
+            to_date(col("o_orderdate")).as("od")), "l_orderkey")
+      j.withColumn("lag_bucket",
+          when(col("sd") <= col("od"), lit(-1L))
+            .otherwise((length(bin(
+              BusdayCount.busday_count(col("od"), col("sd")))) - 1)
+              .cast("long")))
+        .groupBy("lag_bucket")
+        .agg(count(lit(1)).as("n_lineitems"),
+          sum("cents").cast("long").as("revenue_cents"))
+        .orderBy("lag_bucket")
+    }),
+
+    // Recall@k curve for the IVF index against brute-force ground truth —
+    // one number per k ∈ {1,3,5,10} instead of sim_ivf_recall's single
+    // operating point: the tuning curve an ANN deployment reads before
+    // picking k/nprobe. Ground truth is query-bounded (10 probes), so
+    // the brute pass is a bounded cross, and both sides reuse the shared
+    // Similarity machinery.
+    "sim_recall_at_k_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val gt = graft.similarity.Similarity
+        .bruteForceTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("gr"))
+      val ivf = graft.similarity.Similarity
+        .ivfProbeTopK(emb, emb.filter(col("vec_id") < 8), probes,
+          nprobe = 2, k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("ir"))
+      val j = gt.join(ivf, Seq("query_id", "vec_id")).tracked
+      val ks = Tables.embeddings(s, dir).sparkSession
+        .range(0, 1).select(explode(typedLit(Seq(1L, 3L, 5L, 10L))).as("k"))
+      ks.join(j, col("gr") <= col("k") && col("ir") <= col("k"), "left")
+        .groupBy("k")
+        .agg(sum(when(col("gr").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("k"), col("n_hits"),
+          (col("k") * 10L).as("n_possible"),
+          (col("n_hits").cast("double") / (col("k") * 10L).cast("double"))
+            .as("recall_at_k"))
+        .orderBy("k")
     }),
 
     // Cumulative-distinct-users curve per series: each user reduces to
@@ -16385,6 +16499,148 @@ object SparkEntry {
                 CAST(sum(coalesce(neg1, 0) + coalesce(neg2, 0)) AS BIGINT)
                   AS neg_id_checksum
          FROM pick GROUP BY 1 ORDER BY 1""",
+
+    "agg_hill_tail_index" -> {
+      val lx = graft.functions.FixedLog2.sql("r.x")
+      val lxk = graft.functions.FixedLog2.sql("xk")
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS x
+                     FROM orders),
+               r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn
+                     FROM c),
+               k AS (SELECT x AS xk FROM r WHERE rn = 201),
+               top AS (SELECT r.x, $lx AS lx FROM r WHERE rn <= 200),
+               s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                            CAST(sum(lx) AS BIGINT)
+                              - 200 * (SELECT $lxk FROM k) AS s_q20
+                     FROM top)
+          SELECT k, s_q20,
+                 CAST(k AS DOUBLE) * 1048576.0
+                   / (CAST(s_q20 AS DOUBLE) * 0.6931471805599453)
+                   AS hill_alpha
+          FROM s"""
+    },
+
+    "text_mattr_diversity" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+              e AS (SELECT doc_id, source,
+                           CAST(coalesce(list_sum(list_transform(
+                             generate_series(0, len(toks) - 50),
+                             i -> len(list_distinct(
+                               list_slice(toks, i + 1, i + 50))))), 0)
+                             AS BIGINT) AS dsum,
+                           CAST(greatest(len(toks) - 49, 0) AS BIGINT)
+                             AS n_windows
+                    FROM t)
+         SELECT source,
+                CAST(sum(n_windows) AS BIGINT) AS n_windows,
+                CAST(sum(dsum) AS BIGINT) AS distinct_sum,
+                CAST(sum(dsum) AS DOUBLE)
+                  / CAST(sum(n_windows) AS DOUBLE) / CAST(50 AS DOUBLE)
+                  AS mattr
+         FROM e WHERE n_windows > 0 GROUP BY 1 ORDER BY 1""",
+
+    // busdays via the calendar-cumulative join (cum[sd] - cum[od] over
+    // the [start, end) convention), the day-enumeration-free replay of
+    // the codegen busday expression
+    "cal_order_ship_busdays" ->
+      """WITH j AS (SELECT CAST(o.o_orderdate AS DATE) AS od,
+                           CAST(l.l_shipdate AS DATE) AS sd,
+                           CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                             AS cents
+                    FROM lineitem l
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey),
+              bounds AS (SELECT min(od) AS mn, max(sd) AS mx FROM j),
+              cal AS (SELECT CAST(unnest(generate_series(mn, mx,
+                               INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM bounds),
+              cb AS (SELECT day,
+                            CAST(coalesce(sum(CASE WHEN isodow(day) <= 5
+                              AND NOT (
+                                (month(day) = 1  AND day(day) = 1) OR
+                                (month(day) = 7  AND day(day) = 4) OR
+                                (month(day) = 12 AND day(day) = 25))
+                              THEN 1 ELSE 0 END)
+                              OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                     FROM cal),
+              lag_ AS (SELECT c2.cum - c1.cum AS busdays, j.cents,
+                              j.sd, j.od
+                       FROM j JOIN cb c1 ON c1.day = j.od
+                              JOIN cb c2 ON c2.day = j.sd),
+              allb AS (SELECT CASE WHEN sd <= od THEN -1
+                                   ELSE CAST(length(bin(busdays)) - 1
+                                             AS BIGINT)
+                              END AS lag_bucket, cents
+                       FROM lag_)
+         SELECT lag_bucket, CAST(count(*) AS BIGINT) AS n_lineitems,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM allb GROUP BY 1 ORDER BY 1""",
+
+    "sim_recall_at_k_curve" -> {
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(generate_series(1, len($a)), i ->
+           |    CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |  (x, y) -> x + y)""".stripMargin
+      def cs(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq
+                     FROM embeddings WHERE vec_id < 10),
+              gt AS (SELECT query_id, vec_id, rank AS gr FROM (
+                       SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY
+                           ${cs("eq", "embedding")} DESC, vec_id ASC)
+                           AS rank
+                       FROM q JOIN embeddings ON vec_id <> query_id)
+                     WHERE rank <= 10),
+              c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                    FROM embeddings WHERE vec_id < 8),
+              asg AS (SELECT centroid_id, vec_id, embedding FROM (
+                        SELECT e.vec_id, c.centroid_id, e.embedding,
+                          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                            ${cs("e.embedding", "c.ec")} DESC,
+                            c.centroid_id ASC) AS rn
+                        FROM embeddings e CROSS JOIN c)
+                      WHERE rn = 1),
+              prb AS (SELECT query_id, centroid_id, emb_q FROM (
+                        SELECT q2.vec_id AS query_id, c.centroid_id,
+                               q2.embedding AS emb_q,
+                          row_number() OVER (PARTITION BY q2.vec_id
+                            ORDER BY ${cs("q2.embedding", "c.ec")} DESC,
+                            c.centroid_id ASC) AS rn
+                        FROM embeddings q2 CROSS JOIN c
+                        WHERE q2.vec_id < 10)
+                      WHERE rn <= 2),
+              sc AS (SELECT p.query_id, a.vec_id,
+                            ${cs("p.emb_q", "a.embedding")} AS cosine
+                     FROM prb p JOIN asg a USING (centroid_id)
+                     WHERE a.vec_id <> p.query_id),
+              ivf AS (SELECT query_id, vec_id, rank AS ir FROM (
+                        SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+                        FROM sc)
+                      WHERE rank <= 10),
+              j AS (SELECT gt.gr, ivf.ir FROM gt
+                    JOIN ivf ON ivf.query_id = gt.query_id
+                            AND ivf.vec_id = gt.vec_id),
+              ks AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k)
+          SELECT ks.k,
+                 CAST(coalesce(sum(CASE WHEN j.gr <= ks.k
+                                         AND j.ir <= ks.k
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_hits,
+                 CAST(ks.k * 10 AS BIGINT) AS n_possible,
+                 CAST(coalesce(sum(CASE WHEN j.gr <= ks.k
+                                         AND j.ir <= ks.k
+                                    THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                   / CAST(ks.k * 10 AS DOUBLE) AS recall_at_k
+          FROM ks LEFT JOIN j ON TRUE
+          GROUP BY ks.k ORDER BY ks.k"""
+    },
 
     "olap_cumulative_distinct" ->
       """WITH fd AS (SELECT event_type, user_id,

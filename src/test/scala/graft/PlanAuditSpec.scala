@@ -132,6 +132,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_capture_recapture",
       // 1-row regression scalars onto day rows + 1-row rho combine
       "ts_cointegration_screen",
+      // 1-row x_(k+1) log scalar onto the 200-row tail frame
+      "agg_hill_tail_index",
+      // 4-row k axis range-joined onto the bounded gt/ivf hit frame
+      "sim_recall_at_k_curve",
       // 1-row global date-bounds scalar broadcast onto the event rows
       "agg_poisson_rate_test",
       // 5-row stats self-join (a < b pairs) + 1-row totals combine
