@@ -48,20 +48,28 @@ object Bench {
       val t = osBean.getProcessCpuTime
       if (t < 0) 0.0 else t / 1e9
     }
-    def calibrate(): Double = {
+    // wall AND process-cpu per calibration reading: the pair separates
+    // host contention (wall grows, cpu flat — the JVM was descheduled)
+    // from in-process pressure like GC during the cache-heavy graph
+    // section (wall and cpu grow TOGETHER — engine state, not the host).
+    // r6 measured calib wall 0.18→0.42 s across the run with cpu moving
+    // in lockstep: a quiet host, visible as such only with both numbers.
+    def calibrate(): (Double, Double) = {
       val t0 = System.nanoTime()
+      val c0 = cpuSec()
       spark.range(0L, 20000000L, 1L, 8)
         // mod before summing: 2e7 raw 64-bit hashes overflow an ANSI sum
         .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS h")
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, cpuSec() - c0)
     }
-    val calibration = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val calibration =
+      scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     var done = 0
     val cacheCensus = scala.collection.mutable.LinkedHashMap[String, Int]()
     val cpuByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     calibrate() // discard: first run JIT-compiles the calibration path
-    calibration += ((0, calibrate()))
+    val c0 = calibrate(); calibration += ((0, c0._1, c0._2))
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
       .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
@@ -91,7 +99,9 @@ object Bench {
       // reclaim those so genuine leaks stand out as monotone growth.
       cacheCensus(name) = CacheRegistry.census(spark)
       done += 1
-      if (done % 25 == 0) { System.gc(); calibration += ((done, calibrate())) }
+      if (done % 25 == 0) {
+        System.gc(); val c = calibrate(); calibration += ((done, c._1, c._2))
+      }
       val ok = times.filter(_._1 >= 0)
       // report the min-wall run's CPU next to its wall: the pair from ONE
       // run is the contention diagnostic (a mixed min-of-each would not be)
@@ -99,7 +109,7 @@ object Bench {
       cpuByQuery(name) = best._2
       name -> best._1
     }
-    calibration += ((done, calibrate()))
+    val cN = calibrate(); calibration += ((done, cN._1, cN._2))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total so a broken
@@ -122,10 +132,15 @@ object Bench {
     val cpuMap = cpuByQuery.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val cpuTotal = cpuByQuery.values.sum
-    val calArr = calibration.map { case (i, s) =>
-      s"""{"after":$i,"sec":${f(s)}}""" }.mkString("[", ",", "]")
+    val calArr = calibration.map { case (i, s, c) =>
+      s"""{"after":$i,"sec":${f(s)},"cpu":${f(c)}}""" }
+      .mkString("[", ",", "]")
     val calMin = calibration.map(_._2).min
     val calMax = calibration.map(_._2).max
+    // wall-normalized cpu drift of the SAME fixed workload: under host
+    // contention this ratio FALLS at the slow readings (cpu flat, wall
+    // up); under in-process GC/cache pressure it holds or rises
+    val calCpuPerWall = calibration.map(t => t._3 / t._2)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"calibration":$calArr,"cache":$census,"sf":"$sfDir"}"""
     println(line)
@@ -148,7 +163,7 @@ object Bench {
     // "pinned" = deliberate process-lifetime shared frames (GraphFrames);
     // cache_max residuals up to pinned + transient checkpoints are healthy
     println(
-      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }

@@ -9414,14 +9414,7 @@ object SparkEntry {
     // sampling posture that makes walks tractable on a 100 TB graph.
     // Reruns and the oracle see identical walks (no RNG state).
     "graph_random_walk_visits" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      val sym = e.select(col("u").as("c"), col("v").as("x"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
-      val adj = sym
-        .withColumn("idx",
-          row_number().over(W.partitionBy("c").orderBy("x")) - 1)
-        .tracked // probed once per step
+      val adj = graft.olap.GraphFrames.coPurchaseIndexedSym(s, dir)
       val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .select(col("n").as("node"), col("d").as("dn"))
       val seeds = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
@@ -9433,15 +9426,18 @@ object SparkEntry {
         val mix = (col("seed") * lit(1000003L)
           + lit(t.toLong * 7919L + 12345L)
           + col("node") * lit(31L)) % lit(2147483647L)
-        frontier = frontier.join(deg, "node")
-          .withColumn("pick", mix % col("dn"))
+        // eager localCheckpoint, like KCore: each ≤64-row frontier feeds
+        // BOTH the next step AND the visits union, and lazy persist left
+        // every reference re-deriving the full step chain (21 adjacency
+        // probes instead of 6 — measured 23.9 s; lineage truncation +
+        // the pinned indexed adjacency + broadcasting the frontier side
+        // of the probe → 3.3 s at sf0.1). The adjacency is only ever the
+        // build (probe) side of a broadcast join, never shuffled.
+        frontier = broadcast(frontier.join(broadcast(deg), "node")
+          .withColumn("pick", mix % col("dn")))
           .join(adj, col("c") === col("node") && col("idx") === col("pick"))
           .select(col("seed"), col("x").as("node"))
-          // each frontier is <= |seeds| rows but feeds BOTH the next step
-          // AND the visits union — untracked, the union's branches
-          // re-derive every earlier step (21 adjacency probes instead
-          // of 6; measured 62 s -> ~1 s at sf0.1)
-          .tracked
+          .localCheckpoint(true)
         visits = if (visits == null) frontier.select("node")
           else visits.unionAll(frontier.select("node"))
       }
@@ -9787,8 +9783,11 @@ object SparkEntry {
       val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .select(col("n").as("c"), col("d").as("dc"))
       sym
-        .join(deg.select(col("c"), col("dc").as("deg_c")), "c")
-        .join(deg.select(col("c").as("x"), col("dc").as("deg_x")), "x")
+        // the degree frame is part-cardinality (a dimension): broadcast
+        // both probes so the 2|E| edge stream never shuffles
+        .join(broadcast(deg.select(col("c"), col("dc").as("deg_c"))), "c")
+        .join(broadcast(
+          deg.select(col("c").as("x"), col("dc").as("deg_x"))), "x")
         .withColumn("kb", expr("length(bin(deg_c)) - 1"))
         .groupBy("kb")
         .agg(count(lit(1)).as("n_edges"), sum("deg_x").as("sum_nb_deg"))

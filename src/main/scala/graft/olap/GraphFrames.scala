@@ -82,6 +82,25 @@ object GraphFrames {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
     }
 
+  /** Index-addressed symmetric co-purchase adjacency `(c, x, idx)`: every
+    * undirected edge in both directions with a dense 0-based neighbor
+    * index per center node — the O(1)-addressable form hash-steered walk
+    * sampling probes (`idx = hash mod degree`). The row_number window is
+    * keyed by node, so it scales with max degree, not graph size; built
+    * once per process+SF like the other derived graph tables.
+    */
+  def coPurchaseIndexedSym(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    CacheRegistry.pinned(s"copurchase_idxsym:$dir") {
+      val W = org.apache.spark.sql.expressions.Window
+      e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+        .withColumn("idx",
+          org.apache.spark.sql.functions.row_number()
+            .over(W.partitionBy("c").orderBy("x")) - 1)
+    }
+  }
+
   /** Degree per node of the symmetrized bipartite graph (doubled-id
     * convention): for a part node 2p the count of its suppliers and vice
     * versa. Shared by assortativity / degree-distribution / degree-gini /
