@@ -205,7 +205,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "sample_negative_table",
       // id-bounded probe set broadcast non-equi (ground truth) + the
       // IVF broadcast-centroid scoring pass
-      "sim_ivf_recall")
+      "sim_ivf_recall",
+      // broadcast query set scored non-equi against the corpus (the
+      // sim_bruteforce_topk shape), twice: the 32-row seed floor pass
+      // and the norm-pruned verify pass
+      "sim_mips_norm_pruned")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
