@@ -209,7 +209,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast query set scored non-equi against the corpus (the
       // sim_bruteforce_topk shape), twice: the 32-row seed floor pass
       // and the norm-pruned verify pass
-      "sim_mips_norm_pruned")
+      "sim_mips_norm_pruned",
+      // the same broadcast-query non-equi scoring pass, feeding both
+      // fused rankings
+      "sim_rrf_fusion",
+      // 1-row grand-total scalar joined into the bucket shares
+      "dq_k_anonymity")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
