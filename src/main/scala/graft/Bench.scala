@@ -48,12 +48,14 @@ object Bench {
       val t = osBean.getProcessCpuTime
       if (t < 0) 0.0 else t / 1e9
     }
-    // wall AND process-cpu per calibration reading: the pair separates
-    // host contention (wall grows, cpu flat — the JVM was descheduled)
-    // from in-process pressure like GC during the cache-heavy graph
-    // section (wall and cpu grow TOGETHER — engine state, not the host).
-    // r6 measured calib wall 0.18→0.42 s across the run with cpu moving
-    // in lockstep: a quiet host, visible as such only with both numbers.
+    // wall AND process-cpu per calibration reading: a quiet run keeps
+    // the cpu/wall ratio of this fixed workload in a narrow band even
+    // while wall drifts ~2x with the engine's own GC state; foreign
+    // load destabilizes the ratio in either direction (descheduled
+    // tasks accrue wall without cpu; lingering async cleanup under
+    // contention accrues cpu without wall). r6 measured cpw 3.2-4.4 on
+    // a quiet full run vs 3.2-8.1 with a concurrent build — the
+    // envelope, not the direction, is the signal.
     def calibrate(): (Double, Double) = {
       val t0 = System.nanoTime()
       val c0 = cpuSec()
@@ -157,9 +159,10 @@ object Bench {
     // first-line vs last-line consumers). The driver's tail-capture parses
     // the LAST line; cache_max is the peak post-release cache census (0 =
     // no leaked frames anywhere in the run).
-    // calib_max/calib_min ≈ 1 certifies a quiet host; a drifting ratio
-    // (and wall >> cpu in the full line's per-query maps) marks the run
-    // as contention-inflated — read BENCH numbers through that lens.
+    // a narrow calib_cpw envelope certifies a quiet host; a blown-out
+    // envelope (and wall >> cpu in the full line's per-query maps)
+    // marks the run as contention-inflated — read BENCH through that
+    // lens (see BASELINE.md "quiet-host basis").
     // "pinned" = deliberate process-lifetime shared frames (GraphFrames);
     // cache_max residuals up to pinned + transient checkpoints are healthy
     println(
