@@ -139,10 +139,23 @@ object Bench {
       .mkString("[", ",", "]")
     val calMin = calibration.map(_._2).min
     val calMax = calibration.map(_._2).max
-    // wall-normalized cpu drift of the SAME fixed workload: under host
-    // contention this ratio FALLS at the slow readings (cpu flat, wall
-    // up); under in-process GC/cache pressure it holds or rises
+    // calibration cpw (cpu/wall) is emitted as INFORMATIONAL only: a
+    // 0.25 s window picks up ambient cleaner/GC cpu, so it reads 2.8-8.1
+    // even on a verified-quiet host. The run-level quiet-host verdict
+    // keys on two robust statistics instead (BASELINE.md):
+    //  - calib_wall_ratio: max/min calibration WALL — sustained
+    //    contention (the BENCH_r05 527 s case) inflates every reading;
+    //    measured quiet band <= ~2.3 across three r6 runs
+    //  - n_wall_gt_cpu: queries (wall >= 0.5 s) with wall > 1.1x cpu —
+    //    on a quiet 32-thread local run cpu >= wall ALWAYS (measured 0/0
+    //    on two quiet full runs); a descheduled JVM accrues wall without
+    //    cpu (measured 2 on a contaminated run, would be dozens under
+    //    driver-style sustained load)
     val calCpuPerWall = calibration.map(t => t._3 / t._2)
+    val calWallRatio =
+      if (calibration.isEmpty) 1.0 else calMax / math.max(calMin, 1e-9)
+    val nWallGtCpu = results.count { case (k, v) =>
+      v >= 0.5 && v > cpuByQuery.getOrElse(k, 0.0) * 1.1 }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"calibration":$calArr,"cache":$census,"sf":"$sfDir"}"""
     println(line)
@@ -166,7 +179,7 @@ object Bench {
     // "pinned" = deliberate process-lifetime shared frames (GraphFrames);
     // cache_max residuals up to pinned + transient checkpoints are healthy
     println(
-      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }
