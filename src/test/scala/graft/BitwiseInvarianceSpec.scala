@@ -35,7 +35,14 @@ class BitwiseInvarianceSpec extends AnyFunSuite {
     "agg_entropy_by_group", "agg_mutual_information", "text_js_divergence",
     "ts_holt_linear", "emb_silhouette_simplified", "sim_knn_loo_accuracy",
     "sample_class_balanced", "text_bigram_surprisal", "ts_ljung_box",
-    "text_bpe_train_steps")
+    "text_bpe_train_steps",
+    // round-6 additions: fixed-fold IEEE dots under pruning, q6 Cramer
+    // lattice, cross-doc span census, q20 RRF sums, quasi-id census,
+    // driver-side absorption algebra off a distributed matrix, and the
+    // localCheckpoint-materialized walk
+    "sim_mips_norm_pruned", "agg_ols_two_factor", "dedup_sliding_span",
+    "sim_rrf_fusion", "dq_k_anonymity", "olap_attribution_markov",
+    "graph_random_walk_visits")
 
   test("new operator families are bitwise partitioning-invariant") {
     val key = "spark.sql.shuffle.partitions"
