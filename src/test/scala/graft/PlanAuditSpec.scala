@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // window sort (per-partition heaps of k rows shuffle, not the full
     // partition) — the distributed top-k shape
     for (q <- Seq("sample_stratified", "sample_weighted_topk",
-                  "sim_bruteforce_topk", "text_tfidf_topk")) {
+                  "sim_bruteforce_topk", "text_tfidf_topk",
+                  "sim_mips_norm_pruned", "sim_rrf_fusion")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(p.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit")
