@@ -315,6 +315,70 @@ object Media {
     * the documents table stands in for a media corpus; payload bytes are
     * the UTF-8 encoding).
     */
+  /** REAL image codec for JPEG payloads via `javax.imageio` (the JDK
+    * ships a baseline JPEG reader AND writer — no new dependency): actual
+    * lossy decode of actual entropy-coded bytes. Unlike PNG, JPEG decode
+    * is implementation-defined at the last bit (the IDCT is specified
+    * with a tolerance, not exactly), so JPEG queries carry NO bitwise SQL
+    * oracle — they are spec-checked with a fidelity bound and a
+    * same-codec determinism pin instead, the oracle-exempt contract the
+    * HTML report sink (S6) already uses. Within one JDK the encoder and
+    * decoder are deterministic, so the driver's rows/schema check and
+    * re-runs stay stable.
+    */
+  object JpegCodec {
+    def isJpeg(payload: Array[Byte]): Boolean =
+      payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff
+
+    /** Encode a grayscale raster as real baseline JPEG bytes. */
+    def encodeGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Decode + fidelity against the known source raster in one pass:
+      * (width, height, checksum = Σ samples mod 2³¹−1, mae_q10 =
+      * ⌊1024·Σ|decoded−expected|/n⌋). Undecodable magic-valid payloads
+      * fall back to the stub dims with mae −1 — loud in any assertion.
+      */
+    def decodeFidelity(payload: Array[Byte],
+                       expected: (Int, Int) => Int): (Int, Int, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) {
+        val (w, h, sum) = FakeCodec.decode(payload)
+        return (w, h, sum, -1L)
+      }
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var absErr = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v
+          absErr += math.abs(v - (expected(x, y) & 0xff)).toLong
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum % 2147483647L, 1024L * absErr / (w.toLong * h))
+    }
+  }
+
   def asMedia(docs: DataFrame, idCol: String, contentCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -337,6 +401,10 @@ object Media {
       rows.map { m =>
         val (w, h, checksum) =
           if (PngCodec.isPng(m.payload)) PngCodec.decode(m.payload)
+          else if (JpegCodec.isJpeg(m.payload))
+            // ImageIO sniffs the format from the bytes; the PNG decode
+            // loop (read → band-0 sample sum) is codec-agnostic
+            PngCodec.decode(m.payload)
           else FakeCodec.decode(m.payload)
         MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, checksum)
       }

@@ -166,6 +166,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg codec: real lossy round-trip — exact dims, bounded error, " +
+       "same-codec determinism") {
+    import graft.multimodal.Media.JpegCodec
+    // smooth ramp: JPEG's DCT keeps low-frequency content nearly intact,
+    // so the fidelity bound is tight
+    val dims = Gen.zip(Gen.choose(8, 24), Gen.choose(8, 24),
+                       Gen.choose(0L, Long.MaxValue / 2))
+    forAllN(dims, n = 20) { case (w, h, seed) =>
+      def ramp(x: Int, y: Int): Int =
+        (((seed % 64) + x * 4 + y * 4) % 256).toInt
+      val jpg = JpegCodec.encodeGray(w, h, ramp)
+      assert(JpegCodec.isJpeg(jpg))
+      val (dw, dh, sum, mae) = JpegCodec.decodeFidelity(jpg, ramp)
+      assert(dw == w && dh == h, "JPEG must preserve dimensions exactly")
+      assert(mae >= 0L, "decode fell back to the stub")
+      assert(mae <= 16 * 1024L,
+        s"smooth-ramp MAE ${mae / 1024.0} gray levels exceeds bound")
+      // lossy but DETERMINISTIC within one codec: a second round-trip
+      // reproduces the identical decoded raster
+      assert(JpegCodec.decodeFidelity(
+        JpegCodec.encodeGray(w, h, ramp), ramp) == ((dw, dh, sum, mae)))
+    }
+    // noisy raster: high-frequency content takes real quantization loss —
+    // the point of emitting mae is that the loss is measured, not hidden
+    def noise(x: Int, y: Int): Int = (x * 97 + y * 61) % 256
+    val (nw, nh, _, nMae) =
+      JpegCodec.decodeFidelity(JpegCodec.encodeGray(16, 16, noise), noise)
+    assert(nw == 16 && nh == 16)
+    assert(nMae > 0L && nMae <= 128 * 1024L)
+  }
+
+  test("mm_jpeg_decode: every doc decodes through the real jpeg path") {
+    val sp = SparkTestSession.spark
+    val out = SparkEntry.queries("mm_jpeg_decode")(
+      sp, "/root/testdata/sf0.001").collect()
+    val nDocs = Tables.documents(sp, "/root/testdata/sf0.001").count()
+    assert(out.length.toLong == nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("width") == 8 + r.getAs[Long]("media_id") % 9)
+      assert(r.getAs[Long]("mae_q10") >= 0L,
+        s"media ${r.getAs[Long]("media_id")} fell back to the stub")
+      assert(r.getAs[Long]("n_bytes") > 0L)
+    }
+  }
+
   test("png decodeAvgHash: aHash bits replay; halves stay unsigned") {
     import graft.multimodal.Media.PngCodec
     val dims = Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8),
