@@ -379,6 +379,55 @@ object Media {
     }
   }
 
+  /** Minimal MJPEG-style video container: a "GVID" magic, a frame count,
+    * then length-prefixed REAL JPEG frames. The container format is ours
+    * (the JDK ships no AVI/MP4 demuxer), but everything inside it is a
+    * genuine codec path — each frame decodes through [[JpegCodec]] — so
+    * the video pipeline's per-frame decode, feature-extract and
+    * scene-cut stages run on real lossy-decoded pixels instead of the
+    * byte-chunk stand-in. Swapping [[unpack]] for a real demuxer changes
+    * no downstream plumbing.
+    */
+  object VideoContainer {
+    private val Magic: Array[Byte] = "GVID".getBytes("US-ASCII")
+
+    def isGvid(payload: Array[Byte]): Boolean =
+      payload.length >= 8 && payload(0) == 'G' && payload(1) == 'V' &&
+        payload(2) == 'I' && payload(3) == 'D'
+
+    def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Magic)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Unpack to frame payloads; truncated/corrupt containers return the
+      * frames that parsed cleanly (loud: count mismatch vs header).
+      */
+    def unpack(payload: Array[Byte]): (Int, Seq[Array[Byte]]) = {
+      if (!isGvid(payload)) return (0, Nil)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload, 4, payload.length - 4))
+      val declared = in.readInt()
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      try {
+        var i = 0
+        while (i < declared) {
+          val n = in.readInt()
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          frames += buf
+          i += 1
+        }
+      } catch { case _: java.io.IOException => () }
+      (declared, frames.toSeq)
+    }
+  }
+
   def asMedia(docs: DataFrame, idCol: String, contentCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -211,6 +211,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gvid container round-trips arbitrary frame sets exactly") {
+    import graft.multimodal.Media.VideoContainer
+    val frames = Gen.listOfN(4,
+      Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    forAllN(frames, n = 40) { fs =>
+      val video = VideoContainer.pack(fs)
+      assert(VideoContainer.isGvid(video))
+      val (declared, out) = VideoContainer.unpack(video)
+      assert(declared == fs.length && out.length == fs.length)
+      fs.zip(out).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+    // a truncated container parses the clean prefix and says so loudly:
+    // declared count stays larger than the recovered frames
+    val v = VideoContainer.pack(Seq(Array[Byte](1, 2, 3), Array[Byte](4)))
+    val (d, out) = VideoContainer.unpack(v.dropRight(3))
+    assert(d == 2 && out.length == 1)
+    assert(VideoContainer.unpack(Array[Byte](1, 2)) == ((0, Nil)))
+  }
+
+  test("mm_mjpeg_scene_cut: real per-frame decode finds every known cut") {
+    val sp = SparkTestSession.spark
+    val out = SparkEntry.queries("mm_mjpeg_scene_cut")(
+      sp, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_frames_declared") == r.getAs[Long]("n_frames"),
+        s"media ${r.getAs[Long]("media_id")}: truncated container")
+      assert(r.getAs[Long]("cut_correct") == 1L,
+        s"media ${r.getAs[Long]("media_id")}: cut at " +
+          s"${r.getAs[Long]("cut_at")} expected " +
+          s"${r.getAs[Long]("expected_cut")}")
+      // the designed scene jump survives the lossy decode: bright scene
+      // mean stays well above the dim scene mean on REAL pixels
+      assert(r.getAs[Long]("luma_last_q10")
+        - r.getAs[Long]("luma_first_q10") > 64 * 1024L)
+    }
+  }
+
   test("png decodeAvgHash: aHash bits replay; halves stay unsigned") {
     import graft.multimodal.Media.PngCodec
     val dims = Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8),
