@@ -141,6 +141,54 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming quantiles — the production "p95 latency per window" need:
+    * the STREAM maintains only DDSketch-style bucket counts per
+    * (day, type) — the log2_fp bucket is a deterministic integer, so the
+    * streamed sketch equals the batch sketch bitwise and state is bounded
+    * by windows × types × ~40 buckets regardless of event volume. The
+    * quantile PICK (cumulative walk + boundary lookup) runs post-stream
+    * on the sketch-cardinality table. Same estimator definition as the
+    * batch `sketch_ddsketch_quantiles`, so one oracle covers both.
+    */
+  def runDdsketchDaily(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_ddsk"
+    val L = graft.functions.FixedLog2.log2_fp _
+    val src = readEvents(spark, dir)
+      .select(col("ts"), col("event_type"),
+        graft.olap.Exact.cents(col("value")).as("cents"))
+      .filter(col("cents") > 0) // lattice domain; fixture min is 1 cent
+      .withColumn("lg", L(col("cents")))
+      .withColumn("bucket", expr("lg div 65536"))
+    val q = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min("cents").as("lo"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val t = spark.table(name)
+      .select(to_date(col("window.start")).as("date"), col("event_type"),
+        col("bucket"), col("cnt"), col("lo"))
+    // post-stream pick over the day-cell × type × bucket sketch table.
+    // n rides a full-partition window (not a self-join back onto the
+    // memory view — two branches of one streaming view trip Spark's
+    // conflicting-reference resolution)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("date", "event_type").orderBy("bucket")
+    t.withColumn("cum", sum("cnt").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(
+        W.partitionBy("date", "event_type")).cast("long"))
+      .filter(col("cum") >= expr("(n * 95 + 99) div 100"))
+      .groupBy("date", "event_type", "n")
+      .agg(min("bucket").as("p95_bucket"),
+        min_by(col("lo"), col("bucket")).as("lo"))
+      .select(col("date"), col("event_type"), col("n"), col("p95_bucket"),
+        (col("lo").cast("double") / lit(100.0)).as("p95_est"))
+  }
+
   /** Streaming deduplication (the exactly-once repair for at-least-once
     * delivery): duplicate deliveries collapse on the event key before
     * aggregation; with a watermark, Spark bounds the dedup state the same

@@ -179,6 +179,38 @@ class StreamAsofSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming ddsketch p95 equals the batch-replayed estimator " +
+       "and brackets the exact p95") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("stream_ddsketch_p95")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // brute-force replay from the raw rows: identical buckets, identical
+    // pick — and the sketch's p95 estimate never exceeds the exact p95
+    // (the estimator reports the BUCKET FLOOR at the rank boundary)
+    val raw = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("event_type"),
+        graft.olap.Exact.cents(col("value")).as("cc"))
+      .filter(col("cc") > 0).collect()
+      .map(r => ((r.getDate(0).toString, r.getString(1)), r.getLong(2)))
+    val byCell = raw.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).sorted }
+    out.foreach { r =>
+      val k = (r.getDate(0).toString, r.getString(1))
+      val cents = byCell(k)
+      val n = cents.length.toLong
+      assert(r.getAs[Long]("n") == n, k)
+      val kth = cents(((n * 95 + 99) / 100).toInt - 1)
+      val buckets = cents.map(c =>
+        graft.functions.FixedLog2.log2fp(c) / 65536)
+      val kb = buckets(((n * 95 + 99) / 100).toInt - 1)
+      assert(r.getAs[Long]("p95_bucket") == kb, k)
+      val lo = cents.zip(buckets).filter(_._2 == kb).map(_._1).min
+      assert(r.getAs[Double]("p95_est") == lo / 100.0, k)
+      assert(r.getAs[Double]("p95_est") <= kth / 100.0, k)
+    }
+  }
+
   test("media resize and feature extraction: deterministic byte plumbing") {
     import spark.implicits._
     import graft.multimodal.Media
