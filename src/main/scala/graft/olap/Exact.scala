@@ -50,6 +50,20 @@ object Exact {
   /** Small-range 2-dp rate (discount/tax). */
   def rate(c: Column): Column = c.cast(DecimalType(8, 2))
 
+  /** Exact decimal strings for (3/4)^k, k = 1..n: every power of 3/4 is
+    * BOTH an exactly representable binary double (3^k fits a 53-bit
+    * mantissa through k = 33) and a finite decimal (denominator 4^k), so
+    * Spark and any SQL engine parsing these literals hold IDENTICAL
+    * doubles — the portable decay table for time-weighted folds.
+    */
+  def threeQuarterPows(n: Int): IndexedSeq[java.math.BigDecimal] = {
+    require(n <= 33, s"(3/4)^k exceeds a double mantissa past 33: $n")
+    (1 to n).map { k =>
+      new java.math.BigDecimal(3).pow(k)
+        .divide(new java.math.BigDecimal(4).pow(k))
+    }
+  }
+
   /** 2-dp money as integer cents. round() snaps the within-1-ulp double to
     * its exact integer (never a true .5 tie on 2-dp data), so this is the
     * same exact value the decimal cast produces — but long hash-agg sums

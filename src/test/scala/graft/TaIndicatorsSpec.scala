@@ -347,4 +347,29 @@ class TaIndicatorsSpec extends AnyFunSuite {
       assert(rs.map(_.getAs[Long]("n_days")).sum == bars(et) - 1, et)
     }
   }
+
+  test("ewma irregular: exact fold replay over real calendar gaps") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ts_ewma_irregular")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the thin segment genuinely has holes — the op is not ts_ema in
+    // disguise on this fixture
+    assert(out.exists(_.getAs[Long]("gap_days") > 1L))
+    val pows = graft.olap.Exact.threeQuarterPows(30).map(_.doubleValue)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val seq = rs.sortBy(_.getAs[java.sql.Date]("date").toString)
+      var ewma = 0.0
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getAs[Double]("close")
+        val g = pows(math.min(r.getAs[Long]("gap_days"), 30L).toInt - 1)
+        ewma = if (i == 0) x else ewma * g + x * (1.0 - g)
+        assert(r.getAs[Double]("ewma") == ewma, s"$et row $i") // bitwise
+      }
+    }
+    // decay weights are exact finite decimals AND exact doubles: the
+    // table round-trips text -> double -> text unchanged
+    graft.olap.Exact.threeQuarterPows(30).foreach { p =>
+      assert(new java.math.BigDecimal(p.doubleValue).compareTo(p) == 0)
+    }
+  }
 }
