@@ -377,6 +377,29 @@ object Media {
       }
       (w, h, sum % 2147483647L, 1024L * absErr / (w.toLong * h))
     }
+
+    /** Decoded mean luma, q10 fixed point: ⌊1024·Σsamples/(w·h)⌋ over the
+      * RAW sample sum. [[decodeFidelity]]'s third slot is a CHECKSUM
+      * (Σ mod 2³¹−1) — using it as a pixel sum silently aliases once a
+      * raster holds ~2.9M bright pixels — so luma/scene-cut math must
+      * come through here. Errors loudly on undecodable payloads (mean
+      * luma of the stub dims would be silent nonsense).
+      */
+    def meanLumaQ10(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "meanLumaQ10: payload did not decode as image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Math.multiplyExact(1024L, sum) / (w.toLong * h)
+    }
   }
 
   /** Minimal MJPEG-style video container: a "GVID" magic, a frame count,

@@ -47,6 +47,24 @@ object Exact {
         .cast("long"))
   }
 
+  /** [[checkedLong]] with a caller-tightened envelope: raises once |c|
+    * exceeds `bound`. For moments whose DOWNSTREAM product-of-two must
+    * itself fit DECIMAL(38,0) on Spark AND HUGEINT on DuckDB — e.g. the
+    * OLS determinant c11·c22 − c12²: plain BIGINT range leaves a sliver
+    * (1.70e38 < |det| < 1.76e38) where Spark's decimal throws while
+    * DuckDB's HUGEINT still succeeds. |c| ≤ 7e18 keeps 2·bound² below
+    * both ceilings, so the engines share ONE loud overflow envelope
+    * (the oracle enforces the same bound via error()).
+    */
+  def boundedLong(c: Column, bound: Long): Column = {
+    val lo = lit(-bound).cast(DecimalType(38, 0))
+    val hi = lit(bound).cast(DecimalType(38, 0))
+    when(c.between(lo, hi), c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"lattice moment exceeds +/-$bound: "), c.cast("string")))
+        .cast("long"))
+  }
+
   /** Small-range 2-dp rate (discount/tax). */
   def rate(c: Column): Column = c.cast(DecimalType(8, 2))
 

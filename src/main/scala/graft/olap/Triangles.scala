@@ -78,12 +78,31 @@ object Triangles {
     * same edge frame share ONE adjacency build.
     */
   def perNodeCounts(e: DataFrame, deg: DataFrame, oriented: DataFrame,
-                    adj: DataFrame): DataFrame = {
-    val corners = oriented
+                    adj: DataFrame): DataFrame =
+    perNodeCountsFromTriangles(deg, closureOf(oriented, adj))
+
+  /** Canonical triangle closure (a, b, w): per oriented edge (a→b) the
+    * intersection of the two sorted out-neighbor lists, exploded — each
+    * triangle exactly once, output linear in T. This is the single
+    * definition the pinned materialized list
+    * (`GraphFrames.coPurchaseTriangles`) and the ad-hoc per-node counts
+    * both build from, and the plan PlanAuditSpec audits for the
+    * compact-forward signature (list intersect, never a wedge join).
+    */
+  def closureOf(oriented: DataFrame, adj: DataFrame): DataFrame =
+    oriented
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         explode(array_intersect(col("na"), col("nb"))).as("w"))
+
+  /** Pinned-closure variant: the caller supplies the materialized
+    * canonical triangle list (a, b, w) — e.g.
+    * `GraphFrames.coPurchaseTriangles` — so the per-edge list
+    * intersections run once per process instead of once per query.
+    */
+  def perNodeCountsFromTriangles(deg: DataFrame, tri: DataFrame): DataFrame = {
+    val corners = tri
       .select(explode(array(col("a"), col("b"), col("w"))).as("n"))
     val tc = corners.groupBy("n").agg(count(lit(1)).as("t"))
     deg.join(tc, Seq("n"), "left")
@@ -114,10 +133,24 @@ object Triangles {
         sum(when(col("nb").isNull, lit(0L)).otherwise(
           NgramJaccard.intersect_count_sorted(col("na"), col("nb")))),
         lit(0L)).as("n_triangles"))
+    statsWithTriCount(e, deg, tri)
+  }
+
+  /** Pinned-closure variant of [[stats]]: `n_triangles` is a count over
+    * the materialized canonical triangle list instead of a fresh
+    * per-edge intersection pass.
+    */
+  def statsFromTriangles(e: DataFrame, deg: DataFrame,
+                         tri: DataFrame): DataFrame =
+    statsWithTriCount(e, deg,
+      tri.agg(count(lit(1)).as("n_triangles")))
+
+  private def statsWithTriCount(e: DataFrame, deg: DataFrame,
+                                triCount: DataFrame): DataFrame = {
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val edges = e.agg(count(lit(1)).as("n_edges"))
-    stats.crossJoin(edges).crossJoin(tri) // 1-row scalar combines
+    stats.crossJoin(edges).crossJoin(triCount) // 1-row scalar combines
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
               col("n_triangles"))
   }

@@ -160,7 +160,12 @@ object EventStream {
       .filter(col("cents") > 0) // lattice domain; fixture min is 1 cent
       .withColumn("lg", L(col("cents")))
       .withColumn("bucket", expr("lg div 65536"))
-    val q = src.withWatermark("ts", "1 hour")
+    // NO watermark: complete-output mode ignores watermarks entirely, so
+    // declaring one would only misstate the state-bounding mechanism.
+    // State is bounded by the SKETCH cardinality (day cells × types ×
+    // ~40 log2 buckets), independent of event volume — the same posture
+    // as runHllDaily's register table.
+    val q = src
       .groupBy(window(col("ts"), "1 day"), col("event_type"),
         col("bucket"))
       .agg(count(lit(1)).as("cnt"), min("cents").as("lo"))

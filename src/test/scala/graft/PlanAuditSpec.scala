@@ -297,13 +297,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(graft.olap.KCore.medianDegree(even).collect()(0).getLong(0) == 2L)
   }
 
-  test("triangle closure runs the merge intersect, not a wedge join") {
-    val p = SparkEntry.queries("graph_triangles")(spark, sf)
+  test("triangle closure runs the list intersect, not a wedge join") {
+    // the closure now lives in the PINNED materialized triangle list
+    // (GraphFrames.coPurchaseTriangles) — audit the closure plan itself
+    val G = graft.olap.GraphFrames
+    val cp = graft.olap.Triangles.closureOf(
+        G.coPurchaseOriented(spark, sf), G.coPurchaseAdjacency(spark, sf))
       .queryExecution.executedPlan.toString
-    assert(p.contains("intersect_count_sorted"),
-      "closure must count via the codegen'd sorted-merge intersect")
+    assert(cp.contains("array_intersect"),
+      "closure must intersect the two sorted neighbor lists per edge")
     // the wedge formulation's signature was a join keyed on the wedge
     // endpoints (u, v) against the edge list — absent in compact-forward
+    assert(!cp.contains("LeftSemi"),
+      "no wedge semi-join may remain in the closure plan")
+    // and the consumer query counts over the cached list — no re-derive,
+    // no wedge join downstream either
+    val p = SparkEntry.queries("graph_triangles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "triangle count must read the pinned materialized closure")
     assert(!p.contains("LeftSemi"),
       "no wedge semi-join may remain in the triangle plan")
   }
