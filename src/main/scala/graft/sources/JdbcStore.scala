@@ -101,6 +101,122 @@ object JdbcStore {
         .mode(SaveMode.Append).save()
   }
 
+  /** Database-side composite primary key (the reference table's shape,
+    * av_etl.py:30-38): run once after the Spark writer creates the
+    * table, so the store itself enforces key uniqueness exactly like the
+    * reference's Postgres table — [[upsertByPartition]] then relies on
+    * that constraint instead of a read-before-write.
+    */
+  def ensurePrimaryKey(url: String, table: String, keys: Seq[String],
+                       dialect: SqlDialect = null,
+                       connOpts: Map[String, String] = Map.empty): Unit = {
+    val d = if (dialect == null) SqlDialect.forUrl(url) else dialect
+    connOpts.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    connOpts.filterKeys(Set("user", "password")).foreach {
+      case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      // the Spark writer creates nullable columns; both databases refuse
+      // a PK over them — NOT NULL the keys first (dialect DDL)
+      try {
+        keys.foreach(k => st.executeUpdate(d.setNotNullSql(table, k)))
+        st.executeUpdate(d.addPrimaryKeySql(table, keys))
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** The reference's ACTUAL idempotent-append mechanism, distributed:
+    * insert every row and let the key constraint reject duplicates
+    * (av_etl.py:161-185 catches the PK IntegrityError per frame) —
+    * routed through the [[SqlDialect]] seam. Dialects with a native
+    * single-statement form (Postgres `ON CONFLICT DO NOTHING`) batch it;
+    * dialects without one (Derby) insert per row and swallow ONLY the
+    * dialect's PK-violation SQLSTATEs, propagating everything else.
+    *
+    * Unlike [[appendIdempotent]]'s anti-join (read-before-write), this
+    * path needs NO read of the existing table and is safe under
+    * concurrent writers — the database's own constraint is the arbiter —
+    * at the cost of requiring the PK to exist ([[ensurePrimaryKey]]).
+    * Each partition writes over one connection; the whole insert stream
+    * stays distributed.
+    */
+  def upsertByPartition(incoming: DataFrame, url: String, table: String,
+                        keys: Seq[String], dialect: SqlDialect = null,
+                        connOpts: Map[String, String] = Map.empty): Unit = {
+    val d = if (dialect == null) SqlDialect.forUrl(url) else dialect
+    val schema = incoming.schema
+    val cols = schema.fieldNames.toSeq
+    // capture plain serializable values, not the dialect object
+    val nativeIgnore = d.insertIgnoreSql(table, cols, keys)
+    val plainInsert = d.insertSql(table, cols)
+    val pkStates = d.pkViolationStates
+    val driver = connOpts.get("driver")
+    val creds = connOpts.filterKeys(Set("user", "password")).toMap
+    incoming.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        driver.foreach(Class.forName)
+        val props = new java.util.Properties()
+        creds.foreach { case (k, v) => props.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(true)
+          def bind(st: java.sql.PreparedStatement,
+                   r: org.apache.spark.sql.Row): Unit = {
+            var i = 0
+            while (i < schema.length) {
+              if (r.isNullAt(i)) st.setObject(i + 1, null)
+              else schema(i).dataType match {
+                case org.apache.spark.sql.types.StringType =>
+                  st.setString(i + 1, r.getString(i))
+                case org.apache.spark.sql.types.DateType =>
+                  st.setDate(i + 1, r.getAs[java.sql.Date](i))
+                case org.apache.spark.sql.types.TimestampType =>
+                  st.setTimestamp(i + 1, r.getAs[java.sql.Timestamp](i))
+                case org.apache.spark.sql.types.DoubleType =>
+                  st.setDouble(i + 1, r.getDouble(i))
+                case org.apache.spark.sql.types.FloatType =>
+                  st.setFloat(i + 1, r.getFloat(i))
+                case org.apache.spark.sql.types.LongType =>
+                  st.setLong(i + 1, r.getLong(i))
+                case org.apache.spark.sql.types.IntegerType =>
+                  st.setInt(i + 1, r.getInt(i))
+                case org.apache.spark.sql.types.BooleanType =>
+                  st.setBoolean(i + 1, r.getBoolean(i))
+                case _: org.apache.spark.sql.types.DecimalType =>
+                  st.setBigDecimal(i + 1,
+                    r.getAs[java.math.BigDecimal](i))
+                case other => throw new IllegalArgumentException(
+                  s"upsertByPartition: unsupported column type $other")
+              }
+              i += 1
+            }
+          }
+          nativeIgnore match {
+            case Some(ins) =>
+              val st = conn.prepareStatement(ins)
+              try it.grouped(500).foreach { batch =>
+                batch.foreach { r => bind(st, r); st.addBatch() }
+                st.executeBatch()
+              } finally st.close()
+            case None =>
+              val st = conn.prepareStatement(plainInsert)
+              try it.foreach { r =>
+                bind(st, r)
+                try st.executeUpdate()
+                catch {
+                  case e: java.sql.SQLException
+                      if e.getSQLState != null &&
+                        pkStates.contains(e.getSQLState) => () // PK reject
+                }
+              } finally st.close()
+          }
+        } finally conn.close()
+      }
+    }
+  }
+
   /** High-watermark probe against the store (reference av_etl.py:12-19):
     * max(key) — Catalyst folds this to a 1-row aggregate over the JDBC
     * scan; with only the key column required, column pruning reaches the

@@ -65,6 +65,75 @@ class JdbcSpec extends AnyFunSuite {
     assert(spy5.length == 1 && spy5(0).getAs[Double]("close") == 470.25)
   }
 
+  test("dialect seam: recorded PostgreSQL behaviors and url routing") {
+    import graft.sources.{DerbyDialect, PostgresDialect, SqlDialect}
+    // identifier case folding: Postgres lower, Derby upper — the exact
+    // reason one probe casing cannot serve both catalogs
+    assert(PostgresDialect.foldIdentifier("Bars_RT") == "bars_rt")
+    assert(DerbyDialect.foldIdentifier("Bars_RT") == "BARS_RT")
+    // quoting preserves case and escapes embedded quotes (both dialects)
+    assert(PostgresDialect.quote("""we"ird""") == "\"we\"\"ird\"")
+    // the documented native insert-unless-exists form (Postgres >= 9.5)
+    assert(PostgresDialect.insertIgnoreSql("bars",
+        Seq("symbol", "trade_date", "close"),
+        Seq("symbol", "trade_date")) ==
+      Some("""INSERT INTO bars ("symbol", "trade_date", "close") """ +
+        """VALUES (?, ?, ?) """ +
+        """ON CONFLICT ("symbol", "trade_date") DO NOTHING"""))
+    // Derby has none — the per-row PK-reject fallback must engage
+    assert(DerbyDialect.insertIgnoreSql("bars", Seq("a"), Seq("a")).isEmpty)
+    // NOT NULL DDL differs (the Spark writer creates nullable columns
+    // and neither database accepts a PK over them)
+    assert(PostgresDialect.setNotNullSql("bars", "symbol") ==
+      """ALTER TABLE bars ALTER COLUMN "symbol" SET NOT NULL""")
+    assert(DerbyDialect.setNotNullSql("bars", "symbol") ==
+      """ALTER TABLE bars ALTER COLUMN "symbol" NOT NULL""")
+    // unique_violation is the SQL-standard 23505 on BOTH databases
+    assert(PostgresDialect.pkViolationStates == Set("23505"))
+    assert(DerbyDialect.pkViolationStates == Set("23505"))
+    assert(SqlDialect.forUrl("jdbc:postgresql://db/x") == PostgresDialect)
+    assert(SqlDialect.forUrl(url) == DerbyDialect)
+  }
+
+  test("PK-reject upsert through the dialect seam (real constraint)") {
+    import graft.sources.DerbyDialect
+    val keys = Seq("symbol", "trade_date")
+    val day1 = bars(Seq(("SPY", "2026-01-05", 470.25),
+                        ("QQQ", "2026-01-05", 399.75)))
+    // create via the Spark writer, then add the reference table's
+    // composite PK so the DATABASE enforces uniqueness from here on
+    JdbcStore.appendIdempotent(spark, day1, url, "bars_upsert", keys,
+      symbolType)
+    JdbcStore.ensurePrimaryKey(url, "bars_upsert", keys)
+    // the raw duplicate really is rejected with the dialect's SQLSTATE —
+    // executable proof the PK-violation mapping matches the database
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        "INSERT INTO bars_upsert VALUES (?, ?, ?)")
+      st.setString(1, "SPY")
+      st.setDate(2, java.sql.Date.valueOf("2026-01-05"))
+      st.setDouble(3, 1.0)
+      val e = intercept[java.sql.SQLException] { st.executeUpdate() }
+      assert(DerbyDialect.isPkViolation(e), s"state=${e.getSQLState}")
+    } finally conn.close()
+    // distributed upsert: exact replay + one new key, per-row PK-reject
+    // path (Derby has no native ON CONFLICT) — no read-before-write
+    val day2 = bars(Seq(("SPY", "2026-01-05", 999.99), // dupe, rejected
+                        ("SPY", "2026-01-06", 471.00)))
+    JdbcStore.upsertByPartition(day1.unionAll(day2), url, "bars_upsert",
+      keys)
+    val after = JdbcStore.read(spark, url, "bars_upsert")
+    assert(after.count() == 3)
+    val spy5 = after.filter(col("symbol") === "SPY" &&
+      col("trade_date") === lit("2026-01-05").cast("date")).collect()
+    assert(spy5.length == 1 && spy5(0).getAs[Double]("close") == 470.25)
+    // replaying the whole upsert is a no-op
+    JdbcStore.upsertByPartition(day1.unionAll(day2), url, "bars_upsert",
+      keys)
+    assert(JdbcStore.read(spark, url, "bars_upsert").count() == 3)
+  }
+
   test("watermark probe and filter pushdown reach the database scan") {
     val in = bars(Seq(("SPY", "2026-01-05", 470.25),
                       ("SPY", "2026-01-06", 471.00),
