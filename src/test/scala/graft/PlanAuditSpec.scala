@@ -255,9 +255,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // duplicated query name silently clobbers the original (round 5
     // shipped-and-caught exactly this with ts_seasonality_dow). Pin the
     // source text against the runtime maps.
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // post-split, definitions live in the graft.queries.* family modules
+    // — and the ++ merge in SparkEntry makes a key duplicated ACROSS
+    // modules clobber silently too, so scan the concatenation of all of
+    // them (plus SparkEntry itself, should anything move back)
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString) :+
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")
+    val src = files.map(p => new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)).mkString("\n")
     val closureNames = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
       .findAllMatchIn(src).map(_.group(1)).toSeq
     val dups = closureNames.groupBy(identity).filter(_._2.size > 1).keys

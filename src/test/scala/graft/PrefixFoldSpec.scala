@@ -165,6 +165,80 @@ class PrefixFoldSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == cells(declarative))
   }
 
+  test("ts_kalman_level: shipped fold == driver-side replay, bitwise") {
+    val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, dir))
+      .select("event_type", "date", "close")
+      .orderBy("event_type", "date").collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    // plain-Scala replay of the published recursion per key
+    val expected = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    var key: String = null; var l = 0.0; var p = 0.0
+    bars.foreach { case (k, x) =>
+      if (k != key) { key = k; l = x; p = 1.0; expected += ((l, 0.0, p)) }
+      else {
+        val pp = p + 0.015625
+        val kg = pp / (pp + 1.0)
+        l = l + kg * (x - l); p = (1.0 - kg) * pp
+        expected += ((l, kg, p))
+      }
+    }
+    val got = SparkEntry.queries("ts_kalman_level")(spark, dir)
+      .orderBy("event_type", "date").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == expected.length && got.length > 50)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(java.lang.Double.doubleToRawLongBits(g._1) ==
+             java.lang.Double.doubleToRawLongBits(e._1))
+      assert(java.lang.Double.doubleToRawLongBits(g._2) ==
+             java.lang.Double.doubleToRawLongBits(e._2))
+      assert(java.lang.Double.doubleToRawLongBits(g._3) ==
+             java.lang.Double.doubleToRawLongBits(e._3))
+    }
+    // the gain SHRINKS as the filter converges (the adaptive-α property
+    // that distinguishes Kalman from fixed-α EMA)
+    val gains = got.map(_._2).drop(1).take(20)
+    assert(gains.head > gains.last && gains.last > 0.0)
+  }
+
+  test("ts_holt_winters_weekly: shipped fold == driver-side replay, " +
+       "bitwise (array state)") {
+    val bars = graft.ts.Ohlc.dailyBars(Tables.events(spark, dir))
+      .select("event_type", "date", "close")
+      .orderBy("event_type", "date").collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val expected = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    var key: String = null; var l = 0.0; var b = 0.0
+    var sv: Array[Double] = null; var rn = 0
+    bars.foreach { case (k, x) =>
+      if (k != key) {
+        key = k; l = x; b = 0.0; sv = Array.fill(7)(0.0); rn = 1
+        expected += ((l, b, 0.0))
+      } else {
+        val i = rn % 7
+        val si = sv(i)
+        val l2 = 0.25 * (x - si) + 0.75 * (l + b)
+        val b2 = 0.125 * (l2 - l) + 0.875 * b
+        val s2 = 0.25 * (x - l2) + 0.75 * si
+        sv(i) = s2; l = l2; b = b2; rn += 1
+        expected += ((l2, b2, s2))
+      }
+    }
+    val got = SparkEntry.queries("ts_holt_winters_weekly")(spark, dir)
+      .orderBy("event_type", "date").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == expected.length && got.length > 50)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(java.lang.Double.doubleToRawLongBits(g._1) ==
+             java.lang.Double.doubleToRawLongBits(e._1))
+      assert(java.lang.Double.doubleToRawLongBits(g._2) ==
+             java.lang.Double.doubleToRawLongBits(e._2))
+      assert(java.lang.Double.doubleToRawLongBits(g._3) ==
+             java.lang.Double.doubleToRawLongBits(e._3))
+    }
+    // seasonality actually accumulates: some late seasonal is nonzero
+    assert(got.drop(20).exists(_._3 != 0.0))
+  }
+
   test("PrefixFold resets state on key change and respects fold order") {
     import spark.implicits._
     // two keys interleaved in input order; the fold must see each key's
