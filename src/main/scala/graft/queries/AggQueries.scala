@@ -230,6 +230,49 @@ object AggQueries {
         .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)),
 
+    // Quantile-forecast evaluation: pinball (quantile) loss of the
+    // constant τ-quantile predictor per series, τ ∈ {0.5, 0.9} — the
+    // scoring rule quantile forecasts are graded by (the τ-quantile is
+    // exactly its minimizer, so these are the series' irreducible
+    // pinball baselines). Quantiles are positional order statistics at
+    // ceil(τ·n) on the integer cents lattice; each loss is an exact
+    // ×10-scaled integer sum (τ=0.9 → 9·over/1·under, τ=0.5 → 5/5), so
+    // the whole evaluation is order-free with two final double
+    // divisions. One keyed rank window + two partial-aggregable passes.
+    "agg_pinball_loss" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), Exact.cents(col("value")).as("cents"))
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val qs = v
+        .withColumn("rn", row_number().over(
+          w.partitionBy("event_type").orderBy("cents")))
+        .join(broadcast(n), "event_type")
+        .select(col("event_type"),
+          when(col("rn") === expr("(n + 1) div 2"), col("cents")).as("c50"),
+          when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))
+            .as("c90"))
+        .groupBy("event_type")
+        .agg(min("c50").as("q50c"), min("c90").as("q90c"))
+      v.join(broadcast(qs), "event_type")
+        .groupBy("event_type", "q50c", "q90c")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") >= col("q50c"),
+              (col("cents") - col("q50c")) * 5)
+            .otherwise((col("q50c") - col("cents")) * 5)).as("l50"),
+          sum(when(col("cents") >= col("q90c"),
+              (col("cents") - col("q90c")) * 9)
+            .otherwise(col("q90c") - col("cents"))).as("l90"))
+        .select(col("event_type"), col("n"),
+          (col("q50c").cast("double") / lit(100.0)).as("q50"),
+          (col("q90c").cast("double") / lit(100.0)).as("q90"),
+          (col("l50").cast("double") / (col("n") * lit(1000L))
+            .cast("double")).as("pinball_50"),
+          (col("l90").cast("double") / (col("n") * lit(1000L))
+            .cast("double")).as("pinball_90"))
+        .orderBy("event_type")
+    }),
+
     // Robust statistics: median + MAD (median absolute deviation) per
     // series in exact integer cents — positional selection over keyed
     // ranks, so the "median" is an existing value and every comparison is
@@ -1943,6 +1986,43 @@ object AggQueries {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY lvl, l_returnflag ASC NULLS FIRST,
                   l_linestatus ASC NULLS FIRST""",
+
+    // same cents lattice + positional quantiles; the ×10-scaled losses
+    // are exact integer sums, HUGEINT routed through BIGINT
+    "agg_pinball_loss" ->
+      """WITH v AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events),
+            r AS (SELECT event_type, cents,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY cents) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+                  FROM v),
+            q AS (SELECT event_type,
+                    min(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                      AS q50c,
+                    min(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+                      AS q90c
+                  FROM r GROUP BY 1),
+            l AS (SELECT v.event_type, q.q50c, q.q90c,
+                    count(*) AS n,
+                    CAST(sum(CASE WHEN cents >= q50c
+                                  THEN (cents - q50c) * 5
+                                  ELSE (q50c - cents) * 5 END)
+                      AS BIGINT) AS l50,
+                    CAST(sum(CASE WHEN cents >= q90c
+                                  THEN (cents - q90c) * 9
+                                  ELSE q90c - cents END)
+                      AS BIGINT) AS l90
+                  FROM v JOIN q USING (event_type) GROUP BY 1, 2, 3)
+         SELECT event_type, n,
+                CAST(q50c AS DOUBLE) / 100.0 AS q50,
+                CAST(q90c AS DOUBLE) / 100.0 AS q90,
+                CAST(l50 AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+                  AS pinball_50,
+                CAST(l90 AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+                  AS pinball_90
+         FROM l ORDER BY event_type""",
 
     "agg_mad_outliers" ->
       """WITH v AS (SELECT event_type,

@@ -384,6 +384,17 @@ object StreamIngestQueries {
       graft.streaming.EventStream.runDedupedCounts(s, dir)
         .orderBy("event_type")),
 
+    // The state-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    // TTLs each key's dedup state to the watermark delay (plain
+    // dropDuplicates above keeps every key forever — correct, but state
+    // grows with the key universe; this is the form an unbounded-id
+    // stream runs at scale). Redeliveries share their event time, so
+    // they always collapse inside the delay and the emitted set is
+    // exactly one row per event_id.
+    "stream_dedup_ttl" -> ((s, dir) =>
+      graft.streaming.EventStream.runDedupTtl(s, dir)
+        .orderBy("date", "event_type")),
+
     // North-star streaming: custom keyed state via flatMapGroupsWithState —
     // sessions spanning micro-batches, closed by gap or event-time timeout.
     // The emitted set IS SQL-expressible (gap-closed sessions plus final
@@ -1365,6 +1376,13 @@ object StreamIngestQueries {
     "stream_dedup_replay" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // redeliveries share the original event time, so the TTL'd dedup
+    // state always covers them and the emitted set is exactly distinct
+    "stream_dedup_ttl" ->
+      """SELECT CAST(ts AS DATE) AS date, event_type,
+                count(DISTINCT event_id) AS n_unique
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // The stateful sessionizer's emitted set is deterministic: every
     // gap-closed session (a later same-user event exists past the gap),

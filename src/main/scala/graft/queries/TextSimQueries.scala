@@ -593,6 +593,95 @@ object TextSimQueries {
           minCosine = 0.30)
         .orderBy("vec_a", "vec_b")),
 
+    // Scalar quantization (SQ8) + asymmetric distance — the 4-byte→1-byte
+    // compression tier between full vectors and PQ: per-dimension corpus
+    // [lo, hi] bounds (one partial-aggregable pass reduced to a single
+    // 2-array row, broadcast), each vector encoded to an 8-bit code per
+    // dimension, and queries scored EXACTLY (query stays on the full q16
+    // lattice; only the corpus side is compressed — the asymmetric-
+    // distance property). Everything lives on integer lattices with
+    // explicit floor division, so encode/decode/distance are
+    // bitwise-portable; per-query top-k is a keyed window.
+    "sim_sq8_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))").as("qa"))
+        .tracked
+      val bounds = emb
+        .select(posexplode(col("qa")).as(Seq("p", "q")))
+        .groupBy((col("p") + 1).as("i"))
+        .agg(min("q").as("lo"), max("q").as("hi"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+               "'i', i, 'v', lo))), x -> x.v)").as("lo"),
+             expr("transform(array_sort(collect_list(named_struct(" +
+               "'i', i, 'v', hi))), x -> x.v)").as("hi"))
+      // dq = decode(encode(q)): code_d = ⌊(q−lo)·255 / (hi−lo)⌋ ∈ [0,255],
+      // reconstructed back onto the q16 lattice — all operands
+      // non-negative, so DIV (truncation) ≡ floor on both engines
+      val enc = emb.crossJoin(broadcast(bounds))
+        .select(col("vec_id"), expr(
+          """transform(sequence(1, size(qa)), d ->
+               CASE WHEN element_at(hi, d) = element_at(lo, d)
+                    THEN element_at(lo, d)
+                    ELSE element_at(lo, d) +
+                      ((((element_at(qa, d) - element_at(lo, d)) * 255)
+                          DIV (element_at(hi, d) - element_at(lo, d)))
+                        * (element_at(hi, d) - element_at(lo, d))) DIV 255
+               END)""").as("dq"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qa").as("qq"))
+      val scored = enc
+        .join(broadcast(probes), col("query_id") =!= col("vec_id"))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(qq, dq, (a, b) -> (a - b) * (a - b)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist2").asc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "dist2")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Johnson–Lindenstrauss random projection (±1 matrix, the database-
+    // friendly JL flavor): 64 dims → 16 exact BIGINT components per
+    // vector (y_k = Σ_d s_kd·q_d on the q16 lattice; the deterministic
+    // LCG-derived signs are shared with the hyperplane LSH, inlined into
+    // the oracle as literals). Output is the distance-preservation audit
+    // on the id-bounded pair set: ‖a−b‖² in the original space, in the
+    // projected space, and the concentration ratio d2_proj/(k·d2_orig)
+    // that the JL lemma pins near 1 — the check run before committing a
+    // corpus to a projected index. Projection is a per-row projection
+    // (zero shuffle); only the bounded pair frame joins.
+    "emb_random_projection" -> ((s, dir) => {
+      val planes = graft.similarity.HyperplaneLsh.planes(16, 64)
+      val y = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 32)
+        .select(col("vec_id"), expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))").as("qa"))
+        .withColumn("ya", array(planes.map(p =>
+          aggregate(
+            zip_with(col("qa"), typedLit(p.map(_.toLong)), (q, sgn) =>
+              q * sgn),
+            lit(0L), (acc, x) => acc + x)): _*))
+      val a = y.select(col("vec_id").as("vec_a"), col("qa").as("qa_a"),
+        col("ya").as("ya_a"))
+      val b = y.select(col("vec_id").as("vec_b"), col("qa").as("qa_b"),
+        col("ya").as("ya_b"))
+      def d2(x: String, yc: String) = expr(
+        s"aggregate(zip_with($x, $yc, (u, v) -> (u - v) * (u - v)), " +
+          "CAST(0 AS BIGINT), (acc, w) -> acc + w)")
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          d2("qa_a", "qa_b").as("d2_orig"),
+          d2("ya_a", "ya_b").as("d2_proj"))
+        .withColumn("jl_ratio",
+          col("d2_proj").cast("double")
+            / (lit(16.0) * col("d2_orig").cast("double")))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Embedding normalization + int8 quantization (the storage/serving
     // transform ANN shards apply at ingest): L2 norm via the fused dot,
     // per-dimension round(x/norm·127) — all per-row projection, zero
@@ -743,69 +832,76 @@ object TextSimQueries {
           col("n_dupes").cast("double") / col("n_docs").cast("double"))
         .orderBy("source")),
 
-    // Iterative linear algebra as joins: 3 fixed power-iteration rounds
-    // toward the top eigenvector of the 64×64 dimension-correlation
-    // matrix (PCA's first component — the embedding-drift direction).
-    // The matrix entries are quantized once (floor(corr·2²⁰)) and every
-    // matvec is an exact keyed join + partial-aggregable BIGINT sum; each
-    // round renormalizes to a ±4096 lattice with explicit FLOOR division
-    // (truncation would diverge from the oracle on negatives). The
-    // pattern that runs PCA/eigen-centrality at matrix sizes where the
-    // matrix itself is a distributed frame.
+    // 3 fixed power-iteration rounds toward the top eigenvector of the
+    // 64×64 dimension-correlation matrix (PCA's first component — the
+    // embedding-drift direction). Two-tier plan matching the data's two
+    // tiers: the CORPUS-sized gram pass is one join-free codegen
+    // projection (every upper-triangle product emitted per row — the
+    // corpus is scanned once and never shuffled; the only exchange
+    // carries ≤ d·(d+1)/2 partial-agg cells) and the DIMENSION-bounded
+    // 64×64 iteration folds on the driver with exact checked Long
+    // arithmetic — the same rule every lattice path here follows
+    // (collect only what is bounded by schema, never by data). The
+    // matrix entries are quantized once (floor(corr·2²⁰)); each round
+    // renormalizes to a ±4096 lattice with explicit FLOOR division
+    // (truncation would diverge from the oracle on negatives).
     "emb_power_iteration" -> ((s, dir) => {
-      val dims = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding"))
-          .as(Seq("p", "x")))
-        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
-          floor(col("x").cast("double") * lit(65536.0)).as("q"))
-      // stats (one corpus scan reduced to 64 rows) is referenced FOUR
-      // times — both broadcast sides, the diagonal, and the iteration
-      // seed; uncached, every broadcast-subquery round re-ran the scan
-      val stats = dims.groupBy("i")
-        .agg(count(lit(1)).as("n"), sum("q").as("s"),
-             sum(col("q") * col("q")).as("ss"))
-        .tracked
-      val pairs = dims.select(col("vec_id"), col("i"), col("q"))
-        .join(dims.select(col("vec_id"), col("i").as("j"),
-              col("q").as("qj")), "vec_id")
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("sp"))
-      val si = broadcast(stats.select(col("i"), col("n"),
-        col("s").as("si"), col("ss").as("ssi")))
-      val sj = broadcast(stats.select(col("i").as("j"),
-        col("s").as("sj"), col("ss").as("ssj")))
-      val nD = col("n").cast("double")
-      def d(c: org.apache.spark.sql.Column) = c.cast("double")
-      // upper sits on BOTH sides of the symmetrizing union — cache it or
-      // the corpus-wide pair aggregation runs twice
-      val upper = pairs.join(si, "i").join(sj, "j")
-        .select(col("i"), col("j"),
-          floor(((nD * d(col("sp")) - d(col("si")) * d(col("sj")))
-            / (sqrt(nD * d(col("ssi")) - d(col("si")) * d(col("si")))
-               * sqrt(nD * d(col("ssj")) - d(col("sj")) * d(col("sj")))))
-            * lit(1048576.0)).cast("long").as("cq"))
-        .tracked
-      // re-key the union: without it the cached matrix inherits 3x32
-      // near-empty partitions (one set per union branch) and every
-      // iteration stage pays 96 tasks to scan a dims²-row frame
-      val mat = upper
-        .unionByName(upper.select(col("j").as("i"), col("i").as("j"),
-          col("cq")))
-        .unionByName(stats.select(col("i"), col("i").as("j"),
-          lit(1048576L).as("cq")))
-        .repartition(col("i"))
-        .tracked
-      var v = stats.select(col("i").as("j"), lit(4096L).as("v"))
-      for (_ <- 1 to 3) {
-        val x = mat.join(v, "j").groupBy("i")
-          .agg(sum(col("cq") * col("v")).as("x"))
-        val mx = x.agg(max(abs(col("x"))).as("mx"))
-        v = x.crossJoin(broadcast(mx))
-          .select(col("i").as("j"),
-            expr("(x * 4096 - (((x * 4096) % mx) + mx) % mx) DIV mx")
-              .as("v"))
+      // per-row upper-triangle products (i ≤ j; the diagonal doubles as
+      // the ss_i moment and carries q_i for the s_i moment) — one
+      // whole-stage-codegen projection, one partial-aggregable groupBy
+      val cells = Tables.embeddings(s, dir)
+        .select(expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))").as("qa"))
+        // d²/2 products per row is the cpu-dense stage; the single-
+        // row-group fixture scan runs it in 1 task — spread first (a
+        // many-file production scan parallelizes itself)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(qa)), i ->
+               transform(sequence(i, size(qa)), j ->
+                 named_struct(
+                   'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+                   'p', element_at(qa, i) * element_at(qa, j),
+                   'qi', element_at(qa, i)))))""")).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.p"), col("c.qi"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("p").as("sp"), sum("qi").as("sqi"))
+        .collect()
+      val dimCount = cells.iterator.map(_.getLong(0)).max.toInt
+      require(dimCount <= 128 && cells.length <= 128 * 129 / 2,
+        s"power iteration collects a DIMENSION-bounded gram matrix; " +
+          s"got $dimCount dims (${cells.length} cells)")
+      val n = cells.head.getLong(2).toDouble // count(*) — same for every cell
+      val sArr = new Array[Double](dimCount + 1)  // s_i = Σ q_i
+      val ssArr = new Array[Double](dimCount + 1) // ss_i = Σ q_i²
+      for (r <- cells if r.getLong(0) == r.getLong(1)) {
+        ssArr(r.getLong(0).toInt) = r.getLong(3).toDouble
+        sArr(r.getLong(0).toInt) = r.getLong(4).toDouble
       }
-      v.select(col("j").as("dim"), col("v").as("v3")).orderBy("dim")
+      // quantized correlation, the exact IEEE chain the oracle spells
+      // out (mul/div/sqrt/floor are correctly-rounded in both engines)
+      val m = Array.fill(dimCount + 1, dimCount + 1)(0L)
+      for (r <- cells) {
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        if (i == j) m(i)(i) = 1048576L
+        else {
+          val cq = math.floor((n * r.getLong(3).toDouble - sArr(i) * sArr(j))
+            / (math.sqrt(n * ssArr(i) - sArr(i) * sArr(i))
+               * math.sqrt(n * ssArr(j) - sArr(j) * sArr(j)))
+            * 1048576.0).toLong
+          m(i)(j) = cq; m(j)(i) = cq
+        }
+      }
+      var v = Array.fill(dimCount + 1)(4096L)
+      for (_ <- 1 to 3) {
+        val x = (0 to dimCount).map(i => (1 to dimCount).foldLeft(0L)((a, j)
+          => Math.addExact(a, Math.multiplyExact(m(i)(j), v(j))))).toArray
+        val mx = (1 to dimCount).map(i => math.abs(x(i))).max
+        v = x.map(xi => Math.floorDiv(Math.multiplyExact(xi, 4096L), mx))
+      }
+      import s.implicits._
+      (1 to dimCount).map(i => (i.toLong, v(i))).toDF("dim", "v3")
+        .orderBy("dim")
     }),
 
     // Estimator quality as a first-class query: precision/recall of the
@@ -2489,6 +2585,71 @@ object TextSimQueries {
                     FROM est)
          SELECT query_id, rank, vec_id, est_sim FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // same q16 lattice, per-dim [lo,hi] bounds, floor-div encode/decode
+    // (all operands non-negative, so DuckDB's truncating // ≡ floor)
+    "sim_sq8_adc_topk" ->
+      """WITH qa AS (SELECT vec_id,
+                       list_transform(embedding, x ->
+                         CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))
+                         AS qa
+                     FROM embeddings),
+            dd AS (SELECT unnest(generate_series(1, 64)) AS i),
+            b AS (SELECT i, min(qa[i]) AS lo, max(qa[i]) AS hi
+                  FROM qa, dd GROUP BY 1),
+            ba AS (SELECT list(lo ORDER BY i) AS lo,
+                          list(hi ORDER BY i) AS hi FROM b),
+            enc AS (SELECT vec_id,
+                      list_transform(generate_series(1, len(qa)), d ->
+                        CASE WHEN ba.hi[d] = ba.lo[d] THEN ba.lo[d]
+                             ELSE ba.lo[d] +
+                               ((((qa[d] - ba.lo[d]) * 255)
+                                   // (ba.hi[d] - ba.lo[d]))
+                                 * (ba.hi[d] - ba.lo[d])) // 255
+                        END) AS dq
+                    FROM qa, ba),
+            pr AS (SELECT vec_id AS query_id, qa AS qq FROM qa
+                   WHERE vec_id < 10),
+            sc AS (SELECT pr.query_id, e.vec_id,
+                     CAST(list_sum(list_transform(
+                         generate_series(1, len(e.dq)), k ->
+                           (pr.qq[k] - e.dq[k]) * (pr.qq[k] - e.dq[k])))
+                       AS BIGINT) AS dist2
+                   FROM enc e, pr WHERE pr.query_id <> e.vec_id),
+            rk AS (SELECT query_id, vec_id, dist2,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist2 ASC, vec_id ASC) AS rank
+                   FROM sc)
+         SELECT query_id, rank, vec_id, dist2 FROM rk WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the ±1 signs are the engine's deterministic LCG planes, inlined
+    "emb_random_projection" -> {
+      val planeLits = graft.similarity.HyperplaneLsh.planes(16, 64)
+        .map(_.map(v => if (v > 0) "1" else "-1")
+          .mkString("[", ", ", "]"))
+      val yComps = planeLits.map(pl =>
+        s"CAST(list_sum(list_transform(generate_series(1, 64), d -> " +
+          s"qa[d] * ($pl)[d])) AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH qa AS (SELECT vec_id,
+                        list_transform(embedding, x ->
+                          CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))
+                          AS qa
+                      FROM embeddings WHERE vec_id < 32),
+            y AS (SELECT vec_id, qa, $yComps AS ya FROM qa),
+            p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    CAST(list_sum(list_transform(generate_series(1, 64),
+                        d -> (a.qa[d] - b.qa[d]) * (a.qa[d] - b.qa[d])))
+                      AS BIGINT) AS d2_orig,
+                    CAST(list_sum(list_transform(generate_series(1, 16),
+                        k -> (a.ya[k] - b.ya[k]) * (a.ya[k] - b.ya[k])))
+                      AS BIGINT) AS d2_proj
+                  FROM y a JOIN y b ON a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, d2_orig, d2_proj,
+                 CAST(d2_proj AS DOUBLE)
+                   / (16.0 * CAST(d2_orig AS DOUBLE)) AS jl_ratio
+          FROM p ORDER BY vec_a, vec_b"""
+    },
 
     "sim_ivf_assign" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ec

@@ -222,6 +222,36 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Watermark-TTL'd streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds a key's dedup state only for the watermark delay instead of
+    * forever — the state-bounded form for key spaces that grow without
+    * bound (plain streaming dropDuplicates retains every key ever seen;
+    * at an unbounded event-id universe that state never stops growing,
+    * while this operator's state is one delay window of keys). Duplicate
+    * deliveries carry the same event time, so they always land inside
+    * the delay and the emitted stream holds exactly one row per
+    * event_id; the per-day report aggregates the emitted rows post-sink
+    * — the operator under test is the dedup, not the count.
+    */
+  def runDedupTtl(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_dedup_ttl"
+    val doubled = readEvents(spark, dir)
+      .select("event_id", "ts", "event_type")
+      .withColumn("attempt", explode(array(lit(1), lit(2))))
+      .drop("attempt")
+    val q = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
   /** Stream-stream time-bounded inner join: each purchase pairs with the
     * same user's views from the trailing hour. Both sides carry event-time
     * watermarks and the range condition bounds the buffered state on each

@@ -153,8 +153,6 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_hash_uniformity_ks",
       // broadcast 1-row histogram-rank and boundary-day scalars
       "sample_time_purged_split",
-      // broadcast 1-row per-round max-norm scalar into the renormalize
-      "emb_power_iteration",
       // 1-row CI bounds x 1-row point-estimate combine
       "agg_bootstrap_ci",
       // 1-row per-set estimates x union sketch x exact-intersection
@@ -202,6 +200,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "sample_class_balanced",
       // k×k broadcast centroid-pair frame (bounded by label cardinality)
       "emb_davies_bouldin",
+      // 1-row per-dim-bounds arrays broadcast onto the encode + the
+      // broadcast probe set scored non-equi (the sim_bruteforce shape)
+      "sim_sq8_adc_topk",
+      // id-bounded pair frame broadcast non-equi (the JL-audit ground
+      // truth; projection itself is a per-row zero-shuffle projection)
+      "emb_random_projection",
       // 1-row total-weight scalar joined into the ppm shares
       "sample_negative_table",
       // id-bounded probe set broadcast non-equi (ground truth) + the

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: SQ8 scalar quantization, JL random projection,
+  * watermark-TTL'd streaming dedup, pinball-loss forecast scoring — each
+  * pinned against an independent formulation (the quantizer's error
+  * contract, the JL concentration bound, exact distinct counts, the
+  * τ-quantile's loss-minimizer identity), not just the DuckDB oracle.
+  */
+class QuantizeProjectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("sq8: reconstruction error bounded by one code step per dimension") {
+    // decode(encode(q)) must sit within ⌈(hi−lo)/255⌉ of q on every
+    // dimension — the defining contract of 8-bit scalar quantization.
+    // Recompute bounds + codes independently on the driver.
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+    val qs = rows.map(r => r.getSeq[Float](1).toArray
+      .map(x => math.floor(x.toDouble * 65536).toLong))
+    val d = qs.head.length
+    val lo = Array.tabulate(d)(i => qs.map(_(i)).min)
+    val hi = Array.tabulate(d)(i => qs.map(_(i)).max)
+    for (q <- qs; i <- 0 until d) {
+      val span = hi(i) - lo(i)
+      val dq = if (span == 0L) lo(i)
+        else lo(i) + (((q(i) - lo(i)) * 255) / span) * span / 255
+      val step = if (span == 0L) 0L else span / 255 + 1
+      assert(math.abs(q(i) - dq) <= step,
+        s"dim $i: |${q(i)} - $dq| > $step (span $span)")
+    }
+    // and the shipped query's top-1 self-consistency: dist2 is
+    // monotone nondecreasing in rank within each query
+    val topk = SparkEntry.queries("sim_sq8_adc_topk")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    topk.values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dist2"))
+      assert(byRank.length == 5 && byRank.sameElements(byRank.sorted))
+    }
+  }
+
+  test("jl projection: ±1 concentration — every ratio positive, mean near 1") {
+    val rows = SparkEntry.queries("emb_random_projection")(spark, sfDir)
+      .collect()
+    assert(rows.length == 32 * 31 / 2)
+    val ratios = rows.map(_.getAs[Double]("jl_ratio"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d2_orig") > 0L && r.getAs[Long]("d2_proj") >= 0L)
+    }
+    // E[d2_proj] = k·d2_orig for a ±1 projection; k=16 concentrates the
+    // per-pair ratio — the mean over 496 pairs is far tighter
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.75 && mean < 1.3, s"mean JL ratio $mean")
+    // per-pair tails are wide at k=16 (measured 0.09–4.9 on the
+    // fixture); the envelope only guards against a broken projection
+    // (ratio ~0 or ~k), not against honest JL variance
+    assert(ratios.forall(r => r > 0.01 && r < 10.0))
+  }
+
+  test("stream ttl dedup: emitted stream holds exactly one row per event_id") {
+    val emitted = graft.streaming.EventStream.runDedupTtl(spark, sfDir)
+    val got = emitted.agg(sum("n_unique")).collect()(0).getLong(0)
+    val want = Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(got == want, s"emitted $got rows, distinct ids $want")
+  }
+
+  test("pinball loss: the τ-quantile minimizes its own loss") {
+    val res = SparkEntry.queries("agg_pinball_loss")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("q90"), r.getAs[Double]("pinball_90"),
+          r.getAs[Double]("q50"), r.getAs[Double]("pinball_50")))).toMap
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.olap.Exact.cents(col("value")))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def loss(vs: Array[Long], qc: Long, tau10: Long): Double =
+      vs.map(v => if (v >= qc) (v - qc) * tau10
+                  else (qc - v) * (10 - tau10)).sum.toDouble /
+        (vs.length * 1000.0)
+    for ((t, (q90, p90, q50, p50)) <- res) {
+      val vs = byType(t)
+      val q90c = math.round(q90 * 100)
+      val q50c = math.round(q50 * 100)
+      // shipped loss == independent replay at the quantile...
+      assert(math.abs(loss(vs, q90c, 9L) - p90) < 1e-9)
+      assert(math.abs(loss(vs, q50c, 5L) - p50) < 1e-9)
+      // ...and the quantile is the minimizer: nudging the predictor a
+      // cent in either direction can only raise the loss
+      assert(loss(vs, q90c + 1, 9L) >= p90 - 1e-9)
+      assert(loss(vs, q90c - 1, 9L) >= p90 - 1e-9)
+      assert(loss(vs, q50c + 1, 5L) >= p50 - 1e-9)
+      assert(loss(vs, q50c - 1, 5L) >= p50 - 1e-9)
+    }
+  }
+}
