@@ -461,6 +461,20 @@ object Shared {
          FROM rr GROUP BY 1, 2 ORDER BY 1, 2"""
     }
 
+  /** NDCG@10 discount weights on the q20 lattice: ⌊2²⁰ / log2(i+1)⌋ for
+    * rank i = 1..10 — computed ONCE here and inlined as integer literals
+    * into both engines, so libm-vs-JVM log differences can never split
+    * them; every DCG is then an exact, order-free integer sum.
+    */
+  val ndcgWeightsQ20: Array[Long] = Array.tabulate(10)(i =>
+    math.floor(1048576.0 / (math.log(i + 2) / math.log(2))).toLong)
+
+  /** Ideal DCG@10 (q20) for graded relevance 10, 9, …, 1 at ranks 1..10 —
+    * the exact cosine top-10 always exists, so IDCG is this constant.
+    */
+  val ndcgIdcgQ20: Long =
+    (1 to 10).map(i => (11L - i) * ndcgWeightsQ20(i - 1)).sum
+
   def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), i -> " +

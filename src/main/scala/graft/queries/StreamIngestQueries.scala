@@ -404,6 +404,17 @@ object StreamIngestQueries {
       graft.streaming.StatefulSessions.runOverFixture(s, dir)
         .orderBy("user_id", "session_start")),
 
+    // Built-in session_window running as a STREAMING aggregate: sessions
+    // merge in-operator across micro-batches and the watermark evicts a
+    // session's state once it passes the gap-extended close. Append mode
+    // emits exactly the watermark-finalized sessions — the deterministic
+    // set the oracle replays as batch sessionization plus that single
+    // filter. Complements stream_sessionize_stateful (hand-rolled
+    // flatMapGroupsWithState) with the engine-native operator.
+    "stream_session_window" -> ((s, dir) =>
+      graft.streaming.EventStream.runSessionWindow(s, dir)
+        .orderBy("user_id", "session_start")),
+
     // Streaming extension: stream-stream time-bounded inner join — both
     // sides watermarked, state bounded by the range condition (one hour
     // of activity, not history). Emitted set == the batch join over a
@@ -1424,6 +1435,36 @@ object StreamIngestQueries {
       """SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // batch sessionization + the append-mode finalization filter: a
+    // session emits iff its gap-extended end is at or below the final
+    // watermark (max event time − 1 h, at Spark's ms watermark grain)
+    "stream_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            y AS (SELECT user_id, ts, value,
+                    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM x),
+            s AS (SELECT user_id,
+                    min(ts) AS session_start,
+                    max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+                    count(*) AS n_events,
+                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      AS sum_value
+                  FROM y GROUP BY user_id, session_seq),
+            m AS (SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms
+                  FROM events)
+         SELECT user_id, session_start, session_end_gap, n_events,
+                sum_value
+         FROM s, m
+         WHERE epoch_us(session_end_gap) <= wm_ms * 1000
+         ORDER BY user_id, session_start""",
 
     "dq_duplicate_pk_audit" -> {
       val tables = Seq(

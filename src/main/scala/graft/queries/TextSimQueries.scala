@@ -644,6 +644,39 @@ object TextSimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Retrieval-quality scoring: NDCG@10 of the IVF probe against the
+    // exact cosine ranking (graded relevance 10…1 over the exact top-10;
+    // a probe hit outside it scores 0). Discount weights live on the q20
+    // integer lattice — precomputed ONCE in Scala and inlined into both
+    // engines (Shared.ndcgWeightsQ20), so every DCG is an exact
+    // order-free integer sum and libm-vs-JVM log differences cannot
+    // split the engines; IDCG is the constant ideal. recall@k says how
+    // many neighbors survive approximation; NDCG says whether the ones
+    // that matter most survived — the ranking-aware complement.
+    "sim_ndcg_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("vec_id"),
+          (lit(11) - col("rank")).cast("long").as("rel"))
+      val approx = Similarity.ivfProbeTopK(emb,
+          emb.filter(col("vec_id") < 8), probes, nprobe = 2, k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+      approx.join(exact, Seq("query_id", "vec_id"), "left")
+        .na.fill(0L, Seq("rel"))
+        .select(col("query_id"),
+          (col("rel") *
+            element_at(typedLit(Shared.ndcgWeightsQ20), col("rank")))
+            .as("term"),
+          when(col("rel") > 0, 1L).otherwise(0L).as("hit"))
+        .groupBy("query_id")
+        .agg(sum("term").as("dcg_q20"), sum("hit").as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"), col("dcg_q20"),
+          (col("dcg_q20").cast("double") / lit(Shared.ndcgIdcgQ20.toDouble))
+            .as("ndcg"))
+        .orderBy("query_id")
+    }),
+
     // Johnson–Lindenstrauss random projection (±1 matrix, the database-
     // friendly JL flavor): 64 dims → 16 exact BIGINT components per
     // vector (y_k = Σ_d s_kd·q_d on the q16 lattice; the deterministic
@@ -2622,6 +2655,68 @@ object TextSimQueries {
                    FROM sc)
          SELECT query_id, rank, vec_id, dist2 FROM rk WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // exact top-10 relevance (11 − rank) joined onto the IVF-probe
+    // ranking; q20 weight literals come from the SAME Scala constants
+    // the engine uses, so the DCG is one exact integer sum per query
+    "sim_ndcg_eval" -> {
+      val ws = Shared.ndcgWeightsQ20.mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq
+                     FROM embeddings WHERE vec_id < 10),
+            ex AS (SELECT query_id, vec_id,
+                     CAST(11 - row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${duckDot("eq", "embedding")}
+                         / (sqrt(${duckDot("eq", "eq")})
+                            * sqrt(${duckDot("embedding", "embedding")}))
+                         DESC, vec_id ASC) AS BIGINT) AS rel
+                   FROM q JOIN embeddings ON vec_id <> query_id
+                   QUALIFY rel >= 1),
+            c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                  FROM embeddings WHERE vec_id < 8),
+            asg AS (SELECT centroid_id, vec_id, embedding FROM (
+                      SELECT e.vec_id, c.centroid_id, e.embedding,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          ${duckDot("e.embedding", "c.ec")}
+                            / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                               * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                          c.centroid_id ASC) AS rn
+                      FROM embeddings e CROSS JOIN c)
+                    WHERE rn = 1),
+            prb AS (SELECT query_id, centroid_id, emb_q FROM (
+                      SELECT q2.vec_id AS query_id, c.centroid_id,
+                             q2.embedding AS emb_q,
+                        row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+                          ${duckDot("q2.embedding", "c.ec")}
+                            / (sqrt(${duckDot("q2.embedding", "q2.embedding")})
+                               * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                          c.centroid_id ASC) AS rn
+                      FROM embeddings q2 CROSS JOIN c WHERE q2.vec_id < 10)
+                    WHERE rn <= 2),
+            sc AS (SELECT p.query_id, a.vec_id,
+                     ${duckDot("p.emb_q", "a.embedding")}
+                       / (sqrt(${duckDot("p.emb_q", "p.emb_q")})
+                          * sqrt(${duckDot("a.embedding", "a.embedding")}))
+                       AS cosine
+                   FROM prb p JOIN asg a USING (centroid_id)
+                   WHERE a.vec_id <> p.query_id),
+            apx AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                    FROM sc QUALIFY rank <= 10),
+            ws AS (SELECT $ws AS w),
+            t AS (SELECT a.query_id,
+                    coalesce(ex.rel, 0) * ws.w[a.rank] AS term,
+                    CASE WHEN coalesce(ex.rel, 0) > 0 THEN 1 ELSE 0 END
+                      AS hit
+                  FROM apx a CROSS JOIN ws
+                  LEFT JOIN ex ON ex.query_id = a.query_id
+                              AND ex.vec_id = a.vec_id)
+         SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_overlap,
+                CAST(sum(term) AS BIGINT) AS dcg_q20,
+                CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
+                  / ${Shared.ndcgIdcgQ20}.0 AS ndcg
+         FROM t GROUP BY 1 ORDER BY query_id"""
+    },
 
     // the ±1 signs are the engine's deterministic LCG planes, inlined
     "emb_random_projection" -> {

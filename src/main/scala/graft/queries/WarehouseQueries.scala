@@ -224,6 +224,35 @@ object WarehouseQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q17 shape — the correlated scalar subquery ("quantity below
+    // 0.2× this part's average") DECORRELATED into one per-part
+    // aggregate joined back: the rewrite Catalyst's subquery
+    // decorrelation performs, declared directly so the plan is the
+    // intended one at any scale (per-part aggregate is part-cardinality
+    // — shuffle-joined on the same key the aggregate just grouped by, so
+    // AQE/bucketing can co-locate it; the selective part filter
+    // broadcasts). The threshold test is exact integer arithmetic:
+    // q < 0.2·avg ⟺ 5·n·q_cents < sum_q_cents — no division, no
+    // double rounding anywhere until the final money casts.
+    "join_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        Exact.cents(col("l_quantity")).as("qc"),
+        Exact.cents(col("l_extendedprice")).as("pc"))
+      val pavg = li.groupBy("l_partkey")
+        .agg(sum("qc").as("sum_qc"), count(lit(1)).as("n_li"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#4" && col("p_size") <= 15)
+        .select(col("p_partkey"))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(pavg, "l_partkey")
+        .filter(col("qc") * col("n_li") * lit(5L) < col("sum_qc"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          (sum(col("pc")).cast("double") / lit(100.0))
+            .as("sum_extendedprice"))
+        .select(col("n_lineitems"), col("sum_extendedprice"),
+          (col("sum_extendedprice") / lit(7.0)).as("avg_yearly"))
+    }),
+
     // North-star train/val/test split: deterministic hash-mod bucketing
     // (the engine-portable spread hash) — reproducible on any engine and
     // any cluster size, no RNG state to coordinate.
@@ -1403,6 +1432,28 @@ object WarehouseQueries {
                        WHERE l_orderkey = o_orderkey
                          AND l_returnflag = 'R')
          GROUP BY 1 ORDER BY 1""",
+
+    // the correlated form, which DuckDB decorrelates itself — the engines
+    // meet at the same exact integer threshold (5·n·q < Σq)
+    "join_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey,
+                       CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+                     FROM lineitem),
+            pa AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sum_qc,
+                          count(*) AS n_li
+                   FROM li GROUP BY 1),
+            sel AS (SELECT p_partkey FROM part
+                    WHERE p_brand = 'Brand#4' AND p_size <= 15)
+         SELECT count(*) AS n_lineitems,
+                CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100.0
+                  AS sum_extendedprice,
+                (CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100.0) / 7.0
+                  AS avg_yearly
+         FROM li
+         JOIN sel ON li.l_partkey = sel.p_partkey
+         JOIN pa ON li.l_partkey = pa.l_partkey
+         WHERE li.qc * pa.n_li * 5 < pa.sum_qc""",
 
     "join_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -252,6 +252,36 @@ object EventStream {
       .agg(count(lit(1)).as("n_unique"))
   }
 
+  /** Streaming session windows via the BUILT-IN session_window aggregate:
+    * dynamic-gap windows merged in-operator across micro-batches, state
+    * dropped once the watermark passes a session's close (start/"end"
+    * here are min-event and last-event + gap — Spark's session bounds).
+    * Append mode emits exactly the sessions whose gap-extended end is at
+    * or below the final watermark — the deterministic emitted set the
+    * oracle replays as batch sessionization + that one filter. The batch
+    * twin (`sessionize_builtin_window`) pins the aggregate's semantics;
+    * this pins its STREAMING state machine (merge + watermark eviction).
+    */
+  def runSessionWindow(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_session_window"
+    val q = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double")
+             .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end_gap"),
+              col("n_events"), col("sum_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Stream-stream time-bounded inner join: each purchase pairs with the
     * same user's views from the trailing hour. Both sides carry event-time
     * watermarks and the range condition bounds the buffered state on each

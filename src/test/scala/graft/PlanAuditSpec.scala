@@ -76,6 +76,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_ngram_containment",
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
       "sim_kmeans_update", "emb_matryoshka_agreement",
+      // exact-relevance side = the bruteforce ground-truth shape
+      "sim_ndcg_eval",
       // 1-row aggregate summaries combined via crossJoin (scalar probes)
       "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk",
       // 1-row scalar combines: node count N (init rank 1/N), the

@@ -69,6 +69,75 @@ class QuantizeProjectSpec extends AnyFunSuite {
     assert(got == want, s"emitted $got rows, distinct ids $want")
   }
 
+  test("streaming session_window: emitted set == batch sessions below watermark") {
+    val streamed = SparkEntry.queries("stream_session_window")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))))
+      .toMap
+    // the batch twin + the finalization filter (gap-extended end at or
+    // below max event time − 1 h, Spark's ms watermark grain)
+    val batch = SparkEntry.queries("sessionize_builtin_window")(spark, sfDir)
+      .collect()
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val finalized = batch.filter(r =>
+      r.getAs[java.sql.Timestamp]("session_end").getTime + 1800000L <=
+        maxTs - 3600000L)
+    assert(streamed.size == finalized.length,
+      s"streamed ${streamed.size} vs batch-finalized ${finalized.length}")
+    finalized.foreach { r =>
+      val k = (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime)
+      val (n, sv) = streamed(k)
+      assert(n == r.getAs[Long]("n_events")
+        && sv == r.getAs[Double]("sum_value"))
+    }
+  }
+
+  test("ndcg: bounded by 1, exact self-ranking scores 1") {
+    val rows = SparkEntry.queries("sim_ndcg_eval")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nd, ov) = (r.getAs[Double]("ndcg"), r.getAs[Long]("n_overlap"))
+      assert(nd >= 0.0 && nd <= 1.0 && ov >= 0L && ov <= 10L)
+      // full-overlap in-order retrieval is the only way to score 1
+      if (nd == 1.0) assert(ov == 10L)
+    }
+    // the weights are strictly decreasing on the q20 lattice and IDCG is
+    // their graded sum — the literal contract both engines inline
+    val w = graft.queries.Shared.ndcgWeightsQ20
+    assert(w.length == 10 && w.head == 1048576L
+      && w.sliding(2).forall(p => p(0) > p(1)))
+    assert(graft.queries.Shared.ndcgIdcgQ20 ==
+      (1 to 10).map(i => (11L - i) * w(i - 1)).sum)
+  }
+
+  test("q17 small-qty revenue: exact threshold replay") {
+    val r = SparkEntry.queries("join_small_qty_revenue")(spark, sfDir)
+      .collect()(0)
+    // brute-force replay: per selected part, 5·n·q < Σq on cents
+    val sel = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#4" && col("p_size") <= 15)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), graft.olap.Exact.cents(col("l_quantity")),
+        graft.olap.Exact.cents(col("l_extendedprice")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byPart = li.groupBy(_._1)
+    val picked = for {
+      (pk, rows) <- byPart.toSeq if sel(pk)
+      sumQ = rows.map(_._2).sum; n = rows.length
+      (_, qc, pc) <- rows if qc * n * 5 < sumQ
+    } yield pc
+    assert(r.getAs[Long]("n_lineitems") == picked.length)
+    assert(r.getAs[Double]("sum_extendedprice") ==
+      picked.sum.toDouble / 100.0)
+    assert(r.getAs[Double]("avg_yearly") ==
+      picked.sum.toDouble / 100.0 / 7.0)
+  }
+
   test("pinball loss: the τ-quantile minimizes its own loss") {
     val res = SparkEntry.queries("agg_pinball_loss")(spark, sfDir)
       .collect()
