@@ -309,6 +309,16 @@ object Media {
       (fmt.getSampleRate.toInt, fmt.getChannels,
        data.length.toLong / math.max(1, fmt.getFrameSize), e)
     }
+
+    /** Decode to the raw unsigned 8-bit sample stream (the DSP read
+      * path — [[decode]] keeps only summary stats).
+      */
+    def decodeSamples(payload: Array[Byte]): (Int, Array[Int]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val rate = ais.getFormat.getSampleRate.toInt
+      (rate, ais.readAllBytes().map(_ & 0xff))
+    }
   }
 
   /** Wrap any table with a string column as binary media (fixture adapter:

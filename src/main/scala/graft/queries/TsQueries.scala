@@ -30,6 +30,38 @@ object TsQueries {
       Ohlc.dailyBars(Tables.events(s, dir))
         .orderBy("event_type", "date")),
 
+    // Banded dynamic time warping between every pair of daily close
+    // series — the phase-tolerant alignment distance (Sakoe–Chiba band
+    // max(8, |n−m|)). The corpus-sized work (bar resampling) stays
+    // declarative; each series reduces to a bounded array (first 64
+    // closes, cents lattice) and the 10 pairs fan out as rows, each task
+    // running the O(n·band) exact-Long DP — the distributed DTW shape at
+    // any scale is exactly this "one bounded pair per task". The oracle
+    // unrolls the identical row recurrence as generated chained CTEs.
+    "ts_dtw_band" -> ((s, dir) => {
+      import s.implicits._
+      val ser = Ohlc.dailyBars(Tables.events(s, dir))
+        .select(col("event_type"), col("date"),
+          Exact.cents(col("close")).as("cc"))
+        .groupBy("event_type")
+        .agg(expr("slice(transform(array_sort(collect_list(" +
+          "named_struct('d', date, 'c', cc))), x -> x.c), 1, 64)")
+          .as("ser"))
+      val pairs = ser
+        .select(col("event_type").as("type_a"), col("ser").as("ser_a"))
+        .join(broadcast(ser.select(col("event_type").as("type_b"),
+          col("ser").as("ser_b"))), col("type_a") < col("type_b"))
+      pairs.select("type_a", "ser_a", "type_b", "ser_b")
+        .as[(String, Seq[Long], String, Seq[Long])]
+        .map { case (ta, sa, tb, sb) =>
+          (ta, tb, sa.length.toLong, sb.length.toLong,
+            graft.ts.Dtw.banded(sa.toArray, sb.toArray, 8)) }
+        .toDF("type_a", "type_b", "n_a", "n_b", "dtw_cents")
+        .withColumn("dtw_norm", col("dtw_cents").cast("double")
+          / (col("n_a") + col("n_b")).cast("double") / lit(100.0))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Resample generality: the same partial-aggregable OHLC over weekly
     // buckets (any granularity is just a different grouping expression).
     "ts_ohlc_resample_weekly" -> ((s, dir) =>
@@ -2455,6 +2487,71 @@ object TsQueries {
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
          arg_max(value, ts) AS close, count(*) AS volume
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the DP is unrolled row-by-row as GENERATED chained CTEs (the
+    // oracle string is built here in Scala, so no recursion is needed):
+    // a warping path enters row i at column l from (i−1,l) or (i−1,l−1)
+    // and then only moves right, so D(i,j) = min over entry points l of
+    // [row-prefix-cost(l..j) + min(D(i−1,l), D(i−1,l−1))] — each row is
+    // one set-wise join+min over the previous row's CTE
+    "ts_dtw_band" -> {
+      val inf = "1000000000000000"
+      val maxRows = 64
+      // MATERIALIZED is load-bearing: each row CTE references the
+      // previous one TWICE (vertical + diagonal predecessor); inlined,
+      // the 64-deep chain expands exponentially
+      val rowCtes = (1 to maxRows).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT c.ta, c.tb, c.j,
+               min(c.pref - (l.pref - l.c)
+                   + least(coalesce(p1.d, $inf), coalesce(p0.d, $inf)))
+                 AS d
+             FROM pp c
+             JOIN pp l ON l.ta = c.ta AND l.tb = c.tb AND l.i = $i
+                       AND l.j <= c.j
+             LEFT JOIN r${i - 1} p1 ON p1.ta = c.ta AND p1.tb = c.tb
+                       AND p1.j = l.j
+             LEFT JOIN r${i - 1} p0 ON p0.ta = c.ta AND p0.tb = c.tb
+                       AND p0.j = l.j - 1
+             WHERE c.i = $i
+             GROUP BY 1, 2, 3)"""
+      }.mkString(",\n            ")
+      val finUnion = (1 to maxRows).map(i =>
+        s"SELECT ta, tb, $i AS i, j, d FROM r$i").mkString("\n               UNION ALL ")
+      s"""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,
+                       CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT)
+                         AS cc
+                     FROM events GROUP BY 1, 2),
+            ser AS (SELECT event_type,
+                      (list(cc ORDER BY date))[1:$maxRows] AS ser
+                    FROM b GROUP BY 1),
+            pr AS (SELECT a.event_type AS ta, b2.event_type AS tb,
+                     a.ser AS sa, b2.ser AS sb,
+                     len(a.ser) AS na, len(b2.ser) AS nb,
+                     greatest(8, abs(len(a.ser) - len(b2.ser))) AS rr
+                   FROM ser a JOIN ser b2
+                     ON a.event_type < b2.event_type),
+            pc AS (SELECT ta, tb, ii.i AS i, jj.j AS j,
+                     abs(sa[ii.i] - sb[jj.j]) AS c
+                   FROM pr,
+                     (SELECT unnest(generate_series(1, $maxRows)) AS i) ii,
+                     (SELECT unnest(generate_series(1, $maxRows)) AS j) jj
+                   WHERE ii.i <= na AND jj.j <= nb
+                     AND abs(ii.i - jj.j) <= rr),
+            pp AS MATERIALIZED (SELECT ta, tb, i, j, c,
+                     sum(c) OVER (PARTITION BY ta, tb, i ORDER BY j)
+                       AS pref
+                   FROM pc),
+            r0 AS (SELECT ta, tb, 0 AS j, CAST(0 AS BIGINT) AS d FROM pr),
+            $rowCtes,
+            fin AS ($finUnion)
+         SELECT pr.ta AS type_a, pr.tb AS type_b, pr.na AS n_a,
+                pr.nb AS n_b, CAST(f.d AS BIGINT) AS dtw_cents,
+                CAST(CAST(f.d AS BIGINT) AS DOUBLE)
+                  / CAST(pr.na + pr.nb AS DOUBLE) / 100.0 AS dtw_norm
+         FROM pr JOIN fin f ON f.ta = pr.ta AND f.tb = pr.tb
+                            AND f.i = pr.na AND f.j = pr.nb
+         ORDER BY type_a, type_b"""
+    },
 
     "ts_daily_returns" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS date,

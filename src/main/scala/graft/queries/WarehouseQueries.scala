@@ -680,6 +680,55 @@ object WarehouseQueries {
         .orderBy("media_id")
     }),
 
+    // Audio resampling through the REAL codec read path: decode the WAV
+    // byte stream (javax.sound), then a 3-tap [1,2,1] anti-alias FIR +
+    // decimate-by-2 — the sample-rate-conversion pass an audio training
+    // pipeline runs at ingest. The FIR stays on the UNSIGNED [0,255]
+    // lattice so integer floor division ≡ truncation in both engines
+    // (signed DIV diverges between them on negatives); the last tap
+    // clamps at the stream edge. Per-media work is bounded and fans out
+    // one row per media — the same batched-mapPartitions posture as
+    // every codec query (provider init amortizes per partition).
+    "mm_audio_downsample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (32 + id % 64).toInt
+            val samples = Array.tabulate(n)(i =>
+              ((id * 17 + i * 29) % 256).toByte)
+            graft.multimodal.Media.MediaRow(id,
+              graft.multimodal.Media.WavCodec.encodePcm8(8000, samples),
+              "wav")
+          }
+        }
+      media.mapPartitions { it =>
+        it.map { m =>
+          val (rate, x) =
+            graft.multimodal.Media.WavCodec.decodeSamples(m.payload)
+          val n = x.length
+          val y = Array.tabulate(n / 2) { k0 =>
+            val k = k0 + 1 // y_k from x_{2k-1}, x_{2k}, x_{2k+1} (1-based)
+            val a = x(2 * k - 2)
+            val b = x(2 * k - 1)
+            val c = x(math.min(2 * k, n - 1))
+            (a + 2 * b + c) / 4
+          }
+          val eIn = x.foldLeft(0L)((acc, v) =>
+            acc + (v - 128).toLong * (v - 128))
+          val eOut = y.foldLeft(0L)((acc, v) =>
+            acc + (v - 128).toLong * (v - 128))
+          val ck = y.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            (acc + (i + 1).toLong * v) % 2147483647L }
+          (m.media_id, rate / 2, n.toLong, y.length.toLong, eIn, eOut, ck)
+        }
+      }.toDF("media_id", "out_rate", "n_in", "n_out", "energy_in",
+             "energy_out", "checksum_out")
+        .orderBy("media_id")
+    }),
+
     // North-star multimodal: frame sampling — one media row fans out to
     // per-frame rows (fixed 256-byte chunks standing in for keyframes),
     // turning per-media work into per-frame parallelism.
@@ -2004,6 +2053,31 @@ object WarehouseQueries {
                 d.n AS n_samples, CAST(e.energy AS BIGINT) AS energy
          FROM d JOIN e ON e.doc_id = d.doc_id
          ORDER BY media_id""",
+
+    // the synthetic PCM recomputed arithmetically (PCM8 WAV is lossless,
+    // so decode(encode(x)) == x); FIR on the unsigned lattice, // == DIV
+    "mm_audio_downsample" ->
+      """WITH d AS (SELECT doc_id, CAST(32 + doc_id % 64 AS BIGINT) AS n
+                    FROM documents),
+            xs AS (SELECT doc_id, n,
+                     list_transform(generate_series(0, n - 1), i ->
+                       (doc_id * 17 + i * 29) % 256) AS x
+                   FROM d),
+            ys AS (SELECT doc_id, n, x,
+                     list_transform(generate_series(1, n // 2), k ->
+                       (x[2 * k - 1] + 2 * x[2 * k]
+                        + x[least(2 * k + 1, n)]) // 4) AS y
+                   FROM xs)
+         SELECT doc_id AS media_id, 4000 AS out_rate, n AS n_in,
+                CAST(len(y) AS BIGINT) AS n_out,
+                CAST(list_sum(list_transform(x,
+                  v -> (v - 128) * (v - 128))) AS BIGINT) AS energy_in,
+                CAST(list_sum(list_transform(y,
+                  v -> (v - 128) * (v - 128))) AS BIGINT) AS energy_out,
+                CAST(coalesce(list_sum(list_transform(
+                    generate_series(1, len(y)), k -> k * y[k])), 0)
+                  % 2147483647 AS BIGINT) AS checksum_out
+         FROM ys ORDER BY media_id""",
 
     // overlapping 64-sample windows every 32 over the UTF-8 byte stream;
     // windows enumerated while start < n_bytes, so the last window may be

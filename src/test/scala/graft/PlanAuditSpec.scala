@@ -78,6 +78,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_kmeans_update", "emb_matryoshka_agreement",
       // exact-relevance side = the bruteforce ground-truth shape
       "sim_ndcg_eval",
+      // 5-row per-type series arrays paired non-equi (bounded by series
+      // cardinality, never corpus size)
+      "ts_dtw_band",
       // 1-row aggregate summaries combined via crossJoin (scalar probes)
       "sketch_bloom_join", "sketch_kmv_jaccard", "text_tfidf_topk",
       // 1-row scalar combines: node count N (init rank 1/N), the

@@ -138,6 +138,69 @@ class QuantizeProjectSpec extends AnyFunSuite {
       picked.sum.toDouble / 100.0 / 7.0)
   }
 
+  test("dtw: identity, symmetry, full-DP equality, hand example") {
+    import graft.ts.Dtw
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(40)(rnd.nextInt(2000).toLong)
+    val b = Array.fill(33)(rnd.nextInt(2000).toLong)
+    assert(Dtw.banded(a, a, 8) == 0L)
+    assert(Dtw.banded(a, b, 8) == Dtw.banded(b, a, 8))
+    // a band covering the whole matrix must equal the classic full DP
+    def full(x: Array[Long], y: Array[Long]): Long = {
+      val inf = Long.MaxValue / 4
+      val d = Array.fill(x.length + 1, y.length + 1)(inf)
+      d(0)(0) = 0L
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.abs(x(i - 1) - y(j - 1)) +
+          math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+      d(x.length)(y.length)
+    }
+    assert(Dtw.banded(a, b, 100) == full(a, b))
+    // phase shift: DTW forgives what pointwise distance cannot
+    val s1 = Array[Long](0, 0, 10, 0, 0)
+    val s2 = Array[Long](0, 0, 0, 10, 0)
+    assert(Dtw.banded(s1, s2, 8) == 0L)
+    // and the shipped query agrees with a driver-side replay
+    val rows = SparkEntry.queries("ts_dtw_band")(spark, sfDir).collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    val ser = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+      .select(col("event_type"), col("date"),
+        graft.olap.Exact.cents(col("close")).as("cc"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).take(64).toArray).toMap
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("dtw_cents") ==
+        Dtw.banded(ser(ta), ser(tb), 8))
+    }
+  }
+
+  test("audio downsample: lossless codec round-trip, FIR invariants") {
+    import graft.multimodal.Media.WavCodec
+    // PCM8 WAV is lossless: the real encode→decode chain is the identity
+    val raw = Array.tabulate(97)(i => ((i * 37 + 5) % 256).toByte)
+    val (rate, back) = WavCodec.decodeSamples(WavCodec.encodePcm8(8000, raw))
+    assert(rate == 8000 && back.sameElements(raw.map(_ & 0xff)))
+    // a constant signal is a fixed point of the [1,2,1]/4 FIR
+    val const = Array.fill(64)(200.toByte)
+    val (_, c) = WavCodec.decodeSamples(WavCodec.encodePcm8(8000, const))
+    assert(c.forall(_ == 200))
+    val rows = SparkEntry.queries("mm_audio_downsample")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") == r.getAs[Long]("n_in") / 2)
+      assert(r.getAs[Int]("out_rate") == 4000)
+      // the low-pass cannot raise per-sample energy above the input's
+      // peak-possible: bounded by 127² per sample
+      assert(r.getAs[Long]("energy_out") <=
+        r.getAs[Long]("n_out") * 128L * 128L)
+    }
+  }
+
   test("pinball loss: the τ-quantile minimizes its own loss") {
     val res = SparkEntry.queries("agg_pinball_loss")(spark, sfDir)
       .collect()
