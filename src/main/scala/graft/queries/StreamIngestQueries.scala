@@ -279,6 +279,33 @@ object StreamIngestQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // Spark 4 VARIANT round-trip: nested JSON (built from typed columns
+    // with a stable field order) → parse_json into the shredded binary
+    // VARIANT type → typed variant_get extraction — the semi-structured
+    // ingestion path a modern lake runs instead of string-typed JSON
+    // columns (parse once, extract many, no re-tokenizing per path).
+    // The oracle reads the ORIGINAL typed columns: it pins that the
+    // whole build→shred→extract chain is lossless, including the double
+    // (JSON prints round-trippable doubles) and the nested path.
+    "json_variant_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(to_json(struct(
+          col("event_id").as("id"),
+          struct(col("event_type").as("t"), col("value").as("v")).as("m"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")))
+          .as("js"))
+        .select(parse_json(col("js")).as("v"))
+        .select(
+          expr("variant_get(v, '$.m.t', 'string')").as("event_type"),
+          expr("variant_get(v, '$.m.v', 'double')").as("value"),
+          expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(Exact.cents(col("value"))).cast("double") / lit(100.0))
+            .as("sum_value"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
     // The pure-SQL entry path: the registered function surface
     // (GraftExtensions.registerAll) driving a query through spark.sql —
     // the engine's custom codegen expressions are first-class SQL
@@ -1337,6 +1364,15 @@ object StreamIngestQueries {
 
     "json_props_extract" ->
       """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the original typed columns — losslessness of the build→shred→
+    // extract chain IS the thing under test
+    "json_variant_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value,
                 CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""",
 

@@ -201,6 +201,32 @@ class QuantizeProjectSpec extends AnyFunSuite {
     }
   }
 
+  test("variant round-trip: typed extraction equals the source columns row-for-row") {
+    // per-row (not just aggregate) losslessness of build→shred→extract,
+    // including the double path through JSON text
+    val got = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_json(struct(
+          col("event_id").as("id"),
+          struct(col("event_type").as("t"), col("value").as("v")).as("m")))
+          .as("js"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        parse_json(col("js")).as("vr"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("variant_get(vr, '$.id', 'long')").as("id2"),
+        expr("variant_get(vr, '$.m.t', 'string')").as("t2"),
+        expr("variant_get(vr, '$.m.v', 'double')").as("v2"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("event_id") == r.getAs[Long]("id2"))
+      assert(r.getAs[String]("event_type") == r.getAs[String]("t2"))
+      // bitwise double equality — JSON numeric text must round-trip
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("value")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("v2")))
+    }
+  }
+
   test("pinball loss: the τ-quantile minimizes its own loss") {
     val res = SparkEntry.queries("agg_pinball_loss")(spark, sfDir)
       .collect()
