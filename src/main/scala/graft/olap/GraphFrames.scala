@@ -122,6 +122,42 @@ object GraphFrames {
     }
   }
 
+  private val adjBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Long, Array[Long]]]]()
+
+  /** The co-purchase adjacency as a PINNED in-memory broadcast
+    * (node → ascending-sorted neighbor array, index-identical to
+    * [[coPurchaseIndexedSym]]'s (c, idx, x)): the walk-sampler layout.
+    * A tiny frontier probing one neighbor per node per round should
+    * never pay a full scan of the edge frame — with the adjacency as a
+    * broadcast join BUILD side the corpus side streamed every round
+    * (measured: 12 scans of the 1.2 M-row frame per bench run). The
+    * graph structure is GRAPH-bounded, not corpus-bounded (the loud
+    * require below), so it rides executor memory once per process and
+    * only the frontier rows move — the layout every walk/GNN sampler
+    * uses while the graph fits; past that you partition by node, a
+    * different regime.
+    */
+  def coPurchaseAdjBroadcast(s: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Long, Array[Long]]] =
+    adjBroadcasts.computeIfAbsent(dir, { _ =>
+      val rows = coPurchaseIndexedSym(s, dir)
+        .select(col("c").cast("long"), col("idx").cast("long"),
+          col("x").cast("long")).collect()
+      require(rows.length <= 8000000,
+        s"adjacency broadcast is graph-bounded; got ${rows.length} edges")
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      rows.groupBy(_.getLong(0)).foreach { case (c, rs) =>
+        val arr = new Array[Long](rs.length)
+        rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+        m.put(c, arr)
+      }
+      s.sparkContext.broadcast(m)
+    })
+
   /** Degree per node of the symmetrized bipartite graph (doubled-id
     * convention): for a part node 2p the count of its suppliers and vice
     * versa. Shared by assortativity / degree-distribution / degree-gini /

@@ -1617,30 +1617,38 @@ object GraphOlapQueries {
     // sampling posture that makes walks tractable on a 100 TB graph.
     // Reruns and the oracle see identical walks (no RNG state).
     "graph_random_walk_visits" -> ((s, dir) => {
-      val adj = graft.olap.GraphFrames.coPurchaseIndexedSym(s, dir)
-      val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
-        .select(col("n").as("node"), col("d").as("dn"))
+      // the walk-sampler layout: the GRAPH-bounded adjacency rides a
+      // pinned in-memory broadcast (node → idx-ordered neighbor array,
+      // index-identical to coPurchaseIndexedSym) and ONLY the frontier
+      // moves — each round is a 64-row map over local hash lookups. The
+      // previous plan kept the adjacency as the broadcast-join build
+      // side, which streamed the full 1.2 M-row edge frame once per
+      // round per run (12 scans/bench run; 48 s process CPU at sf0.1 →
+      // sub-second). Scales by frontier width: a million seeds is just
+      // a wider frontier frame, same per-row lookup; a graph past
+      // executor memory moves to node-partitioned probing instead.
+      import s.implicits._
+      val adjB = graft.olap.GraphFrames.coPurchaseAdjBroadcast(s, dir)
       val seeds = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .orderBy(col("d").desc, col("n")).limit(64)
-        .select(col("n").as("seed"), col("n").as("node"))
+        .select(col("n").cast("long").as("seed"),
+          col("n").cast("long").as("node"))
       var frontier = seeds
       var visits: DataFrame = null
       for (t <- 1 to 6) {
-        val mix = (col("seed") * lit(1000003L)
-          + lit(t.toLong * 7919L + 12345L)
-          + col("node") * lit(31L)) % lit(2147483647L)
-        // eager localCheckpoint, like KCore: each ≤64-row frontier feeds
-        // BOTH the next step AND the visits union, and lazy persist left
-        // every reference re-deriving the full step chain (21 adjacency
-        // probes instead of 6 — measured 23.9 s; lineage truncation +
-        // the pinned indexed adjacency + broadcasting the frontier side
-        // of the probe → 3.3 s at sf0.1). The adjacency is only ever the
-        // build (probe) side of a broadcast join, never shuffled.
-        frontier = broadcast(frontier.join(broadcast(deg), "node")
-          .withColumn("pick", mix % col("dn")))
-          .join(adj, col("c") === col("node") && col("idx") === col("pick"))
-          .select(col("seed"), col("x").as("node"))
-          .localCheckpoint(true)
+        val tt = t.toLong
+        // eager localCheckpoint: each ≤64-row frontier feeds BOTH the
+        // next step AND the visits union — truncate the lineage so the
+        // union doesn't re-derive every earlier round
+        frontier = frontier.as[(Long, Long)].mapPartitions { it =>
+          val adj = adjB.value
+          it.map { case (seed, node) =>
+            val nbrs = adj.get(node)
+            val mix = (seed * 1000003L + tt * 7919L + 12345L
+              + node * 31L) % 2147483647L
+            (seed, nbrs((mix % nbrs.length).toInt))
+          }
+        }.toDF("seed", "node").localCheckpoint(true)
         visits = if (visits == null) frontier.select("node")
           else visits.unionAll(frontier.select("node"))
       }
