@@ -297,6 +297,7 @@ object Media {
     def decode(payload: Array[Byte]): (Int, Int, Long, Long) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
+      try {
       val fmt = ais.getFormat
       val data = ais.readAllBytes()
       var e = 0L
@@ -308,6 +309,9 @@ object Media {
       }
       (fmt.getSampleRate.toInt, fmt.getChannels,
        data.length.toLong / math.max(1, fmt.getFrameSize), e)
+      } finally ais.close() // release decoder resources even for the
+                            // byte-array-backed path (a provider may
+                            // allocate native state behind the stream)
     }
 
     /** Decode to the raw unsigned 8-bit sample stream (the DSP read
@@ -316,8 +320,10 @@ object Media {
     def decodeSamples(payload: Array[Byte]): (Int, Array[Int]) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val rate = ais.getFormat.getSampleRate.toInt
-      (rate, ais.readAllBytes().map(_ & 0xff))
+      try {
+        val rate = ais.getFormat.getSampleRate.toInt
+        (rate, ais.readAllBytes().map(_ & 0xff))
+      } finally ais.close()
     }
   }
 

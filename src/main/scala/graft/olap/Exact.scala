@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -17,6 +17,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Exact {
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** THE driver-side collect for frames that are SMALL BY CONSTRUCTION
+    * (schema-bounded transition matrices, dimension-bounded gram cells,
+    * 1-row scalar probes). Every scalar `collect()` in queries/ routes
+    * through here so the require-ceiling pattern is enforced by
+    * construction rather than hand-rolled per site: at most
+    * `maxRows + 1` rows ever cross the driver boundary (the `limit`
+    * bounds the fetch itself — a breached ceiling fails from one extra
+    * row, never after materializing an unbounded frame), and the
+    * failure names the frame. A frame bounded by DATA volume must never
+    * come through here — that is what distributed aggregation is for.
+    */
+  def boundedCollect(df: DataFrame, maxRows: Int, why: String)
+      : Array[Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$why: driver-side collect exceeded its $maxRows-row ceiling " +
+        s"(frame is supposed to be bounded by schema, not data)")
+    rows
+  }
 
   /** Constant window-partition key for frames that are SMALL BY
     * CONSTRUCTION (bucket totals, part-level aggregates, 32-row bootstrap

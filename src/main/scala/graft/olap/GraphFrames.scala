@@ -127,6 +127,45 @@ object GraphFrames {
       org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[Long, Array[Long]]]]()
 
+  private val symRowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Broadcast-tier ceiling for the walk-sampler adjacency, in DIRECTED
+    * rows of [[coPurchaseIndexedSym]] (= 2 × undirected edges). Past it
+    * [[walkStep]] falls back to the node-partitioned probe join instead
+    * of failing. A `def` reading a system property so specs can lower it
+    * and exercise the fallback tier on the fixture graph.
+    */
+  def walkBroadcastMaxRows: Long =
+    sys.props.get("graft.walk.maxBroadcastRows").map(_.toLong)
+      .getOrElse(8000000L)
+
+  /** Cache key bound to the LIVE SparkContext: a session restart in the
+    * same JVM must never be handed a broadcast created by a stopped
+    * context (it would be dead), and entries from stopped contexts are
+    * evicted so long-lived processes don't pin their driver memory.
+    */
+  private def appKey(s: SparkSession, dir: String): String =
+    s"${s.sparkContext.applicationId}:$dir"
+
+  private def evictForeign[V](
+      m: java.util.concurrent.ConcurrentHashMap[String, V],
+      s: SparkSession): Unit = {
+    val prefix = s.sparkContext.applicationId + ":"
+    val it = m.keySet.iterator
+    while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
+  }
+
+  /** Directed row count of the symmetric indexed adjacency — the tier
+    * gate for [[walkStep]], counted once per (context, SF).
+    */
+  private def symRowCount(s: SparkSession, dir: String): Long = {
+    evictForeign(symRowCounts, s)
+    symRowCounts.computeIfAbsent(appKey(s, dir),
+      _ => java.lang.Long.valueOf(coPurchaseIndexedSym(s, dir).count()))
+      .longValue()
+  }
+
   /** The co-purchase adjacency as a PINNED in-memory broadcast
     * (node → ascending-sorted neighbor array, index-identical to
     * [[coPurchaseIndexedSym]]'s (c, idx, x)): the walk-sampler layout.
@@ -137,13 +176,15 @@ object GraphFrames {
     * graph structure is GRAPH-bounded, not corpus-bounded (the loud
     * require below), so it rides executor memory once per process and
     * only the frontier rows move — the layout every walk/GNN sampler
-    * uses while the graph fits; past that you partition by node, a
-    * different regime.
+    * uses while the graph fits; past [[walkBroadcastMaxRows]] callers
+    * go through [[walkStep]], which picks the node-partitioned tier
+    * instead of ever reaching this require.
     */
   def coPurchaseAdjBroadcast(s: SparkSession, dir: String)
       : org.apache.spark.broadcast.Broadcast[
-        java.util.HashMap[Long, Array[Long]]] =
-    adjBroadcasts.computeIfAbsent(dir, { _ =>
+        java.util.HashMap[Long, Array[Long]]] = {
+    evictForeign(adjBroadcasts, s)
+    adjBroadcasts.computeIfAbsent(appKey(s, dir), { _ =>
       val rows = coPurchaseIndexedSym(s, dir)
         .select(col("c").cast("long"), col("idx").cast("long"),
           col("x").cast("long")).collect()
@@ -157,6 +198,54 @@ object GraphFrames {
       }
       s.sparkContext.broadcast(m)
     })
+  }
+
+  /** One deterministic hash-steered walk step over the co-purchase
+    * graph: frontier (seed, node) → (seed, next node), next = neighbor
+    * at index `hash(seed, t, node) mod degree` over the indexed
+    * adjacency. TWO TIERS with bitwise-identical output (the neighbor
+    * index order is [[coPurchaseIndexedSym]]'s in both):
+    *
+    *  - broadcast tier (adjacency rows ≤ [[walkBroadcastMaxRows]]): the
+    *    pinned [[coPurchaseAdjBroadcast]] map — each step is a ≤-frontier-
+    *    sized local lookup, no scan of the edge frame at all;
+    *  - node-partitioned tier (past the ceiling): the frontier (tiny)
+    *    broadcasts into an equi-join against the DISTRIBUTED indexed
+    *    adjacency — one adjacency scan per step, the regime for graphs
+    *    that outgrow executor memory. Degree is recovered as
+    *    max(idx) + 1 over the joined neighbor group (idx is dense
+    *    0-based), so no separate degree frame rides along.
+    *
+    * The mix arithmetic is the same exact Long chain in both tiers (all
+    * terms non-negative, far below overflow at any realistic id width).
+    */
+  def walkStep(s: SparkSession, dir: String, frontier: DataFrame,
+      t: Long): DataFrame = {
+    if (symRowCount(s, dir) <= walkBroadcastMaxRows) {
+      import s.implicits._
+      val adjB = coPurchaseAdjBroadcast(s, dir)
+      frontier.as[(Long, Long)].mapPartitions { it =>
+        val adj = adjB.value
+        it.map { case (seed, node) =>
+          val nbrs = adj.get(node)
+          val mix = (seed * 1000003L + t * 7919L + 12345L
+            + node * 31L) % 2147483647L
+          (seed, nbrs((mix % nbrs.length).toInt))
+        }
+      }.toDF("seed", "node")
+    } else {
+      val sym = coPurchaseIndexedSym(s, dir)
+      val mix = (col("seed") * lit(1000003L) + lit(t * 7919L + 12345L)
+        + col("node") * lit(31L)) % lit(2147483647L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seed", "node")
+      sym.join(broadcast(frontier.withColumn("mix", mix)),
+          col("c") === col("node"))
+        .withColumn("d", max(col("idx")).over(w) + 1)
+        .filter(col("idx") === col("mix") % col("d"))
+        .select(col("seed"), col("x").cast("long").as("node"))
+    }
+  }
 
   /** Degree per node of the symmetrized bipartite graph (doubled-id
     * convention): for a part node 2p the count of its suppliers and vice

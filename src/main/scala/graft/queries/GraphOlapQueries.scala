@@ -1617,18 +1617,17 @@ object GraphOlapQueries {
     // sampling posture that makes walks tractable on a 100 TB graph.
     // Reruns and the oracle see identical walks (no RNG state).
     "graph_random_walk_visits" -> ((s, dir) => {
-      // the walk-sampler layout: the GRAPH-bounded adjacency rides a
-      // pinned in-memory broadcast (node → idx-ordered neighbor array,
-      // index-identical to coPurchaseIndexedSym) and ONLY the frontier
-      // moves — each round is a 64-row map over local hash lookups. The
-      // previous plan kept the adjacency as the broadcast-join build
-      // side, which streamed the full 1.2 M-row edge frame once per
-      // round per run (12 scans/bench run; 48 s process CPU at sf0.1 →
-      // sub-second). Scales by frontier width: a million seeds is just
-      // a wider frontier frame, same per-row lookup; a graph past
-      // executor memory moves to node-partitioned probing instead.
-      import s.implicits._
-      val adjB = graft.olap.GraphFrames.coPurchaseAdjBroadcast(s, dir)
+      // the walk-sampler layout: while the GRAPH-bounded adjacency fits
+      // executor memory it rides a pinned in-memory broadcast (node →
+      // idx-ordered neighbor array, index-identical to
+      // coPurchaseIndexedSym) and ONLY the frontier moves — each round
+      // is a 64-row map over local hash lookups. Past the broadcast
+      // ceiling GraphFrames.walkStep degrades to the node-partitioned
+      // probe join (one adjacency scan per step — the regime for graphs
+      // that outgrow executor memory) with bitwise-identical visits;
+      // WalkTierSpec pins the two tiers equal on the fixture graph.
+      // Scales by frontier width: a million seeds is just a wider
+      // frontier frame, same per-row lookup.
       val seeds = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .orderBy(col("d").desc, col("n")).limit(64)
         .select(col("n").cast("long").as("seed"),
@@ -1636,19 +1635,11 @@ object GraphOlapQueries {
       var frontier = seeds
       var visits: DataFrame = null
       for (t <- 1 to 6) {
-        val tt = t.toLong
         // eager localCheckpoint: each ≤64-row frontier feeds BOTH the
         // next step AND the visits union — truncate the lineage so the
         // union doesn't re-derive every earlier round
-        frontier = frontier.as[(Long, Long)].mapPartitions { it =>
-          val adj = adjB.value
-          it.map { case (seed, node) =>
-            val nbrs = adj.get(node)
-            val mix = (seed * 1000003L + tt * 7919L + 12345L
-              + node * 31L) % 2147483647L
-            (seed, nbrs((mix % nbrs.length).toInt))
-          }
-        }.toDF("seed", "node").localCheckpoint(true)
+        frontier = graft.olap.GraphFrames
+          .walkStep(s, dir, frontier, t.toLong).localCheckpoint(true)
         visits = if (visits == null) frontier.select("node")
           else visits.unionAll(frontier.select("node"))
       }
@@ -1810,9 +1801,7 @@ object GraphOlapQueries {
           .select(col("st").as("a"), lit("null").as("b")))
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
       // channel-universe-bounded frame (loud ceiling, mirrors KCore)
-      val rows = trans.collect()
-      require(rows.length <= 64,
-        s"transition matrix unexpectedly large: ${rows.length}")
+      val rows = Exact.boundedCollect(trans, 64, "attribution transition matrix")
       val cnt = rows.map(r => (r.getString(0), r.getString(1))
         -> r.getLong(2)).toMap
       val tot = rows.groupBy(_.getString(0))

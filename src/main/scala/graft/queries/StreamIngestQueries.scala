@@ -817,7 +817,8 @@ object StreamIngestQueries {
                 Exact.cents(col("value")).as("cents"),
                 expr("unix_micros(ts) DIV 86400000000").as("day"))
       ev.write.partitionBy("day").mode("overwrite").parquet(base)
-      val d0 = ev.agg(min(col("day"))).collect()(0).getLong(0)
+      val d0 = Exact.boundedCollect(ev.agg(min(col("day"))), 1,
+        "min-day scalar probe")(0).getLong(0)
       val old = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {

@@ -882,7 +882,7 @@ object TextSimQueries {
       // per-row upper-triangle products (i ≤ j; the diagonal doubles as
       // the ss_i moment and carries q_i for the s_i moment) — one
       // whole-stage-codegen projection, one partial-aggregable groupBy
-      val cells = Tables.embeddings(s, dir)
+      val cellsDf = Tables.embeddings(s, dir)
         .select(expr("transform(embedding, x -> " +
           "CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))").as("qa"))
         // d²/2 products per row is the cpu-dense stage; the single-
@@ -898,10 +898,14 @@ object TextSimQueries {
                    'qi', element_at(qa, i)))))""")).as("c"))
         .select(col("c.i"), col("c.j"), col("c.p"), col("c.qi"))
         .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"), sum("p").as("sp"), sum("qi").as("sqi"))
-        .collect()
+      val cells = Exact.boundedCollect(
+        cellsDf.agg(count(lit(1)).as("n"), sum("p").as("sp"),
+          sum("qi").as("sqi")),
+        128 * 129 / 2, "power-iteration gram cells")
+      require(cells.nonEmpty,
+        "power iteration needs a non-empty embeddings corpus")
       val dimCount = cells.iterator.map(_.getLong(0)).max.toInt
-      require(dimCount <= 128 && cells.length <= 128 * 129 / 2,
+      require(dimCount <= 128,
         s"power iteration collects a DIMENSION-bounded gram matrix; " +
           s"got $dimCount dims (${cells.length} cells)")
       val n = cells.head.getLong(2).toDouble // count(*) — same for every cell
@@ -918,9 +922,17 @@ object TextSimQueries {
         val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
         if (i == j) m(i)(i) = 1048576L
         else {
+          // a zero-variance dimension has no defined correlation: the
+          // denominator would be 0, the quotient NaN, and floor(NaN)
+          // silently coerces to 0L in Scala — a silent divergence from
+          // the oracle (whose CAST would carry the NaN). Fail loudly.
+          val vi = n * ssArr(i) - sArr(i) * sArr(i)
+          val vj = n * ssArr(j) - sArr(j) * sArr(j)
+          require(vi > 0 && vj > 0,
+            s"zero-variance embedding dimension (i=$i var=$vi, " +
+              s"j=$j var=$vj): correlation undefined")
           val cq = math.floor((n * r.getLong(3).toDouble - sArr(i) * sArr(j))
-            / (math.sqrt(n * ssArr(i) - sArr(i) * sArr(i))
-               * math.sqrt(n * ssArr(j) - sArr(j) * sArr(j)))
+            / (math.sqrt(vi) * math.sqrt(vj))
             * 1048576.0).toLong
           m(i)(j) = cq; m(j)(i) = cq
         }
@@ -1417,9 +1429,10 @@ object TextSimQueries {
         .groupBy(col("w").as("w1"), col("w2"))
         .agg(count(lit(1)).as("cnt"))
       def topPair(bg: DataFrame): (String, String) = {
-        val r = bg.filter(col("w1") =!= col("w2"))
-          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-          .collect().head
+        val r = Exact.boundedCollect(
+          bg.filter(col("w1") =!= col("w2"))
+            .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1),
+          1, "BPE top-pair scalar").head
         (r.getString(0), r.getString(1))
       }
       def merge(tok: DataFrame, a: String, b: String): DataFrame = tok

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The random-walk sampler's two tiers must be bitwise-interchangeable:
+  * the broadcast tier (pinned adjacency map, frontier-local lookups) and
+  * the node-partitioned fallback (frontier broadcast into an equi-join
+  * against the distributed indexed adjacency) pick the SAME neighbor at
+  * every step because both address neighbors through
+  * coPurchaseIndexedSym's dense per-node index. The fallback is what
+  * keeps the query alive past the 8M-row broadcast ceiling (VERDICT r7
+  * item 3) — here the ceiling is forced to 1 row so the fixture graph
+  * exercises the fallback plan for real.
+  */
+class WalkTierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def runWalk(): Seq[(Long, Long)] =
+    SparkEntry.queries("graph_random_walk_visits")(spark, sf)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+
+  test("walk visits are bitwise-identical across broadcast and join tiers") {
+    val viaBroadcast = runWalk() // default ceiling: broadcast tier
+    assert(viaBroadcast.nonEmpty)
+    sys.props("graft.walk.maxBroadcastRows") = "1"
+    try {
+      val viaJoin = runWalk() // forced past the ceiling: fallback tier
+      assert(viaJoin === viaBroadcast,
+        "node-partitioned fallback must reproduce the broadcast tier's walks")
+    } finally sys.props.remove("graft.walk.maxBroadcastRows")
+  }
+
+  test("fallback tier survives a lowered ceiling without any require failure") {
+    sys.props("graft.walk.maxBroadcastRows") = "0"
+    try {
+      val out = runWalk()
+      assert(out.nonEmpty && out.map(_._2).sum > 0)
+    } finally sys.props.remove("graft.walk.maxBroadcastRows")
+  }
+}
