@@ -73,6 +73,36 @@ object Bench {
       val t = osBean.getProcessCpuTime
       if (t < 0) 0.0 else t / 1e9
     }
+    // JVM GC seconds (all collectors): the wall/cpu pair alone cannot
+    // separate "GC pressure inflated this query" from "foreign load or
+    // frequency scaling inflated it" — both raise cpu WITH wall, the
+    // blind spot BENCH_r07 exposed (queries 3-13x over the committed map
+    // on a run whose wall-vs-cpu stats were clean). Per-query GC time is
+    // the engine-side half of that separation; the committed-map cpu
+    // regression below is the environment-side half.
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
+    }
+    // committed per-query PROCESS-CPU reference map (classpath resource,
+    // refreshed each round from the quiet-host artifact): process CPU is
+    // load-independent evidence — a descheduled JVM accrues wall but not
+    // cpu, so cpu materially ABOVE the committed reading for identical
+    // code means GC pressure, frequency scaling, or cache/spill recompute
+    // on the measuring host, not a plan regression. n_cpu_inflated makes
+    // that contamination self-reported instead of forensically inferred.
+    val refCpu: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/graft/bench_ref_cpu.json")
+      if (in == null) Map.empty
+      else {
+        val txt = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        in.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
     // wall AND process-cpu per calibration reading: a quiet run keeps
     // the cpu/wall ratio of this fixed workload in a narrow band even
     // while wall drifts ~2x with the engine's own GC state; foreign
@@ -95,6 +125,7 @@ object Bench {
     var done = 0
     val cacheCensus = scala.collection.mutable.LinkedHashMap[String, Int]()
     val cpuByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     calibrate() // discard: first run JIT-compiles the calibration path
     val c0 = calibrate(); calibration += ((0, c0._1, c0._2))
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
@@ -102,21 +133,24 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val c0 = cpuSec()
+        val g0 = gcSec()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           val dc = cpuSec() - c0
+          val dg = gcSec() - g0
           // release the frames the closure registered — 241 queries x2 in
           // one JVM; leaked caches evict each other and poison later
           // queries (round 4's sketch_bloom_join 12x regression). Release
           // sits OUTSIDE the timed region: each run re-executes its full
           // plan, so run-2 "min" is steady-state JIT, not a warm cache.
           CacheRegistry.releaseAll()
-          (dt, dc)
+          (dt, dc, dg)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           CacheRegistry.releaseAll()
-          (-1.0, 0.0) // sentinel: a failed run must not pose as a measurement
+          // sentinel: a failed run must not pose as a measurement
+          (-1.0, 0.0, 0.0)
         }
       }
       // per-query cache census AFTER release: a nonzero residual is either
@@ -130,10 +164,12 @@ object Bench {
         System.gc(); val c = calibrate(); calibration += ((done, c._1, c._2))
       }
       val ok = times.filter(_._1 >= 0)
-      // report the min-wall run's CPU next to its wall: the pair from ONE
-      // run is the contention diagnostic (a mixed min-of-each would not be)
-      val best = if (ok.isEmpty) (-1.0, 0.0) else ok.minBy(_._1)
+      // report the min-wall run's CPU (and GC) next to its wall: the
+      // triple from ONE run is the contention diagnostic (a mixed
+      // min-of-each would not be)
+      val best = if (ok.isEmpty) (-1.0, 0.0, 0.0) else ok.minBy(_._1)
       cpuByQuery(name) = best._2
+      gcByQuery(name) = best._3
       name -> best._1
     }
     val cN = calibrate(); calibration += ((done, cN._1, cN._2))
@@ -181,11 +217,42 @@ object Bench {
       if (calibration.isEmpty) 1.0 else calMax / math.max(calMin, 1e-9)
     val nWallGtCpu = results.count { case (k, v) =>
       v >= 0.5 && v > cpuByQuery.getOrElse(k, 0.0) * 1.1 }
+    // CPU-inflation detector (VERDICT r7 item 1): process CPU is
+    // load-independent — identical code doing identical work burns the
+    // same cpu-seconds on a quiet host, so cpu > 2x the committed
+    // quiet-host map (floored at 0.2 s so sub-noise readings can't
+    // trip it) on a query with real wall (>= 0.5 s) is environmental
+    // contamination the wall>cpu check cannot see: GC under memory
+    // pressure, frequency scaling, or cache/spill recompute. Queries
+    // added after the committed map simply have no reference and are
+    // skipped. n_cpu_inflated > 0 means: read this artifact's walls
+    // through the contamination lens; the committed map is the basis.
+    val cpuInflated = results.collect { case (k, v)
+      if v >= 0.5 && refCpu.contains(k) &&
+        cpuByQuery.getOrElse(k, 0.0) > 2.0 * math.max(refCpu(k), 0.2) =>
+      k -> (cpuByQuery(k) / math.max(refCpu(k), 0.2)) }
+    val nCpuInflated = cpuInflated.size
+    val inflatedArr = cpuInflated.sortBy(-_._2).take(20)
+      .map { case (k, r) => s"""{"q":"$k","x":${f(r)}}""" }
+      .mkString("[", ",", "]")
+    val gcMap = gcByQuery.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val gcTotal = gcByQuery.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"calibration":$calArr,"cache":$census,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"gc":$gcMap,"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"cpu_inflated":$inflatedArr,"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"calibration":$calArr,"cache":$census,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces channel for the driver: the same line, unframed, on disk
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // THE canonical committed per-round artifact (VERDICT r7 item 5):
+    // one file, written by Bench itself, noise stats inline. Committed
+    // as BENCH_r{N}_perquery.json (SPARK_GRAFT_ROUND names the round);
+    // bench_out.json stays as the driver's unframed channel and
+    // bench_out_r7.json is superseded.
+    val roundName = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => s"BENCH_r${r}_perquery.json")
+      .getOrElse("BENCH_perquery.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(roundName),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The full line above (~5 KB with the per-query map) has overflowed the
     // driver's tail-capture window two rounds running (BENCH_r02/r03
@@ -204,7 +271,7 @@ object Bench {
     // "pinned" = deliberate process-lifetime shared frames (GraphFrames);
     // cache_max residuals up to pinned + transient checkpoints are healthy
     println(
-      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }

@@ -73,6 +73,22 @@ object CacheRegistry {
 
   def pinnedCount: Int = pinnedFrames.size
 
+  /** Release the process-lifetime pinned frames too. NOT part of the
+    * per-query lifecycle — only multi-SF sweeps (ScalingBench) call this
+    * between datasets, where carrying one SF's pinned graph frames into
+    * the next SF's measurement would both skew memory and mix bases.
+    */
+  def releasePinned(): Int = {
+    var n = 0
+    val it = pinnedFrames.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue.unpersist(false)
+      it.remove()
+      n += 1
+    }
+    n
+  }
+
   /** Cache census: RDDs the context still holds persistent. After
     * releaseAll() this counts (a) genuine leaks, (b) localCheckpoint
     * blocks awaiting the async ContextCleaner, and (c) the [[pinned]]

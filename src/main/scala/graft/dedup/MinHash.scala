@@ -129,13 +129,21 @@ object MinHash {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = DefaultK, r: Int = DefaultBandSize)
-      : DataFrame = {
-    // signature rides along through the explode so candidate pairs already
-    // carry both signatures — no per-side rejoin back to the corpus (the
-    // naive shape re-scans the corpus twice more and recomputes minhash
-    // per rejoin; carrying k longs through the (band,key) shuffle is far
-    // cheaper than extra scans at 100 TB)
-    val buckets = docs.select(
+      : DataFrame =
+    pairsFromBuckets(bucketFrame(docs, idCol, textCol, k, r))
+
+  /** The (doc_id, sig, band, key) LSH bucket frame — the shared base of
+    * the candidate join, the bucket-size cap and the skew observability
+    * query. Signature rides along through the explode so candidate pairs
+    * already carry both signatures — no per-side rejoin back to the
+    * corpus (the naive shape re-scans the corpus twice more and
+    * recomputes minhash per rejoin; carrying k longs through the
+    * (band,key) shuffle is far cheaper than extra scans at 100 TB).
+    */
+  def bucketFrame(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = DefaultK, r: Int = DefaultBandSize)
+      : DataFrame =
+    docs.select(
         col(idCol).as("doc_id"),
         minhash_signature(col(textCol), k).as("sig"),
         posexplode(lsh_band_keys(col(textCol), k, r)).as(Seq("band", "key")))
@@ -151,6 +159,8 @@ object MinHash {
       // and a leaked cache per call is the accumulating-cache failure
       // mode the registry exists to prevent.
       .tracked
+
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
@@ -159,6 +169,32 @@ object MinHash {
       // dedupe multi-band collisions: one row per pair
       .groupBy("doc_a", "doc_b")
       .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+
+  /** [[candidatePairs]] with the production skew guard: buckets larger
+    * than `maxBucket` are dropped BEFORE the self-join. LSH banding keys
+    * are hash substrings, so a templated/boilerplate-heavy corpus piles
+    * into a few hot buckets and the candidate join goes quadratic in the
+    * hot bucket — measured in this repo's scaling study (SCALING.md: a
+    * constant per-replica salt token sent the CC pipeline 6.2 s → 303 s
+    * at 10× data). Every production near-dup pipeline caps or drops hot
+    * buckets (a bucket of 10⁶ members is boilerplate, not 10¹² useful
+    * dup pairs); the cap trades bounded recall loss on exactly those
+    * keys for a hard O(maxBucket²·n_buckets) candidate ceiling. The
+    * bucket-size aggregate is partial-aggregable and joins back keyed —
+    * two shuffles of the bucket frame, nothing corpus-quadratic.
+    */
+  def candidatePairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                           maxBucket: Int,
+                           k: Int = DefaultK, r: Int = DefaultBandSize)
+      : DataFrame = {
+    val buckets = bucketFrame(docs, idCol, textCol, k, r)
+    val sizes = buckets.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_sz"))
+    val kept = buckets.join(sizes, Seq("band", "key"))
+      .filter(col("bucket_sz") <= maxBucket)
+      .select("doc_id", "sig", "band", "key")
+      .tracked // both self-join sides read the capped frame once
+    pairsFromBuckets(kept)
   }
 }
 

@@ -1411,23 +1411,34 @@ object GraphOlapQueries {
         .filter(col("e_to").isNotNull)
       val p = pairs.groupBy("e_from", "e_to").agg(count(lit(1)).as("n"))
       val t = p.groupBy("e_from").agg(sum("n").cast("long").as("row_n"))
-      val pt = p.join(t, "e_from").tracked // k² rows, read 3×
-      val st = p.select(col("e_from").as("event_type")).distinct().tracked
-      var pi = st.select(col("event_type"), lit(65536L).as("v"))
+      // the transition matrix is EVENT-TYPE-universe-bounded (k² ≤ 64²
+      // cells) — the olap_attribution_markov rule: the corpus-sized work
+      // (window + groupBy over all events) stays distributed, the k²
+      // fixpoint folds on the driver with loud exact-Long arithmetic.
+      // The previous plan ran the 3 rounds as 6 tiny broadcast joins
+      // (measured 1.56 s of pure per-stage overhead at sf0.1 for ≤49
+      // cells); same integers either way: m = Σ (v·n) DIV row_n, missing
+      // states coalesce to 0, all operands positive so Spark's DIV ≡
+      // Scala's / here.
+      val cells = Exact.boundedCollect(p.join(t, "e_from"), 64 * 64,
+        "markov transition cells") // (e_from, e_to, n, row_n)
+      val states = cells.map(_.getString(0)).distinct.sorted
+      var piM = states.map(_ -> 65536L).toMap
       for (_ <- 1 to 3) {
-        val mass = broadcast(pt)
-          .join(broadcast(pi),
-            pi("event_type") === pt("e_from"))
-          .select(col("e_to"), expr("(v * n) DIV row_n").as("m"))
-          .groupBy(col("e_to")).agg(sum("m").cast("long").as("mv"))
-        pi = st.join(mass, st("event_type") === mass("e_to"), "left")
-          .select(st("event_type"), coalesce(col("mv"), lit(0L)).as("v"))
+        val mass = new scala.collection.mutable.HashMap[String, Long]()
+          .withDefaultValue(0L)
+        for (r <- cells) {
+          val m = Math.multiplyExact(piM(r.getString(0)), r.getLong(2)) /
+            r.getLong(3)
+          mass(r.getString(1)) = Math.addExact(mass(r.getString(1)), m)
+        }
+        piM = states.map(s0 => s0 -> mass(s0)).toMap
       }
-      val z = pi.agg(sum("v").cast("long").as("total"))
-      pi.crossJoin(broadcast(z))
-        .select(col("event_type"), col("v").as("pi_q16"),
-          (col("v").cast("double") / col("total").cast("double"))
-            .as("pi_share"))
+      val totalV = states.foldLeft(0L)((a, s0) => Math.addExact(a, piM(s0)))
+      import s.implicits._
+      states.map(s0 => (s0, piM(s0),
+          piM(s0).toDouble / totalV.toDouble))
+        .toSeq.toDF("event_type", "pi_q16", "pi_share")
         .orderBy("event_type")
     }),
 

@@ -219,12 +219,12 @@ object Shared {
                      CAST(sum(bit) AS BIGINT) AS n_set
               FROM b GROUP BY 1)"""
 
-  /** DuckDB CTE chain mirroring [[MinHash.candidatePairs]] at k=16, r=4 —
-    * ONE oracle definition of signatures, banding and the candidate join,
-    * composed by `dedup_minhash_lsh` and `dedup_bbit_minhash`.
-    * Terminates in `cand` (doc_a, doc_b, sig_a, sig_b).
+  /** DuckDB CTE chain mirroring [[MinHash.bucketFrame]] at k=16, r=4 —
+    * ONE oracle definition of signatures and banding, terminating in
+    * `bk` (doc_id, sig, key, band). Composed by [[duckMinhashCandCtes]]
+    * and the capped/observability oracles.
     */
-  lazy val duckMinhashCandCtes: String = {
+  lazy val duckMinhashBkCtes: String = {
     val k = 16; val r = 4
     val as = (0 until k).map(MinHash.coeffA).mkString("[", ", ", "]")
     val bs = (0 until k).map(MinHash.coeffB).mkString("[", ", ", "]")
@@ -249,13 +249,39 @@ object Shared {
         bk AS (SELECT doc_id, sig,
                       unnest(bands) AS key,
                       unnest(generate_series(1, len(bands))) AS band
-               FROM bd),
+               FROM bd)"""
+  }
+
+  /** DuckDB CTE chain mirroring [[MinHash.candidatePairs]] at k=16, r=4 —
+    * ONE oracle definition of signatures, banding and the candidate join,
+    * composed by `dedup_minhash_lsh` and `dedup_bbit_minhash`.
+    * Terminates in `cand` (doc_a, doc_b, sig_a, sig_b).
+    */
+  lazy val duckMinhashCandCtes: String =
+    s"""$duckMinhashBkCtes,
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                         x.sig AS sig_a, y.sig AS sig_b
                  FROM bk x JOIN bk y
                    ON x.band = y.band AND x.key = y.key
                       AND x.doc_id < y.doc_id)"""
-  }
+
+  /** [[duckMinhashCandCtes]] with the bucket-size cap mirrored —
+    * terminates in `cand` over only the ≤`maxBucket`-member buckets,
+    * the oracle twin of [[MinHash.candidatePairsCapped]].
+    */
+  def duckMinhashCandCappedCtes(maxBucket: Int): String =
+    s"""$duckMinhashBkCtes,
+        bsz AS (SELECT band, key, count(*) AS bucket_sz
+                FROM bk GROUP BY 1, 2),
+        bkc AS (SELECT bk.doc_id, bk.sig, bk.key, bk.band
+                FROM bk JOIN bsz
+                  ON bk.band = bsz.band AND bk.key = bsz.key
+                WHERE bsz.bucket_sz <= $maxBucket),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.sig AS sig_a, y.sig AS sig_b
+                 FROM bkc x JOIN bkc y
+                   ON x.band = y.band AND x.key = y.key
+                      AND x.doc_id < y.doc_id)"""
 
   /** DuckDB CTE chain mirroring [[neymanSample]] — ONE oracle definition
     * of the weight surrogate, budget split and spread-hash rank, composed

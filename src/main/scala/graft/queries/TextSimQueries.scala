@@ -457,6 +457,54 @@ object TextSimQueries {
           maxHamming = 1, bands = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // The banding-free Hamming≤1 plan for TEMPLATED corpora: banding
+    // keys are hash substrings, so boilerplate piles the corpus into a
+    // few (band, key) buckets and the candidate self-join goes quadratic
+    // in the hot bucket (measured: the scaling study's constant-salt
+    // corpus sent the banded CC pipeline 6.2 s → 303 s at 10× —
+    // SCALING.md). Bit-flip neighbor enumeration buckets on the FULL
+    // 32-bit hash instead: candidate volume is bounded by OUTPUT size
+    // (each true pair collides exactly once) at a 33× key blowup —
+    // linear and skew-immune, the right trade at 100 TB. Same exact
+    // pair set as the banded plan (both are 100%-recall Hamming≤1).
+    "dedup_simhash_neighbor" -> ((s, dir) =>
+      SimHash.neighborNearDupPairs(Tables.documents(s, dir), "doc_id",
+          "text")
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash-LSH with the production skew guard: buckets larger than
+    // maxBucket are dropped before the candidate self-join (a 10⁶-member
+    // bucket is boilerplate, not 10¹² useful pairs) — bounded recall
+    // loss on exactly the degenerate keys for a hard candidate ceiling.
+    // The fixture corpus has no hot buckets at cap 4, so this output
+    // equals dedup_minhash_lsh here; the ORACLE mirrors the cap, so the
+    // guard's semantics (not just its no-op case) are pinned bitwise.
+    "dedup_minhash_capped" -> ((s, dir) =>
+      MinHash.candidatePairsCapped(Tables.documents(s, dir), "doc_id",
+          "text", maxBucket = 4)
+        .withColumn("est_jaccard",
+          expr("size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), " +
+            "x -> x))").cast("double") / lit(16.0))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")),
+
+    // LSH skew OBSERVABILITY: the bucket-size histogram and its implied
+    // candidate-pair mass Σ n_buckets·s(s−1)/2 — the query a pipeline
+    // runs BEFORE the candidate join to decide whether banding is safe
+    // or the cap/neighbor-enumeration path is needed (it would have
+    // predicted the 303 s blow-up from the bucket census alone, without
+    // running the join). Two partial-aggregable groupBys, no self-join.
+    "dedup_lsh_bucket_stats" -> ((s, dir) => {
+      val sizes = MinHash.bucketFrame(Tables.documents(s, dir), "doc_id",
+          "text", 16, 4)
+        .groupBy("band", "key").agg(count(lit(1)).as("sz"))
+      sizes.groupBy("sz").agg(count(lit(1)).as("n_buckets"))
+        .withColumn("cand_pairs",
+          expr("((sz * (sz - 1)) div 2) * n_buckets"))
+        .orderBy("sz")
+    }),
+
     // ANN index training: one distributed Lloyd (k-means) update — the
     // step that makes the IVF centroids trainable rather than fixed.
     // Assignment is the shared max_by argmax; the per-dimension mean runs
@@ -2369,6 +2417,27 @@ object TextSimQueries {
     // oracle of the banded scale path: identical bucketing in SQL (two
     // 16-bit halves), then exact Hamming verify — on the full corpus
     "dedup_simhash_banded" -> bandedPairsOracle,
+
+    // both 100%-recall Hamming≤1 plans produce the TRUE pair set, so the
+    // banded oracle pins the neighbor-enumeration plan too
+    "dedup_simhash_neighbor" -> bandedPairsOracle,
+
+    "dedup_minhash_capped" ->
+      s"""WITH ${duckMinhashCandCappedCtes(4)}
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter(generate_series(1, 16), i ->
+                   sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 AS est_jaccard
+          FROM cand
+          WHERE CAST(len(list_filter(generate_series(1, 16), i ->
+                  sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 >= 0.5
+          ORDER BY doc_a, doc_b""",
+
+    "dedup_lsh_bucket_stats" ->
+      s"""WITH $duckMinhashBkCtes,
+          bsz AS (SELECT band, key, count(*) AS sz FROM bk GROUP BY 1, 2)
+          SELECT sz, count(*) AS n_buckets,
+                 ((sz * (sz - 1)) // 2) * count(*) AS cand_pairs
+          FROM bsz GROUP BY sz ORDER BY sz""",
 
     // transitive closure over the banded pairs; min reachable id (incl.
     // self) per node == the min-label propagation fixpoint

@@ -167,4 +167,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(streamed == batchPairs)
     assert(batchPairs.nonEmpty)
   }
+
+  test("bucket cap drops hot-bucket pairs, keeps the rest, no-ops when loose") {
+    import spark.implicits._
+    // 8 byte-identical "boilerplate" docs (one hot bucket per band) plus
+    // one genuine near-dup pair with distinct wording
+    val boiler = "terms of service apply to all content on this site always"
+    val a = "spark executes declarative plans over columnar batches quickly"
+    val b = "spark executes declarative plans over columnar batches slowly"
+    val docs = ((1L to 8L).map(i => (i, boiler)) ++
+      Seq((20L, a), (21L, b))).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(MinHash.candidatePairs(docs, "doc_id", "text"))
+    val capped = pairSet(
+      MinHash.candidatePairsCapped(docs, "doc_id", "text", maxBucket = 4))
+    // the guard must drop exactly the hot-bucket (boilerplate) pairs
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((20L, 21L)))
+    assert(!capped.exists { case (x, y) => x <= 8 && y <= 8 },
+      "boilerplate bucket must be dropped at cap 4")
+    assert(capped.contains((20L, 21L)),
+      "pairs outside hot buckets must survive the cap")
+    // a loose cap is the identity: same candidates as the uncapped join
+    val loose = pairSet(
+      MinHash.candidatePairsCapped(docs, "doc_id", "text", maxBucket = 1000))
+    assert(loose == uncapped)
+    graft.CacheRegistry.releaseAll()
+  }
 }
