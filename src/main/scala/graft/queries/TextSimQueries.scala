@@ -535,6 +535,46 @@ object TextSimQueries {
         .orderBy("sz")
     }),
 
+    // Dedup SURVIVORSHIP: production drops duplicates by POLICY, not by
+    // min-id — keep the best exemplar per near-dup cluster (here: most
+    // content, ties to the lower id). One keyed join of the pinned label
+    // frame to doc metadata + a partial-aggregable max_by per cluster;
+    // the policy column is the only thing that changes at 100 TB.
+    "dedup_survivor_policy" -> ((s, dir) => {
+      val labels = nearDupLabels(s, dir)
+      val meta = Tables.documents(s, dir).select(col("doc_id"),
+        col("n_chars"))
+      labels.join(meta, "doc_id")
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("cluster_sz"),
+          max_by(col("doc_id"),
+            struct(col("n_chars"), (-col("doc_id")).as("neg")))
+            .as("survivor_id"),
+          max("n_chars").as("survivor_chars"))
+        .orderBy("canonical_id")
+    }),
+
+    // Training-mixture allocation: per-source sampling plan for a fixed
+    // document budget, weights ∝ √(corpus mass) (the sublinear-mixing
+    // heuristic that keeps small domains represented). Integer lattice
+    // end-to-end (floor-sqrt weights, DIV splits), one aggregate + one
+    // broadcast total — the whole plan is two partial-aggregable passes
+    // at any corpus size. rate_ppm > 10⁶ marks oversampled (multi-epoch)
+    // domains, the signal a mixture tuner consumes.
+    "sample_domain_mixture" -> ((s, dir) => {
+      val g = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("wt",
+          floor(sqrt(col("sum_chars").cast("double"))).cast("long"))
+      val tot = g.agg(sum("wt").as("total_wt"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("n_alloc", expr("(10000 * wt) div total_wt"))
+        .withColumn("rate_ppm", expr("(1000000 * n_alloc) div n_docs"))
+        .select("source", "n_docs", "sum_chars", "wt", "n_alloc",
+          "rate_ppm")
+        .orderBy("source")
+    }),
+
     // SimHash near-dup pairs by Hamming distance over a bounded id range.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
@@ -566,6 +606,68 @@ object TextSimQueries {
         .filter(col("jaccard") >= 0.10)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ASYMMETRIC near-dup: containment C(a→b) = |A∩B| / |A| — the
+    // quote/inclusion detector (a short doc fully contained in a long
+    // one has Jaccard ≈ |A|/|B| ≈ 0 but containment 1.0, so symmetric
+    // dedup misses it). Same bounded-range exact-pairs posture as the
+    // Jaccard ground truth; the gram sets are sorted distinct hash
+    // arrays and the intersect is the codegen'd linear merge. Emitted
+    // per ORDERED pair (the measure is directional).
+    "dedup_containment" -> ((s, dir) => {
+      import graft.dedup.NgramJaccard
+      val g = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+                NgramJaccard.gram_hashes(col("text"), 2).as("grams"))
+        .tracked // both sides of the ordered-pair join
+      g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+        .join(g.select(col("doc_id").as("doc_b"),
+            col("grams").as("grams_b")),
+          col("doc_a") =!= col("doc_b"))
+        .filter(size(col("grams_a")) > 0) // 0/0 → NaN orders OPPOSITE ways
+                                          // in Spark vs DuckDB; exclude
+        .withColumn("containment",
+          NgramJaccard.intersect_count_sorted(col("grams_a"),
+              col("grams_b")).cast("double")
+            / size(col("grams_a")).cast("double"))
+        .filter(col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Ingest-time incremental dedup — the production shape: a NEW batch
+    // is admitted against the EXISTING corpus, not self-joined with it.
+    // Both sides band their simhash (16-bit halves, pigeonhole-complete
+    // for Hamming≤1); only (band,key) collisions verify. At scale the
+    // existing side is the materialized band/signature index maintained
+    // at ingest (centroid of stream_lsh_neardup's state), so per batch
+    // only the NEW docs' bands shuffle — the corpus is never rescanned.
+    // Output: every new doc with its admission verdict.
+    "dedup_incremental_ingest" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), SimHash.simhash32(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"), explode(array(
+            struct(lit(0).as("band"),
+              col("sh").bitwiseAND(lit(65535L)).as("key")),
+            struct(lit(1).as("band"),
+              shiftright(col("sh"), 16).bitwiseAND(lit(65535L))
+                .as("key")))).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+        .tracked // new side + existing side slice one banded frame
+      val isNew = col("doc_id") % 5 === 0
+      val dupNew = sh.filter(isNew).as("n")
+        .join(sh.filter(!isNew).as("o"),
+          col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+        .filter(bit_count(col("n.sh").bitwiseXOR(col("o.sh"))) <= 1)
+        .select(col("n.doc_id").as("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      Tables.documents(s, dir).filter(isNew).select("doc_id")
+        .join(dupNew, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("is_dup_of_existing"))
+        .orderBy("doc_id")
     }),
 
     // North-star dedup: embedding-cosine near-dup pairs (bounded exact
@@ -620,6 +722,21 @@ object TextSimQueries {
       val cw = emb.filter(col("vec_id") < 16)
       Similarity.pqAdcTopK(Similarity.pqEncode(emb, cw, 4, 16), cw,
           emb.filter(col("vec_id") < 10), 4, 16, 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The FAISS-style composite index: IVF coarse pruning to nprobe
+    // inverted lists, then ADC over PQ codes on ONLY those candidates —
+    // corpus embeddings untouched at query time end-to-end (the probe
+    // join moves list entries, the scoring join moves b·m-bit codes;
+    // at 100 TB both live centroid-bucketed so neither shuffles the
+    // corpus). sim_ivf_probe_topk and sim_pq_adc_topk are its two
+    // halves measured in isolation.
+    "sim_ivf_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") < 16), emb.filter(col("vec_id") < 10),
+          nprobe = 2, m = 4, dsub = 16, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -2469,6 +2586,63 @@ object TextSimQueries {
           SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
           FROM reach GROUP BY 1 ORDER BY 1""",
 
+    // the CC closure joined to doc metadata; survivor = deterministic
+    // (n_chars desc, doc_id asc) head per cluster
+    "dedup_survivor_policy" ->
+      s"""WITH RECURSIVE
+            h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+            cl AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT)
+                     AS canonical_id
+                   FROM reach GROUP BY 1),
+            j AS (SELECT cl.canonical_id, cl.doc_id, d.n_chars
+                  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+            r AS (SELECT canonical_id, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY canonical_id
+                      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                    count(*) OVER (PARTITION BY canonical_id)
+                      AS cluster_sz
+                  FROM j)
+          SELECT canonical_id, cluster_sz, doc_id AS survivor_id,
+                 CAST(n_chars AS BIGINT) AS survivor_chars
+          FROM r WHERE rn = 1 ORDER BY canonical_id""",
+
+    "sample_domain_mixture" ->
+      """WITH g AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                    FROM documents GROUP BY 1),
+            w AS (SELECT source, n_docs, sum_chars,
+                         CAST(floor(sqrt(CAST(sum_chars AS DOUBLE)))
+                           AS BIGINT) AS wt
+                  FROM g),
+            t AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM w)
+         SELECT source, n_docs, sum_chars, wt,
+                (10000 * wt) // total_wt AS n_alloc,
+                (1000000 * ((10000 * wt) // total_wt)) // n_docs
+                  AS rate_ppm
+         FROM w CROSS JOIN t ORDER BY source""",
+
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE
             h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
@@ -2528,6 +2702,42 @@ object TextSimQueries {
            FROM g a JOIN g b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.10
          ORDER BY doc_a, doc_b""",
+
+    "dedup_containment" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th
+                     FROM documents WHERE doc_id < 150),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, len(th) - 1), i ->
+                             (th[i] * 31 + th[i+1]) % 2147483647)) AS grams
+                  FROM h)
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / CAST(len(a.grams) AS DOUBLE) AS containment
+           FROM g a JOIN g b ON a.doc_id <> b.doc_id
+           WHERE len(a.grams) > 0)
+         WHERE containment >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    "dedup_incremental_ingest" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            dup AS (SELECT DISTINCT n.doc_id
+                    FROM b n JOIN b o
+                      ON n.band = o.band AND n.key = o.key
+                    WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+                      AND bit_count(xor(n.simhash, o.simhash)) <= 1)
+         SELECT d.doc_id,
+                (dup.doc_id IS NOT NULL) AS is_dup_of_existing
+         FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         WHERE d.doc_id % 5 = 0
+         ORDER BY d.doc_id""",
 
     "dedup_embedding_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e
@@ -2691,6 +2901,73 @@ object TextSimQueries {
                       FROM codes c JOIN lut l ON l.sub_id = c.sub_id
                                             AND l.code_id = c.code_id
                       WHERE l.query_id <> c.vec_id
+                      GROUP BY 1, 2),
+              r AS (SELECT query_id, vec_id,
+                      s0 + s1 + s2 + s3 AS est_sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY s0 + s1 + s2 + s3 DESC, vec_id ASC)
+                        AS rank
+                    FROM est)
+         SELECT query_id, rank, vec_id, est_sim FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // IVF candidate pruning (asg/prb from the sim_ivf_probe_topk chain)
+    // composed with the PQ codes/LUT chain from sim_pq_adc_topk — the
+    // est join additionally keyed on the candidate set
+    "sim_ivf_pq_topk" ->
+      s"""WITH sub AS (SELECT unnest([0, 1, 2, 3]) AS sub_id),
+              c AS (SELECT vec_id AS centroid_id, embedding AS ec
+                    FROM embeddings WHERE vec_id < 8),
+              asg AS (SELECT centroid_id, vec_id FROM (
+                        SELECT e.vec_id, c.centroid_id,
+                          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                            ${duckDot("e.embedding", "c.ec")}
+                              / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                                 * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                            c.centroid_id ASC) AS rn
+                        FROM embeddings e CROSS JOIN c)
+                      WHERE rn = 1),
+              prb AS (SELECT query_id, centroid_id FROM (
+                        SELECT q.vec_id AS query_id, c.centroid_id,
+                          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                            ${duckDot("q.embedding", "c.ec")}
+                              / (sqrt(${duckDot("q.embedding", "q.embedding")})
+                                 * sqrt(${duckDot("c.ec", "c.ec")})) DESC,
+                            c.centroid_id ASC) AS rn
+                        FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10)
+                      WHERE rn <= 2),
+              cand AS (SELECT p.query_id, a.vec_id
+                       FROM prb p JOIN asg a
+                         ON a.centroid_id = p.centroid_id
+                       WHERE a.vec_id <> p.query_id),
+              cb AS (SELECT e.vec_id AS code_id, s.sub_id, e.embedding AS ce
+                     FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 16),
+              cs AS (SELECT e.vec_id, s.sub_id, e.embedding AS ve
+                     FROM embeddings e CROSS JOIN sub s),
+              d AS (SELECT cs.vec_id, cs.sub_id, cb.code_id,
+                      ${duckDotSub("ve", "ce", "cs.sub_id * 16")} AS dot
+                    FROM cs JOIN cb ON cb.sub_id = cs.sub_id),
+              codes AS (SELECT vec_id, sub_id, code_id FROM (
+                          SELECT vec_id, sub_id, code_id,
+                            row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY dot DESC, code_id ASC) AS rn FROM d)
+                        WHERE rn = 1),
+              q AS (SELECT e.vec_id AS query_id, s.sub_id,
+                           e.embedding AS qe
+                    FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < 10),
+              lut AS (SELECT q.query_id, q.sub_id, cb.code_id,
+                        ${duckDotSub("qe", "ce", "q.sub_id * 16")} AS dot
+                      FROM q JOIN cb ON cb.sub_id = q.sub_id),
+              est AS (SELECT ca.query_id, ca.vec_id,
+                        max(CASE WHEN co.sub_id = 0 THEN l.dot END) AS s0,
+                        max(CASE WHEN co.sub_id = 1 THEN l.dot END) AS s1,
+                        max(CASE WHEN co.sub_id = 2 THEN l.dot END) AS s2,
+                        max(CASE WHEN co.sub_id = 3 THEN l.dot END) AS s3
+                      FROM cand ca
+                      JOIN codes co ON co.vec_id = ca.vec_id
+                      JOIN lut l ON l.query_id = ca.query_id
+                                AND l.sub_id = co.sub_id
+                                AND l.code_id = co.code_id
                       GROUP BY 1, 2),
               r AS (SELECT query_id, vec_id,
                       s0 + s1 + s2 + s3 AS est_sim,

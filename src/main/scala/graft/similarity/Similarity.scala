@@ -199,6 +199,69 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "est_sim")
   }
 
+  /** IVF + PQ composite (the FAISS-style index shape): the coarse
+    * quantizer prunes the corpus to the queries' `nprobe` inverted
+    * lists, and ONLY those candidates are scored — by ADC over their PQ
+    * codes, never their embeddings. At query time the corpus embeddings
+    * are untouched end-to-end: the probe join carries (centroid_id,
+    * vec_id) list entries and the scoring join carries b·m-bit codes,
+    * which is the whole storage story of a 100 TB vector index (lists
+    * bucketed by centroid at ingest → co-located probe join; codes
+    * stored inline with the list entries → the scoring join below is a
+    * read of the same partition, not a second shuffle). Codes here
+    * quantize the raw vectors (IVF-Flat-PQ); residual encoding
+    * (vector − centroid) is the production refinement and changes only
+    * the encode step. Subspace contributions sum in fixed order s0+s1+…
+    * (one deterministic IEEE chain, bitwise-portable).
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame,
+                codewords: DataFrame, queries: DataFrame,
+                nprobe: Int, m: Int, dsub: Int, k: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"),
+                             col("embedding").as("emb_cent"))
+    val lists = assignToCentroids(corpus, centroids)
+      .select("centroid_id", "vec_id")
+    val codes = pqEncode(corpus, codewords, m, dsub)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("centroid_id").asc)
+    val probes = queries.select(col("vec_id").as("query_id"),
+                                col("embedding").as("emb_q"))
+      .join(broadcast(c))
+      .withColumn("cosine", VecOps.cosine(col("emb_q"), col("emb_cent")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "centroid_id")
+    val cand = probes.join(lists, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val cb = codewords
+      .select(col("vec_id").as("code_id"),
+              explode(subspaces(col("embedding"), m, dsub)).as("c"))
+      .select(col("code_id"), col("c.sub_id").as("sub_id"),
+              col("c.sub_vec").as("code_vec"))
+    val lut = queries
+      .select(col("vec_id").as("query_id"),
+              explode(subspaces(col("embedding"), m, dsub)).as("x"))
+      .select(col("query_id"), col("x.sub_id").as("sub_id"),
+              col("x.sub_vec").as("sub_vec"))
+      .join(cb, Seq("sub_id"))
+      .withColumn("dot", VecOps.dot(col("sub_vec"), col("code_vec")))
+      .select("query_id", "sub_id", "code_id", "dot")
+    val subCols = (0 until m).map(s =>
+      max(when(col("sub_id") === s, col("dot"))).as(s"s$s"))
+    val est = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub_id", "code_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subCols.head, subCols.tail: _*)
+      .withColumn("est_sim",
+        (0 until m).map(s => col(s"s$s")).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_sim").desc, col("vec_id").asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "est_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range (the
     * exact-pairwise oracle path; LSH/IVF prunes the same computation at
     * scale).
