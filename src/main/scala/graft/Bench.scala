@@ -47,6 +47,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // root presentation sorts execute single-partition when provably
+    // small — kills the range-exchange sampling re-execution (see
+    // graft.plans.PresentSortRule; Verify runs the same rule so the
+    // oracle gate certifies the rewritten plans)
+    if (sys.env.getOrElse("SPARK_GRAFT_PRESENTSORT", "true") != "false")
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.PresentSortRule)
     // JIT/classload warmup outside the timed region (tiny SF)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }

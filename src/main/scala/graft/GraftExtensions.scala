@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // optimizer surface: provably-safe rewrites over graft's expressions
     e.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+    e.injectOptimizerRule(_ => graft.plans.PresentSortRule)
     // planner surface: whole-operator plan nodes (as-of join)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

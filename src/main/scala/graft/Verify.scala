@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same plan surface as Bench: the oracle gate must certify exactly
+    // the plans the bench times (PresentSortRule rewrites root sorts)
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.PresentSortRule)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

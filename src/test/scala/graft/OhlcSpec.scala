@@ -14,6 +14,8 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // specs exercise the same plan surface Bench/Verify run
+    s.experimental.extraOptimizations ++= Seq(graft.plans.PresentSortRule)
     s
   }
 }

@@ -73,8 +73,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "cal_weekday_filter", "inc_derived_rebuild", "inc_missing_suffix",
       "inc_snapshot_diff", "inc_agg_merge",
       "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+      // the ngram_jaccard bounded exact-pairs posture, ordered pairs
+      // (containment is directional so both (a,b) and (b,a) score)
+      "dedup_containment",
       "text_ngram_containment",
       "sim_bruteforce_topk", "sim_ivf_assign", "sim_ivf_probe_topk",
+      // composite index: same broadcast-centroid non-equi probe/assign
+      // stages as its two allowlisted halves
+      "sim_ivf_pq_topk",
       "sim_kmeans_update", "emb_matryoshka_agreement",
       // exact-relevance side = the bruteforce ground-truth shape
       "sim_ndcg_eval",
@@ -87,6 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // mixture bound M = min(count*10 div wt), and the temperature
       // resampler's 1-row language max
       "graph_pagerank", "sample_mixture_balance", "sample_temperature",
+      // 1-row Σwt scalar crossJoined into the lattice budget split
+      "sample_domain_mixture",
       // merged global HLL sketch × global exact count (1-row × 1-row)
       "sketch_hll_distinct",
       // node/edge/triangle 1-row summaries combined via crossJoin
