@@ -1216,6 +1216,39 @@ object StreamIngestQueries {
         .orderBy("log2_k")
     }),
 
+    // l-diversity audit — the k-anonymity follow-on over the SAME
+    // quasi-identifier groups (event_type, weekday, $20 value band):
+    // a group with large k still re-identifies its members when every
+    // row belongs to the same handful of SUBJECTS, so the privacy unit
+    // is distinct user_id per group (l), not row count. Reports group
+    // count / row mass per log2(l) and the rows at risk under l < 3.
+    // Same two partial-aggregable groupBys + 1-row total combine as the
+    // k audit; countDistinct shuffles the (group, user) pairs once.
+    "dq_l_diversity" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          dayofweek(to_date(col("ts"))).as("dow"),
+          Exact.cents(col("value")).as("cc"), col("user_id"))
+        .withColumn("band", expr("cc DIV 2000"))
+        .groupBy("event_type", "dow", "band")
+        .agg(count(lit(1)).as("k"),
+          countDistinct("user_id").as("l"))
+        .tracked // bucketed rollup AND grand total
+      val tot = g.agg(sum("k").cast("long").as("n_total"))
+      g.withColumn("lb", expr("length(bin(l)) - 1"))
+        .groupBy("lb")
+        .agg(count(lit(1)).as("n_groups"),
+          sum("k").cast("long").as("n_rows"),
+          sum(when(col("l") < 3, col("k")).otherwise(0L)).cast("long")
+            .as("n_rows_at_risk"))
+        .crossJoin(broadcast(tot))
+        .select(col("lb").cast("long").as("log2_l"), col("n_groups"),
+          col("n_rows"), col("n_rows_at_risk"),
+          (col("n_rows").cast("double") / col("n_total").cast("double"))
+            .as("row_share"))
+        .orderBy("log2_l")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2343,6 +2376,28 @@ object StreamIngestQueries {
                 CAST(n_rows AS DOUBLE) / CAST(t.n_total AS DOUBLE)
                   AS row_share
          FROM kb CROSS JOIN t ORDER BY log2_k""",
+
+    "dq_l_diversity" ->
+      """WITH b AS (SELECT event_type,
+                  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+                  CAST(round(value * 100, 0) AS BIGINT) // 2000 AS band,
+                  user_id
+           FROM events),
+     g AS (SELECT event_type, dow, band,
+                  CAST(count(*) AS BIGINT) AS k,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS l
+           FROM b GROUP BY 1, 2, 3),
+     t AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM g),
+     lb AS (SELECT CAST(length(bin(l)) - 1 AS BIGINT) AS log2_l,
+                   count(*) AS n_groups,
+                   CAST(sum(k) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END)
+                     AS BIGINT) AS n_rows_at_risk
+            FROM g GROUP BY 1)
+         SELECT log2_l, n_groups, n_rows, n_rows_at_risk,
+                CAST(n_rows AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                  AS row_share
+         FROM lb CROSS JOIN t ORDER BY log2_l""",
 
   )
 }

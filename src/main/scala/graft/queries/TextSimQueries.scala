@@ -2151,6 +2151,224 @@ object TextSimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup (Abbas et al. 2023): cluster the corpus by nearest
+    // centroid, then detect embedding near-duplicates ONLY within each
+    // cluster — the scale path for semantic dedup
+    // (dedup_embedding_cosine's bounded global pairs are the ground
+    // truth; here the pair space is cluster-keyed, so the self-join
+    // shuffles on centroid_id and the global O(n²) never materializes —
+    // cluster sizes are controlled by the centroid count, the same
+    // lever IVF uses). Prune rule: a vector is dropped when a LOWER-id
+    // vector in its cluster matches at cosine ≥ 0.35 (deterministic
+    // exemplar; threshold matches the corpus' near-dup ground truth).
+    "dedup_semdedup" -> ((s, dir) => {
+      import graft.functions.VecOps
+      val emb = Tables.embeddings(s, dir)
+      val asg = Similarity
+        .assignToCentroids(emb, emb.filter(col("vec_id") < 8)).tracked
+      val a = asg.select(col("centroid_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = asg.select(col("centroid_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("centroid_id"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", VecOps.cosine(col("ea"), col("eb")))
+        .filter(col("cosine") >= 0.35)
+        .tracked // pair census AND pruned-set derivation
+      val pruned = pairs.select(col("centroid_id"), col("vec_b")).distinct()
+        .groupBy("centroid_id").agg(count(lit(1)).as("n_pruned"))
+      asg.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+        .join(pairs.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n_dup_pairs")), Seq("centroid_id"), "left")
+        .join(pruned, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), col("n_vectors"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+          ((col("n_vectors") - coalesce(col("n_pruned"), lit(0L)))
+            .cast("double") / col("n_vectors").cast("double"))
+            .as("keep_ratio"))
+        .orderBy("centroid_id")
+    }),
+
+    // MMR diversified rerank (maximal marginal relevance — the hybrid
+    // retrieval stage a RAG pipeline runs after ANN): per query, take
+    // the top-10 cosine candidates, then greedily pick 5 maximizing
+    // 0.7·rel − 0.3·max-sim-to-already-picked (ties to lower vec_id).
+    // The greedy loop is PER-QUERY-LOCAL: one shuffle groups each
+    // query's bounded candidate pool + 10×10 sim matrix into a single
+    // row, and the 5-step selection folds inside a codegen higher-order
+    // aggregate — no per-iteration corpus shuffles, so reranking a
+    // billion queries is one exchange keyed by query_id.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      import graft.functions.VecOps
+      val W = org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      val cands = emb.select(col("vec_id"), col("embedding").as("ex"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("rel", VecOps.cosine(col("eq"), col("ex")))
+        .withColumn("rk", row_number().over(W.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .tracked // pool frame feeds the sim matrix AND the fold row
+      val sims = cands.select(col("query_id"), col("vec_id").as("a"),
+          col("ex").as("ea"))
+        .join(cands.select(col("query_id"), col("vec_id").as("b"),
+          col("ex").as("eb")), Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("sim", VecOps.cosine(col("ea"), col("eb")))
+        .groupBy("query_id")
+        .agg(sort_array(collect_list(struct(col("a"), col("b"),
+          col("sim")))).as("sims"))
+      val pools = cands.groupBy("query_id")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("rel"))))
+          .as("cand"))
+      pools.join(sims, Seq("query_id"))
+        .withColumn("picks", expr("""
+          aggregate(sequence(1, 5), CAST(array() AS ARRAY<BIGINT>),
+            (sel, step) -> array_append(sel,
+              array_min(transform(
+                filter(cand, c -> NOT array_contains(sel, c.vec_id)),
+                c -> named_struct(
+                  'ns', -(CAST(0.7 AS DOUBLE) * c.rel
+                    - CAST(0.3 AS DOUBLE) * coalesce(
+                        array_max(transform(
+                          filter(sims, p -> p.a = c.vec_id
+                            AND array_contains(sel, p.b)),
+                          p -> p.sim)), CAST(0.0 AS DOUBLE))),
+                  'id', c.vec_id))).id))"""))
+        .select(col("query_id"),
+          posexplode(col("picks")).as(Seq("pos", "vec_id")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Intra-domain boilerplate census (the RefinedWeb/C4 line-dedup
+    // analogue for a corpus whose docs carry no line structure): a word
+    // 5-gram occurring in >= 3 DISTINCT documents of the same source is
+    // template chrome, not content, and each doc is scored by the
+    // fraction of its 5-grams that are boilerplate. gram_hashes emits
+    // each doc's DISTINCT gram set, so the census groupBy counts docs
+    // directly; detection is one (source, gram)-keyed partial-aggregable
+    // groupBy and the scoring join is gram-keyed — never pairwise, and
+    // per-source census shards scale with domain count, not corpus size.
+    "text_boilerplate_spans" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(NgramJaccard.gram_hashes(col("text"), 5)).as("gram"))
+        .tracked // census AND per-doc scoring scan it
+      val boiler = grams.groupBy("source", "gram")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+      grams.join(boiler, Seq("source", "gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+            .as("boiler_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity bucketing: score each held-out doc with the
+    // train-half unigram LM (the text_heldout_perplexity model, exact
+    // q20-lattice bits), rank docs within their declared language by
+    // bits-per-token and cut head/middle/tail terciles — the quality
+    // tiers CCNet feeds to pretraining mixture selection. Doc scores are
+    // exact-integer sums; the per-doc bits-per-token is ONE division of
+    // exact longs (bitwise portable); the tercile rank runs over the
+    // per-doc AGGREGATE frame (three orders smaller than the token
+    // stream) keyed by language — at 100 TB production would replace the
+    // in-lang sort with histogram-approximated cuts, same bucket
+    // semantics.
+    "text_ccnet_buckets" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val L = graft.functions.FixedLog2.log2_fp _
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w")).tracked
+      val tr = tok.filter(col("doc_id") % 2 === 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val stats = tr.agg(sum("c").cast("long").as("t_train"),
+        count(lit(1)).as("v_train"))
+      val perDoc = tok.filter(col("doc_id") % 2 === 1)
+        .join(tr, Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("bits_term",
+          L(col("t_train") + col("v_train"))
+            - L(coalesce(col("c"), lit(0L)) + 1L))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("bits_term").cast("decimal(38,0)")).cast("long")
+            .as("bits_q20"))
+        .withColumn("bpt",
+          col("bits_q20").cast("double") / col("n_tokens").cast("double"))
+      perDoc
+        .withColumn("rk", row_number().over(
+          W.partitionBy("lang").orderBy(col("bpt"), col("doc_id"))))
+        .withColumn("n_lang", count(lit(1)).over(W.partitionBy("lang")))
+        .withColumn("bucket",
+          when(col("rk") * 3 <= col("n_lang"), "head")
+            .when(col("rk") * 3 <= col("n_lang") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          sum("bits_q20").cast("long").as("bits_q20"))
+        .withColumn("bits_per_token",
+          col("bits_q20").cast("double") / col("n_tokens").cast("double")
+            / lit(1048576.0))
+        .orderBy("lang", "bucket")
+    }),
+
+    // DSIR-style importance weighting (Xie et al.: Data Selection via
+    // Importance Resampling): hashed unigram features (64 buckets over
+    // the portable token hash), bucket log-probabilities for a TARGET
+    // distribution (one source's docs) vs the RAW corpus, each +1
+    // smoothed; a doc's importance weight is sum_b c_b * (log p_t(b) −
+    // log p_r(b)) — the resampling key that tilts a crawl toward the
+    // target domain. All logs are exact q20-lattice (FixedLog2), so
+    // per-doc weights are order-free integer sums: bucket tables are
+    // 64 rows (broadcast), the normalizer is a 1-row scalar combine,
+    // and the only corpus-sized shuffles are two bucket-keyed groupBys.
+    "text_dsir_weights" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.tokens("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          (TextAnalysis.charFoldHash(col("w")) % 64).as("b"))
+        .tracked // target counts, raw counts and doc-bucket counts
+      val rc = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+      val tc = tok.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val wts = rc.join(tc, Seq("b"), "left")
+        .select(col("b"),
+          (L(coalesce(col("tc"), lit(0L)) + 1L) - L(col("rc") + 1L))
+            .as("w_q20"))
+      // per-token normalizer log(R+64) − log(T+64) (T = target mass):
+      // constant across buckets, folded in once per token
+      val norm = rc.agg(sum("rc").cast("long").as("rt"))
+        .crossJoin(tc.agg(sum("tc").cast("long").as("tt")))
+        .select((L(col("rt") + 64L) - L(col("tt") + 64L)).as("k_q20"))
+      tok.groupBy("doc_id", "source", "b")
+        .agg(count(lit(1)).as("cb"))
+        .join(broadcast(wts), Seq("b"))
+        .crossJoin(broadcast(norm))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("cb")).cast("long").as("n_tokens"),
+          sum(col("cb") * (col("w_q20") + col("k_q20"))
+            .cast("decimal(38,0)")).cast("long").as("weight_q20"))
+        .withColumn("weight_bits",
+          col("weight_q20").cast("double") / lit(1048576.0))
+        .orderBy(col("weight_q20").desc, col("doc_id"))
+        .limit(20)
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -4343,6 +4561,180 @@ object TextSimQueries {
           SELECT query_id, rank, vec_id, rrf_q20, n_lists,
                  CAST(rrf_q20 AS DOUBLE) / 1048576 AS rrf
           FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "dedup_semdedup" -> {
+      def cosv(a: String, b: String) =
+        s"${Shared.duckDot(a, b)} / (sqrt(${Shared.duckDot(a, a)}) " +
+          s"* sqrt(${Shared.duckDot(b, b)}))"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ec
+                     FROM embeddings WHERE vec_id < 8),
+              d AS (SELECT vec_id, cid,
+                           ${cosv("embedding", "ec")} AS cosv
+                    FROM embeddings CROSS JOIN c),
+              a AS (SELECT vec_id, cid FROM
+                      (SELECT vec_id, cid, row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY cosv DESC, cid ASC) AS rn
+                       FROM d) WHERE rn = 1),
+              av AS (SELECT a.vec_id, a.cid, embeddings.embedding
+                     FROM a JOIN embeddings USING (vec_id)),
+              p AS (SELECT l.cid, l.vec_id AS va, r.vec_id AS vb,
+                           ${cosv("l.embedding", "r.embedding")} AS cosv
+                    FROM av l JOIN av r
+                      ON l.cid = r.cid AND l.vec_id < r.vec_id),
+              pf AS (SELECT cid, va, vb FROM p WHERE cosv >= 0.35),
+              np AS (SELECT cid, count(DISTINCT vb) AS n_pruned,
+                            count(*) AS n_dup_pairs
+                     FROM pf GROUP BY 1),
+              nv AS (SELECT cid, count(*) AS n_vectors FROM av GROUP BY 1)
+         SELECT nv.cid AS centroid_id,
+                CAST(nv.n_vectors AS BIGINT) AS n_vectors,
+                CAST(coalesce(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+                CAST(coalesce(np.n_pruned, 0) AS BIGINT) AS n_pruned,
+                CAST(nv.n_vectors - coalesce(np.n_pruned, 0) AS DOUBLE)
+                  / CAST(nv.n_vectors AS DOUBLE) AS keep_ratio
+         FROM nv LEFT JOIN np ON np.cid = nv.cid
+         ORDER BY 1"""
+    },
+
+    "sim_mmr_rerank" -> {
+      def cosv(a: String, b: String) =
+        s"${Shared.duckDot(a, b)} / (sqrt(${Shared.duckDot(a, a)}) " +
+          s"* sqrt(${Shared.duckDot(b, b)}))"
+      s"""WITH RECURSIVE
+            qr AS (SELECT vec_id AS qid, embedding AS eq
+                   FROM embeddings WHERE vec_id < 8),
+            sc AS (SELECT qid, vec_id, ${cosv("eq", "embedding")} AS rel
+                   FROM embeddings CROSS JOIN qr WHERE vec_id <> qid),
+            cand AS (SELECT qid, vec_id, rel FROM
+                       (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY rel DESC, vec_id) AS rn FROM sc)
+                     WHERE rn <= 10),
+            ce AS (SELECT cand.qid, cand.vec_id, cand.rel,
+                          embeddings.embedding AS e
+                   FROM cand JOIN embeddings USING (vec_id)),
+            ps AS (SELECT l.qid, l.vec_id AS a, r.vec_id AS b,
+                          ${cosv("l.e", "r.e")} AS sim
+                   FROM ce l JOIN ce r
+                     ON l.qid = r.qid AND l.vec_id <> r.vec_id),
+            sel AS (
+              SELECT qid, 1 AS step,
+                     [(min({'ns': -(CAST(0.7 AS DOUBLE) * rel
+                         - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE)),
+                       'id': vec_id})).id] AS picks
+              FROM cand GROUP BY qid
+              UNION ALL
+              SELECT s.qid, s.step + 1,
+                     list_append(s.picks,
+                       (min({'ns': -(CAST(0.7 AS DOUBLE) * c.rel
+                            - CAST(0.3 AS DOUBLE) * coalesce(
+                                (SELECT max(p.sim) FROM ps p
+                                 WHERE p.qid = s.qid AND p.a = c.vec_id
+                                   AND list_contains(s.picks, p.b)),
+                                CAST(0.0 AS DOUBLE))),
+                          'id': c.vec_id})).id)
+              FROM sel s JOIN cand c
+                ON c.qid = s.qid AND NOT list_contains(s.picks, c.vec_id)
+              WHERE s.step < 5
+              GROUP BY s.qid, s.step, s.picks)
+          SELECT qid AS query_id, i AS rank, picks[i] AS vec_id
+          FROM sel, unnest(generate_series(1, len(picks))) t(i)
+          WHERE step = 5 ORDER BY 1, 2"""
+    },
+
+    "text_boilerplate_spans" ->
+      s"""WITH t AS (SELECT doc_id, source, $duckTokHashes AS th
+                     FROM documents),
+              g AS (SELECT doc_id, source, unnest(list_distinct(
+                      list_transform(generate_series(1, len(th) - 4), i ->
+                        ((((th[i] * 31 + th[i+1]) % 2147483647 * 31
+                           + th[i+2]) % 2147483647 * 31
+                           + th[i+3]) % 2147483647 * 31
+                           + th[i+4]) % 2147483647))) AS gram
+                    FROM t),
+              b AS (SELECT source, gram FROM g
+                    GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT g.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler,
+                CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio
+         FROM g LEFT JOIN b ON b.source = g.source AND b.gram = g.gram
+         GROUP BY 1 ORDER BY 1""",
+
+    "text_ccnet_buckets" -> {
+      val lTot =
+        graft.functions.FixedLog2.sql("(SELECT t_train + v_train FROM stats)")
+      val lCp = graft.functions.FixedLog2.sql("cp")
+      s"""WITH tok AS (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+               tr AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                      FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+               stats AS (SELECT CAST(sum(c) AS BIGINT) AS t_train,
+                                CAST(count(*) AS BIGINT) AS v_train
+                         FROM tr),
+               ev AS (SELECT tok.doc_id, tok.lang,
+                             coalesce(tr.c, 0) + 1 AS cp
+                      FROM tok LEFT JOIN tr ON tr.w = tok.w
+                      WHERE tok.doc_id % 2 = 1),
+               pd AS (SELECT doc_id, lang,
+                             CAST(count(*) AS BIGINT) AS n_tokens,
+                             CAST(sum($lTot - $lCp) AS BIGINT) AS bits_q20
+                      FROM ev GROUP BY 1, 2),
+               rk AS (SELECT *,
+                             row_number() OVER (PARTITION BY lang
+                               ORDER BY CAST(bits_q20 AS DOUBLE)
+                                        / CAST(n_tokens AS DOUBLE),
+                                        doc_id) AS rk,
+                             count(*) OVER (PARTITION BY lang) AS n_lang
+                      FROM pd),
+               bk AS (SELECT lang, n_tokens, bits_q20,
+                             CASE WHEN rk * 3 <= n_lang THEN 'head'
+                                  WHEN rk * 3 <= n_lang * 2 THEN 'middle'
+                                  ELSE 'tail' END AS bucket
+                      FROM rk)
+          SELECT lang, bucket, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(bits_q20) AS BIGINT) AS bits_q20,
+                 CAST(sum(bits_q20) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+                   / CAST(1048576 AS DOUBLE) AS bits_per_token
+          FROM bk GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "text_dsir_weights" -> {
+      val lTcp = graft.functions.FixedLog2.sql("tcp")
+      val lRcp = graft.functions.FixedLog2.sql("rcp")
+      val lRt = graft.functions.FixedLog2.sql("rt64")
+      val lTt = graft.functions.FixedLog2.sql("tt64")
+      s"""WITH t AS (SELECT doc_id, source, $duckTokHashes AS th
+                     FROM documents),
+              tok AS (SELECT doc_id, source, unnest(th) AS h FROM t),
+              bt AS (SELECT doc_id, source, h % 64 AS b FROM tok),
+              rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc
+                     FROM bt GROUP BY 1),
+              tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
+                     FROM bt WHERE source = 'src0' GROUP BY 1),
+              wp AS (SELECT rc.b, coalesce(tc.tc, 0) + 1 AS tcp,
+                            rc.rc + 1 AS rcp
+                     FROM rc LEFT JOIN tc ON tc.b = rc.b),
+              wt AS (SELECT b, $lTcp - $lRcp AS w_q20 FROM wp),
+              np AS (SELECT (SELECT sum(rc) + 64 FROM rc) AS rt64,
+                            (SELECT coalesce(sum(tc), 0) + 64 FROM tc)
+                              AS tt64),
+              nk AS (SELECT $lRt - $lTt AS k_q20 FROM np),
+              db AS (SELECT doc_id, source, b,
+                            CAST(count(*) AS BIGINT) AS cb
+                     FROM bt GROUP BY 1, 2, 3)
+         SELECT doc_id, source, count(*) AS n_buckets,
+                CAST(sum(cb) AS BIGINT) AS n_tokens,
+                CAST(sum(cb * (wt.w_q20 + nk.k_q20)) AS BIGINT)
+                  AS weight_q20,
+                CAST(CAST(sum(cb * (wt.w_q20 + nk.k_q20)) AS BIGINT)
+                  AS DOUBLE) / CAST(1048576 AS DOUBLE) AS weight_bits
+         FROM db JOIN wt ON wt.b = db.b CROSS JOIN nk
+         GROUP BY 1, 2 ORDER BY weight_q20 DESC, doc_id LIMIT 20"""
+    },
 
   )
 }

@@ -1402,6 +1402,38 @@ object WarehouseQueries {
         .orderBy("media_id")
     }),
 
+    // Training-shard manifest: the write-side bookkeeping a pretraining
+    // exporter emits next to its data files — every doc deterministically
+    // assigned to one of 16 output shards by the portable spread hash
+    // (engine- and cluster-size-independent, so a re-export lands every
+    // doc in the same shard), with per-shard doc/char/token volumes, an
+    // order-free membership checksum, and each shard's share of the
+    // corpus for skew monitoring. One partial-aggregable groupBy plus a
+    // 1-row total combine; at 100 TB only the shard count changes.
+    "pack_shard_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(graft.text.TextAnalysis.tokens("text")).cast("long")
+            .as("n_tokens"),
+          (graft.olap.Sketch.spreadHash(col("doc_id")) % 16).as("shard"))
+      val m = docs.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"),
+          sum((col("doc_id") * 131071L) % 2147483647L).cast("long")
+            .as("member_checksum"))
+      val tot = m.agg(sum("n_docs").cast("long").as("n_total"))
+      m.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_chars"),
+          col("n_tokens"), col("min_doc_id"), col("max_doc_id"),
+          col("member_checksum"),
+          (col("n_docs").cast("double") / col("n_total").cast("double"))
+            .as("doc_share"))
+        .orderBy("shard")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2595,6 +2627,34 @@ object WarehouseQueries {
                 t.total_energy, t.max_energy
          FROM e JOIN t ON t.media_id = e.media_id
          GROUP BY 1, 2, 4, 5 ORDER BY e.media_id""",
+
+    "pack_shard_manifest" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+                      CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM documents),
+              m1 AS (SELECT *, (h0 * 1103515245 + 12345) % 2147483647 AS h1
+                     FROM f),
+              m2 AS (SELECT *, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              sh AS (SELECT doc_id, n_chars, n_tokens,
+                       ((h2 * 69069 + 362437) % 2147483647) % 16 AS shard
+                     FROM m2),
+              m AS (SELECT shard, count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                      CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                      min(doc_id) AS min_doc_id,
+                      max(doc_id) AS max_doc_id,
+                      CAST(sum((doc_id * 131071) % 2147483647) AS BIGINT)
+                        AS member_checksum
+                    FROM sh GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM m)
+         SELECT shard, n_docs, n_chars, n_tokens, min_doc_id, max_doc_id,
+                member_checksum,
+                CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_share
+         FROM m CROSS JOIN tot ORDER BY shard""",
 
   )
 }

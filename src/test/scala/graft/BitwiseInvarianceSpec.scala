@@ -42,7 +42,13 @@ class BitwiseInvarianceSpec extends AnyFunSuite {
     // localCheckpoint-materialized walk
     "sim_mips_norm_pruned", "agg_ols_two_factor", "dedup_sliding_span",
     "sim_rrf_fusion", "dq_k_anonymity", "olap_attribution_markov",
-    "graph_random_walk_visits")
+    "graph_random_walk_visits",
+    // round-8 session-2 additions: sort_array-pinned collect_list pools
+    // feeding the MMR higher-order fold, per-lang rank-and-cut over the
+    // q20 lattice, DSIR bucket log-ratio sums, cluster-keyed semantic
+    // prune, per-source gram census
+    "sim_mmr_rerank", "text_ccnet_buckets", "text_dsir_weights",
+    "dedup_semdedup", "text_boilerplate_spans")
 
   test("new operator families are bitwise partitioning-invariant") {
     val key = "spark.sql.shuffle.partitions"

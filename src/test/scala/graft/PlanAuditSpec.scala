@@ -232,7 +232,25 @@ class PlanAuditSpec extends AnyFunSuite {
       // fused rankings
       "sim_rrf_fusion",
       // 1-row grand-total scalar joined into the bucket shares
-      "dq_k_anonymity")
+      "dq_k_anonymity",
+      // 1-row (T, V) LM-stats broadcast onto the held-out token stream
+      // (the text_heldout_perplexity shape feeding the tercile cut)
+      "text_ccnet_buckets",
+      // 1-row normalizer scalar (log R+64 − log T+64) onto the doc rows;
+      // the 64-row bucket weight table itself equi-joins hashed
+      "text_dsir_weights",
+      // 1-row corpus-total scalar joined into the shard shares
+      "pack_shard_manifest",
+      // 1-row grand-total scalar joined into the bucket shares (the
+      // dq_k_anonymity shape over distinct-subject counts)
+      "dq_l_diversity",
+      // broadcast centroid set scored against the corpus (the
+      // sim_ivf_assign shape); the dedup self-join itself equi-joins
+      // on centroid_id
+      "dedup_semdedup",
+      // broadcast query set scored non-equi against the corpus (the
+      // sim_bruteforce_topk shape) feeding the bounded rerank pools
+      "sim_mmr_rerank")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
