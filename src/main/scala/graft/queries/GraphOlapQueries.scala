@@ -1860,6 +1860,50 @@ object GraphOlapQueries {
         .orderBy("channel")
     }),
 
+    // RFM segmentation over purchase events: per-user recency /
+    // frequency / monetary coded into FIXED bands — the production
+    // shape at fact scale, where global quantile codes would cost a
+    // users-sized total sort and re-drift with every batch; fixed bands
+    // are partial-aggregable end to end (one groupBy(user), a 1-row
+    // global-clock scalar, one groupBy(code) census with exact-cent
+    // revenue shares). Band edges are part of the operator's contract.
+    "olap_rfm_segments" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          Exact.cents(col("value")).as("c"))
+        .tracked // per-user rollup AND the global clock
+      val u = ev.groupBy("user_id")
+        .agg(max("d").as("last_d"), count(lit(1)).as("freq"),
+          sum("c").cast("long").as("mon"))
+      val clock = ev.agg(max("d").as("ref_d"))
+      val coded = u.crossJoin(broadcast(clock))
+        .withColumn("rec_days",
+          datediff(col("ref_d"), col("last_d")).cast("long"))
+        .withColumn("r_code",
+          when(col("rec_days") <= 2, 1L).when(col("rec_days") <= 5, 2L)
+            .when(col("rec_days") <= 10, 3L)
+            .when(col("rec_days") <= 20, 4L).otherwise(5L))
+        .withColumn("f_code",
+          when(col("freq") >= 20, 1L).when(col("freq") >= 15, 2L)
+            .when(col("freq") >= 12, 3L).when(col("freq") >= 8, 4L)
+            .otherwise(5L))
+        .withColumn("m_code",
+          when(col("mon") >= 100000L, 1L).when(col("mon") >= 80000L, 2L)
+            .when(col("mon") >= 60000L, 3L).when(col("mon") >= 40000L, 4L)
+            .otherwise(5L))
+      val tot = coded.agg(sum("mon").cast("long").as("grand_mon"))
+      coded.groupBy("r_code", "f_code", "m_code")
+        .agg(count(lit(1)).as("n_users"),
+          sum("mon").cast("long").as("revenue_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("r_code"), col("f_code"), col("m_code"),
+          col("n_users"), col("revenue_cents"),
+          (col("revenue_cents").cast("double")
+            / col("grand_mon").cast("double")).as("revenue_share"))
+        .orderBy("r_code", "f_code", "m_code")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -3612,5 +3656,38 @@ object GraphOlapQueries {
                      AS DOUBLE) / 1e6 AS removal
          FROM r2 CROSS JOIN sd ORDER BY channel"""
     },
+
+    "olap_rfm_segments" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                       CAST(round(value * 100, 0) AS BIGINT) AS c
+                     FROM events WHERE event_type = 'purchase'),
+              u AS (SELECT user_id, max(d) AS last_d, count(*) AS freq,
+                      CAST(sum(c) AS BIGINT) AS mon
+                    FROM ev GROUP BY 1),
+              clock AS (SELECT max(d) AS ref_d FROM ev),
+              coded AS (SELECT u.*,
+                          CAST(ref_d - last_d AS BIGINT) AS rec_days
+                        FROM u CROSS JOIN clock),
+              kc AS (SELECT *,
+                       CASE WHEN rec_days <= 2 THEN 1 WHEN rec_days <= 5
+                         THEN 2 WHEN rec_days <= 10 THEN 3
+                         WHEN rec_days <= 20 THEN 4 ELSE 5 END AS r_code,
+                       CASE WHEN freq >= 20 THEN 1 WHEN freq >= 15 THEN 2
+                         WHEN freq >= 12 THEN 3 WHEN freq >= 8 THEN 4
+                         ELSE 5 END AS f_code,
+                       CASE WHEN mon >= 100000 THEN 1 WHEN mon >= 80000
+                         THEN 2 WHEN mon >= 60000 THEN 3
+                         WHEN mon >= 40000 THEN 4 ELSE 5 END AS m_code
+                     FROM coded),
+              tot AS (SELECT CAST(sum(mon) AS BIGINT) AS grand_mon FROM kc)
+         SELECT CAST(r_code AS BIGINT) AS r_code,
+                CAST(f_code AS BIGINT) AS f_code,
+                CAST(m_code AS BIGINT) AS m_code,
+                count(*) AS n_users,
+                CAST(sum(mon) AS BIGINT) AS revenue_cents,
+                CAST(sum(mon) AS DOUBLE) / CAST(grand_mon AS DOUBLE)
+                  AS revenue_share
+         FROM kc CROSS JOIN tot
+         GROUP BY 1, 2, 3, grand_mon ORDER BY 1, 2, 3""",
   )
 }

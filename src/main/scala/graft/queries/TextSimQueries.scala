@@ -2151,6 +2151,54 @@ object TextSimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Tokenizer fertility by language: subword pieces per word — the
+    // tokenizer-equity number a multilingual pretraining pipeline
+    // tracks (a high-fertility language pays more sequence length per
+    // word, so token-denominated mixture budgets over-charge it).
+    // Pieces ride the fused TextStats pass; one partial-aggregable
+    // groupBy on language.
+    "text_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.withTokenStats(Tables.documents(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_words"),
+          sum("n_subwords").cast("long").as("n_pieces"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words").cast("double"))
+        .orderBy("lang")),
+
+    // Multi-epoch sampling plan — the budget step after the mixture
+    // weights (the Llama-style data plan): per-source token mass,
+    // √mass weight (the sample_domain_mixture surrogate), a 10M-token
+    // budget split on the integer lattice; a source whose allocation
+    // exceeds its mass REPEATS — epochs = ceil(alloc/mass) capped at 4
+    // (data-quality caps repetition) — and the per-epoch draw rate is
+    // re-expressed in ppm of the epoch-expanded mass. All ceilings/
+    // splits are nonneg integer DIV (trunc ≡ floor, engine-portable);
+    // two partial-aggregable passes + a 1-row Σwt scalar combine.
+    "sample_epoch_plan" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.tokens("text")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("mass"))
+        .filter(col("mass") > 0)
+        .withColumn("wt",
+          floor(sqrt(col("mass").cast("double"))).cast("long"))
+      val tot = g.agg(sum("wt").as("total_wt"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("alloc", expr("(10000000 * wt) div total_wt"))
+        .withColumn("epochs", least(lit(4L),
+          greatest(lit(1L), expr("(alloc + mass - 1) div mass"))))
+        .withColumn("drawn", least(col("alloc"), col("epochs") * col("mass")))
+        .withColumn("rate_ppm",
+          expr("(1000000 * drawn) div (epochs * mass)"))
+        .select("source", "n_docs", "mass", "wt", "alloc", "epochs",
+          "drawn", "rate_ppm")
+        .orderBy("source")
+    }),
+
     // SemDeDup (Abbas et al. 2023): cluster the corpus by nearest
     // centroid, then detect embedding near-duplicates ONLY within each
     // cluster — the scale path for semantic dedup
@@ -4561,6 +4609,43 @@ object TextSimQueries {
           SELECT query_id, rank, vec_id, rrf_q20, n_lists,
                  CAST(rrf_q20 AS DOUBLE) / 1048576 AS rrf
           FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "text_tokenizer_fertility" ->
+      """WITH t AS (SELECT doc_id, lang,
+                      regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS toks
+                    FROM documents),
+              p AS (SELECT doc_id, lang,
+                      CAST(len(toks) AS BIGINT) AS n_words,
+                      CAST(coalesce(list_sum(list_transform(toks,
+                        t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
+                        AS BIGINT) AS n_pieces
+                    FROM t)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS n_words,
+                CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+                CAST(sum(n_pieces) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+                  AS fertility
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    "sample_epoch_plan" ->
+      """WITH t AS (SELECT source,
+                      CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              g AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS mass
+                    FROM t GROUP BY 1 HAVING sum(n_tokens) > 0),
+              w AS (SELECT *, CAST(floor(sqrt(CAST(mass AS DOUBLE)))
+                      AS BIGINT) AS wt FROM g),
+              tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt FROM w),
+              a AS (SELECT w.*, (10000000 * wt) // total_wt AS alloc
+                    FROM w CROSS JOIN tot),
+              e AS (SELECT *, least(4, greatest(1,
+                      (alloc + mass - 1) // mass)) AS epochs FROM a),
+              d AS (SELECT *, least(alloc, epochs * mass) AS drawn FROM e)
+         SELECT source, n_docs, mass, wt, alloc,
+                CAST(epochs AS BIGINT) AS epochs, drawn,
+                (1000000 * drawn) // (epochs * mass) AS rate_ppm
+         FROM d ORDER BY source""",
 
     "dedup_semdedup" -> {
       def cosv(a: String, b: String) =

@@ -212,6 +212,84 @@ class CurationPrivacySpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("tokenizer fertility matches a per-lang piece recompute") {
+    val expected = docs.map { case (_, text, lang, _, _) =>
+      val ts = toks(text)
+      (lang, ts.size.toLong, ts.map(t => (t.length + 3) / 4).sum.toLong)
+    }.groupBy(_._1).toSeq.map { case (lang, rs) =>
+      val words = rs.map(_._2).sum; val pieces = rs.map(_._3).sum
+      (lang, rs.size.toLong, words, pieces,
+        pieces.toDouble / words.toDouble)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("text_tokenizer_fertility")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    CacheRegistry.releaseAll()
+  }
+
+  test("epoch plan matches a lattice recompute and never overshoots") {
+    val masses = docs.map { case (_, text, _, src, _) =>
+      (src, toks(text).size.toLong) }
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum))
+      .toMap.filter(_._2._2 > 0)
+    val wts = masses.view.mapValues { case (_, m) =>
+      math.floor(math.sqrt(m.toDouble)).toLong }.toMap
+    val totalWt = wts.values.sum
+    val expected = masses.toSeq.map { case (src, (nd, mass)) =>
+      val wt = wts(src)
+      val alloc = 10000000L * wt / totalWt
+      val epochs = math.min(4L, math.max(1L, (alloc + mass - 1) / mass))
+      val drawn = math.min(alloc, epochs * mass)
+      (src, nd, mass, wt, alloc, epochs, drawn,
+        1000000L * drawn / (epochs * mass))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("sample_epoch_plan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == expected)
+    // the plan never draws more than epochs passes over a source allow,
+    // and never more than its allocation
+    got.foreach { case (_, _, mass, _, alloc, epochs, drawn, _) =>
+      assert(drawn <= alloc && drawn <= epochs * mass && epochs <= 4)
+    }
+    CacheRegistry.releaseAll()
+  }
+
+  test("rfm census matches a fixed-band recompute; shares sum to one") {
+    val ev = Tables.events(spark, sfDir)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id", "to_date(ts) AS d",
+        "CAST(round(value * 100, 0) AS LONG) AS c").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val ref = ev.map(_._2).maxBy(_.toEpochDay)
+    val users = ev.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val last = rs.map(_._2).maxBy(_.toEpochDay)
+      val rec = ref.toEpochDay - last.toEpochDay
+      val freq = rs.size
+      val mon = rs.map(_._3).sum
+      val r = if (rec <= 2) 1L else if (rec <= 5) 2L else if (rec <= 10) 3L
+        else if (rec <= 20) 4L else 5L
+      val f = if (freq >= 20) 1L else if (freq >= 15) 2L
+        else if (freq >= 12) 3L else if (freq >= 8) 4L else 5L
+      val m = if (mon >= 100000L) 1L else if (mon >= 80000L) 2L
+        else if (mon >= 60000L) 3L else if (mon >= 40000L) 4L else 5L
+      ((r, f, m), mon)
+    }
+    val grand = users.map(_._2).sum
+    val expected = users.groupBy(_._1).toSeq.map { case ((r, f, m), rs) =>
+      (r, f, m, rs.size.toLong, rs.map(_._2).sum,
+        rs.map(_._2).sum.toDouble / grand.toDouble)
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("olap_rfm_segments")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    assert(math.abs(got.map(_._6).sum - 1.0) < 1e-9)
+    CacheRegistry.releaseAll()
+  }
+
   test("l-diversity distribution matches a per-group distinct-user recompute") {
     val ev = Tables.events(spark, sfDir)
       .selectExpr("event_type", "dayofweek(to_date(ts)) AS dow",

@@ -250,7 +250,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_semdedup",
       // broadcast query set scored non-equi against the corpus (the
       // sim_bruteforce_topk shape) feeding the bounded rerank pools
-      "sim_mmr_rerank")
+      "sim_mmr_rerank",
+      // 1-row Σwt scalar crossJoined into the lattice budget split
+      // (the sample_domain_mixture shape, token-denominated)
+      "sample_epoch_plan",
+      // 1-row global-clock scalar + 1-row grand-revenue scalar combines
+      "olap_rfm_segments")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
