@@ -84,4 +84,74 @@ object PageRank {
     e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
     ranks
   }
+
+  /** Personalized PageRank: the teleport mass lands on a SEED set instead
+    * of uniformly — the "similar to these" primitive behind related-item
+    * recommendation and seed-expansion labeling. Same quantized-lattice
+    * per-iteration arithmetic as [[run]] (floor-scaled contributions sum
+    * as integers, so the shuffle is order-independent and the result
+    * bitwise-portable); the only change is the rank recurrence
+    * `r = (1-d)·e_S + d·A^T r` with e_S = 1/|S| on seeds, 0 elsewhere —
+    * non-seed nodes hold rank ONLY through incoming walk mass, so rank
+    * decays with graph distance from the seeds.
+    *
+    * Scale posture: identical to [[run]] — the edge frame pre-shuffles on
+    * the join key once and persists across iterations; seeds is a
+    * node-sized column joined once into the base-rank frame. No collect.
+    *
+    * @param seeds one column `node_id` — must be a subset of the graph's
+    *              nodes for the teleport mass to be conserved
+    * @param base  the teleport coefficient 1-damping, supplied as a
+    *              LITERAL (like [[run]]'s base) — computing `1.0 - 0.85`
+    *              at runtime yields 0.15000000000000002, one ulp off the
+    *              literal 0.15 the oracle spells, and the whole point of
+    *              the lattice arithmetic is that no such drift exists
+    */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: DataFrame, iterations: Int,
+                      damping: Double = 0.85,
+                      base: Double = 0.15): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("node_id")).distinct()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id"))).distinct()
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node_id"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // teleport mass per seed: (1-d) * (1 / |S|) — two single IEEE ops,
+    // identical chain in the oracle; |S| via a 1-row scalar combine
+    val nSeeds = nodes.filter(col("is_seed"))
+      .agg(count(lit(1)).as("__ns"))
+    var ranks = nodes.crossJoin(broadcast(nSeeds))
+      .withColumn("rank",
+        when(col("is_seed"), lit(1.0) / col("__ns").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("node_id", "is_seed", "rank")
+    for (_ <- 1 to iterations) {
+      val perSrc = ranks.join(outdeg, ranks("node_id") === outdeg("src"))
+        .select(col("src"),
+          floor(col("rank") / col("outdeg").cast("double")
+            * lit(Scale.toDouble)).cast("long").as("c"))
+      val received = e.join(perSrc, "src")
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .withColumnRenamed("dst", "node_id")
+      ranks = nodes.crossJoin(broadcast(nSeeds))
+        .join(received, Seq("node_id"), "left")
+        .withColumn("rank",
+          when(col("is_seed"),
+            lit(base) * (lit(1.0) / col("__ns").cast("double")))
+            .otherwise(lit(0.0))
+          + lit(damping)
+            * (coalesce(col("sc"), lit(0L)).cast("double")
+               / lit(Scale.toDouble)))
+        .select("node_id", "is_seed", "rank")
+        .localCheckpoint() // constant plan depth per iteration, as in run()
+    }
+    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    ranks
+  }
 }

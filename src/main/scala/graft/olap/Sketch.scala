@@ -139,6 +139,32 @@ object Sketch {
         col("n_both").cast("double") / col("k_merged").cast("double"))
   }
 
+  /** Sketch-only set-DIFFERENCE estimate |A \ B| — completes the KMV set
+    * algebra next to [[kmvGroupsWithUnion]] (union) and [[kmvJaccard]]
+    * (intersection share): est(A\B) = est(A∪B) − est(B) by
+    * inclusion–exclusion, computed from the two k-min sketches alone
+    * (≤ k rows each; the raw sets are never re-touched — the same merge
+    * contract shard sketches use). Deterministic because every estimate
+    * is the portable-hash KMV estimator; the subtraction is one IEEE op.
+    */
+  def kmvDifference(a: DataFrame, ca: Column, b: DataFrame, cb: Column,
+                    k: Int): DataFrame = {
+    def sketch(df: DataFrame, c: Column) =
+      df.select(spreadHash(c).as("hv")).distinct()
+        .orderBy(col("hv").asc).limit(k)
+        .tracked // registered: released by Bench/Verify post-materialization
+    val sa = sketch(a, ca)
+    val sb = sketch(b, cb)
+    val merged = sa.unionByName(sb).distinct().orderBy(col("hv").asc)
+      .limit(k)
+    def est(df: DataFrame, name: String) =
+      df.agg(kmvSummary(k).head, kmvSummary(k).tail: _*)
+        .select(col("est_distinct").as(name))
+    est(sa, "est_a").crossJoin(est(sb, "est_b"))
+      .crossJoin(est(merged, "est_union"))
+      .withColumn("est_a_minus_b", col("est_union") - col("est_b"))
+  }
+
   // Count-min row mixers: depth-3, each row an affine remix of the spread
   // hash (a pairwise-independent-style family with exact BIGINT
   // arithmetic). Row 0 is the spread hash itself.

@@ -1896,6 +1896,49 @@ object AggQueries {
           (col("beta2_ppm").cast("double") / lit(1e6)).as("beta2"))
     }),
 
+    // Raking / iterative proportional fitting (survey calibration): the
+    // first-week (event_type × weekday) joint seeds weights that are
+    // raked to the FULL-period row then column margins — one row pass +
+    // one column pass, both on the q10 integer lattice with explicit
+    // DIV (trunc ≡ floor on nonnegatives, both engines), so the fitted
+    // weights are bitwise-portable with no float ratio anywhere. The
+    // column pass's product rides DECIMAL(38,0) into the integral
+    // divide (the ols/beta precedent) — at extreme scale the BIGINT
+    // re-entry fails loudly on both engines rather than drifting. Seed
+    // and margin frames are dimension-sized (types × weekdays); the
+    // only fact-scale work is the three counting groupBys.
+    "agg_raking_ipf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          dayofweek(to_date(col("ts"))).as("dow"),
+          to_date(col("ts")).as("d"))
+        .tracked // seed + both margins scan it
+      val clock = ev.agg(min("d").as("d0"))
+      val seed = ev.crossJoin(broadcast(clock))
+        .filter(col("d") < date_add(col("d0"), 7))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n_seed"))
+        .tracked // row sums and the column pass reuse it
+      val rTot = ev.groupBy("event_type").agg(count(lit(1)).as("r_i"))
+      val cTot = ev.groupBy("dow").agg(count(lit(1)).as("c_j"))
+      val rs = seed.groupBy("event_type")
+        .agg(sum("n_seed").cast("long").as("rs0"))
+      val w1 = seed
+        .join(broadcast(rTot), "event_type")
+        .join(broadcast(rs), "event_type")
+        .withColumn("w1", expr("n_seed * 1024 * r_i div rs0"))
+        .tracked // column sums and the final projection reuse it
+      val cs = w1.groupBy("dow").agg(sum("w1").cast("long").as("cs1"))
+      w1.join(broadcast(cTot), "dow")
+        .join(broadcast(cs), "dow")
+        .withColumn("w2", expr(
+          "(cast(w1 as decimal(38,0)) * c_j * 1024)" +
+            " div cast(cs1 as decimal(38,0))"))
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("n_seed"), col("w2").as("w_q10"),
+          (col("w2").cast("double") / lit(1024.0)).as("weight"))
+        .orderBy("event_type", "dow")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -3459,6 +3502,36 @@ object AggQueries {
                 CAST(beta1_ppm AS DOUBLE) / 1e6 AS beta1,
                 CAST(beta2_ppm AS DOUBLE) / 1e6 AS beta2
          FROM b""",
+
+    // q10-lattice row pass then column pass; the column product rides
+    // HUGEINT and re-enters BIGINT loudly (the Spark side's DECIMAL div)
+    "agg_raking_ipf" ->
+      """WITH ev AS (SELECT event_type,
+                  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+                  CAST(ts AS DATE) AS d
+           FROM events),
+     d0 AS (SELECT min(d) AS d0 FROM ev),
+     seed AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_seed
+              FROM ev CROSS JOIN d0 WHERE d < d0 + 7 GROUP BY 1, 2),
+     rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r_i
+            FROM ev GROUP BY 1),
+     ct AS (SELECT dow, CAST(count(*) AS BIGINT) AS c_j
+            FROM ev GROUP BY 1),
+     rs AS (SELECT event_type, CAST(sum(n_seed) AS BIGINT) AS rs0
+            FROM seed GROUP BY 1),
+     w1 AS (SELECT seed.event_type, seed.dow, seed.n_seed,
+                   (seed.n_seed * 1024 * rt.r_i) // rs.rs0 AS w1
+            FROM seed JOIN rt USING (event_type)
+                      JOIN rs USING (event_type)),
+     cs AS (SELECT dow, CAST(sum(w1) AS BIGINT) AS cs1
+            FROM w1 GROUP BY 1),
+     w2 AS (SELECT w1.event_type, w1.dow, w1.n_seed,
+                   CAST((CAST(w1.w1 AS HUGEINT) * ct.c_j * 1024)
+                        // CAST(cs.cs1 AS HUGEINT) AS BIGINT) AS w_q10
+            FROM w1 JOIN ct USING (dow) JOIN cs USING (dow))
+         SELECT event_type, dow, n_seed, w_q10,
+                CAST(w_q10 AS DOUBLE) / CAST(1024 AS DOUBLE) AS weight
+         FROM w2 ORDER BY 1, 2""",
 
   )
 }

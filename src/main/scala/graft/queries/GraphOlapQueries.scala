@@ -1904,6 +1904,154 @@ object GraphOlapQueries {
         .orderBy("r_code", "f_code", "m_code")
     }),
 
+    // KMV set-DIFFERENCE estimate — completes the sketch set algebra
+    // (union: sketch_kmv_union; intersection share: sketch_kmv_jaccard):
+    // est(A\B) = est(A∪B) − est(B) by inclusion–exclusion, from the two
+    // k-min sketches alone (≤ k rows each, never re-touching the raw
+    // sets — the shard-merge contract). Exact |A\B| rides along via an
+    // anti-join so the estimator error is visible.
+    "sketch_kmv_difference" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "R")
+      val b = li.filter(col("l_returnflag") === "A")
+      val sk = graft.olap.Sketch.kmvDifference(a, col("l_partkey"),
+        b, col("l_partkey"), k = 128)
+      val aK = a.select(col("l_partkey").as("k")).distinct()
+      val bK = b.select(col("l_partkey").as("k")).distinct()
+      sk.crossJoin(aK.join(bK, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_exact_diff")))
+    }),
+
+    // One synchronized Louvain sweep (phase 1, singleton init) over the
+    // co-purchase graph: each node moves to the neighbor whose community
+    // maximizes the modularity gain — at singleton init the gain of
+    // i→{j} has EXACT integer sign/order via gain_num = 2m·w_ij − k_i·k_j
+    // (w in edge-count units), so the argmax is a partial-aggregable
+    // struct-max with deterministic ties (higher gain, then lower
+    // neighbor id) and no floats anywhere. All nodes move simultaneously
+    // (the distributed variant — sequential Louvain doesn't parallelize);
+    // output is the resulting community-size histogram. One edges⋈degrees
+    // join + two node-sized groupBys.
+    "graph_louvain_step" -> ((s, dir) => {
+      val G = graft.olap.GraphFrames
+      val deg = G.coPurchaseDegrees(s, dir) // (n, d)
+      val e = G.coPurchaseEdges(s, dir) // undirected (u, v), u < v
+      val sym = e.select(col("u").as("i"), col("v").as("j"))
+        .unionByName(e.select(col("v").as("i"), col("u").as("j")))
+      val m2 = e.agg((count(lit(1)) * 2L).as("two_m")) // 2m = Σ degrees
+      val gains = sym
+        .join(deg.select(col("n").as("i"), col("d").as("k_i")), "i")
+        .join(deg.select(col("n").as("j"), col("d").as("k_j")), "j")
+        .crossJoin(broadcast(m2))
+        // w_ij = 1 on this simple graph; gain_num = 2m·1 − k_i·k_j
+        .withColumn("gain_num", col("two_m") - col("k_i") * col("k_j"))
+      val moved = gains.groupBy("i")
+        .agg(max(struct(col("gain_num"), (-col("j")).as("nj")))
+          .as("best"))
+        .select(col("i").as("node"),
+          when(col("best.gain_num") > 0L, -col("best.nj"))
+            .otherwise(col("i")).as("community"))
+      moved.groupBy("community").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_communities"))
+        .orderBy("sz")
+    }),
+
+    // One Borůvka round of the MAXIMUM-weight spanning forest over the
+    // weighted co-purchase graph (weight = shared-order count): every
+    // node picks its best incident edge under a GLOBAL total order
+    // (weight desc, then lexicographic edge id — SYMMETRIC, so both
+    // endpoints rank edges identically and the chosen set is provably a
+    // forest: cycles other than mutual picks are impossible, hence
+    // n_edges = n_nodes − n_components, the identity the spec pins).
+    // This is the distributed-MST primitive (Borůvka parallelizes;
+    // Prim/Kruskal don't): argmax is a partial-aggregable struct-max per
+    // node, components come from the engine's pointer-jumping CC.
+    "graph_mst_boruvka_round" -> ((s, dir) => {
+      val a = graft.olap.GraphFrames.orderPartItems(s, dir)
+      val w = a.as("x").join(a.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val sym = w.select(col("u").as("i"), col("v").as("j"), col("w"))
+        .unionByName(w.select(col("v").as("i"), col("u").as("j"),
+          col("w")))
+        .tracked // node count + per-node argmax both scan it
+      val chosen = sym
+        .select(col("i"), struct(col("w"),
+          (-least(col("i"), col("j"))).as("na"),
+          (-greatest(col("i"), col("j"))).as("nb")).as("k"))
+        .groupBy("i").agg(max(col("k")).as("b"))
+        .select((-col("b.na")).as("ea"), (-col("b.nb")).as("eb"))
+        .distinct()
+        .tracked // edge count + CC both scan it
+      val labels = graft.dedup.Components.canonicalLabels(
+        chosen, "ea", "eb")
+      val nNodes = sym.select(col("i")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val nChosen = chosen.agg(count(lit(1)).as("n_edges"))
+      labels.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+        .crossJoin(broadcast(nNodes))
+        .crossJoin(broadcast(nChosen))
+        .orderBy("sz")
+    }),
+
+    // Personalized PageRank from a seed set (every 50th part node): the
+    // "similar to these" walk primitive behind related-item recs and
+    // seed-expansion labeling. Same bitwise-portable quantized-lattice
+    // iteration as graph_pagerank (floor-scaled contributions sum as
+    // integers); the teleport mass lands on the seeds instead of
+    // uniformly, so rank decays with graph distance from them. Edge frame
+    // pre-shuffles once and persists across the 3 iterations; seeds is a
+    // node-sized predicate — no collect, no windows.
+    "graph_ppr_seeded" -> ((s, dir) => {
+      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
+      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+                             (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+                             (col("l_partkey") * 2).as("dst"))
+      val edges = fwd.union(rev)
+      // seeds: part nodes whose partkey is a multiple of 50 — node ids are
+      // partkey*2, so the predicate is node_id % 100 == 0 (also implies
+      // the part side of the bipartite encoding)
+      val seeds = edges.select(col("src").as("node_id"))
+        .union(edges.select(col("dst").as("node_id"))).distinct()
+        .filter(col("node_id") % 100 === 0)
+      graft.olap.PageRank.runPersonalized(edges, "src", "dst", seeds,
+          iterations = 3)
+        .withColumn("node_type",
+          when(col("node_id") % 2 === 0, "part").otherwise("supplier"))
+        .select(col("node_id"), col("node_type"), col("is_seed"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(30)
+    }),
+
+    // Exact distinct via mergeable BITMAP segments — the production-exact
+    // counterpart to the HLL/KMV sketches: the user-id space is cut into
+    // 62-bit words (bit 62/63 stay clear so the per-word mask is a
+    // positive BIGINT on engines that range-check shifts), each
+    // (group, word) row ORs its members' bits, and distinct = Σ
+    // bit_count(word). Both stages are partial-aggregable (bit_or and sum
+    // are order-free), segments merge across shards/days by OR — the
+    // Roaring-bitmap idiom with state ∝ id-space/62 per group, not rows.
+    "olap_bitmap_distinct" -> ((s, dir) => {
+      val seg = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("event_date"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("event_date"),
+          expr("user_id DIV 62").as("word_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pmod(user_id, 62) AS INT)))").as("bits"))
+      seg.groupBy("event_type", "event_date")
+        .agg(sum(bit_count(col("bits")).cast("long")).as("n_distinct"),
+          count(lit(1)).as("n_segments"))
+        .withColumn("density",
+          col("n_distinct").cast("double")
+            / (col("n_segments") * 62L).cast("double"))
+        .orderBy("event_type", "event_date")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -3689,5 +3837,184 @@ object GraphOlapQueries {
                   AS revenue_share
          FROM kc CROSS JOIN tot
          GROUP BY 1, 2, 3, grand_mon ORDER BY 1, 2, 3""",
+
+    // same quantized-lattice recurrence as graph_pagerank, with the
+    // teleport CASE'd onto the seed set (node_id % 100 = 0) and base rank
+    // 1/|S| on seeds / 0 elsewhere
+    "graph_ppr_seeded" -> {
+      def iter(i: Int, prev: String): String =
+        s"""c$i AS (SELECT src,
+                      CAST(floor(rank / CAST(d AS DOUBLE)
+                        * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS c
+                    FROM $prev JOIN outdeg ON node_id = src),
+             s$i AS (SELECT dst AS node_id, CAST(sum(c) AS BIGINT) AS sc
+                     FROM edges JOIN c$i USING (src) GROUP BY 1),
+             r$i AS (SELECT n2.node_id, n2.is_seed,
+                       CASE WHEN n2.is_seed THEN CAST(0.15 AS DOUBLE)
+                         * (CAST(1 AS DOUBLE) / CAST(ns AS DOUBLE))
+                       ELSE CAST(0 AS DOUBLE) END
+                       + CAST(0.85 AS DOUBLE)
+                         * (CAST(coalesce(sc, 0) AS DOUBLE)
+                            / CAST(1000000000000 AS DOUBLE)) AS rank
+                     FROM nodes n2 CROSS JOIN sn LEFT JOIN s$i USING (node_id))"""
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+                        l_suppkey * 2 + 1 AS dst FROM lineitem),
+              edges AS (SELECT src, dst FROM e0
+                        UNION ALL SELECT e0.dst AS src, e0.src AS dst FROM e0),
+              nodes AS (SELECT node_id, node_id % 100 = 0 AS is_seed
+                        FROM (SELECT DISTINCT src AS node_id FROM edges)),
+              sn AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+              outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+              r0 AS (SELECT node_id, is_seed,
+                       CASE WHEN is_seed
+                         THEN CAST(1 AS DOUBLE) / CAST(ns AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END AS rank
+                     FROM nodes CROSS JOIN sn),
+              ${iter(1, "r0")},
+              ${iter(2, "r1")},
+              ${iter(3, "r2")}
+         SELECT node_id,
+                CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supplier' END
+                  AS node_type,
+                is_seed, rank
+         FROM r3 ORDER BY rank DESC, node_id LIMIT 30"""
+    },
+
+    // per-node argmax under the symmetric (w desc, edge-id asc) order;
+    // components via the recursive closure (the dedup_cc_canonical CTE)
+    "graph_mst_boruvka_round" ->
+      """WITH RECURSIVE
+            li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem),
+            we AS (SELECT a.p AS u, b.p AS v,
+                          CAST(count(*) AS BIGINT) AS w
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+                   GROUP BY 1, 2),
+            sym AS (SELECT u AS i, v AS j, w FROM we
+                    UNION ALL SELECT v, u, w FROM we),
+            pick AS (SELECT i, j, w,
+                       row_number() OVER (PARTITION BY i
+                         ORDER BY w DESC, least(i, j) ASC,
+                                  greatest(i, j) ASC) AS rn
+                     FROM sym),
+            chosen AS (SELECT DISTINCT least(i, j) AS a, greatest(i, j)
+                         AS b
+                       FROM pick WHERE rn = 1),
+            e2 AS (SELECT a, b FROM chosen
+                   UNION SELECT b, a FROM chosen),
+            reach(n, m) AS (
+              SELECT a, a FROM e2
+              UNION
+              SELECT a, b FROM e2
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN e2 e ON r.m = e.a),
+            cl AS (SELECT n AS node, CAST(min(m) AS BIGINT)
+                     AS canonical_id
+                   FROM reach GROUP BY 1),
+            cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+                   FROM cl GROUP BY 1),
+            nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_nodes
+                   FROM sym),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges
+                   FROM chosen)
+         SELECT sz, count(*) AS n_components, n_nodes, n_edges
+         FROM cs CROSS JOIN nn CROSS JOIN ne
+         GROUP BY 1, 3, 4 ORDER BY 1""",
+
+    // inclusion–exclusion over the three KMV estimates; the estimator
+    // is the same (cnt-1)·H/kth chain as sketch_kmv_union's
+    "sketch_kmv_difference" ->
+      """WITH f0 AS (SELECT DISTINCT l_returnflag AS scope, l_partkey
+                     FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+              f AS (SELECT scope, l_partkey,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(CAST(l_partkey AS VARCHAR), ''),
+                          ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                    FROM f0),
+              m1 AS (SELECT scope,
+                       (h0 * 1103515245 + 12345) % 2147483647 AS h1 FROM f),
+              m2 AS (SELECT scope, (h1 * h1) % 2147483647 AS h2 FROM m1),
+              h AS (SELECT DISTINCT scope,
+                      (h2 * 69069 + 362437) % 2147483647 AS hv FROM m2),
+              sa AS (SELECT hv FROM h WHERE scope = 'R'
+                     ORDER BY hv LIMIT 128),
+              sb AS (SELECT hv FROM h WHERE scope = 'A'
+                     ORDER BY hv LIMIT 128),
+              m AS (SELECT DISTINCT hv FROM
+                      (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+                    ORDER BY hv LIMIT 128),
+              ea AS (SELECT CASE WHEN count(*) < 128
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(count(*) - 1 AS DOUBLE)
+                         * CAST(2147483647 AS DOUBLE)
+                         / CAST(max(hv) AS DOUBLE) END AS est_a FROM sa),
+              eb AS (SELECT CASE WHEN count(*) < 128
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(count(*) - 1 AS DOUBLE)
+                         * CAST(2147483647 AS DOUBLE)
+                         / CAST(max(hv) AS DOUBLE) END AS est_b FROM sb),
+              eu AS (SELECT CASE WHEN count(*) < 128
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(count(*) - 1 AS DOUBLE)
+                         * CAST(2147483647 AS DOUBLE)
+                         / CAST(max(hv) AS DOUBLE) END AS est_union FROM m),
+              xd AS (SELECT count(*) AS n_exact_diff FROM
+                       (SELECT l_partkey FROM f0 WHERE scope = 'R'
+                        EXCEPT
+                        SELECT l_partkey FROM f0 WHERE scope = 'A'))
+         SELECT est_a, est_b, est_union, est_union - est_b
+                  AS est_a_minus_b, n_exact_diff
+         FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN xd""",
+
+    // singleton-init synchronized sweep: argmax over neighbors of the
+    // exact integer gain 2m - k_i*k_j (w_ij = 1), ties to lower j; nodes
+    // with no positive gain stay singleton
+    "graph_louvain_step" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+              sym AS (SELECT u AS i, v AS j FROM e
+                      UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                      FROM (SELECT u AS n FROM e
+                            UNION ALL SELECT v AS n FROM e)
+                      GROUP BY 1),
+              tm AS (SELECT CAST(count(*) * 2 AS BIGINT) AS two_m FROM e),
+              g AS (SELECT sym.i, sym.j,
+                           tm.two_m - di.d * dj.d AS gain_num
+                    FROM sym
+                    JOIN deg di ON di.n = sym.i
+                    JOIN deg dj ON dj.n = sym.j
+                    CROSS JOIN tm),
+              best AS (SELECT i, j, gain_num,
+                         row_number() OVER (PARTITION BY i
+                           ORDER BY gain_num DESC, j ASC) AS rn
+                       FROM g),
+              mv AS (SELECT i AS node,
+                       CASE WHEN gain_num > 0 THEN j ELSE i END
+                         AS community
+                     FROM best WHERE rn = 1),
+              cs AS (SELECT community, CAST(count(*) AS BIGINT) AS sz
+                     FROM mv GROUP BY 1)
+         SELECT sz, count(*) AS n_communities
+         FROM cs GROUP BY 1 ORDER BY 1""",
+
+    // 62-bit words keep every per-word mask positive (DuckDB range-checks
+    // << into bit 63); bit_or / bit_count / sum mirror the engine's
+    // mergeable-segment arithmetic exactly
+    "olap_bitmap_distinct" ->
+      """WITH seg AS (SELECT event_type, CAST(ts AS DATE) AS event_date,
+                        user_id // 62 AS word_idx,
+                        bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))
+                          AS bits
+                      FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, event_date,
+                CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+                count(*) AS n_segments,
+                CAST(sum(bit_count(bits)) AS DOUBLE)
+                  / CAST(count(*) * 62 AS DOUBLE) AS density
+         FROM seg GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -450,6 +450,13 @@ object StreamIngestQueries {
       graft.streaming.EventStream.runStreamStreamJoin(s, dir)
         .orderBy("event_id", "view_ts", "view_value")),
 
+    // Left-outer stream-stream join: matches + watermark-evicted
+    // unmatched lefts (see EventStream.runStreamStreamLeftJoin for the
+    // eviction contract the oracle mirrors)
+    "stream_stream_left_join" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamStreamLeftJoin(s, dir)
+        .orderBy("event_id", "view_ts", "view_value")),
+
     // Benford first-digit audit (the classic fabricated-data screen):
     // distribution of leading digits of order totals. The digit comes
     // from the integer-cent string — never from double formatting, which
@@ -1249,6 +1256,51 @@ object StreamIngestQueries {
         .orderBy("log2_l")
     }),
 
+    // t-closeness audit — the third of the release-gate privacy trio
+    // (k-anonymity: group size; l-diversity: distinct subjects;
+    // t-closeness: a large, diverse group still leaks when its SENSITIVE
+    // ATTRIBUTE distribution diverges from the table's). Sensitive
+    // attribute: $100 spend tier; distance: total variation (the EMD
+    // under uniform categorical ground distance). Exact rational
+    // arithmetic throughout — tv = num/den in one final IEEE division:
+    //   num = Σ_tiers |n_cv·N − g_v·n_c|  (absent tiers contribute
+    //         g_v·n_c, folded in closed form via N − Σ_present g_v)
+    //   den = 2·n_c·N
+    // One fact-scale groupBy builds the (class, tier) cells; every later
+    // frame is class- or tier-sized, joined by broadcast.
+    "dq_t_closeness" -> ((s, dir) => {
+      val cell = Tables.events(s, dir)
+        .select(col("event_type"),
+          dayofweek(to_date(col("ts"))).as("dow"),
+          expr("CAST(round(value * 100, 0) AS BIGINT) DIV 10000")
+            .as("tier"))
+        .groupBy("event_type", "dow", "tier")
+        .agg(count(lit(1)).as("n_cv"))
+        .tracked // class totals, tier totals and terms all derive from it
+      val cls = cell.groupBy("event_type", "dow")
+        .agg(sum("n_cv").cast("long").as("n_c"))
+      val glob = cell.groupBy("tier")
+        .agg(sum("n_cv").cast("long").as("g_v"))
+      val tot = cell.agg(sum("n_cv").cast("long").as("n_total"))
+      cell
+        .join(broadcast(glob), "tier")
+        .join(broadcast(cls), Seq("event_type", "dow"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("event_type"), col("dow"), col("n_c"),
+          col("n_total"))
+        .agg(sum(abs(col("n_cv") * col("n_total")
+            - col("g_v") * col("n_c"))).cast("long").as("present_num"),
+          sum("g_v").cast("long").as("g_present"))
+        .withColumn("tv_num", col("present_num")
+          + (col("n_total") - col("g_present")) * col("n_c"))
+        .withColumn("tv_den", col("n_c") * col("n_total") * 2L)
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("n_c").as("n_rows"), col("tv_num"), col("tv_den"),
+          (col("tv_num").cast("double") / col("tv_den").cast("double"))
+            .as("tv"))
+        .orderBy("event_type", "dow")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1636,6 +1688,34 @@ object StreamIngestQueries {
           AND p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
          ORDER BY p.event_id, view_ts, view_value""",
+
+    // matches (the inner join) + null-joined lefts evicted before the
+    // final watermark min(max p_ts, max view_ts) - 1h
+    "stream_stream_left_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts AS view_ts, value AS view_value
+                    FROM events WHERE event_type = 'view'),
+              wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                                  (SELECT max(view_ts) FROM v))
+                            - INTERVAL 1 HOUR AS w)
+         SELECT p.event_id, p.user_id, p.p_ts AS ts,
+                v.view_ts, v.view_value
+         FROM p JOIN v
+           ON v.user_id = p.user_id
+          AND v.view_ts >= p.p_ts - INTERVAL 1 HOUR
+          AND v.view_ts <= p.p_ts
+         UNION ALL
+         SELECT p.event_id, p.user_id, p.p_ts AS ts,
+                CAST(NULL AS TIMESTAMP) AS view_ts,
+                CAST(NULL AS DOUBLE) AS view_value
+         FROM p CROSS JOIN wm
+         WHERE p.p_ts < wm.w
+           AND NOT EXISTS (SELECT 1 FROM v
+                           WHERE v.user_id = p.user_id
+                             AND v.view_ts >= p.p_ts - INTERVAL 1 HOUR
+                             AND v.view_ts <= p.p_ts)
+         ORDER BY event_id, view_ts, view_value""",
 
     "stream_asof_enrich" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
@@ -2398,6 +2478,37 @@ object StreamIngestQueries {
                 CAST(n_rows AS DOUBLE) / CAST(t.n_total AS DOUBLE)
                   AS row_share
          FROM lb CROSS JOIN t ORDER BY log2_l""",
+
+    // exact-rational total variation per quasi-identifier class; absent
+    // tiers fold in closed form via N - Σ_present g_v (see the query)
+    "dq_t_closeness" ->
+      """WITH cell AS (SELECT event_type,
+                  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+                  CAST(round(value * 100, 0) AS BIGINT) // 10000 AS tier,
+                  CAST(count(*) AS BIGINT) AS n_cv
+           FROM events GROUP BY 1, 2, 3),
+     cls AS (SELECT event_type, dow, CAST(sum(n_cv) AS BIGINT) AS n_c
+             FROM cell GROUP BY 1, 2),
+     gt AS (SELECT tier, CAST(sum(n_cv) AS BIGINT) AS g_v
+            FROM cell GROUP BY 1),
+     tot AS (SELECT CAST(sum(n_cv) AS BIGINT) AS n_total FROM cell),
+     term AS (SELECT cell.event_type, cell.dow, cls.n_c, tot.n_total,
+                CAST(sum(abs(cell.n_cv * tot.n_total
+                             - gt.g_v * cls.n_c)) AS BIGINT)
+                  AS present_num,
+                CAST(sum(gt.g_v) AS BIGINT) AS g_present
+              FROM cell
+              JOIN gt ON gt.tier = cell.tier
+              JOIN cls ON cls.event_type = cell.event_type
+                      AND cls.dow = cell.dow
+              CROSS JOIN tot
+              GROUP BY 1, 2, 3, 4)
+         SELECT event_type, dow, n_c AS n_rows,
+                present_num + (n_total - g_present) * n_c AS tv_num,
+                n_c * n_total * 2 AS tv_den,
+                CAST(present_num + (n_total - g_present) * n_c AS DOUBLE)
+                  / CAST(n_c * n_total * 2 AS DOUBLE) AS tv
+         FROM term ORDER BY event_type, dow""",
 
   )
 }

@@ -2417,6 +2417,118 @@ object TextSimQueries {
         .limit(20)
     }),
 
+    // Good–Turing frequency spectrum: the frequency-of-frequencies table
+    // N_r with the Turing-smoothed count r* = (r+1)·N_{r+1}/N_r and the
+    // per-band probability mass r·N_r/N — the estimator behind "how much
+    // unseen vocabulary is left" (row r=1's mass share IS the unseen-mass
+    // estimate p₀ = N₁/N). Two partial-aggregable groupBys: token→count
+    // at corpus scale, then count→count-of-counts on the tiny spectrum;
+    // the r+1 lookup is a broadcast self-join of that spectrum, never a
+    // window. Exact integers until the two final single divisions.
+    "text_good_turing" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("r"))
+      val fof = cnt.groupBy("r").agg(count(lit(1)).as("n_r")).tracked
+      val tot = fof.agg(sum(col("r") * col("n_r")).cast("long")
+        .as("n_total"))
+      val nxt = fof.select((col("r") - 1L).as("r"),
+        col("n_r").as("n_next"))
+      fof.join(broadcast(nxt), Seq("r"), "left")
+        .withColumn("n_next", coalesce(col("n_next"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"), col("n_next"),
+          (((col("r") + 1L) * col("n_next")).cast("double")
+            / col("n_r").cast("double")).as("r_star"),
+          ((col("r") * col("n_r")).cast("double")
+            / col("n_total").cast("double")).as("mass_share"))
+        // the LOW end of the spectrum (the 15 rarest bands present) is
+        // where Good–Turing lives — a fixed r <= K cut can be empty on a
+        // templated fixture whose rarest token still repeats > K times
+        .orderBy("r").limit(15)
+    }),
+
+    // WordPiece-style greedy longest-match subword encode: vocabulary =
+    // the 36 single chars (guaranteed fallback — no UNK) + the top-50
+    // corpus tokens of length 2–6 (count desc, ties lexicographic), then
+    // each token segments by repeatedly taking the LONGEST vocab prefix
+    // — the BERT-family tokenizer's algorithm (BPE applies merges in
+    // learned order; WordPiece matches longest-first against a fixed
+    // vocab — a genuinely different segmenter). The greedy fold runs
+    // inside a per-row higher-order aggregate over char positions (pos
+    // overshoot past a short tail is harmless: the skipped steps are
+    // no-ops), so encoding is row-local — zero shuffle after the two
+    // vocab passes. The 86-entry vocab is schema-bounded: it collects
+    // through the loud ceiling and inlines as literals (broadcast-free
+    // because it is expression-sized, not data-sized).
+    "text_wordpiece_encode" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens("text"))
+          .as("tok"))
+        .tracked // vocab pass + encode pass
+      val top = Exact.boundedCollect(
+        toks.filter(length(col("tok")).between(2, 6))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(50),
+        50, "wordpiece vocabulary")
+        .map(_.getString(0))
+      val vocab = (top ++ ('a' to 'z').map(_.toString)
+        ++ ('0' to '9').map(_.toString))
+        .map(t => s"'$t'").mkString("array(", ", ", ")")
+      val pieces = expr(s"""aggregate(sequence(1, length(tok)),
+          named_struct('pos', CAST(1 AS BIGINT), 'np', CAST(0 AS BIGINT)),
+          (s, i) -> IF(i = s.pos,
+            named_struct(
+              'pos', s.pos + CASE
+                WHEN array_contains($vocab, substr(tok, CAST(s.pos AS INT), 6)) THEN CAST(6 AS BIGINT)
+                WHEN array_contains($vocab, substr(tok, CAST(s.pos AS INT), 5)) THEN CAST(5 AS BIGINT)
+                WHEN array_contains($vocab, substr(tok, CAST(s.pos AS INT), 4)) THEN CAST(4 AS BIGINT)
+                WHEN array_contains($vocab, substr(tok, CAST(s.pos AS INT), 3)) THEN CAST(3 AS BIGINT)
+                WHEN array_contains($vocab, substr(tok, CAST(s.pos AS INT), 2)) THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END,
+              'np', s.np + CAST(1 AS BIGINT)),
+            s),
+          s -> s.np)""")
+      toks.select(col("lang"), length(col("tok")).cast("long")
+          .as("n_chars"), pieces.as("np"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum("np").cast("long").as("n_pieces"))
+        .withColumn("fertility", col("n_pieces").cast("double")
+          / col("n_tokens").cast("double"))
+        .orderBy("lang")
+    }),
+
+    // Onion (source-priority) dedup: near-dup clusters resolve to the
+    // copy from the highest-priority SOURCE (priority = the source's
+    // numeric rank; ties to lower doc_id) — cross-source survivorship is
+    // a policy decision, not min-id, and the KILL MATRIX (which source's
+    // docs die to which winner) is the curation report that justifies the
+    // priority list. Derives from the pinned CC label frame (one
+    // clustering per process+SF); winner pick is a partial-aggregable
+    // struct-min per cluster; the matrix is a cluster-sized groupBy.
+    "dedup_source_priority" -> ((s, dir) => {
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("CAST(substr(source, 4) AS BIGINT)").as("prio"))
+      val lab = nearDupLabels(s, dir).join(meta, "doc_id").tracked
+      val win = lab.groupBy("canonical_id")
+        .agg(min(struct(col("prio"), col("doc_id"), col("source")))
+          .as("w"))
+        .select(col("canonical_id"), col("w.prio").as("w_prio"),
+          col("w.doc_id").as("w_doc"), col("w.source").as("winner_source"))
+      // cluster-keyed join (NOT broadcast: the winner frame is
+      // cluster-sized, i.e. corpus-scale at 100 TB; both sides arrive
+      // already hashed on canonical_id from the groupBy/labels)
+      lab.join(win, "canonical_id")
+        .filter(col("doc_id") =!= col("w_doc"))
+        .groupBy(col("winner_source"), col("source").as("loser_source"))
+        .agg(count(lit(1)).as("n_killed"),
+          sum("n_chars").cast("long").as("chars_killed"))
+        .orderBy("winner_source", "loser_source")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -4820,6 +4932,117 @@ object TextSimQueries {
          FROM db JOIN wt ON wt.b = db.b CROSS JOIN nk
          GROUP BY 1, 2 ORDER BY weight_q20 DESC, doc_id LIMIT 20"""
     },
+
+    // RELATIONAL mirror of the greedy fold: vocab as rows, per-position
+    // longest match via a substr-equality join (match ⇒ the whole piece
+    // fits, so the walk never overshoots), the greedy walk itself a
+    // recursive CTE over (token, pos) — deliberately lambda-free: DuckDB
+    // 1.0's vectorized nested lambdas mis-evaluate row-varying captures
+    // on this shape (token 'fast' scored 4 pieces inside the corpus
+    // stream but 1 piece standalone — same expression, different row
+    // batch), so no oracle here trusts a lambda with an outer column
+    "text_wordpiece_encode" ->
+      """WITH RECURSIVE
+     tok AS (SELECT lang,
+                  unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS tok
+           FROM documents),
+     vt AS (SELECT tok AS w, count(*) AS n FROM tok
+            WHERE length(tok) BETWEEN 2 AND 6 GROUP BY 1),
+     vr AS (SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+            FROM vt),
+     vw AS (SELECT w FROM vr WHERE rn <= 50
+            UNION ALL
+            SELECT unnest(string_split('abcdefghijklmnopqrstuvwxyz0123456789', ''))),
+     dtok AS (SELECT DISTINCT tok FROM tok),
+     posl AS (SELECT tok, unnest(generate_series(1, length(tok))) AS i
+              FROM dtok),
+     cand AS (SELECT p.tok, p.i, CAST(max(length(vw.w)) AS BIGINT) AS l
+              FROM posl p JOIN vw
+                ON vw.w = substr(p.tok, CAST(p.i AS INT), length(vw.w))
+              GROUP BY 1, 2),
+     walk(tok, pos, np) AS (
+       SELECT tok, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM dtok
+       UNION ALL
+       SELECT w.tok, w.pos + c.l, w.np + 1
+       FROM walk w JOIN cand c ON c.tok = w.tok AND c.i = w.pos
+       WHERE w.pos <= length(w.tok)),
+     enc0 AS (SELECT tok, max(np) AS np FROM walk GROUP BY 1),
+     enc AS (SELECT t.lang, CAST(length(t.tok) AS BIGINT) AS n_chars,
+                    e.np
+             FROM tok t JOIN enc0 e USING (tok))
+         SELECT lang, count(*) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(sum(np) AS BIGINT) AS n_pieces,
+                CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS fertility
+         FROM enc GROUP BY 1 ORDER BY 1""",
+
+    // frequency-of-frequencies + Turing smoothing; N is Σ r·N_r over the
+    // FULL spectrum (computed before the r <= 10 display cut)
+    "text_good_turing" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
+                    FROM documents),
+              c AS (SELECT token, CAST(count(*) AS BIGINT) AS r
+                    FROM t GROUP BY 1),
+              fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                      FROM c GROUP BY 1),
+              tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total
+                      FROM fof)
+         SELECT f.r, f.n_r,
+                CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_next,
+                CAST((f.r + 1) * coalesce(nx.n_r, 0) AS DOUBLE)
+                  / CAST(f.n_r AS DOUBLE) AS r_star,
+                CAST(f.r * f.n_r AS DOUBLE) / CAST(n_total AS DOUBLE)
+                  AS mass_share
+         FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1
+         CROSS JOIN tot
+         ORDER BY f.r LIMIT 15""",
+
+    // the CC closure (same recursive CTE as dedup_cc_canonical) resolved
+    // by SOURCE PRIORITY (numeric source rank, ties to lower doc_id);
+    // output is the kill matrix
+    "dedup_source_priority" ->
+      s"""WITH RECURSIVE
+            h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+            cl AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT)
+                     AS canonical_id
+                   FROM reach GROUP BY 1),
+            j AS (SELECT cl.canonical_id, cl.doc_id, d.source, d.n_chars,
+                         CAST(substr(d.source, 4) AS BIGINT) AS prio
+                  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+            w AS (SELECT canonical_id, doc_id AS w_doc, source
+                    AS winner_source,
+                    row_number() OVER (PARTITION BY canonical_id
+                      ORDER BY prio, doc_id) AS rn
+                  FROM j)
+         SELECT w.winner_source, j.source AS loser_source,
+                count(*) AS n_killed,
+                CAST(sum(j.n_chars) AS BIGINT) AS chars_killed
+         FROM j JOIN w ON w.canonical_id = j.canonical_id AND w.rn = 1
+         WHERE j.doc_id <> w.w_doc
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
   )
 }

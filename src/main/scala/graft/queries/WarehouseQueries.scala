@@ -1193,6 +1193,33 @@ object WarehouseQueries {
         .orderBy("event_type")
     }),
 
+    // PPS (probability-proportional-to-size) systematic sampling: units
+    // selected where a fixed-step lattice of points (offset step/2, step
+    // total/200) lands inside their size interval on the cumulative-size
+    // line — the design-based sampler behind audit sampling and weighted
+    // sub-corpus draws, where big units must enter with certainty. The
+    // cumulative line is the Packing TWO-LEVEL prefix sum (never one
+    // unpartitioned window); per-unit point counts are closed-form
+    // integer DIV (the +step shift keeps every operand nonnegative so
+    // trunc ≡ floor on both engines) — no per-point join, no explode.
+    "sample_pps_systematic" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), Exact.cents(col("o_totalprice"))
+          .as("sz"))
+      val withLo = graft.text.Packing.withStreamOffset(o, "o_orderkey",
+        "sz", "lo", bucketSize = 4096L)
+      val tot = o.agg(sum("sz").cast("long").as("total"))
+      withLo.crossJoin(broadcast(tot))
+        .withColumn("step", expr("total div 200"))
+        .withColumn("off", expr("step div 2"))
+        .withColumn("n_points", expr(
+          "(lo + sz - 1 - off + step) div step" +
+            " - (lo - 1 - off + step) div step"))
+        .filter(col("n_points") >= 1L)
+        .select(col("o_orderkey"), col("sz"), col("lo"), col("n_points"))
+        .orderBy("o_orderkey")
+    }),
+
     // North-star multimodal: DC-removed zero-crossing rate over the same
     // 64/32 overlapping sample windows as mm_audio_window — the voicing /
     // spectral-tilt feature beside energy in every VAD front-end. Exact
@@ -2269,6 +2296,31 @@ object WarehouseQueries {
                        FROM o WHERE r % 20 = 7 GROUP BY 1)
          SELECT event_type, n_total, n_kept, id_checksum, cents_kept
          FROM tot JOIN kept USING (event_type) ORDER BY event_type""",
+
+    // exclusive cumulative-size prefix in o_orderkey order; the same
+    // +step-shifted integer DIV point count as the engine
+    "sample_pps_systematic" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             AS sz
+                    FROM orders),
+              c AS (SELECT o_orderkey, sz,
+                           CAST(sum(sz) OVER (ORDER BY o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - sz AS BIGINT) AS lo
+                    FROM o),
+              t AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM o),
+              p AS (SELECT o_orderkey, sz, lo,
+                           total // 200 AS step,
+                           (total // 200) // 2 AS off
+                    FROM c CROSS JOIN t)
+         SELECT o_orderkey, sz, lo,
+                (lo + sz - 1 - off + step) // step
+                  - (lo - 1 - off + step) // step AS n_points
+         FROM p
+         WHERE (lo + sz - 1 - off + step) // step
+                 - (lo - 1 - off + step) // step >= 1
+         ORDER BY o_orderkey""",
 
     // same 64/32 window enumeration as mm_audio_window; centered samples
     // are ns·b[j] − wsum (exact integer DC removal), a crossing is a

@@ -315,6 +315,46 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream LEFT OUTER join — the inner join above plus state
+    * EVICTION as output: a purchase with no view in its trailing hour
+    * emits null-joined, but only once the watermark PROVES no future
+    * view can match (view_ts <= p_ts means a left row is unmatchable as
+    * soon as the watermark passes p_ts). Matched pairs emit in the data
+    * micro-batch; the unmatched remainder emits in the watermark-advance
+    * (no-data) batch — so over a bounded replay the emitted set is
+    * exactly: batch-join matches ∪ unmatched purchases with
+    * p_ts < min(max p_ts, max view_ts) − 1h (the final global watermark;
+    * min because Spark takes the lagging side). Purchases inside the
+    * final watermark's horizon stay in state, never emitting — the
+    * outer-join completeness/latency trade every streaming engine makes,
+    * mirrored by the oracle's threshold predicate.
+    */
+  def runStreamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_left_join"
+    val ev = readEvents(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+              col("value").as("view_value"))
+      .withWatermark("view_ts", "1 hour")
+    val q = p.join(v,
+        col("p_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("event_id"), col("p_user").as("user_id"),
+              col("p_ts").as("ts"), col("view_ts"), col("view_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Stream-static enrichment: the unbounded event stream joined to a
     * bounded dimension table (customer segment), then aggregated. The
     * static side is broadcast — a stream-static inner join is STATELESS

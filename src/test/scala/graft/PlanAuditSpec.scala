@@ -255,7 +255,27 @@ class PlanAuditSpec extends AnyFunSuite {
       // (the sample_domain_mixture shape, token-denominated)
       "sample_epoch_plan",
       // 1-row global-clock scalar + 1-row grand-revenue scalar combines
-      "olap_rfm_segments")
+      "olap_rfm_segments",
+      // 1-row seed-count scalar crossJoined into every rank update
+      // (the graph_pagerank 1/N shape, seeded)
+      "graph_ppr_seeded",
+      // 1-row grand-total scalar joined into the TV terms (the
+      // dq_k_anonymity/dq_l_diversity shape)
+      "dq_t_closeness",
+      // 1-row Σ r·N_r corpus-mass scalar joined into the tiny spectrum
+      "text_good_turing",
+      // three 1-row KMV estimate rows combined via crossJoin + the
+      // 1-row exact-difference scalar (the sketch_kmv_jaccard shape)
+      "sketch_kmv_difference",
+      // 1-row 2m edge-mass scalar crossJoined into the gain terms
+      "graph_louvain_step",
+      // 1-row clock scalar (first-week cut) — margins join broadcast-HASH
+      "agg_raking_ipf",
+      // 1-row total-size scalar crossJoined into the point-count DIV
+      "sample_pps_systematic",
+      // 1-row node-count + 1-row edge-count scalars crossJoined into
+      // the forest histogram (the graph_triangles summary shape)
+      "graph_mst_boruvka_round")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan
