@@ -1904,6 +1904,36 @@ object GraphOlapQueries {
         .orderBy("r_code", "f_code", "m_code")
     }),
 
+    // Sequential-pattern mining with GAPS: ordered event-type pairs
+    // (a, then b) with 1–3 intervening events per user — the
+    // non-contiguous complement of mine_event_trigrams (contiguous
+    // n-grams miss "view … later purchase" motifs that skip chatter).
+    // One keyed window per gap (lead over the user's ordered stream —
+    // state bounded by the gap, never the session), then a
+    // partial-aggregable pair count with per-gap support.
+    "mine_seq_gap_pairs" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a_type"))
+      val pairs = (2 to 4).map(g => ev
+        .withColumn("b_type", lead(col("a_type"), g).over(W))
+        .filter(col("b_type").isNotNull)
+        .select(col("a_type"), col("b_type"),
+          lit(g.toLong - 1).as("gap")))
+        .reduce(_ unionByName _)
+      val tot = pairs.groupBy("gap").agg(count(lit(1)).as("n_gap"))
+      pairs.groupBy("a_type", "b_type", "gap")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), "gap")
+        .select(col("a_type"), col("b_type"), col("gap"), col("n"),
+          (col("n").cast("double") / col("n_gap").cast("double"))
+            .as("support"))
+        .filter(col("n") >= 20L)
+        .orderBy("a_type", "b_type", "gap")
+    }),
+
     // KMV set-DIFFERENCE estimate — completes the sketch set algebra
     // (union: sketch_kmv_union; intersection share: sketch_kmv_jaccard):
     // est(A\B) = est(A∪B) − est(B) by inclusion–exclusion, from the two
@@ -3878,6 +3908,35 @@ object GraphOlapQueries {
                   AS node_type,
                 is_seed, rank
          FROM r3 ORDER BY rank DESC, node_id LIMIT 30"""
+    },
+
+    // lead() per gap over the user's (ts, event_id) order mirrors the
+    // engine's keyed windows exactly
+    "mine_seq_gap_pairs" -> {
+      def gapSel(g: Int): String =
+        s"""SELECT a_type,
+              lead(a_type, $g) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS b_type,
+              CAST(${g - 1} AS BIGINT) AS gap
+            FROM ev"""
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+                             event_type AS a_type FROM events),
+              pr AS (SELECT * FROM (${gapSel(2)}) WHERE b_type IS NOT NULL
+                     UNION ALL
+                     SELECT * FROM (${gapSel(3)}) WHERE b_type IS NOT NULL
+                     UNION ALL
+                     SELECT * FROM (${gapSel(4)}) WHERE b_type IS NOT NULL),
+              tot AS (SELECT gap, CAST(count(*) AS BIGINT) AS n_gap
+                      FROM pr GROUP BY 1),
+              agg AS (SELECT a_type, b_type, gap,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM pr GROUP BY 1, 2, 3)
+         SELECT agg.a_type, agg.b_type, agg.gap, agg.n,
+                CAST(agg.n AS DOUBLE) / CAST(tot.n_gap AS DOUBLE)
+                  AS support
+         FROM agg JOIN tot USING (gap)
+         WHERE agg.n >= 20
+         ORDER BY agg.a_type, agg.b_type, agg.gap"""
     },
 
     // per-node argmax under the symmetric (w desc, edge-id asc) order;

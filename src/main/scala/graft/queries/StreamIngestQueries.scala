@@ -457,6 +457,14 @@ object StreamIngestQueries {
       graft.streaming.EventStream.runStreamStreamLeftJoin(s, dir)
         .orderBy("event_id", "view_ts", "view_value")),
 
+    // Full-outer stream-stream join: both sides' evictions emit (see
+    // EventStream.runStreamStreamFullJoin); the sort key coalesces the
+    // two id columns so no engine ever orders by NULL
+    "stream_stream_full_join" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamStreamFullJoin(s, dir)
+        .orderBy(coalesce(col("purchase_id"), col("view_id")),
+          col("view_id"))),
+
     // Benford first-digit audit (the classic fabricated-data screen):
     // distribution of leading digits of order totals. The digit comes
     // from the integer-cent string — never from double formatting, which
@@ -1688,6 +1696,44 @@ object StreamIngestQueries {
           AND p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
          ORDER BY p.event_id, view_ts, view_value""",
+
+    // the left-join oracle plus the right side's evictions: a view is
+    // provably unmatchable once the watermark passes view_ts + 1h
+    "stream_stream_full_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT event_id AS view_id, user_id, ts AS view_ts,
+                           value AS view_value
+                    FROM events WHERE event_type = 'view'),
+              wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                                  (SELECT max(view_ts) FROM v))
+                            - INTERVAL 1 HOUR AS w)
+         SELECT * FROM (
+           SELECT p.purchase_id, v.view_id, p.user_id, p.p_ts,
+                  v.view_ts, v.view_value
+           FROM p JOIN v
+             ON v.user_id = p.user_id
+            AND v.view_ts >= p.p_ts - INTERVAL 1 HOUR
+            AND v.view_ts <= p.p_ts
+           UNION ALL
+           SELECT p.purchase_id, CAST(NULL AS BIGINT), p.user_id,
+                  p.p_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+           FROM p CROSS JOIN wm
+           WHERE p.p_ts < wm.w
+             AND NOT EXISTS (SELECT 1 FROM v
+                             WHERE v.user_id = p.user_id
+                               AND v.view_ts >= p.p_ts - INTERVAL 1 HOUR
+                               AND v.view_ts <= p.p_ts)
+           UNION ALL
+           SELECT CAST(NULL AS BIGINT), v.view_id, v.user_id,
+                  CAST(NULL AS TIMESTAMP), v.view_ts, v.view_value
+           FROM v CROSS JOIN wm
+           WHERE v.view_ts + INTERVAL 1 HOUR < wm.w
+             AND NOT EXISTS (SELECT 1 FROM p
+                             WHERE p.user_id = v.user_id
+                               AND v.view_ts >= p.p_ts - INTERVAL 1 HOUR
+                               AND v.view_ts <= p.p_ts))
+         ORDER BY coalesce(purchase_id, view_id), view_id""",
 
     // matches (the inner join) + null-joined lefts evicted before the
     // final watermark min(max p_ts, max view_ts) - 1h

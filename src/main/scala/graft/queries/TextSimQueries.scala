@@ -22,6 +22,97 @@ import Shared._
   */
 object TextSimQueries {
 
+  /** Quantized (q20) dimension-correlation matrix of the embeddings
+    * table, DRIVER-SIDE and dimension-bounded — the shared gram step of
+    * `emb_power_iteration` and `emb_pca_deflation`. The corpus-sized
+    * pass is one join-free codegen projection (every upper-triangle
+    * product emitted per row; the only exchange carries ≤ d·(d+1)/2
+    * partial-agg cells); entries are floor(corr·2²⁰) with loud guards
+    * on empty input and zero-variance dimensions (floor(NaN) silently
+    * coerces to 0L — a divergence the oracle's CAST would carry as NaN).
+    * Returns (d, m) with m indexed 0..d (row/col 0 unused).
+    */
+  private def corrMatrixQ20(s: SparkSession, dir: String)
+      : (Int, Array[Array[Long]]) = {
+    val cellsDf = Tables.embeddings(s, dir)
+      .select(expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))").as("qa"))
+      // d²/2 products per row is the cpu-dense stage; the single-
+      // row-group fixture scan runs it in 1 task — spread first (a
+      // many-file production scan parallelizes itself)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(qa)), i ->
+             transform(sequence(i, size(qa)), j ->
+               named_struct(
+                 'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+                 'p', element_at(qa, i) * element_at(qa, j),
+                 'qi', element_at(qa, i)))))""")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"), col("c.qi"))
+      .groupBy("i", "j")
+    val cells = Exact.boundedCollect(
+      cellsDf.agg(count(lit(1)).as("n"), sum("p").as("sp"),
+        sum("qi").as("sqi")),
+      128 * 129 / 2, "power-iteration gram cells")
+    require(cells.nonEmpty,
+      "power iteration needs a non-empty embeddings corpus")
+    val dimCount = cells.iterator.map(_.getLong(0)).max.toInt
+    require(dimCount <= 128,
+      s"power iteration collects a DIMENSION-bounded gram matrix; " +
+        s"got $dimCount dims (${cells.length} cells)")
+    val n = cells.head.getLong(2).toDouble // count(*) — same every cell
+    val sArr = new Array[Double](dimCount + 1)  // s_i = Σ q_i
+    val ssArr = new Array[Double](dimCount + 1) // ss_i = Σ q_i²
+    for (r <- cells if r.getLong(0) == r.getLong(1)) {
+      ssArr(r.getLong(0).toInt) = r.getLong(3).toDouble
+      sArr(r.getLong(0).toInt) = r.getLong(4).toDouble
+    }
+    // quantized correlation, the exact IEEE chain the oracle spells
+    // out (mul/div/sqrt/floor are correctly-rounded in both engines)
+    val m = Array.fill(dimCount + 1, dimCount + 1)(0L)
+    for (r <- cells) {
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      if (i == j) m(i)(i) = 1048576L
+      else {
+        val vi = n * ssArr(i) - sArr(i) * sArr(i)
+        val vj = n * ssArr(j) - sArr(j) * sArr(j)
+        require(vi > 0 && vj > 0,
+          s"zero-variance embedding dimension (i=$i var=$vi, " +
+            s"j=$j var=$vj): correlation undefined")
+        val cq = math.floor((n * r.getLong(3).toDouble
+          - sArr(i) * sArr(j))
+          / (math.sqrt(vi) * math.sqrt(vj))
+          * 1048576.0).toLong
+        m(i)(j) = cq; m(j)(i) = cq
+      }
+    }
+    (dimCount, m)
+  }
+
+  /** Three ±4096-lattice power-iteration rounds over a BigInt matrix —
+    * exact arbitrary-precision arithmetic, so the deflated matrix's
+    * ~1e24 entries never overflow; on plain q20 entries the values are
+    * identical to the checked-Long fold in `emb_power_iteration`.
+    * Renormalizes with explicit FLOOR division each round (truncation
+    * would diverge from the oracle on negatives).
+    */
+  private def latticeIterate3(dim: Int,
+                              m: Array[Array[BigInt]]): Array[BigInt] = {
+    var v: Array[BigInt] = Array.fill(dim + 1)(BigInt(4096))
+    for (_ <- 1 to 3) {
+      val x = (0 to dim).map(i => (1 to dim).foldLeft(BigInt(0))((a, j)
+        => a + m(i)(j) * v(j))).toArray
+      val mx = (1 to dim).map(i => x(i).abs).max
+      v = x.map { xi =>
+        val p = xi * 4096
+        val q = p / mx; val r = p - q * mx
+        if (r.signum != 0 && (r.signum < 0) != (mx.signum < 0)) q - 1
+        else q
+      }
+    }
+    v
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge-candidate table: adjacent pre-token pair frequencies
     // across the corpus — the count step of one BPE merge iteration.
@@ -1044,64 +1135,10 @@ object TextSimQueries {
     // renormalizes to a ±4096 lattice with explicit FLOOR division
     // (truncation would diverge from the oracle on negatives).
     "emb_power_iteration" -> ((s, dir) => {
-      // per-row upper-triangle products (i ≤ j; the diagonal doubles as
-      // the ss_i moment and carries q_i for the s_i moment) — one
-      // whole-stage-codegen projection, one partial-aggregable groupBy
-      val cellsDf = Tables.embeddings(s, dir)
-        .select(expr("transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT))").as("qa"))
-        // d²/2 products per row is the cpu-dense stage; the single-
-        // row-group fixture scan runs it in 1 task — spread first (a
-        // many-file production scan parallelizes itself)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(qa)), i ->
-               transform(sequence(i, size(qa)), j ->
-                 named_struct(
-                   'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-                   'p', element_at(qa, i) * element_at(qa, j),
-                   'qi', element_at(qa, i)))))""")).as("c"))
-        .select(col("c.i"), col("c.j"), col("c.p"), col("c.qi"))
-        .groupBy("i", "j")
-      val cells = Exact.boundedCollect(
-        cellsDf.agg(count(lit(1)).as("n"), sum("p").as("sp"),
-          sum("qi").as("sqi")),
-        128 * 129 / 2, "power-iteration gram cells")
-      require(cells.nonEmpty,
-        "power iteration needs a non-empty embeddings corpus")
-      val dimCount = cells.iterator.map(_.getLong(0)).max.toInt
-      require(dimCount <= 128,
-        s"power iteration collects a DIMENSION-bounded gram matrix; " +
-          s"got $dimCount dims (${cells.length} cells)")
-      val n = cells.head.getLong(2).toDouble // count(*) — same for every cell
-      val sArr = new Array[Double](dimCount + 1)  // s_i = Σ q_i
-      val ssArr = new Array[Double](dimCount + 1) // ss_i = Σ q_i²
-      for (r <- cells if r.getLong(0) == r.getLong(1)) {
-        ssArr(r.getLong(0).toInt) = r.getLong(3).toDouble
-        sArr(r.getLong(0).toInt) = r.getLong(4).toDouble
-      }
-      // quantized correlation, the exact IEEE chain the oracle spells
-      // out (mul/div/sqrt/floor are correctly-rounded in both engines)
-      val m = Array.fill(dimCount + 1, dimCount + 1)(0L)
-      for (r <- cells) {
-        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-        if (i == j) m(i)(i) = 1048576L
-        else {
-          // a zero-variance dimension has no defined correlation: the
-          // denominator would be 0, the quotient NaN, and floor(NaN)
-          // silently coerces to 0L in Scala — a silent divergence from
-          // the oracle (whose CAST would carry the NaN). Fail loudly.
-          val vi = n * ssArr(i) - sArr(i) * sArr(i)
-          val vj = n * ssArr(j) - sArr(j) * sArr(j)
-          require(vi > 0 && vj > 0,
-            s"zero-variance embedding dimension (i=$i var=$vi, " +
-              s"j=$j var=$vj): correlation undefined")
-          val cq = math.floor((n * r.getLong(3).toDouble - sArr(i) * sArr(j))
-            / (math.sqrt(vi) * math.sqrt(vj))
-            * 1048576.0).toLong
-          m(i)(j) = cq; m(j)(i) = cq
-        }
-      }
+      // gram build shared with emb_pca_deflation (corrMatrixQ20); the
+      // 3-round fold here stays on checked Longs (q20 entries never
+      // overflow; BigInt exists for the deflated matrix's ~1e24 range)
+      val (dimCount, m) = corrMatrixQ20(s, dir)
       var v = Array.fill(dimCount + 1)(4096L)
       for (_ <- 1 to 3) {
         val x = (0 to dimCount).map(i => (1 to dimCount).foldLeft(0L)((a, j)
@@ -1111,6 +1148,33 @@ object TextSimQueries {
       }
       import s.implicits._
       (1 to dimCount).map(i => (i.toLong, v(i))).toDF("dim", "v3")
+        .orderBy("dim")
+    }),
+
+    // Second principal direction via DEFLATION — completes the spectral
+    // family: after the first component v (the emb_power_iteration
+    // fold, bitwise-identical here through exact BigInt arithmetic),
+    // the projector is removed on the integer lattice —
+    //   M₂ = M·D² − N·v vᵀ   with N = vᵀMv, D = vᵀv
+    // (all EXACT integers; entries reach ~1e24 so the fold runs on
+    // BigInt / HUGEINT on the two engines) — and three more ±4096
+    // lattice rounds extract the deflated dominant direction. Same
+    // scale posture as the first component: one corpus-sized codegen
+    // gram pass, everything after is the dimension-bounded driver fold.
+    "emb_pca_deflation" -> ((s, dir) => {
+      val (dimCount, mL) = corrMatrixQ20(s, dir)
+      val m = mL.map(_.map(BigInt(_)))
+      val v = latticeIterate3(dimCount, m)
+      val dBig = (1 to dimCount).map(i => v(i) * v(i)).sum
+      val nBig = (for (i <- 1 to dimCount; j <- 1 to dimCount)
+        yield v(i) * m(i)(j) * v(j)).sum
+      val m2 = Array.tabulate(dimCount + 1, dimCount + 1)((i, j) =>
+        if (i == 0 || j == 0) BigInt(0)
+        else m(i)(j) * dBig * dBig - nBig * v(i) * v(j))
+      val w = latticeIterate3(dimCount, m2)
+      import s.implicits._
+      (1 to dimCount).map(i => (i.toLong, v(i).toLong, w(i).toLong))
+        .toDF("dim", "v3", "w3")
         .orderBy("dim")
     }),
 
@@ -2463,6 +2527,14 @@ object TextSimQueries {
     // because it is expression-sized, not data-sized).
     "text_wordpiece_encode" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
+        .select(col("lang"), col("text"))
+        // the single-row-group fixture file scans as ONE task and the
+        // persisted token frame inherits that layout, serializing the
+        // cpu-dense encode pass (measured by the scaling study: sf10
+        // wall 200 s ≈ process-cpu, i.e. one core). Spread the doc rows
+        // BEFORE the explode (cheaper than shuffling tokens); a
+        // many-file production scan parallelizes itself.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("lang"), explode(TextAnalysis.tokens("text"))
           .as("tok"))
         .tracked // vocab pass + encode pass
@@ -3658,6 +3730,81 @@ object TextSimQueries {
               m3 AS (SELECT max(abs(x)) AS mx FROM x3),
               v3 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x3, m3)
          SELECT j AS dim, v AS v3 FROM v3 ORDER BY dim""",
+
+    // the emb_power_iteration chain, then the lattice deflation
+    // M₂ = M·D² − N·v vᵀ on HUGEINT (entries ~1e24) and three more
+    // renormalized rounds — see the query comment
+    "emb_pca_deflation" ->
+      """WITH dims AS (SELECT vec_id, i,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536)
+                          AS BIGINT) AS q
+                      FROM (SELECT vec_id, embedding,
+                              unnest(generate_series(1, 64)) AS i
+                            FROM embeddings)),
+              st AS (SELECT i, count(*) AS n, sum(q) AS s,
+                       sum(q * q) AS ss
+                     FROM dims GROUP BY 1),
+              pr AS (SELECT a.i AS i, b.i AS j,
+                       CAST(sum(a.q * b.q) AS BIGINT) AS sp
+                     FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+                     WHERE a.i < b.i GROUP BY 1, 2),
+              up AS (SELECT pr.i, pr.j,
+                       CAST(floor(
+                         ((CAST(si.n AS DOUBLE) * CAST(sp AS DOUBLE)
+                           - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+                          / (sqrt(CAST(si.n AS DOUBLE)
+                                    * CAST(si.ss AS DOUBLE)
+                                  - CAST(si.s AS DOUBLE)
+                                    * CAST(si.s AS DOUBLE))
+                             * sqrt(CAST(si.n AS DOUBLE)
+                                      * CAST(sj.ss AS DOUBLE)
+                                    - CAST(sj.s AS DOUBLE)
+                                      * CAST(sj.s AS DOUBLE))))
+                         * 1048576) AS BIGINT) AS cq
+                     FROM pr JOIN st si ON pr.i = si.i
+                             JOIN st sj ON pr.j = sj.i),
+              m AS (SELECT i, j, cq FROM up
+                    UNION ALL SELECT j, i, cq FROM up
+                    UNION ALL SELECT i, i, CAST(1048576 AS BIGINT) FROM st),
+              v0 AS (SELECT i AS j, CAST(4096 AS BIGINT) AS v FROM st),
+              x1 AS (SELECT m.i, CAST(sum(m.cq * v0.v) AS BIGINT) AS x
+                     FROM m JOIN v0 ON v0.j = m.j GROUP BY 1),
+              m1 AS (SELECT max(abs(x)) AS mx FROM x1),
+              v1 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x1, m1),
+              x2 AS (SELECT m.i, CAST(sum(m.cq * v1.v) AS BIGINT) AS x
+                     FROM m JOIN v1 ON v1.j = m.j GROUP BY 1),
+              m2 AS (SELECT max(abs(x)) AS mx FROM x2),
+              v2 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x2, m2),
+              x3 AS (SELECT m.i, CAST(sum(m.cq * v2.v) AS BIGINT) AS x
+                     FROM m JOIN v2 ON v2.j = m.j GROUP BY 1),
+              m3 AS (SELECT max(abs(x)) AS mx FROM x3),
+              v3 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM x3, m3),
+              dd AS (SELECT sum(CAST(v AS HUGEINT) * v) AS d FROM v3),
+              nn AS (SELECT sum(CAST(vi.v AS HUGEINT) * m.cq * vj.v) AS nu
+                     FROM m JOIN v3 vi ON vi.j = m.i
+                            JOIN v3 vj ON vj.j = m.j),
+              md AS (SELECT m.i, m.j,
+                       CAST(m.cq AS HUGEINT) * dd.d * dd.d
+                         - nn.nu * vi.v * vj.v AS cq2
+                     FROM m JOIN v3 vi ON vi.j = m.i
+                            JOIN v3 vj ON vj.j = m.j
+                     CROSS JOIN dd CROSS JOIN nn),
+              w0 AS (SELECT i AS j, CAST(4096 AS HUGEINT) AS v FROM st),
+              y1 AS (SELECT md.i, sum(md.cq2 * w0.v) AS x
+                     FROM md JOIN w0 ON w0.j = md.j GROUP BY 1),
+              n1 AS (SELECT max(abs(x)) AS mx FROM y1),
+              w1 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM y1, n1),
+              y2 AS (SELECT md.i, sum(md.cq2 * w1.v) AS x
+                     FROM md JOIN w1 ON w1.j = md.j GROUP BY 1),
+              n2 AS (SELECT max(abs(x)) AS mx FROM y2),
+              w2 AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM y2, n2),
+              y3 AS (SELECT md.i, sum(md.cq2 * w2.v) AS x
+                     FROM md JOIN w2 ON w2.j = md.j GROUP BY 1),
+              n3 AS (SELECT max(abs(x)) AS mx FROM y3),
+              w3c AS (SELECT i AS j, (x * 4096 - (((x * 4096) % mx) + mx) % mx) // mx AS v FROM y3, n3)
+         SELECT v3.j AS dim, CAST(v3.v AS BIGINT) AS v3,
+                CAST(w3c.v AS BIGINT) AS w3
+         FROM v3 JOIN w3c ON w3c.j = v3.j ORDER BY dim""",
 
     // the LSH side is the dedup_minhash_lsh oracle restricted to the id
     // bound; the exact side is all-pairs Jaccard over the SAME distinct

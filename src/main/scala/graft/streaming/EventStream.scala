@@ -355,6 +355,45 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream FULL OUTER join — completes the join family: BOTH
+    * sides' state evictions become output. A purchase with no view in
+    * its trailing hour emits null-right once the watermark passes p_ts
+    * (as in the left join); a view that no purchase picked up emits
+    * null-left once the watermark passes view_ts + 1h (the view can
+    * match purchases with p_ts ∈ [view_ts, view_ts + 1h], so it is
+    * provably unmatchable only then — the asymmetry comes from the
+    * one-sided range condition). Both sides carry their own event ids
+    * so the output's presentation order never compares NULL sort keys:
+    * coalesce(purchase_id, view_id) is always defined, and engines
+    * disagree on NULLS FIRST/LAST defaults.
+    */
+  def runStreamStreamFullJoin(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_full_join"
+    val ev = readEvents(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", "1 hour")
+    val q = p.join(v,
+        col("p_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("p_ts"),
+        "fullOuter")
+      .select(col("purchase_id"), col("view_id"),
+              coalesce(col("p_user"), col("user_id")).as("user_id"),
+              col("p_ts"), col("view_ts"), col("view_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Stream-static enrichment: the unbounded event stream joined to a
     * bounded dimension table (customer segment), then aggregated. The
     * static side is broadcast — a stream-static inner join is STATELESS

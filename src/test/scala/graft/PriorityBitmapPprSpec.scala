@@ -332,6 +332,136 @@ class PriorityBitmapPprSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("gap pairs: lead replay over per-user ordered streams") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val pairs = rows.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val seq = grp.sortBy(t => (t._2, t._3)).map(_._4).toIndexedSeq
+      for (g <- 2 to 4; i <- seq.indices if i + g < seq.length)
+        yield (seq(i), seq(i + g), g.toLong - 1)
+    }
+    val nGap = pairs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = pairs.groupBy(identity).toSeq
+      .map { case ((a, b, g), o) => (a, b, g, o.size.toLong,
+        o.size.toDouble / nGap(g).toDouble) }
+      .filter(_._4 >= 20L).sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("mine_seq_gap_pairs")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    CacheRegistry.releaseAll()
+  }
+
+  test("pca deflation: independent gram+deflation replay; components consistent") {
+    // independent path: raw embeddings -> quantized moments -> q20
+    // correlation -> BigInt lattice folds, all in plain Scala
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f =>
+        math.floor(f.toDouble * 65536).toLong).toArray)
+    val d = embs.head.length
+    val n = embs.length.toDouble
+    val s = Array.tabulate(d)(i => embs.map(_(i)).sum.toDouble)
+    val ss = Array.tabulate(d)(i =>
+      embs.map(v => v(i) * v(i)).sum.toDouble)
+    val m = Array.tabulate(d + 1, d + 1) { (i1, j1) =>
+      if (i1 == 0 || j1 == 0) BigInt(0)
+      else if (i1 == j1) BigInt(1048576)
+      else {
+        val (i, j) = (i1 - 1, j1 - 1)
+        val sp = embs.map(v => v(i) * v(j)).sum.toDouble
+        val vi = n * ss(i) - s(i) * s(i)
+        val vj = n * ss(j) - s(j) * s(j)
+        BigInt(math.floor((n * sp - s(i) * s(j))
+          / (math.sqrt(vi) * math.sqrt(vj)) * 1048576.0).toLong)
+      }
+    }
+    def iterate3(mm: Array[Array[BigInt]]): Array[BigInt] = {
+      var v: Array[BigInt] = Array.fill(d + 1)(BigInt(4096))
+      for (_ <- 1 to 3) {
+        val x = (0 to d).map(i => (1 to d).foldLeft(BigInt(0))((a, j)
+          => a + mm(i)(j) * v(j))).toArray
+        val mx = (1 to d).map(i => x(i).abs).max
+        v = x.map { xi =>
+          val p = xi * 4096; val q = p / mx; val r = p - q * mx
+          if (r.signum != 0 && r.signum < 0) q - 1 else q
+        }
+      }
+      v
+    }
+    val v = iterate3(m)
+    val dBig = (1 to d).map(i => v(i) * v(i)).sum
+    val nBig = (for (i <- 1 to d; j <- 1 to d)
+      yield v(i) * m(i)(j) * v(j)).sum
+    val m2 = Array.tabulate(d + 1, d + 1)((i, j) =>
+      if (i == 0 || j == 0) BigInt(0)
+      else m(i)(j) * dBig * dBig - nBig * v(i) * v(j))
+    val w = iterate3(m2)
+    val expected = (1 to d).map(i => (i.toLong, v(i).toLong, w(i).toLong))
+    val got = SparkEntry.queries("emb_pca_deflation")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected)
+    // first component must be bitwise the emb_power_iteration output
+    val first = SparkEntry.queries("emb_power_iteration")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(t => (t._1, t._2)) == first)
+    // the deflated direction cannot be (anti)parallel to the first
+    val dot = got.map(t => t._2.toDouble * t._3.toDouble).sum
+    val nv = math.sqrt(got.map(t => t._2.toDouble * t._2.toDouble).sum)
+    val nw = math.sqrt(got.map(t => t._3.toDouble * t._3.toDouble).sum)
+    assert(math.abs(dot) / (nv * nw) < 0.5,
+      s"second component nearly parallel to first: cos=${dot / (nv * nw)}")
+    CacheRegistry.releaseAll()
+  }
+
+  test("stream-stream full join: both sides' evictions match the threshold formula") {
+    val streamed = SparkEntry.queries("stream_stream_full_join")(
+      spark, sfDir)
+    val evB = Tables.events(spark, sfDir)
+    val pB = evB.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val vB = evB.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    val cond = col("p_user") === col("v_user") &&
+      col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("view_ts") <= col("p_ts")
+    val wmMs = pB.agg(max("p_ts")).collect()(0).getTimestamp(0).getTime
+      .min(vB.agg(max("view_ts")).collect()(0).getTimestamp(0).getTime) -
+      3600L * 1000L
+    val wm = new java.sql.Timestamp(wmMs)
+    val matched = pB.join(vB, cond)
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"), col("p_ts"), col("view_ts"),
+        col("view_value"))
+    val unmatchedL = pB.join(vB, cond, "left_anti")
+      .filter(col("p_ts") < lit(wm))
+      .select(col("purchase_id"), lit(null).cast("long").as("view_id"),
+        col("p_user").as("user_id"), col("p_ts"),
+        lit(null).cast("timestamp").as("view_ts"),
+        lit(null).cast("double").as("view_value"))
+    val unmatchedR = vB.join(pB, cond, "left_anti")
+      .filter(col("view_ts") + expr("INTERVAL 1 HOUR") < lit(wm))
+      .select(lit(null).cast("long").as("purchase_id"), col("view_id"),
+        col("v_user").as("user_id"),
+        lit(null).cast("timestamp").as("p_ts"), col("view_ts"),
+        col("view_value"))
+    val expected = matched.unionAll(unmatchedL).unionAll(unmatchedR)
+      .orderBy(coalesce(col("purchase_id"), col("view_id")),
+        col("view_id")).collect().toSeq
+    assert(streamed.collect().toSeq == expected)
+    // both eviction classes must actually be present at this SF
+    val rows = expected
+    assert(rows.exists(r => r.isNullAt(1)), "no left evictions present")
+    assert(rows.exists(r => r.isNullAt(0)), "no right evictions present")
+    CacheRegistry.releaseAll()
+  }
+
   test("stream-stream left join: emitted set == threshold formula, crafted batches") {
     import spark.implicits._
     // crafted two-file replay: the watermark advances mid-stream, so
