@@ -243,6 +243,58 @@ object Media {
       (w, h, bins)
     }
 
+    /** Decode + HISTOGRAM EQUALIZATION in one pass — the classic contrast
+      * remap p' = floor((cdf(p) − cdf_min)·255 / (n − cdf_min)) over the
+      * decoded 8-bit raster (cdf_min = the lowest nonzero cdf value, the
+      * textbook convention; a flat image where n == cdf_min maps to 0 by
+      * definition, mirrored by the oracle). Exact integers end-to-end, so
+      * the lossless-PNG round-trip keeps the result SQL-recomputable from
+      * the synthesis formula. Returns (w, h, sum_before, sum_after,
+      * distinct_before, distinct_after).
+      */
+    def decodeEqualize(payload: Array[Byte])
+        : (Int, Int, Long, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) {
+        val (w, h, _) = FakeCodec.decode(payload)
+        return (w, h, -1L, -1L, -1L, -1L)
+      }
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val hist = new Array[Long](256)
+      var sumB = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val s = raster.getSample(x, y, 0)
+          if (s < 0 || s > 255)
+            throw new IllegalArgumentException(
+              s"decodeEqualize requires 8-bit samples, got $s")
+          hist(s) += 1L; sumB += s; x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h.toLong
+      val cdf = new Array[Long](256)
+      var acc = 0L
+      var v = 0
+      while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+      val cdfMin = cdf.find(_ > 0L).getOrElse(0L)
+      val remap = Array.tabulate(256)(p =>
+        if (n == cdfMin) 0L
+        else (cdf(p) - cdfMin) * 255L / (n - cdfMin))
+      var sumA = 0L; var dA = 0L; var dB = 0L
+      v = 0
+      while (v < 256) {
+        if (hist(v) > 0L) { dB += 1L; sumA += remap(v) * hist(v) }
+        v += 1
+      }
+      dA = (0 until 256).filter(hist(_) > 0L).map(remap).distinct.size.toLong
+      (w, h, sumB, sumA, dB, dA)
+    }
+
     /** Encode a w×h 8-bit grayscale image (pixel(x, y) masked to a byte)
       * as real compressed PNG bytes.
       */

@@ -2572,6 +2572,65 @@ object TextSimQueries {
         .orderBy("lang")
     }),
 
+    // Kneser–Ney-smoothed bigram LM scored on a held-out split — the
+    // canonical n-gram smoothing (absolute discount D = 3/4, an EXACT
+    // binary fraction, plus the continuation-count backoff that makes KN
+    // the strongest classical LM). Multiplying through by 4·c(v)·B turns
+    // every probability into an exact integer ratio:
+    //   p_num = max(4c(vw)−3, 0)·B + 3·N1+(v·)·N1+(·w),  p_den = 4c(v)·B
+    // (unseen-history backoff: p = N1+(·w)/B). Cross-entropy bits ride
+    // the portable FixedLog2 q20 lattice — order-free integer sums, one
+    // final division. Train = even doc_ids, test = odd (the engine's
+    // held-out convention). Scale: token-keyed groupBys + broadcast of
+    // the 1-row type count; the v/w count frames join vocabulary-keyed.
+    "text_kneser_ney_bits" -> ((s, dir) => {
+      val L = graft.functions.FixedLog2.log2_fp _
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens("text").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> named_struct(" +
+            "'v', element_at(t, i), 'w', element_at(t, i + 1)))"))
+          .as("b"))
+        .select((col("doc_id") % 2 === 0).as("is_train"), col("lang"),
+          col("b.v").as("v"), col("b.w").as("w"))
+        .tracked // train counts + the test probe share it
+      val cnt = bg.filter(col("is_train")).groupBy("v", "w")
+        .agg(count(lit(1)).as("c"))
+        .tracked // history counts, continuation counts and B derive
+      val cv = cnt.groupBy("v").agg(sum("c").cast("long").as("cv"),
+        count(lit(1)).as("n1v"))
+      val nw = cnt.groupBy("w").agg(count(lit(1)).as("n1w"))
+      val bb = cnt.agg(count(lit(1)).as("b_types"))
+      bg.filter(!col("is_train"))
+        .join(cnt, Seq("v", "w"), "left")
+        .join(cv, Seq("v"), "left")
+        .join(nw, Seq("w"), "left")
+        .crossJoin(broadcast(bb))
+        .withColumn("num",
+          when(col("cv").isNull, coalesce(col("n1w"), lit(0L)))
+            .otherwise(
+              greatest(coalesce(col("c"), lit(0L)) * 4L - 3L, lit(0L))
+                * col("b_types")
+                + lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))))
+        .withColumn("den", when(col("cv").isNull, col("b_types"))
+          .otherwise(col("cv") * 4L * col("b_types")))
+        .withColumn("bits_q20",
+          when(col("num") > 0L, L(col("den")) - L(col("num")))
+            .otherwise(lit(0L)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("num") > 0L, 1L).otherwise(0L)).cast("long")
+            .as("n_covered"),
+          sum("bits_q20").cast("long").as("sum_bits_q20"))
+        .withColumn("avg_bits", col("sum_bits_q20").cast("double")
+          / (col("n_covered") * 1048576L).cast("double"))
+        .withColumn("coverage", col("n_covered").cast("double")
+          / col("n_test").cast("double"))
+        .orderBy("lang")
+    }),
+
     // Onion (source-priority) dedup: near-dup clusters resolve to the
     // copy from the highest-priority SOURCE (priority = the source's
     // numeric rank; ties to lower doc_id) — cross-source survivorship is
@@ -5078,6 +5137,55 @@ object TextSimQueries {
                   AS DOUBLE) / CAST(1048576 AS DOUBLE) AS weight_bits
          FROM db JOIN wt ON wt.b = db.b CROSS JOIN nk
          GROUP BY 1, 2 ORDER BY weight_q20 DESC, doc_id LIMIT 20"""
+    },
+
+    // the exact-integer KN ratios with bits on the FixedLog2 lattice;
+    // bigrams indexed relationally (unnest + positional access)
+    "text_kneser_ney_bits" -> {
+      val lDen = graft.functions.FixedLog2.sql("den")
+      val lNum = graft.functions.FixedLog2.sql("num")
+      s"""WITH tk AS (SELECT doc_id % 2 = 0 AS is_train, lang,
+                  regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+') AS t
+                FROM documents),
+          ix AS (SELECT is_train, lang, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM tk WHERE len(t) >= 2),
+          bg AS (SELECT is_train, lang, t[i] AS v, t[i+1] AS w FROM ix),
+          cnt AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c
+                  FROM bg WHERE is_train GROUP BY 1, 2),
+          cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+                        CAST(count(*) AS BIGINT) AS n1v
+                 FROM cnt GROUP BY 1),
+          nw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w
+                 FROM cnt GROUP BY 1),
+          bb AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM cnt),
+          te AS (SELECT bg.lang,
+                   CASE WHEN cv.cv IS NULL THEN coalesce(nw.n1w, 0)
+                     ELSE greatest(coalesce(cnt.c, 0) * 4 - 3, 0)
+                            * bb.b_types
+                          + 3 * cv.n1v * coalesce(nw.n1w, 0) END AS num,
+                   CASE WHEN cv.cv IS NULL THEN bb.b_types
+                     ELSE cv.cv * 4 * bb.b_types END AS den
+                 FROM bg LEFT JOIN cnt ON cnt.v = bg.v AND cnt.w = bg.w
+                         LEFT JOIN cv ON cv.v = bg.v
+                         LEFT JOIN nw ON nw.w = bg.w
+                         CROSS JOIN bb
+                 WHERE NOT bg.is_train),
+          bt AS (SELECT lang, num,
+                   CASE WHEN num > 0 THEN $lDen - $lNum
+                   ELSE 0 END AS bits
+                 FROM te)
+         SELECT lang, count(*) AS n_test,
+                CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_covered,
+                CAST(sum(bits) AS BIGINT) AS sum_bits_q20,
+                CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) * 1048576 AS DOUBLE) AS avg_bits,
+                CAST(CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS coverage
+         FROM bt GROUP BY 1 ORDER BY 1"""
     },
 
     // RELATIONAL mirror of the greedy fold: vocab as rows, per-position

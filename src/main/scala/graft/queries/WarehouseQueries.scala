@@ -1220,6 +1220,69 @@ object WarehouseQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The estimator HALF of PPS sampling (Hansen–Hurwitz): each selected
+    // unit contributes k_i·step/s_i to the population-COUNT estimate —
+    // E[k_i] = s_i/step exactly, so the estimator is unbiased, and the
+    // size-weighted sample recovers the unit count it never observed
+    // directly. Terms ride the q20 lattice (k·step·2²⁰ DIV s — exact,
+    // order-free integer sum); the grid total n_points·step estimates
+    // total size as a free by-product. Same two-level prefix sum plan
+    // as sample_pps_systematic.
+    "sample_pps_ht_estimate" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), Exact.cents(col("o_totalprice"))
+          .as("sz"))
+      val withLo = graft.text.Packing.withStreamOffset(o, "o_orderkey",
+        "sz", "lo", bucketSize = 4096L)
+      val tot = o.agg(sum("sz").cast("long").as("total_cents"),
+        count(lit(1)).as("n_exact"))
+      val sel = withLo.crossJoin(broadcast(tot))
+        .withColumn("step", expr("total_cents div 200"))
+        .withColumn("off", expr("step div 2"))
+        .withColumn("n_points", expr(
+          "(lo + sz - 1 - off + step) div step" +
+            " - (lo - 1 - off + step) div step"))
+        .filter(col("n_points") >= 1L)
+        .withColumn("term_q20",
+          expr("n_points * step * 1048576 div sz"))
+      sel.groupBy("total_cents", "n_exact", "step")
+        .agg(count(lit(1)).as("n_selected"),
+          sum("n_points").cast("long").as("n_points_total"),
+          sum("term_q20").cast("long").as("est_count_q20"))
+        .select(col("n_exact"), col("n_selected"), col("n_points_total"),
+          col("est_count_q20"),
+          (col("est_count_q20").cast("double") / lit(1048576.0))
+            .as("est_count"),
+          col("total_cents"),
+          (col("n_points_total") * col("step")).as("grid_est_cents"))
+    }),
+
+    // Histogram equalization over REAL decoded PNG rasters — the classic
+    // contrast remap p' = floor((cdf(p) − cdf_min)·255/(n − cdf_min)),
+    // exact integers end-to-end; lossless PNG keeps the whole pass
+    // SQL-recomputable from the synthesis formula (the mm_png_decode
+    // contract). Batched per-partition decode, zero shuffle.
+    "mm_image_histogram_eq" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (1 + id % 8).toInt
+            val h = (1 + nChars % 8).toInt
+            val png = graft.multimodal.Media.PngCodec.encodeGray(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            val (dw, dh, sb, sa, db, da) =
+              graft.multimodal.Media.PngCodec.decodeEqualize(png)
+            (id, dw.toLong, dh.toLong, sb, sa, db, da)
+          }
+        }
+        .toDF("media_id", "width", "height", "sum_before", "sum_after",
+          "n_levels_before", "n_levels_after")
+        .orderBy("media_id")
+    }),
+
     // North-star multimodal: DC-removed zero-crossing rate over the same
     // 64/32 overlapping sample windows as mm_audio_window — the voicing /
     // spectral-tilt feature beside energy in every VAD front-end. Exact
@@ -2321,6 +2384,80 @@ object WarehouseQueries {
          WHERE (lo + sz - 1 - off + step) // step
                  - (lo - 1 - off + step) // step >= 1
          ORDER BY o_orderkey""",
+
+    // Hansen–Hurwitz terms on the q20 lattice over the same selection
+    "sample_pps_ht_estimate" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             AS sz
+                    FROM orders),
+              c AS (SELECT o_orderkey, sz,
+                           CAST(sum(sz) OVER (ORDER BY o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - sz AS BIGINT) AS lo
+                    FROM o),
+              t AS (SELECT CAST(sum(sz) AS BIGINT) AS total_cents,
+                           CAST(count(*) AS BIGINT) AS n_exact FROM o),
+              p AS (SELECT o_orderkey, sz, lo, total_cents, n_exact,
+                           total_cents // 200 AS step,
+                           (total_cents // 200) // 2 AS off
+                    FROM c CROSS JOIN t),
+              sel AS (SELECT *,
+                        (lo + sz - 1 - off + step) // step
+                          - (lo - 1 - off + step) // step AS n_points
+                      FROM p),
+              k AS (SELECT *, (n_points * step * 1048576) // sz
+                      AS term_q20
+                    FROM sel WHERE n_points >= 1)
+         SELECT n_exact, CAST(count(*) AS BIGINT) AS n_selected,
+                CAST(sum(n_points) AS BIGINT) AS n_points_total,
+                CAST(sum(term_q20) AS BIGINT) AS est_count_q20,
+                CAST(CAST(sum(term_q20) AS BIGINT) AS DOUBLE)
+                  / CAST(1048576 AS DOUBLE) AS est_count,
+                total_cents,
+                CAST(sum(n_points) AS BIGINT) * step AS grid_est_cents
+         FROM k GROUP BY n_exact, total_cents, step""",
+
+    // the arithmetic raster (the mm_png_decode synthesis) equalized in
+    // SQL: per-image histogram -> cdf -> integer remap
+    "mm_image_histogram_eq" ->
+      """WITH px AS (SELECT d.doc_id, 1 + d.doc_id % 8 AS w,
+                     1 + d.n_chars % 8 AS h, xx.x, yy.y,
+                     (d.doc_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS p
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(8)) AS x) xx
+              CROSS JOIN (SELECT unnest(range(8)) AS y) yy
+              WHERE xx.x < 1 + d.doc_id % 8
+                AND yy.y < 1 + d.n_chars % 8),
+       hist AS (SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c
+                FROM px GROUP BY 1, 2),
+       tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(p * c) AS BIGINT) AS sum_before,
+                      CAST(count(*) AS BIGINT) AS n_levels_before
+               FROM hist GROUP BY 1),
+       cd AS (SELECT doc_id, p, c,
+                     CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cdf
+              FROM hist),
+       mn AS (SELECT doc_id, min(cdf) AS cdf_min FROM cd GROUP BY 1),
+       rm AS (SELECT cd.doc_id, cd.p, cd.c,
+                     CASE WHEN tot.n = mn.cdf_min THEN 0
+                          ELSE (cd.cdf - mn.cdf_min) * 255
+                               // (tot.n - mn.cdf_min) END AS p2
+              FROM cd JOIN mn USING (doc_id) JOIN tot USING (doc_id)),
+       ag AS (SELECT doc_id, CAST(sum(p2 * c) AS BIGINT) AS sum_after,
+                     CAST(count(DISTINCT p2) AS BIGINT) AS n_levels_after
+              FROM rm GROUP BY 1)
+         SELECT d.doc_id AS media_id,
+                CAST(1 + d.doc_id % 8 AS BIGINT) AS width,
+                CAST(1 + d.n_chars % 8 AS BIGINT) AS height,
+                tot.sum_before, ag.sum_after,
+                tot.n_levels_before, ag.n_levels_after
+         FROM documents d
+         JOIN tot ON tot.doc_id = d.doc_id
+         JOIN ag ON ag.doc_id = d.doc_id
+         ORDER BY media_id""",
 
     // same 64/32 window enumeration as mm_audio_window; centered samples
     // are ns·b[j] − wsum (exact integer DC removal), a crossing is a

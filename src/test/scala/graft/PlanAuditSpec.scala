@@ -275,7 +275,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "sample_pps_systematic",
       // 1-row node-count + 1-row edge-count scalars crossJoined into
       // the forest histogram (the graph_triangles summary shape)
-      "graph_mst_boruvka_round")
+      "graph_mst_boruvka_round",
+      // 1-row total/count scalar crossJoined into the point-count DIV
+      // (the sample_pps_systematic shape, estimator side)
+      "sample_pps_ht_estimate",
+      // 1-row bigram-type-count scalar crossJoined into the KN ratios
+      "text_kneser_ney_bits")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("stream_")) {
       val exec = fn(spark, sf).queryExecution.executedPlan

@@ -417,6 +417,113 @@ class PriorityBitmapPprSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("pps HT estimate: unbiased-form replay; estimate lands near truth") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = o.map(_._2).sum
+    val nExact = o.length.toLong
+    val step = total / 200; val off = step / 2
+    var lo = 0L
+    var estQ = 0L; var nPts = 0L; var nSel = 0L
+    for ((_, sz) <- o) {
+      val k = (lo + sz - 1 - off + step) / step -
+        (lo - 1 - off + step) / step
+      if (k >= 1) {
+        estQ += k * step * 1048576L / sz; nPts += k; nSel += 1
+      }
+      lo += sz
+    }
+    val got = SparkEntry.queries("sample_pps_ht_estimate")(spark, sfDir)
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getDouble(4), got.getLong(5), got.getLong(6)) ==
+      (nExact, nSel, nPts, estQ, estQ.toDouble / 1048576.0, total,
+        nPts * step))
+    // Hansen–Hurwitz is unbiased; on one draw it must land within 50%
+    // of the true unit count (loose, but catches a broken estimator)
+    assert(math.abs(estQ.toDouble / 1048576.0 - nExact) < 0.5 * nExact)
+    CacheRegistry.releaseAll()
+  }
+
+  test("histogram equalization: remap replay; range stretched to [0,255]") {
+    val metas = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = metas.sortBy(_._1).map { case (id, nChars) =>
+      val w = (1 + id % 8).toInt; val h = (1 + nChars % 8).toInt
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val n = px.size.toLong
+      val hist = px.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val levels = hist.keys.toSeq.sorted
+      val cdf = levels.scanLeft(0L)((a, p) => a + hist(p)).tail
+      val cdfByLevel = levels.zip(cdf).toMap
+      val cdfMin = cdf.head
+      def remap(p: Int): Long =
+        if (n == cdfMin) 0L
+        else (cdfByLevel(p) - cdfMin) * 255L / (n - cdfMin)
+      (id, w.toLong, h.toLong, px.map(_.toLong).sum,
+        px.map(p => remap(p)).sum, levels.size.toLong,
+        levels.map(remap).distinct.size.toLong)
+    }.toSeq
+    val got = SparkEntry.queries("mm_image_histogram_eq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    CacheRegistry.releaseAll()
+  }
+
+  test("kneser-ney: exact-ratio replay; probabilities sum to 1 per history") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    val bg = docs.flatMap { case (id, lang, text) =>
+      val t = toks(text)
+      t.zip(t.drop(1)).map { case (v, w) => (id % 2 == 0, lang, v, w) }
+    }
+    val cnt = bg.filter(_._1).groupBy(t => (t._3, t._4)).view
+      .mapValues(_.size.toLong).toMap
+    val cv = cnt.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val nw = cnt.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val b = cnt.size.toLong
+    def ratio(v: String, w: String): (Long, Long) = cv.get(v) match {
+      case None => (nw.getOrElse(w, 0L), b)
+      case Some((cvv, n1v)) =>
+        val c = cnt.getOrElse((v, w), 0L)
+        (math.max(4 * c - 3, 0L) * b + 3L * n1v * nw.getOrElse(w, 0L),
+          cvv * 4L * b)
+    }
+    val expected = bg.filterNot(_._1).groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (lang, rows) =>
+        val rs = rows.map(t => ratio(t._3, t._4))
+        val covered = rs.count(_._1 > 0).toLong
+        val bits = rs.filter(_._1 > 0).map { case (num, den) =>
+          graft.functions.FixedLog2.log2fp(den) -
+            graft.functions.FixedLog2.log2fp(num) }.sum
+        (lang, rows.size.toLong, covered, bits,
+          bits.toDouble / (covered * 1048576L).toDouble,
+          covered.toDouble / rows.size.toDouble)
+      }
+    val got = SparkEntry.queries("text_kneser_ney_bits")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // KN is a proper distribution: for every seen history v, the exact
+    // ratios over the TRAIN vocabulary of continuations sum to <= 1
+    // (equality up to the discount mass spread over unseen w)
+    val vs = cv.keys.take(20)
+    for (v <- vs) {
+      val mass = nw.keys.toSeq.map { w =>
+        val (num, den) = ratio(v, w); num.toDouble / den.toDouble }.sum
+      assert(mass <= 1.0 + 1e-9, s"history $v mass $mass > 1")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("stream-stream full join: both sides' evictions match the threshold formula") {
     val streamed = SparkEntry.queries("stream_stream_full_join")(
       spark, sfDir)
