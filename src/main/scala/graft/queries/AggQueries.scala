@@ -1901,8 +1901,8 @@ object AggQueries {
     // raked to the FULL-period row then column margins — one row pass +
     // one column pass, both on the q10 integer lattice with explicit
     // DIV (trunc ≡ floor on nonnegatives, both engines), so the fitted
-    // weights are bitwise-portable with no float ratio anywhere. The
-    // column pass's product rides DECIMAL(38,0) into the integral
+    // weights are bitwise-portable with no float ratio anywhere. BOTH
+    // passes' products ride DECIMAL(38,0)/HUGEINT into the integral
     // divide (the ols/beta precedent) — at extreme scale the BIGINT
     // re-entry fails loudly on both engines rather than drifting. Seed
     // and margin frames are dimension-sized (types × weekdays); the
@@ -1925,7 +1925,8 @@ object AggQueries {
       val w1 = seed
         .join(broadcast(rTot), "event_type")
         .join(broadcast(rs), "event_type")
-        .withColumn("w1", expr("n_seed * 1024 * r_i div rs0"))
+        .withColumn("w1",
+          expr("cast(n_seed as decimal(38,0)) * 1024 * r_i div rs0"))
         .tracked // column sums and the final projection reuse it
       val cs = w1.groupBy("dow").agg(sum("w1").cast("long").as("cs1"))
       w1.join(broadcast(cTot), "dow")
@@ -3520,7 +3521,8 @@ object AggQueries {
      rs AS (SELECT event_type, CAST(sum(n_seed) AS BIGINT) AS rs0
             FROM seed GROUP BY 1),
      w1 AS (SELECT seed.event_type, seed.dow, seed.n_seed,
-                   (seed.n_seed * 1024 * rt.r_i) // rs.rs0 AS w1
+                   CAST((CAST(seed.n_seed AS HUGEINT) * 1024 * rt.r_i)
+                        // rs.rs0 AS BIGINT) AS w1
             FROM seed JOIN rt USING (event_type)
                       JOIN rs USING (event_type)),
      cs AS (SELECT dow, CAST(sum(w1) AS BIGINT) AS cs1

@@ -2608,14 +2608,24 @@ object TextSimQueries {
         .join(cv, Seq("v"), "left")
         .join(nw, Seq("w"), "left")
         .crossJoin(broadcast(bb))
-        .withColumn("num",
-          when(col("cv").isNull, coalesce(col("n1w"), lit(0L)))
+        // the ratio's num/den products ride DECIMAL(38,0) (c·4·B,
+        // 3·N1v·N1w, cv·4·B all exceed BIGINT once bigram types ~ 1e9
+        // meet history counts ~ 1e8) and re-enter BIGINT CHECKED — a
+        // loud raise on overflow on BOTH engines (the oracle's HUGEINT
+        // → BIGINT cast raises in DuckDB), never a silent Spark wrap
+        .withColumn("num", graft.olap.Exact.checkedLong(
+          when(col("cv").isNull,
+              coalesce(col("n1w"), lit(0L)).cast("decimal(38,0)"))
             .otherwise(
-              greatest(coalesce(col("c"), lit(0L)) * 4L - 3L, lit(0L))
+              greatest(coalesce(col("c"), lit(0L)).cast("decimal(38,0)")
+                  * 4 - 3, lit(0).cast("decimal(38,0)"))
                 * col("b_types")
-                + lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))))
-        .withColumn("den", when(col("cv").isNull, col("b_types"))
-          .otherwise(col("cv") * 4L * col("b_types")))
+                + lit(3).cast("decimal(38,0)") * col("n1v")
+                  * coalesce(col("n1w"), lit(0L)))))
+        .withColumn("den", graft.olap.Exact.checkedLong(
+          when(col("cv").isNull, col("b_types").cast("decimal(38,0)"))
+            .otherwise(col("cv").cast("decimal(38,0)") * 4
+              * col("b_types"))))
         .withColumn("bits_q20",
           when(col("num") > 0L, L(col("den")) - L(col("num")))
             .otherwise(lit(0L)))
@@ -5160,12 +5170,17 @@ object TextSimQueries {
                  FROM cnt GROUP BY 1),
           bb AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM cnt),
           te AS (SELECT bg.lang,
-                   CASE WHEN cv.cv IS NULL THEN coalesce(nw.n1w, 0)
-                     ELSE greatest(coalesce(cnt.c, 0) * 4 - 3, 0)
+                   CAST(CASE WHEN cv.cv IS NULL
+                       THEN CAST(coalesce(nw.n1w, 0) AS HUGEINT)
+                     ELSE greatest(CAST(coalesce(cnt.c, 0) AS HUGEINT)
+                              * 4 - 3, CAST(0 AS HUGEINT))
                             * bb.b_types
-                          + 3 * cv.n1v * coalesce(nw.n1w, 0) END AS num,
-                   CASE WHEN cv.cv IS NULL THEN bb.b_types
-                     ELSE cv.cv * 4 * bb.b_types END AS den
+                          + CAST(3 AS HUGEINT) * cv.n1v
+                            * coalesce(nw.n1w, 0) END AS BIGINT) AS num,
+                   CAST(CASE WHEN cv.cv IS NULL
+                       THEN CAST(bb.b_types AS HUGEINT)
+                     ELSE CAST(cv.cv AS HUGEINT) * 4 * bb.b_types
+                     END AS BIGINT) AS den
                  FROM bg LEFT JOIN cnt ON cnt.v = bg.v AND cnt.w = bg.w
                          LEFT JOIN cv ON cv.v = bg.v
                          LEFT JOIN nw ON nw.w = bg.w
@@ -5233,7 +5248,8 @@ object TextSimQueries {
          FROM enc GROUP BY 1 ORDER BY 1""",
 
     // frequency-of-frequencies + Turing smoothing; N is Σ r·N_r over the
-    // FULL spectrum (computed before the r <= 10 display cut)
+    // FULL spectrum (computed before the display cut to the 15 rarest
+    // bands, ORDER BY r LIMIT 15 — matching the engine)
     "text_good_turing" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS token
                     FROM documents),

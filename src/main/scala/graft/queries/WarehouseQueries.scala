@@ -1243,8 +1243,13 @@ object WarehouseQueries {
           "(lo + sz - 1 - off + step) div step" +
             " - (lo - 1 - off + step) div step"))
         .filter(col("n_points") >= 1L)
+        // the q20 product rides DECIMAL(38,0) into the integral divide
+        // (the raking/ols precedent): step ~ total/200, so a plain-BIGINT
+        // n_points·step·2²⁰ wraps silently around total ~ 1.8e15 cents
+        // while the HUGEINT oracle raises — the decimal ride keeps both
+        // engines exact, and the DIV re-enters BIGINT as a tiny quotient
         .withColumn("term_q20",
-          expr("n_points * step * 1048576 div sz"))
+          expr("cast(n_points as decimal(38,0)) * step * 1048576 div sz"))
       sel.groupBy("total_cents", "n_exact", "step")
         .agg(count(lit(1)).as("n_selected"),
           sum("n_points").cast("long").as("n_points_total"),
@@ -2406,8 +2411,8 @@ object WarehouseQueries {
                         (lo + sz - 1 - off + step) // step
                           - (lo - 1 - off + step) // step AS n_points
                       FROM p),
-              k AS (SELECT *, (n_points * step * 1048576) // sz
-                      AS term_q20
+              k AS (SELECT *, (CAST(n_points AS HUGEINT) * step * 1048576)
+                      // sz AS term_q20
                     FROM sel WHERE n_points >= 1)
          SELECT n_exact, CAST(count(*) AS BIGINT) AS n_selected,
                 CAST(sum(n_points) AS BIGINT) AS n_points_total,
