@@ -52,6 +52,17 @@ object SparkEntry {
       graft.queries.StreamIngestQueries.queries ++
       graft.queries.WarehouseQueries.queries
 
+  /** The oracle-exemption REGISTRY — queries exempt BY DESIGN, not by
+    * omission: the lossy JPEG round-trips (JPEG's IDCT is spec'd with a
+    * tolerance, so no SQL can replay the decoded pixels bitwise) carry
+    * the spec-checked determinism/fidelity contract instead
+    * (PropertySpec). Lives in main code so graft.Verify can write it
+    * into each round's ledger (VERIFY_r{N}.json) and OhlcSpec pins
+    * `oracleSql.keySet == queries.keySet -- oracleExempt` against it —
+    * one registry, three consumers.
+    */
+  val oracleExempt: Set[String] = Set("mm_jpeg_decode", "mm_mjpeg_scene_cut")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

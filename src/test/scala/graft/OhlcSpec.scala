@@ -96,7 +96,9 @@ class OhlcSpec extends AnyFunSuite {
     // spec-checked contract instead (PropertySpec fidelity/determinism).
     // Anything else without an oracle fails here before it can silently
     // become a weaker rows-only row in the driver's ledger.
-    val oracleExempt = Set("mm_jpeg_decode", "mm_mjpeg_scene_cut")
+    val oracleExempt = SparkEntry.oracleExempt // the one registry
+    assert(oracleExempt == Set("mm_jpeg_decode", "mm_mjpeg_scene_cut"),
+      "exemption registry changed — re-justify each entry here")
     assert(oracleExempt.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet.diff(oracleExempt),
