@@ -19,9 +19,20 @@ import org.apache.spark.sql.internal.SQLConf
   * the child's full parallelism (unlike `coalesce(1)`, which would drag
   * the whole chain into a single task).
   *
-  * Scale posture: the rewrite is gated on the child's estimated size
+  * Scale posture: the rewrite is gated on TWO stats signals, both of
+  * which must clear. (a) the child's estimated size
   * (`spark.graft.presentSort.maxBytes`, default 32 MB — a frame small
-  * enough to broadcast is small enough to sort on one partition). At
+  * enough to broadcast is small enough to sort on one partition); and
+  * (b) when the child's row count is KNOWN, it must also be under
+  * `spark.graft.presentSort.maxRows` (default 131072). `sizeInBytes`
+  * alone is an ESTIMATE that can lie low — schema-default column widths
+  * (a string column estimates ~20 bytes regardless of content) and
+  * un-materialized cached relations both under-report, which would
+  * silently funnel a large result through one partition at exactly the
+  * scale where it hurts. A lying byte estimate usually lies about
+  * bytes-per-row, not rows, so the row bound catches it whenever row
+  * counts propagate (range/limit/local relations); when neither signal
+  * is trustworthy the default 32 MB through one task is survivable. At
   * 100 TB the scan-derived stats blow past the gate and the range sort
   * stays — exactly the plan a billion-row ORDER BY needs. Only the ROOT
   * sort is eligible: interior sorts (window framing, sort-merge joins)
@@ -34,11 +45,19 @@ object PresentSortRule extends Rule[LogicalPlan] {
       .getConfString("spark.graft.presentSort.maxBytes", "33554432")
       .toLong
 
-  private def rewrite(s: Sort): LogicalPlan =
-    if (s.global && s.child.stats.sizeInBytes <= maxBytes)
+  private def maxRows: Long =
+    SQLConf.get
+      .getConfString("spark.graft.presentSort.maxRows", "131072")
+      .toLong
+
+  private def rewrite(s: Sort): LogicalPlan = {
+    val st = s.child.stats
+    val rowsOk = st.rowCount.forall(_ <= BigInt(maxRows))
+    if (s.global && st.sizeInBytes <= maxBytes && rowsOk)
       Sort(s.order, global = false,
         Repartition(1, shuffle = true, s.child), s.hint)
     else s
+  }
 
   // the rewrite target, including Verify's `coalesce(1)` wrapper —
   // a 1-partition coalesce over a global sort is the same presentation
