@@ -79,29 +79,56 @@ object SimHash {
       s"need >= ${maxHamming + 1} bands for Hamming<=$maxHamming recall")
     val width = Bits / bands
     val mask = (1L << width) - 1L
+    // HASH-GROUP COLLAPSE (round 9 — found by the sf10 scaling probe):
+    // whether two docs are candidates depends ONLY on their hashes
+    // (bucket membership is a function of the hash; so is Hamming), so
+    // the banded self-join runs over the DISTINCT hashes and doc pairs
+    // are re-expanded afterwards, output-bound. The doc-level join
+    // saturates quadratically once the corpus outgrows the 2^16 key
+    // space — measured at sf10 (500 k docs, 71 k distinct hashes):
+    // candidate mass 14.0e9 doc pairs vs 105e6 hash pairs, a 134×
+    // reduction (hot buckets collapse superlinearly because duplicate-
+    // heavy corpora repeat whole hashes, not just band keys).
+    val sh = docs
+      .select(col(idCol).as("doc_id"), simhash32(col(textCol)).as("simhash"))
+      .tracked // h0 self-join + both expansion joins read it
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
     }
-    // one scan: simhash computed once, banded frame persisted across the
-    // self-join exactly like the MinHash bucket frame
-    val banded = docs
-      .select(col(idCol).as("doc_id"), simhash32(col(textCol)).as("simhash"))
-      .select(col("doc_id"), col("simhash"),
+    val banded = sh.select("simhash").distinct()
+      .select(col("simhash"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-      .tracked // registered: released by Bench/Verify post-materialization
-    banded.as("x").join(banded.as("y"),
+      .select(col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .tracked // both sides of the hash-level self-join
+    val candHash = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct() // multi-band collisions -> one candidate per pair
+          && col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct() // multi-band collisions -> one candidate per hash pair
       .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+    // Hamming-0 pairs: every doc pair inside one hash group (same hash
+    // ⇒ same buckets, trivially candidates). The self-join keys on the
+    // full hash, so its volume IS the output volume.
+    val h0 = sh.as("a").join(sh.as("b"),
+        col("a.simhash") === col("b.simhash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    // cross-hash expansion: hash-keyed joins, volume = output volume.
+    // (ha, hb) is unique per unordered doc pair, so no distinct needed;
+    // least/greatest restores the doc_a < doc_b contract.
+    val h1 = candHash
+      .join(sh.select(col("simhash").as("ha"), col("doc_id").as("da")),
+        "ha")
+      .join(sh.select(col("simhash").as("hb"), col("doc_id").as("db")),
+        "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    h0.unionByName(h1).select("doc_a", "doc_b", "hamming")
   }
 
   /** Hamming<=1 near-dup via bit-flip neighbor enumeration — the variant
@@ -118,26 +145,39 @@ object SimHash {
   def neighborNearDupPairs(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // same hash-group collapse as the banded plan: candidacy and
+    // Hamming are functions of the hash alone, so the 33× key blowup
+    // rides the DISTINCT hashes (7× fewer at sf10) and doc pairs
+    // re-expand output-bound
     val sh = docs
       .select(col(idCol).as("doc_id"), simhash32(col(textCol)).as("simhash"))
-      .tracked // registered: released by Bench/Verify post-materialization
-    val exact = sh.select(col("doc_id"), col("simhash"),
-      col("simhash").as("key"))
-    val flips = sh.select(col("doc_id"), col("simhash"),
+      .tracked // h0 self-join + both expansion joins read it
+    val hs = sh.select("simhash").distinct()
+      .tracked // exact + flips sides of the hash-level join
+    val exact = hs.select(col("simhash"), col("simhash").as("key"))
+    val flips = hs.select(col("simhash"),
       explode(array((0 until Bits).map(b =>
         col("simhash").bitwiseXOR(lit(1L << b))): _*)).as("key"))
-    val h0 = exact.as("x").join(exact.as("y"),
-        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-    val h1 = exact.as("x").join(flips.as("y"),
-        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-    h0.unionByName(h1)
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
-      .select("doc_a", "doc_b", "hamming")
+    // each Hamming-1 hash pair collides exact↔neighbor in both
+    // directions; the < keeps it once
+    val candHash = exact.as("x").join(flips.as("y"),
+        col("x.key") === col("y.key")
+          && col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+    val h0 = sh.as("a").join(sh.as("b"),
+        col("a.simhash") === col("b.simhash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    val h1 = candHash
+      .join(sh.select(col("simhash").as("ha"), col("doc_id").as("da")),
+        "ha")
+      .join(sh.select(col("simhash").as("hb"), col("doc_id").as("db")),
+        "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        lit(1).cast("int").as("hamming"))
+    h0.unionByName(h1).select("doc_a", "doc_b", "hamming")
   }
 }
 

@@ -99,6 +99,29 @@ class DedupSimSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("connected components: long adversarial chains exercise many" +
+      " frontier rounds") {
+    import spark.implicits._
+    import graft.dedup.Components
+    // the frontier rewrite's stress shapes: a 150-node path whose ids
+    // DESCEND along the path (the minimum enters from the far end, so
+    // the frontier stays alive for the full log-diameter schedule), and
+    // a second path with ids interleaved even/odd so propagation and
+    // pointer jumping interact on every round
+    val down = (0 until 149).map(i => (1000L - i, 1000L - i - 1))
+    val weave = (0 until 99).map { i =>
+      val a = if (i % 2 == 0) 2000L + i / 2 else 2999L - i / 2
+      val b = if (i % 2 == 1) 2000L + (i + 1) / 2 else 2999L - i / 2
+      (a, b)
+    }
+    val got = Components.canonicalLabels(
+        (down ++ weave).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((852L to 1000L).forall(n => got(n) == 851L), got(1000L))
+    val weaveNodes = weave.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(weaveNodes.forall(n => got(n) == weaveNodes.min))
+  }
+
   test("bruteForceTopK: k rows per query, self excluded, rank ordered") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.bruteForceTopK(emb,
