@@ -29,21 +29,66 @@ object GraphFrames {
         .distinct()
     }
 
-  /** Co-purchase part–part edges `(u, v)` with `u < v`, distinct: two
-    * parts are linked iff some order contains both. Wedge volume is
-    * bounded by order width (orders are small by construction), so the
-    * self-join is scale-safe; the distinct is the one shuffle.
+  /** Whole-basket skew guard for the per-order self-join: drop item sets
+    * wider than `maxBasket` BEFORE pairing. The per-order pair join is
+    * quadratic in basket width — fixture baskets are ≤ 7 items, but at
+    * real scale one mega-basket (a crawler account, a bot order) is the
+    * same hot-bucket blow-up the LSH scaling study measured (SCALING.md
+    * finding 1: 6.2 s → 303 s at 10×), so the guard is structural, not
+    * optional. Same drop-the-outlier idiom as
+    * [[graft.dedup.MinHash.candidatePairsCapped]]: a 10⁴-item basket is
+    * bot traffic, not 10⁸ useful co-purchase signals; dropping it trades
+    * bounded signal loss on exactly those orders for a hard
+    * O(maxBasket²·n_orders) pair ceiling. Offender frame is outlier-sized
+    * → broadcast anti-join, no new fact-scale shuffle.
     */
-  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = orderPartItems(s, dir)
-    CacheRegistry.pinned(s"copurchase:$dir") {
+  def capBaskets(items: DataFrame, keyCol: String, maxBasket: Int)
+      : DataFrame = {
+    val wide = items.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("basket_w"))
+      .filter(col("basket_w") > maxBasket)
+      .select(col(keyCol))
+    items.join(org.apache.spark.sql.functions.broadcast(wide),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** The configured basket-width bound (`spark.graft.copurchase
+    * .maxBasket`, default 256): far above any fixture width (≤ 7), so on
+    * the test corpus the guard is the identity — ScaleOpsSpec pins that —
+    * while a production mega-basket is dropped before it can go
+    * quadratic. */
+  def maxBasket(s: SparkSession): Int =
+    s.conf.get("spark.graft.copurchase.maxBasket", "256").toInt
+
+  /** WEIGHTED co-purchase edges `(u, v, w)` with `u < v`, w = number of
+    * shared orders: the ONE per-order self-join the whole co-purchase
+    * family derives from. Building weights and the distinct edge set
+    * used to be two separate self-joins of the same item frame
+    * (coPurchaseEdges' distinct + Borůvka's groupBy-count); the weighted
+    * groupBy subsumes the distinct, so the join now runs once per
+    * process+SF and the unweighted view is a projection of this cached
+    * frame. Basket-width capped (see [[capBaskets]]).
+    */
+  def coPurchaseWeighted(s: SparkSession, dir: String): DataFrame = {
+    val cap = maxBasket(s)
+    val li = capBaskets(orderPartItems(s, dir), "ok", cap)
+    CacheRegistry.pinned(s"copurchase_w:$cap:$dir") {
       li.as("a")
         .join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
     }
   }
+
+  /** Co-purchase part–part edges `(u, v)` with `u < v`, distinct: two
+    * parts are linked iff some order contains both. A projection of the
+    * pinned [[coPurchaseWeighted]] frame (the groupBy is the distinct) —
+    * cached columnar scans prune to (u, v), so consumers pay nothing for
+    * the shared weight column.
+    */
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseWeighted(s, dir).select(col("u"), col("v"))
 
   /** Undirected degree per node of the co-purchase graph — shared by the
     * triangle machinery, common-neighbors/jaccard cap filters and the

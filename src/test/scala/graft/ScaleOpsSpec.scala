@@ -239,6 +239,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_unchanged") == 1) // key 2
   }
 
+  test("basket cap: loose bound is the identity, tight bound drops" +
+      " whole wide baskets and nothing else") {
+    import spark.implicits._
+    val G = graft.olap.GraphFrames
+    // synthetic item sets: basket 1 width 2, basket 2 width 3,
+    // basket 3 width 5 (the mega-basket)
+    val items = (Seq((1L, 10L), (1L, 11L)) ++
+      Seq((2L, 10L), (2L, 12L), (2L, 13L)) ++
+      (1L to 5L).map(p => (3L, 100L + p)))
+      .toDF("ok", "pk")
+    // loose cap: identity (row-set equality both directions)
+    assert(G.capBaskets(items, "ok", 5).exceptAll(items).count() == 0)
+    assert(items.exceptAll(G.capBaskets(items, "ok", 5)).count() == 0)
+    // tight cap: basket 3 vanishes WHOLE; baskets 1-2 untouched
+    val capped = G.capBaskets(items, "ok", 4)
+    assert(capped.filter(col("ok") === 3L).count() == 0)
+    assert(capped.count() == 5)
+    // the default production bound never binds on the fixture corpus —
+    // the capped weighted build ≡ the uncapped self-join, bitwise
+    val li = G.orderPartItems(spark, sf)
+    val uncapped = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val viaGuard = G.coPurchaseWeighted(spark, sf)
+    assert(viaGuard.exceptAll(uncapped).count() == 0)
+    assert(uncapped.exceptAll(viaGuard).count() == 0)
+  }
+
+  test("basket-width census predicts the pair join's exact output mass") {
+    // the census exists to forecast the join without running it — pin
+    // that the forecast is EXACT: Σ pair_mass over the histogram equals
+    // the total pair multiplicity the per-order self-join produces
+    val G = graft.olap.GraphFrames
+    val li = G.orderPartItems(spark, sf)
+    val predicted = li.groupBy("ok").agg(count(lit(1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_orders"))
+      .select(expr("sum(((w * (w - 1)) div 2) * n_orders)").as("m"))
+      .collect().head.getLong(0)
+    val actual = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .count()
+    assert(predicted == actual)
+  }
+
   test("stream-static enrich matches the batch join") {
     val streamed = graft.streaming.EventStream.runStaticEnrich(spark, sf)
       .orderBy("c_mktsegment", "event_type")
