@@ -450,6 +450,14 @@ object StreamIngestQueries {
       graft.streaming.EventStream.runStreamStreamJoin(s, dir)
         .orderBy("event_id", "view_ts", "view_value")),
 
+    // Left-semi stream-stream join: purchases with ≥1 view in their
+    // trailing hour, each emitted exactly once on first match — the
+    // batch-boundary-INDEPENDENT member of the join family (no eviction
+    // semantics at all), so the oracle is a plain EXISTS
+    "stream_stream_semi_join" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamStreamSemiJoin(s, dir)
+        .orderBy("event_id")),
+
     // Left-outer stream-stream join: matches + watermark-evicted
     // unmatched lefts (see EventStream.runStreamStreamLeftJoin for the
     // eviction contract the oracle mirrors)
@@ -1696,6 +1704,19 @@ object StreamIngestQueries {
           AND p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
          ORDER BY p.event_id, view_ts, view_value""",
+
+    // plain EXISTS — the semi join emits each matched purchase once,
+    // with no watermark/batch-boundary dependence anywhere
+    "stream_stream_semi_join" ->
+      """SELECT p.event_id, p.user_id, p.ts
+         FROM events p
+         WHERE p.event_type = 'purchase'
+           AND EXISTS (SELECT 1 FROM events v
+                       WHERE v.event_type = 'view'
+                         AND v.user_id = p.user_id
+                         AND v.ts >= p.ts - INTERVAL 1 HOUR
+                         AND v.ts <= p.ts)
+         ORDER BY p.event_id""",
 
     // the left-join oracle plus the right side's evictions: a view is
     // provably unmatchable once the watermark passes view_ts + 1h

@@ -326,6 +326,36 @@ object TextSimQueries {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination — exact-gram overlap (text_contamination)
+    // misses paraphrased/reformatted benchmark leakage; the production
+    // pass (GPT-3 appendix C, PaLM, Llama) is near-dup matching between
+    // corpus and benchmark. This is the CROSS-SET form of the LSH
+    // candidate join: corpus bucket rows probe benchmark bucket rows on
+    // (band, key) — never corpus×corpus — so the candidate volume is
+    // bounded by the benchmark's bucket occupancy, and at 100 TB the
+    // benchmark side is a broadcast-sized materialized band index.
+    // est_jaccard = matching signature components / 16 (exact k/16
+    // doubles on both engines).
+    "text_contamination_fuzzy" -> ((s, dir) => {
+      val bk = MinHash.bucketFrame(Tables.documents(s, dir), "doc_id",
+          "text", 16, 4)
+        .tracked // corpus + benchmark sides slice one frame
+      val isBench = col("doc_id") < 20
+      bk.filter(!isBench).as("c")
+        .join(bk.filter(isBench).as("b"),
+          col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+        .select(col("c.doc_id").as("doc_id"),
+          col("b.doc_id").as("bench_id"),
+          (expr("size(filter(zip_with(c.sig, b.sig, (a, b) -> a = b)," +
+              " x -> x))").cast("double") / lit(16.0)).as("est_jaccard"))
+        .distinct() // multi-band collisions: one row per (doc, bench)
+        .filter(col("est_jaccard") >= 0.5)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("est_jaccard")).as("max_jaccard"))
+        .orderBy("doc_id")
+    }),
+
     // North-star text analysis: corpus vocabulary — token frequencies,
     // top-k (explode → count → distributed top-k).
     "text_vocab_topk" -> ((s, dir) =>
@@ -758,6 +788,56 @@ object TextSimQueries {
         .join(dupNew, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("hit"), lit(false)).as("is_dup_of_existing"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL connected components — the materialized-view
+    // maintenance posture for the dedup clustering at 100 TB: a new
+    // ingest batch must never re-cluster the old corpus. Yesterday's
+    // clustering is STAR-COMPRESSED to its (doc → canonical) label edges
+    // (at scale: the stored label table), the delta is only the banded
+    // candidate pairs touching the new batch (at scale: new-batch
+    // buckets probing the materialized band index — never old×old), and
+    // one CC over (stars ∪ delta) — a frame dominated by the label
+    // table, not the pair graph — yields labels PROVABLY equal to
+    // re-clustering from scratch: star edges preserve old components
+    // exactly, delta edges are precisely the pairs a full run would add,
+    // so the union has the full graph's components. The oracle is the
+    // full-corpus closure, pinning incremental ≡ full re-cluster
+    // bitwise. Batch convention mirrors dedup_incremental_ingest
+    // (new = doc_id % 5 == 0).
+    "dedup_cc_incremental" -> ((s, dir) => {
+      import graft.dedup.Components
+      val docs = Tables.documents(s, dir)
+      val isNewId = col("doc_id") % 5 === 0
+      // yesterday: the standard banding restricted to the old corpus
+      val oldPairs = SimHash.bandedNearDupPairs(docs.filter(!isNewId),
+        "doc_id", "text", maxHamming = 1, bands = 2)
+      val oldLabels = Components.canonicalLabels(oldPairs,
+          "doc_a", "doc_b")
+        .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+      // today: banded pairs with ≥ 1 new endpoint, off ONE banded frame
+      val bk = docs
+        .select(col("doc_id"), SimHash.simhash32(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"), explode(array(
+            struct(lit(0).as("band"),
+              col("sh").bitwiseAND(lit(65535L)).as("key")),
+            struct(lit(1).as("band"),
+              shiftright(col("sh"), 16).bitwiseAND(lit(65535L))
+                .as("key")))).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+        .tracked // both delta-join sides slice it
+      val delta = bk.as("x").join(bk.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            (col("x.doc_id") % 5 === 0 || col("y.doc_id") % 5 === 0))
+        .filter(bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      Components.canonicalLabels(oldLabels.unionByName(delta), "a", "b")
+        .withColumn("is_new_doc", col("doc_id") % 5 === 0)
         .orderBy("doc_id")
     }),
 
@@ -2825,6 +2905,23 @@ object TextSimQueries {
          FROM corp JOIN bench USING (gram)
          GROUP BY 1 ORDER BY 1""",
 
+    // cross-set LSH: corpus bucket rows vs benchmark bucket rows on the
+    // shared (band, key) CTE chain; est_jaccard is the exact k/16 double
+    "text_contamination_fuzzy" ->
+      s"""WITH $duckMinhashBkCtes,
+          cand AS (SELECT DISTINCT c.doc_id AS doc_id,
+                          b.doc_id AS bench_id,
+                          CAST(len(list_filter(generate_series(1, 16),
+                            i -> c.sig[i] = b.sig[i])) AS DOUBLE) / 16.0
+                            AS est_jaccard
+                   FROM bk c JOIN bk b
+                     ON c.band = b.band AND c.key = b.key
+                   WHERE c.doc_id >= 20 AND b.doc_id < 20)
+          SELECT doc_id, count(*) AS n_bench_hits,
+                 max(est_jaccard) AS max_jaccard
+          FROM cand WHERE est_jaccard >= 0.5
+          GROUP BY doc_id ORDER BY doc_id""",
+
     "dedup_passage_exact" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(range(0, (n_chars + 63) // 64)) AS i,
@@ -3103,6 +3200,39 @@ object TextSimQueries {
               UNION
               SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
           SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+          FROM reach GROUP BY 1 ORDER BY 1""",
+
+    // the incremental merge is pinned against the FULL-corpus closure:
+    // star-compressed old labels ∪ new-batch delta has exactly the full
+    // graph's components, so the oracle is the same recursive CTE as
+    // dedup_cc_canonical plus the batch marker
+    "dedup_cc_incremental" ->
+      s"""WITH RECURSIVE
+            h AS (SELECT doc_id, $duckTokHashes AS th FROM documents),
+            s AS (SELECT doc_id, $duckSimhash AS simhash FROM h),
+            b AS (SELECT doc_id, simhash, 0 AS band,
+                         simhash & 65535 AS key FROM s
+                  UNION ALL
+                  SELECT doc_id, simhash, 1,
+                         (simhash >> 16) & 65535 FROM s),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+          SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id,
+                 (n % 5 = 0) AS is_new_doc
           FROM reach GROUP BY 1 ORDER BY 1""",
 
     // the CC closure joined to doc metadata; survivor = deterministic

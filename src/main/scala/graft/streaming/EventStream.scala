@@ -24,10 +24,8 @@ object EventStream {
     * session-UTC TimestampType every downstream transform was written
     * against (same adapter as batch).
     */
-  def rawSchema(spark: SparkSession, dir: String): StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema
-  }
+  def rawSchema(spark: SparkSession, dir: String): StructType =
+    graft.Tables.load(spark, dir, "events").schema // memoized, glob-safe
 
   /** Streaming state partitions are fixed per query at start (they live
     * in the checkpoint for the query's lifetime), and every state store
@@ -45,14 +43,25 @@ object EventStream {
     try f finally spark.conf.set(key, old)
   }
 
-  /** Unbounded events source from a fixture dir. */
+  /** Unbounded events source from a fixture dir. The glob admits both
+    * the driver's single-file layout (`events.parquet`) and the scaled
+    * multi-part layout (`events-0000.parquet`…) ScaleGen emits so the
+    * scaling study can replay k files as k bounded micro-batches instead
+    * of one 10 M-row batch (VERDICT r8 item 5 — worst-case state
+    * pressure was a fixture artifact, not an engine property). When no
+    * explicit cap is passed, `spark.graft.stream.maxFilesPerTrigger`
+    * supplies one (ScalingBench sets it); unset + single-file fixtures
+    * ⇒ the exact pre-r9 behavior.
+    */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // file streams need a directory source; glob-filter to the events file
+    // file streams need a directory source; glob-filter to the events file(s)
     val r = spark.readStream.schema(rawSchema(spark, dir))
-      .option("pathGlobFilter", "events.parquet")
-    val r2 = maxFilesPerTrigger.fold(r)(n =>
-      r.option("maxFilesPerTrigger", n))
+      .option("pathGlobFilter", "events*.parquet")
+    val cap = maxFilesPerTrigger.orElse(
+      spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+        .map(_.toInt))
+    val r2 = cap.fold(r)(n => r.option("maxFilesPerTrigger", n))
     graft.Tables.normalizeTs(r2.parquet(dir), "ts")
   }
 
@@ -86,7 +95,7 @@ object EventStream {
     import graft.text.TextAnalysis
     val docsSchema = graft.Tables.documents(spark, dir).schema
     val src = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -315,6 +324,43 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream LEFT SEMI join — "purchases that HAD a view in their
+    * trailing hour", emitted exactly once per purchase with no view
+    * columns. Completes the streaming join family (inner / left outer /
+    * full outer / semi): the semi form is the streaming existence probe
+    * behind funnel admission ("only act on purchases preceded by a
+    * view") and it is the CHEAPEST of the family — the left row emits on
+    * its FIRST match and its state drops immediately (no match
+    * accumulation, no eviction-as-output asymmetry), so over a bounded
+    * replay the emitted set is exactly the batch EXISTS predicate,
+    * independent of watermark position and batch boundaries. State stays
+    * bounded by the 1 h range condition on the view side as usual.
+    */
+  def runStreamStreamSemiJoin(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val name = "graft_stream_semi_join"
+    val ev = readEvents(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val q = p.join(v,
+        col("p_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("p_ts"),
+        "left_semi")
+      .select(col("event_id"), col("p_user").as("user_id"),
+              col("p_ts").as("ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Stream-stream LEFT OUTER join — the inner join above plus state
     * EVICTION as output: a purchase with no view in its trailing hour
     * emits null-joined, but only once the watermark PROVES no future
@@ -474,7 +520,7 @@ object EventStream {
                   workDir: String): DataFrame =
       withStatePartitions(spark, 8) {
     val schema = rawSchema(spark, dir)
-    val raw = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+    val raw = spark.read.schema(schema).parquet(s"$dir/events*.parquet")
     for (k <- 0 to 2)
       raw.filter(pmod(col("event_id"), lit(3)) === k).coalesce(1)
         .write.mode("overwrite").parquet(s"$workDir/src/c$k")
