@@ -32,7 +32,12 @@ object Tables {
     // session whose first scan is lineitem (e.g. a graph-only bench)
     // would otherwise fail schema inference order-dependently
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/$name.parquet"
+    // glob, not a bare file path: the driver fixtures are one file per
+    // table (`events.parquet`) but ScaleGen's scaled dirs split the
+    // streaming-read tables into parts (`events-0000.parquet`…) so the
+    // scaling study can replay bounded micro-batches; no fixture table
+    // name is a prefix of another, so the glob is exact either way
+    val path = s"$dir/$name*.parquet"
     val schema = schemaMemo.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)

@@ -98,7 +98,7 @@ object StreamNearDup {
     val name = "graft_stream_neardup"
     val docsSchema = graft.Tables.documents(spark, dir).schema
     val src = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
     val q = detect(banded(src))
       .toDF()

@@ -69,12 +69,10 @@ object ScaleGen {
         .repartition(math.max(8, math.min(256, 4 * k)))
 
     /** Write `df` as a SINGLE parquet FILE at `$outDir/$name.parquet`,
-      * matching the driver fixture's one-file-per-table layout exactly —
-      * the streaming fixtures glob on the literal leaf name
-      * (`pathGlobFilter=events.parquet`), so a directory of part files
-      * is invisible to them (the first draft's sf1 sessionize "ran" in
-      * 0.2 s against zero input). One file still scans in parallel:
-      * Spark splits parquet by byte range / row group.
+      * matching the driver fixture's one-file-per-table layout — the
+      * readers glob `$name*.parquet`, so either this or the multi-part
+      * layout below works. One file still scans in parallel: Spark
+      * splits parquet by byte range / row group.
       */
     def write(df: DataFrame, name: String): Unit = {
       val tmp = s"$outDir/_tmp_$name"
@@ -89,6 +87,50 @@ object ScaleGen {
       fs.rename(part(0).getPath, dest)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"[scalegen] wrote $name x$k")
+    }
+
+    /** Write `df` as `parts` range-partitioned files
+      * `$outDir/$name-0000.parquet`… with STAGGERED ascending mtimes —
+      * the multi-file layout for the STREAMING-read tables (VERDICT r8
+      * item 5). The r8 study replayed sf10 as ONE micro-batch of 10 M
+      * events (every key's whole history resident in the state store at
+      * once — worst-case pressure, gc 7.7 s in sessionize), which is a
+      * fixture artifact: real file streams arrive as many files over
+      * time. Range-partitioning on `rangeCol` (event time) + ascending
+      * mtimes makes FileStreamSource replay the parts in arrival order,
+      * and `maxFilesPerTrigger` (ScalingBench sets
+      * spark.graft.stream.maxFilesPerTrigger) bounds each micro-batch so
+      * the watermark advances BETWEEN batches and state actually evicts
+      * mid-run — the regime a production stream lives in.
+      */
+    def writeParts(df: DataFrame, name: String, parts: Int,
+                   rangeCol: String): Unit = {
+      if (parts <= 1) { write(df, name); return }
+      val tmp = s"$outDir/_tmp_$name"
+      df.repartitionByRange(parts, col(rangeCol))
+        .sortWithinPartitions(rangeCol)
+        .write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // part-file names sort in range order (partition index prefix)
+      val found = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+        .sortBy(_.getPath.getName)
+      // clear BOTH layouts' leftovers so re-runs never mix them
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/$name.parquet"),
+        true)
+      for (old <- fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$outDir/$name-*.parquet")))
+        fs.delete(old.getPath, false)
+      val t0 = System.currentTimeMillis()
+      found.zipWithIndex.foreach { case (st, i) =>
+        val dest = new org.apache.hadoop.fs.Path(
+          f"$outDir/$name-$i%04d.parquet")
+        fs.rename(st.getPath, dest)
+        fs.setTimes(dest, t0 + i * 1000L, -1) // arrival order = range order
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      println(s"[scalegen] wrote $name x$k as ${found.length} parts")
     }
 
     val docs = replicate(spark.read.parquet(s"$baseDir/documents.parquet"))
@@ -106,7 +148,8 @@ object ScaleGen {
         col("lang"), col("source"),
         col("n_chars")) // n_chars stays the BASE length: queries treat it
                         // as typed metadata, not a derived invariant
-    write(docs, "documents")
+    // documents stream too (ingest-time gate/LSH): id-ranged parts
+    writeParts(docs, "documents", math.min(k, 16), "doc_id")
 
     val emb = replicate(spark.read.parquet(s"$baseDir/embeddings.parquet"))
       .select(
@@ -126,7 +169,9 @@ object ScaleGen {
         col("ts"),
         (col("user_id") + col("r") * KEY).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    write(events, "events")
+    // the streaming-read table: k time-ranged parts (≤ 32) so the
+    // scaled stream replays as bounded micro-batches, not one mega-batch
+    writeParts(events, "events", math.min(k, 32), "ts")
 
     val lineitem = replicate(spark.read.parquet(s"$baseDir/lineitem.parquet"))
       .select(

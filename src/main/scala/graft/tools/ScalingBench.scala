@@ -37,6 +37,13 @@ object ScalingBench {
         "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
+      // bounded micro-batches over the multi-part scaled stream fixtures
+      // (VERDICT r8 item 5): 4 files per trigger so the watermark
+      // advances between batches and state evicts mid-run instead of the
+      // whole scaled table landing as one batch. Single-file fixtures
+      // are unaffected (1 file = 1 batch either way).
+      .config("spark.graft.stream.maxFilesPerTrigger",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_MAXFILES", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory
@@ -74,6 +81,13 @@ object ScalingBench {
       val dc = cpuSec() - c0
       val dg = gcSec() - g0
       CacheRegistry.releaseAll()
+      // localCheckpoint blocks (CC/pagerank rounds) are reclaimed by the
+      // ASYNC ContextCleaner only after their RDDs are GC'd — without a
+      // nudge, a multi-GB sf10 query inherits the previous query's stale
+      // blocks and execution memory starves (measured: dedup_cc_canonical
+      // OOM'd mid-sweep at sf10 yet passes in isolation). Outside the
+      // timed region, same rationale as Bench's periodic GC.
+      System.gc()
       println(s"""{"scaling":true,"dir":"$dir","query":"$q",""" +
         s""""wall":${f(dt)},"cpu":${f(dc)},"gc":${f(dg)},""" +
         s""""status":"$status"}""")
