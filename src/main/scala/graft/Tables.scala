@@ -32,12 +32,17 @@ object Tables {
     // session whose first scan is lineitem (e.g. a graph-only bench)
     // would otherwise fail schema inference order-dependently
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // glob, not a bare file path: the driver fixtures are one file per
-    // table (`events.parquet`) but ScaleGen's scaled dirs split the
-    // streaming-read tables into parts (`events-0000.parquet`…) so the
-    // scaling study can replay bounded micro-batches; no fixture table
-    // name is a prefix of another, so the glob is exact either way
-    val path = s"$dir/$name*.parquet"
+    // exact file path when the driver's one-file-per-table layout is
+    // present (the common case — and a glob path makes every read emit
+    // a stack-traced FileStreamSink "no metadata directory" WARN, ~140
+    // log lines per query); fall back to the glob for ScaleGen's scaled
+    // dirs, which split the streaming-read tables into parts
+    // (`events-0000.parquet`…) so the scaling study can replay bounded
+    // micro-batches. No fixture table name is a prefix of another, so
+    // the glob is exact where it's used.
+    val exact = s"$dir/$name.parquet"
+    val path = if (new java.io.File(exact).exists()) exact
+               else s"$dir/$name*.parquet"
     val schema = schemaMemo.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
