@@ -137,6 +137,11 @@ object Bench {
     val c0 = calibrate(); calibration += ((0, c0._1, c0._2))
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
       .sortBy(_._1).map { case (name, fn) =>
+      // pinned-build attribution + readable UI (guide §1.5): any pinned
+      // frame built during this query's runs is charged to `name` in the
+      // pinned ledger below
+      CacheRegistry.setContext(name)
+      spark.sparkContext.setJobDescription(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val c0 = cpuSec()
@@ -245,8 +250,15 @@ object Bench {
     val gcMap = gcByQuery.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val gcTotal = gcByQuery.values.sum
+    // pinned-build ledger (VERDICT r9 item 3): per pinned frame, the
+    // query that paid for its build and the build wall — first-payer
+    // cost shifts after a pinned-frame refactor are now attributable
+    // from the artifact alone
+    val pinnedArr = CacheRegistry.pinnedLedger.map { b =>
+      s"""{"key":${Verify.jsonStr(b.key)},"payer":${Verify.jsonStr(b.payer)},"build_sec":${f(b.buildSec)}}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"gc":$gcMap,"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"cpu_inflated":$inflatedArr,"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"calibration":$calArr,"cache":$census,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"gc":$gcMap,"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"cpu_inflated":$inflatedArr,"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"calibration":$calArr,"cache":$census,"pinned_builds":$pinnedArr,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces channel for the driver: the same line, unframed, on disk
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

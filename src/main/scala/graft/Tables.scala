@@ -35,14 +35,17 @@ object Tables {
     // exact file path when the driver's one-file-per-table layout is
     // present (the common case — and a glob path makes every read emit
     // a stack-traced FileStreamSink "no metadata directory" WARN, ~140
-    // log lines per query); fall back to the glob for ScaleGen's scaled
+    // log lines per query); fall back to a glob for ScaleGen's scaled
     // dirs, which split the streaming-read tables into parts
     // (`events-0000.parquet`…) so the scaling study can replay bounded
-    // micro-batches. No fixture table name is a prefix of another, so
-    // the glob is exact where it's used.
+    // micro-batches. The brace glob admits ONLY the two known layouts
+    // (`name.parquet`, `name-NNNN.parquet`) — the old `$name*.parquet`
+    // leaned on the unchecked invariant that no table name is a prefix
+    // of another, so a future `partsupp.parquet` sibling would have been
+    // silently unioned into `part` reads (ADVICE r9).
     val exact = s"$dir/$name.parquet"
     val path = if (new java.io.File(exact).exists()) exact
-               else s"$dir/$name*.parquet"
+               else s"$dir/{$name.parquet,$name-[0-9]*.parquet}"
     val schema = schemaMemo.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)

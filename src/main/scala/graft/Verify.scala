@@ -80,6 +80,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val ran = SparkEntry.queries.filter(e => keep(e._1)).toSeq.map {
       case (name, fn) =>
+        CacheRegistry.setContext(name) // pinned-build payer attribution
         val t0 = System.nanoTime()
         val entry = try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")

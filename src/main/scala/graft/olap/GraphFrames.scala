@@ -148,22 +148,35 @@ object GraphFrames {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
     }
 
-  /** Index-addressed symmetric co-purchase adjacency `(c, x, idx)`: every
-    * undirected edge in both directions with a dense 0-based neighbor
-    * index per center node — the O(1)-addressable form hash-steered walk
-    * sampling probes (`idx = hash mod degree`). The row_number window is
-    * keyed by node, so it scales with max degree, not graph size; built
-    * once per process+SF like the other derived graph tables.
+  /** GROUPED symmetric co-purchase adjacency `(c, nbrs)`: per node, its
+    * neighbor set as ONE ascending-sorted array — the walk-sampler
+    * layout. The neighbor at walk index i is `nbrs[i]` (identical to the
+    * dense 0-based `row_number() OVER (PARTITION BY c ORDER BY x) - 1`
+    * index the oracle SQL spells, because the array is sorted by x), so
+    * hash-steered sampling addresses a neighbor in O(1) without an
+    * edge-sized probe join.
+    *
+    * Round-10 rewrite (guide §2.3/§2.4 — shuffle/scan node-sized frames,
+    * not edge-sized ones): the old layout was one ROW PER DIRECTED EDGE
+    * (`(c, x, idx)` via a per-node row_number window), and walkStep's
+    * node-partitioned tier equi-joined the frontier against that full
+    * edge-sized frame ONCE PER STEP — at sf10 that scanned ~24 M cached
+    * rows × 6 steps for ≤ 64 surviving rows each (SCALING.md r9:
+    * 2,672 process-CPU-s, the table's biggest number). Grouping collapses
+    * the scanned row count from edges to nodes (~493 k at sf10, a ~50×
+    * row reduction), the per-step degree join disappears (degree =
+    * size(nbrs)), and the broadcast-tier map build collects node-count
+    * rows instead of edge-count rows. Build is one partial shuffle +
+    * sort_array — strictly cheaper than the old per-node window pass
+    * over the same bytes.
     */
-  def coPurchaseIndexedSym(s: SparkSession, dir: String): DataFrame = {
+  def coPurchaseAdjGrouped(s: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(s, dir)
-    CacheRegistry.pinned(s"copurchase_idxsym:$dir") {
-      val W = org.apache.spark.sql.expressions.Window
+    CacheRegistry.pinned(s"copurchase_adjgrp:$dir") {
       e.select(col("u").as("c"), col("v").as("x"))
         .unionAll(e.select(col("v").as("c"), col("u").as("x")))
-        .withColumn("idx",
-          org.apache.spark.sql.functions.row_number()
-            .over(W.partitionBy("c").orderBy("x")) - 1)
+        .groupBy("c")
+        .agg(sort_array(collect_list(col("x").cast("long"))).as("nbrs"))
     }
   }
 
@@ -176,10 +189,11 @@ object GraphFrames {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Broadcast-tier ceiling for the walk-sampler adjacency, in DIRECTED
-    * rows of [[coPurchaseIndexedSym]] (= 2 × undirected edges). Past it
-    * [[walkStep]] falls back to the node-partitioned probe join instead
-    * of failing. A `def` reading a system property so specs can lower it
-    * and exercise the fallback tier on the fixture graph.
+    * adjacency entries (= 2 × undirected edges — the same unit as before
+    * the grouped-layout rewrite). Past it [[walkStep]] falls back to the
+    * node-partitioned probe join instead of failing. A `def` reading a
+    * system property so specs can lower it and exercise the fallback
+    * tier on the fixture graph.
     */
   def walkBroadcastMaxRows: Long =
     sys.props.get("graft.walk.maxBroadcastRows").map(_.toLong)
@@ -201,19 +215,21 @@ object GraphFrames {
     while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
   }
 
-  /** Directed row count of the symmetric indexed adjacency — the tier
-    * gate for [[walkStep]], counted once per (context, SF).
+  /** Directed adjacency-entry count (2 × undirected edges) — the tier
+    * gate for [[walkStep]], counted once per (context, SF). Counted off
+    * the pinned EDGE frame: the gate must not pay a grouped-adjacency
+    * build just to decide which tier to use.
     */
   private def symRowCount(s: SparkSession, dir: String): Long = {
     evictForeign(symRowCounts, s)
     symRowCounts.computeIfAbsent(appKey(s, dir),
-      _ => java.lang.Long.valueOf(coPurchaseIndexedSym(s, dir).count()))
+      _ => java.lang.Long.valueOf(coPurchaseEdges(s, dir).count() * 2L))
       .longValue()
   }
 
   /** The co-purchase adjacency as a PINNED in-memory broadcast
-    * (node → ascending-sorted neighbor array, index-identical to
-    * [[coPurchaseIndexedSym]]'s (c, idx, x)): the walk-sampler layout.
+    * (node → ascending-sorted neighbor array — exactly
+    * [[coPurchaseAdjGrouped]]'s rows): the walk-sampler layout.
     * A tiny frontier probing one neighbor per node per round should
     * never pay a full scan of the edge frame — with the adjacency as a
     * broadcast join BUILD side the corpus side streamed every round
@@ -223,51 +239,50 @@ object GraphFrames {
     * only the frontier rows move — the layout every walk/GNN sampler
     * uses while the graph fits; past [[walkBroadcastMaxRows]] callers
     * go through [[walkStep]], which picks the node-partitioned tier
-    * instead of ever reaching this require.
+    * instead of ever reaching this require. The collect moves node-count
+    * rows (arrays ride as payload), not edge-count rows.
     */
   def coPurchaseAdjBroadcast(s: SparkSession, dir: String)
       : org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[Long, Array[Long]]] = {
     evictForeign(adjBroadcasts, s)
     adjBroadcasts.computeIfAbsent(appKey(s, dir), { _ =>
-      val rows = coPurchaseIndexedSym(s, dir)
-        .select(col("c").cast("long"), col("idx").cast("long"),
-          col("x").cast("long")).collect()
-      require(rows.length <= 8000000,
-        s"adjacency broadcast is graph-bounded; got ${rows.length} edges")
+      val rows = coPurchaseAdjGrouped(s, dir)
+        .select(col("c").cast("long"), col("nbrs")).collect()
       val m = new java.util.HashMap[Long, Array[Long]]()
-      rows.groupBy(_.getLong(0)).foreach { case (c, rs) =>
-        val arr = new Array[Long](rs.length)
-        rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
-        m.put(c, arr)
+      var entries = 0L
+      rows.foreach { r =>
+        val arr = r.getSeq[Long](1).toArray
+        entries += arr.length
+        m.put(r.getLong(0), arr)
       }
+      require(entries <= 8000000,
+        s"adjacency broadcast is graph-bounded; got $entries entries")
       s.sparkContext.broadcast(m)
     })
   }
 
   /** One deterministic hash-steered walk step over the co-purchase
     * graph: frontier (seed, node) → (seed, next node), next = neighbor
-    * at index `hash(seed, t, node) mod degree` over the indexed
-    * adjacency. TWO TIERS with bitwise-identical output (the neighbor
-    * index order is [[coPurchaseIndexedSym]]'s in both):
+    * at index `hash(seed, t, node) mod degree` over the ascending-sorted
+    * neighbor order. TWO TIERS with bitwise-identical output (the
+    * neighbor order is [[coPurchaseAdjGrouped]]'s sorted array in both):
     *
-    *  - broadcast tier (adjacency rows ≤ [[walkBroadcastMaxRows]]): the
-    *    pinned [[coPurchaseAdjBroadcast]] map — each step is a ≤-frontier-
-    *    sized local lookup, no scan of the edge frame at all;
-    *  - node-partitioned tier (past the ceiling): the frontier (tiny)
-    *    broadcasts first into the pinned DEGREE frame to compute each
-    *    walker's picked index (mix mod degree — coPurchaseDegrees is
-    *    exactly the sym neighbor-list length), then into an equi-join
-    *    against the DISTRIBUTED indexed adjacency on (node, idx) — two
-    *    cached scans per step and nothing else. The first draft
-    *    recovered the degree per-round as max(idx)+1 over a
-    *    (seed, node) window of the joined neighbor groups; with
-    *    hub-heavy frontiers (the walk seeds ARE the top-degree nodes)
-    *    that windowed millions of neighbor rows per round — measured
-    *    1239 process-CPU-s at 10× fixture scale vs ~210 for pagerank on
-    *    the same graph. The degree join removes the window and the
-    *    neighbor-group shuffle entirely; only ≤-frontier-size rows
-    *    survive past each join.
+    *  - broadcast tier (adjacency entries ≤ [[walkBroadcastMaxRows]]):
+    *    the pinned [[coPurchaseAdjBroadcast]] map — each step is a
+    *    ≤-frontier-sized local lookup, no scan of any graph frame;
+    *  - node-partitioned tier (past the ceiling): ONE broadcast join of
+    *    the tiny frontier into the pinned NODE-sized grouped adjacency —
+    *    `element_at(nbrs, pick + 1)` addresses the sampled neighbor and
+    *    `size(nbrs)` IS the degree, so the old per-step degree join and
+    *    the old per-step scan of the EDGE-sized (c, x, idx) frame are
+    *    both gone (guide §2.3: scan rows proportional to nodes, not
+    *    edges — SCALING.md r9 measured the old probe at 2,672
+    *    process-CPU-s at sf10, ~10× pagerank's per-iteration cost on
+    *    the same graph; the A/B for this rewrite is in the round-10
+    *    section). Only ≤-frontier-size rows survive the join; the
+    *    array column is accessed for matching rows only (codegen
+    *    reads the join key column first).
     *
     * The mix arithmetic is the same exact Long chain in both tiers (all
     * terms non-negative, far below overflow at any realistic id width).
@@ -287,18 +302,13 @@ object GraphFrames {
         }
       }.toDF("seed", "node")
     } else {
-      val sym = coPurchaseIndexedSym(s, dir)
-      val deg = coPurchaseDegrees(s, dir)
+      val adj = coPurchaseAdjGrouped(s, dir)
       val mix = (col("seed") * lit(1000003L) + lit(t * 7919L + 12345L)
         + col("node") * lit(31L)) % lit(2147483647L)
-      val picks = deg
-        .join(broadcast(frontier.withColumn("mix", mix)),
-          col("n") === col("node"))
-        .select(col("seed"), col("node"),
-          (col("mix") % col("d")).cast("long").as("pick"))
-      sym.join(broadcast(picks),
-          col("c") === col("node") && col("idx").cast("long") === col("pick"))
-        .select(col("seed"), col("x").cast("long").as("node"))
+      adj.join(broadcast(frontier), col("c") === col("node"))
+        .select(col("seed"),
+          element_at(col("nbrs"),
+            (mix % size(col("nbrs"))).cast("int") + 1).as("node"))
     }
   }
 

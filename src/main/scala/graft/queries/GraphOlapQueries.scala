@@ -305,11 +305,13 @@ object GraphOlapQueries {
     "mine_frequent_pairs" -> ((s, dir) => {
       val items = graft.olap.GraphFrames.orderPartItems(s, dir)
       val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-      val pairs = items.as("a")
-        .join(items.as("b"),
-              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-        .agg(count(lit(1)).as("n_pair"))
+      // pair supports come off the PINNED weighted co-purchase frame —
+      // the identical per-order self-join + groupBy this query used to
+      // rebuild (w = number of shared orders = n_pair), built once per
+      // process+SF for the whole co-purchase family (guide §2.4; r10)
+      val pairs = graft.olap.GraphFrames.coPurchaseWeighted(s, dir)
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          col("w").as("n_pair"))
       pairs
         .join(itemCnt.select(col("pk").as("part_a"),
           col("n_item").as("n_a")), Seq("part_a"))
@@ -927,17 +929,17 @@ object GraphOlapQueries {
     // (lift, part_a, part_b) is a deterministic total order.
     "mine_association_rules" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      // pinned shared (order, part) items — basket count + item counts +
-      // pair self-join all read the one cached frame
+      // pinned shared (order, part) items — basket count + item counts
+      // read the one cached frame; pair supports come off the PINNED
+      // weighted co-purchase frame (w ≡ the n_pair this query used to
+      // recompute with its own self-join — guide §2.4; r10)
       val items = graft.olap.GraphFrames.orderPartItems(s, dir)
       val nBaskets = items.select("ok").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-      val pairs = items.as("a")
-        .join(items.as("b"),
-              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-        .agg(count(lit(1)).as("n_pair"))
+      val pairs = graft.olap.GraphFrames.coPurchaseWeighted(s, dir)
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          col("w").as("n_pair"))
         .filter(col("n_pair") >= 3)
       pairs
         .join(itemCnt.select(col("pk").as("part_a"),
@@ -1255,16 +1257,14 @@ object GraphOlapQueries {
     // caps on the unipartite queries). Butterflies = Σ C(co-orders, 2),
     // exact integers end-to-end.
     "graph_butterflies" -> ((s, dir) => {
-      val li = graft.olap.GraphFrames.orderPartItems(s, dir)
-        .select(col("ok"), col("pk").as("p"))
-      val wedges = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok")
-          && col("a.p") < col("b.p"))
-        .select(col("a.p").as("x"), col("b.p").as("y"))
-      wedges.groupBy("x", "y").agg(count(lit(1)).as("cnt"))
-        .agg(count(lit(1)).as("n_pairs"), sum("cnt").as("n_wedges"),
-             sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"),
-             max("cnt").as("max_copairs"))
+      // the per-order wedge groupBy IS the pinned weighted co-purchase
+      // frame (w = co-order count per part pair) — one aggregate over
+      // the shared derived table instead of a rebuilt self-join
+      // (guide §2.4; r10)
+      graft.olap.GraphFrames.coPurchaseWeighted(s, dir)
+        .agg(count(lit(1)).as("n_pairs"), sum("w").as("n_wedges"),
+             sum(expr("w * (w - 1) div 2")).as("n_butterflies"),
+             max("w").as("max_copairs"))
     }),
 
     // Partition-level TTL retention: write the events day-partitioned,
@@ -1630,27 +1630,34 @@ object GraphOlapQueries {
     "graph_random_walk_visits" -> ((s, dir) => {
       // the walk-sampler layout: while the GRAPH-bounded adjacency fits
       // executor memory it rides a pinned in-memory broadcast (node →
-      // idx-ordered neighbor array, index-identical to
-      // coPurchaseIndexedSym) and ONLY the frontier moves — each round
-      // is a 64-row map over local hash lookups. Past the broadcast
-      // ceiling GraphFrames.walkStep degrades to the node-partitioned
-      // probe join (one adjacency scan per step — the regime for graphs
-      // that outgrow executor memory) with bitwise-identical visits;
-      // WalkTierSpec pins the two tiers equal on the fixture graph.
-      // Scales by frontier width: a million seeds is just a wider
-      // frontier frame, same per-row lookup.
+      // ascending-sorted neighbor array, the coPurchaseAdjGrouped rows)
+      // and ONLY the frontier moves — each round is a 64-row map over
+      // local hash lookups. Past the broadcast ceiling
+      // GraphFrames.walkStep degrades to the node-partitioned tier (one
+      // broadcast join per step against the NODE-sized grouped
+      // adjacency — the regime for graphs that outgrow executor memory)
+      // with bitwise-identical visits; WalkTierSpec pins the two tiers
+      // equal on the fixture graph. Scales by frontier width: a million
+      // seeds is just a wider frontier frame, same per-row lookup.
       val seeds = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .orderBy(col("d").desc, col("n")).limit(64)
         .select(col("n").cast("long").as("seed"),
           col("n").cast("long").as("node"))
       var frontier = seeds
       var visits: DataFrame = null
+      // per-step observability for the scaling study (env-gated, the
+      // GRAFT_CC_DEBUG pattern): each step is already eagerly
+      // materialized by the localCheckpoint, so timing it is free
+      val dbg = sys.env.get("GRAFT_WALK_DEBUG").contains("true")
       for (t <- 1 to 6) {
         // eager localCheckpoint: each ≤64-row frontier feeds BOTH the
         // next step AND the visits union — truncate the lineage so the
         // union doesn't re-derive every earlier round
+        val t0 = if (dbg) System.nanoTime() else 0L
         frontier = graft.olap.GraphFrames
           .walkStep(s, dir, frontier, t.toLong).localCheckpoint(true)
+        if (dbg) println(f"[walk] step $t" +
+          f" wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
         visits = if (visits == null) frontier.select("node")
           else visits.unionAll(frontier.select("node"))
       }

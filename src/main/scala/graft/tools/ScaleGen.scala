@@ -84,6 +84,12 @@ object ScaleGen {
       require(part.length == 1, s"expected 1 part file for $name")
       val dest = new org.apache.hadoop.fs.Path(s"$outDir/$name.parquet")
       fs.delete(dest, true)
+      // clear the OTHER layout's leftovers too (ADVICE r9): regenerating
+      // with parts<=1 after a multi-part run must not leave stale
+      // `$name-NNNN.parquet` parts for the readers' glob to union in
+      for (old <- fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$outDir/$name-[0-9]*.parquet")))
+        fs.delete(old.getPath, false)
       fs.rename(part(0).getPath, dest)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"[scalegen] wrote $name x$k")

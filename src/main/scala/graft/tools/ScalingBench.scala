@@ -44,6 +44,15 @@ object ScalingBench {
       // are unaffected (1 file = 1 batch either way).
       .config("spark.graft.stream.maxFilesPerTrigger",
         sys.env.getOrElse("SPARK_GRAFT_STREAM_MAXFILES", "4"))
+      // streaming measured through a foreachBatch parquet sink instead
+      // of format("memory") (VERDICT r9 item 5): the memory sink holds
+      // the FULL emitted row set at the driver, which is what blocked
+      // the sf10 sessionize point at the 8 GiB protocol — a harness
+      // artifact, not state growth. Driver runs (Bench/Verify) never
+      // set this conf and keep the memory sink.
+      .config("spark.graft.stream.scalingSink",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SINKDIR",
+          "/tmp/graft_scaling_sink"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory

@@ -269,6 +269,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(uncapped.exceptAll(viaGuard).count() == 0)
   }
 
+  test("fixture basket widths stay under the default co-purchase cap") {
+    // ADVICE r9: ~10 oracled co-purchase queries share the default-256
+    // capped coPurchaseWeighted build, and none of their DuckDB oracles
+    // mirror the cap — correctness rests on the invariant that no
+    // fixture basket is wider than the cap. Pin it against EVERY fixture
+    // dir, so a future wider fixture fails HERE with the invariant named
+    // instead of flipping the whole family red at the oracle gate.
+    val G = graft.olap.GraphFrames
+    val cap = G.maxBasket(spark)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val maxW = G.orderPartItems(spark, dir)
+        .groupBy("ok").agg(count(lit(1)).as("w"))
+        .agg(max(col("w"))).collect().head.getLong(0)
+      assert(maxW <= cap,
+        s"fixture $dir max basket width $maxW exceeds the default cap " +
+          s"$cap: the co-purchase oracles do not mirror the cap, so the " +
+          "whole family would diverge — raise the cap or regenerate")
+    }
+  }
+
   test("basket-width census predicts the pair join's exact output mass") {
     // the census exists to forecast the join without running it — pin
     // that the forecast is EXACT: Σ pair_mass over the histogram equals

@@ -4,13 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The random-walk sampler's two tiers must be bitwise-interchangeable:
   * the broadcast tier (pinned adjacency map, frontier-local lookups) and
-  * the node-partitioned fallback (frontier broadcast into an equi-join
-  * against the distributed indexed adjacency) pick the SAME neighbor at
-  * every step because both address neighbors through
-  * coPurchaseIndexedSym's dense per-node index. The fallback is what
-  * keeps the query alive past the 8M-row broadcast ceiling (VERDICT r7
-  * item 3) — here the ceiling is forced to 1 row so the fixture graph
-  * exercises the fallback plan for real.
+  * the node-partitioned fallback (frontier broadcast into a join against
+  * the distributed NODE-sized grouped adjacency) pick the SAME neighbor
+  * at every step because both address neighbors through
+  * coPurchaseAdjGrouped's ascending-sorted per-node array. The fallback
+  * is what keeps the query alive past the 8M-entry broadcast ceiling
+  * (VERDICT r7 item 3) — here the ceiling is forced to 1 row so the
+  * fixture graph exercises the fallback plan for real.
   */
 class WalkTierSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Dev-loop comparator mimicking the driver's DuckDB oracle check.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json out.json]
 
 For each query dumped by graft.Verify: load the Spark parquet result, run the
 oracle SQL in DuckDB with each fixture table registered as a view, sort
@@ -12,6 +12,14 @@ floats so a true bitwise mismatch is still flagged loudly).
 
 Exit is nonzero on any FAIL *or* any OK~ float near-miss — OK~ would fail the
 driver's hash compare, so automation must treat it as red.
+
+`--json out.json` additionally writes a per-query artifact in the driver's
+CORRECTNESS schema (rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err per query): the round's hard correctness signal, committed
+as ORACLE_r{N}.json so it survives a mute driver-side channel (the driver's
+CORRECTNESS file arrived as literally `{}` two rounds running). hash_match
+here means every cell compared EXACTLY equal (the OK~ float near-miss band
+is reported as hash_match=false — it would fail the driver's hash compare).
 """
 import json
 import math
@@ -57,7 +65,7 @@ def cells_equal(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -65,6 +73,19 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
     n_near = 0
+    # per-query records in the driver's CORRECTNESS schema; written (with
+    # --json) even when a query fails, so the artifact names the failure
+    report = {}
+
+    def rec(name, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=-1, oracle_rows=-1, err=None):
+        report[name] = {"rows_match": rows_match,
+                        "schema_match": schema_match,
+                        "hash_match": hash_match,
+                        "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows,
+                        "err": err}
+
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(
@@ -75,6 +96,7 @@ def main(sf_dir, out_dir):
                 + f" FROM spark_rel").fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            rec(name, err=f"spark result unreadable: {e}")
             n_bad += 1
             continue
         try:
@@ -85,10 +107,15 @@ def main(sf_dir, out_dir):
                 + " FROM duck_rel").fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            rec(name, spark_rows=len(spark_rows),
+                err=f"oracle sql error: {e}")
             n_bad += 1
             continue
         if spark_cols != duck_cols:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            rec(name, spark_rows=len(spark_rows), oracle_rows=len(duck_rows),
+                rows_match=len(spark_rows) == len(duck_rows),
+                err=f"columns spark={spark_cols} duck={duck_cols}")
             n_bad += 1
             continue
         # type-strict: the driver hashes typed arrow batches, so a DuckDB
@@ -108,17 +135,26 @@ def main(sf_dir, out_dir):
                                          d_schema.field(c).type)]
         except Exception as e:
             print(f"FAIL {name}: arrow schema fetch error: {e}")
+            rec(name, spark_rows=len(spark_rows), oracle_rows=len(duck_rows),
+                rows_match=len(spark_rows) == len(duck_rows),
+                err=f"arrow schema fetch error: {e}")
             n_bad += 1
             continue
         if type_mism:
             c, st, dt = type_mism[0]
             print(f"FAIL {name}: arrow type mismatch col {c}: "
                   f"spark={st} duck={dt}")
+            rec(name, spark_rows=len(spark_rows), oracle_rows=len(duck_rows),
+                rows_match=len(spark_rows) == len(duck_rows),
+                err=f"arrow type mismatch col {c}: spark={st} duck={dt}")
             n_bad += 1
             continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} "
                   f"duck={len(duck_rows)}")
+            rec(name, spark_rows=len(spark_rows), oracle_rows=len(duck_rows),
+                schema_match=True,
+                err=f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
             n_bad += 1
             continue
         bad = None
@@ -137,6 +173,10 @@ def main(sf_dir, out_dir):
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
                   f"spark={bad[2]!r} duck={bad[3]!r}")
+            rec(name, spark_rows=len(spark_rows), oracle_rows=len(duck_rows),
+                rows_match=True, schema_match=True,
+                err=f"row {bad[0]} col {bad[1]}: "
+                    f"spark={bad[2]!r} duck={bad[3]!r}")
             n_bad += 1
         else:
             if not exact:
@@ -144,11 +184,33 @@ def main(sf_dir, out_dir):
             tag = "OK  " if exact else "OK~ (float near-miss — NOT bitwise!)"
             print(f"{tag} {name}: {len(spark_rows)} rows, "
                   f"{len(spark_cols)} cols")
+            rec(name, spark_rows=len(spark_rows), oracle_rows=len(duck_rows),
+                rows_match=True, schema_match=True, hash_match=exact,
+                err=None if exact else "float near-miss (not bitwise)")
     print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match"
           + (f" ({n_near} only approximately — treated as FAILING)"
              if n_near else ""))
+    if json_out:
+        summary = {
+            "n_queries": len(oracle),
+            "n_pass": sum(1 for r in report.values()
+                          if r["rows_match"] and r["schema_match"]
+                          and r["hash_match"]),
+            "n_fail": n_bad,
+            "n_near": n_near,
+            "sf": sf_dir,
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {summary['n_pass']}/{len(oracle)} pass")
     return 1 if (n_bad or n_near) else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jout = None
+    if "--json" in sys.argv:
+        jout = sys.argv[sys.argv.index("--json") + 1]
+        args.remove(jout)
+    sys.exit(main(args[0], args[1], jout))
