@@ -258,7 +258,7 @@ object Bench {
       s"""{"key":${Verify.jsonStr(b.key)},"payer":${Verify.jsonStr(b.payer)},"build_sec":${f(b.buildSec)}}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"gc":$gcMap,"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"cpu_inflated":$inflatedArr,"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"calibration":$calArr,"cache":$census,"pinned_builds":$pinnedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","groups":$groups,"queries":$qs,"cpu":$cpuMap,"cpu_total":${f(cpuTotal)},"gc":$gcMap,"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"cpu_inflated":$inflatedArr,"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"calibration":$calArr,"cache":$census,"pinned_builds":$pinnedArr,"pinned_build_total":${f(CacheRegistry.pinnedLedger.map(_.buildSec).sum)},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces channel for the driver: the same line, unframed, on disk
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -289,8 +289,15 @@ object Bench {
     // lens (see BASELINE.md "quiet-host basis").
     // "pinned" = deliberate process-lifetime shared frames (GraphFrames);
     // cache_max residuals up to pinned + transient checkpoints are healthy
+    // pinned_build_total (VERDICT r10 item 8): the min-of-2 protocol
+    // reports the payer's cache-warm run, so the shared derived-table
+    // chain's build cost is structurally excluded from every per-query
+    // wall — this field makes it a first-class number on the compact
+    // line (it equals the ledger's sum; artifact readers add it to the
+    // totals instead of reconstructing it from pinned_builds)
+    val pinnedBuildTotal = CacheRegistry.pinnedLedger.map(_.buildSec).sum
     println(
-      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"cpu_total":${f(cpuTotal)},"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":${f(total)},"unit":"sec","n":${results.size},"cache_max":$cacheMax,"pinned":${CacheRegistry.pinnedCount},"pinned_build_total":${f(pinnedBuildTotal)},"cpu_total":${f(cpuTotal)},"gc_total":${f(gcTotal)},"n_cpu_inflated":$nCpuInflated,"calib_min":${f(calMin)},"calib_max":${f(calMax)},"calib_cpw_min":${f(calCpuPerWall.min)},"calib_cpw_max":${f(calCpuPerWall.max)},"calib_wall_ratio":${f(calWallRatio)},"n_wall_gt_cpu":$nWallGtCpu,"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(2)
   }

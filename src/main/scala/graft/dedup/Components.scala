@@ -52,8 +52,17 @@ object Components {
 
   /** (doc_id, canonical_id) for every node appearing in `edges`
     * (columns aCol, bCol). canonical_id = min doc id of the component.
+    *
+    * @param symInput the caller passes a frame that is ALREADY symmetric
+    *                 (both directions present), persisted and
+    *                 pre-partitioned on `aCol` (GraphFrames.coPurchaseSym)
+    *                 — skip the per-call symmetrize + repartition + persist
+    *                 and the exit unpersist, so the edge layout is built
+    *                 once per process+SF instead of once per call
+    *                 (guide §2.1/§2.4)
     */
-  def canonicalLabels(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def canonicalLabels(edges: DataFrame, aCol: String, bCol: String,
+                      symInput: Boolean = false): DataFrame = {
     val e = edges.select(col(aCol).cast("long").as("a"),
                          col(bCol).cast("long").as("b"))
     // cached pre-shuffled AND pre-sorted on the join key: the cached frame
@@ -62,10 +71,11 @@ object Components {
     // edge frame — it is the big side; only the small frontier frame
     // moves per round). This is the iterative-algorithm analog of
     // bucketing.
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = if (symInput) e
+      else e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
+        .sortWithinPartitions("a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     // seed with round 1 for free: label₀ = min(self, neighbors) is ONE
     // partial-aggregable aggregation over the symmetric edge frame —
     // the same result the first propagation round would produce via two
@@ -128,7 +138,7 @@ object Components {
       if (dbg) println(f"[cc] round $round" +
         f" wall=${(System.nanoTime() - rt0) / 1e9}%.2fs")
     }
-    sym.unpersist()
+    if (!symInput) sym.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 }

@@ -20,36 +20,43 @@ object Bfs {
   /** @param edges SYMMETRIC edge list (src, dst)
     * @param source 1-row frame with a `node` column (the BFS root set)
     * @param maxHops fixed hop bound (unrollable into oracle CTEs)
+    * @param edgesPinned the caller passes a frame ALREADY persisted and
+    *                    pre-partitioned on `src` (GraphFrames.partSuppSym)
+    *                    — skip the per-call persist/unpersist so the
+    *                    per-hop join reuses the cached layout (§2.1/§2.4)
     * @return (distance, n_nodes): nodes at EXACT distance d, d = 0..maxHops
     */
   def distanceCounts(edges: DataFrame, source: DataFrame,
-                     maxHops: Int): DataFrame = {
+                     maxHops: Int, edgesPinned: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (edgesPinned) e0
+      else e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var frontier = source.select(col("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // visited = LAZY union of the already-persisted per-hop frontiers:
+    // the old per-hop `newVisited` persist + count paid one extra action
+    // and one extra cached copy per hop for a frame whose every input is
+    // already materialized — the anti-join reads the ≤(maxHops+1)-deep
+    // union of cached node frames directly (r11; guide §1.2 — fewer
+    // jobs, identical rows)
     var visited = frontier
     var out = List((0, frontier.count()))
     val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    retired += frontier
     for (d <- 1 to maxHops) {
       val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out = out :+ ((d, next.count())) // materializes `next`
-      val newVisited = visited.unionAll(next)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      newVisited.count() // materialize before releasing parents
-      retired += frontier; retired += visited
+      retired += next
+      visited = visited.unionAll(next)
       frontier = next
-      visited = newVisited
     }
     retired.foreach(_.unpersist(false))
-    frontier.unpersist(false)
-    visited.unpersist(false)
-    e.unpersist(false)
+    if (!edgesPinned) e.unpersist(false)
     out.toDF("distance", "n_nodes")
   }
 }

@@ -56,7 +56,14 @@ object GraphFrames {
     * .maxBasket`, default 256): far above any fixture width (≤ 7), so on
     * the test corpus the guard is the identity — ScaleOpsSpec pins that —
     * while a production mega-basket is dropped before it can go
-    * quadratic. */
+    * quadratic.
+    *
+    * Round 11 (VERDICT r10 item 6): the cap is now part of the DECLARED
+    * contract — all 16 co-purchase oracle SQLs spell the same ≤256 keep
+    * filter (`lbw`/`lcp` CTEs), so cap semantics are identical in both
+    * engines at ANY basket width, not just where the cap is the
+    * identity. Overriding the conf away from 256 deviates from the
+    * declared contract and the oracle will fail loudly — by design. */
   def maxBasket(s: SparkSession): Int =
     s.conf.get("spark.graft.copurchase.maxBasket", "256").toInt
 
@@ -309,6 +316,61 @@ object GraphFrames {
         .select(col("seed"),
           element_at(col("nbrs"),
             (mix % size(col("nbrs"))).cast("int") + 1).as("node"))
+    }
+  }
+
+  /** SYMMETRIZED doubled-id part–supplier edge frame `(src, dst)` (part
+    * ids doubled even, supplier ids doubled odd — both directions),
+    * pinned PRE-PARTITIONED on `src`: the per-iteration join key of
+    * every algorithm that walks this graph (pagerank, personalized
+    * pagerank, katz, label propagation, BFS). Seven queries each rebuilt
+    * this union and the iterative ones re-shuffled it per call (×2 bench
+    * runs); with the partitioning cached once per process+SF the
+    * edge-side Exchange disappears from every per-iteration join
+    * (guide §2.1 co-partitioning / §2.4 — the iterative analog of
+    * bucketing, same trick as graft.dedup.Components but shared across
+    * queries instead of rebuilt per call).
+    */
+  def partSuppSym(s: SparkSession, dir: String): DataFrame = {
+    val pairs = partSuppPairs(s, dir)
+    CacheRegistry.pinned(s"partsupp_sym:$dir") {
+      pairs.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+        .repartition(col("src"))
+    }
+  }
+
+  /** Two-round label-propagation labels over [[partSuppSym]], pinned:
+    * `graph_label_prop` (community histogram) and `graph_modularity`
+    * (partition quality) both run the identical 2-round LPA — one
+    * iterative run per process+SF instead of one per query×run
+    * (guide §2.4; same shared-derived-frame posture as neardup_labels).
+    */
+  def partSuppLabels2(s: SparkSession, dir: String): DataFrame = {
+    val sym = partSuppSym(s, dir)
+    CacheRegistry.pinned(s"partsupp_labels2:$dir") {
+      LabelProp.labels(sym, 2, edgesPinned = true)
+    }
+  }
+
+  /** SYMMETRIZED co-purchase edge frame `(u, v)` (both directions of the
+    * pinned distinct edge set), pinned PRE-PARTITIONED on `u`: the wedge
+    * generators (common-neighbors / jaccard / adamic-adar), the
+    * neighbor-degree curve, the Louvain sweep and connected components
+    * (lcc_share) each rebuilt this union per run, and CC re-shuffled it
+    * per call. One cached layout serves them all; for CC the cached
+    * HashPartitioning(u) means the edge side never re-exchanges
+    * (guide §2.1/§2.4).
+    */
+  def coPurchaseSym(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    CacheRegistry.pinned(s"copurchase_sym:$dir") {
+      e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+        .sortWithinPartitions("u")
     }
   }
 

@@ -55,25 +55,29 @@ object KCore {
     */
   def peelStats(e0: DataFrame, rounds: Int): DataFrame = {
     val spark = e0.sparkSession
-    import spark.implicits._
     // The degree frame is the round's ONLY full edge scan, and it is
     // CACHED: it yields the round's stats (n_nodes = rows, n_edges = Σd/2
     // — d counts each endpoint occurrence), the median histogram (round 0),
     // and the next round's keep-set. The previous formulation recomputed
     // it per consumer — medianDegree alone references its input 3× (hist
     // twice + rank), which re-ran the full degree aggregation 3× per call.
+    // Cached via the registry (released by the harness after the query
+    // materializes) so the per-round stat rows can stay LAZY: r11 —
+    // the old per-round 1-row collect cost one extra job per round for
+    // an aggregate the final union action reads from cache anyway
+    // (guide §1.2 — fewer jobs, identical rows). Each round's degree
+    // cache is still materialized in sequence by the NEXT round's
+    // keep-set broadcast (and the last by the final union), so rounds
+    // execute in the same order as before.
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-        .persist()
-    def stats(deg: DataFrame, round: Int): (Int, Long, Long) = {
-      val r = deg.agg(count(lit(1)).as("n_nodes"),
-                      expr("coalesce(sum(d), 0) DIV 2").as("n_edges"))
-        .collect()(0)
-      (round, r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
-    }
+      graft.CacheRegistry.cached(
+        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d")))
+    def statFrame(deg: DataFrame, round: Int): DataFrame =
+      deg.agg(lit(round).as("round"), count(lit(1)).as("n_nodes"),
+              expr("coalesce(sum(d), 0) DIV 2").as("n_edges"))
     var deg = degrees(e0)
-    var out = List(stats(deg, 0)) // materializes deg's cache
+    var out = statFrame(deg, 0)
     val kth = medianDegree(deg).collect()(0).getLong(0)
     var e = e0
     for (r <- 1 to rounds) {
@@ -99,12 +103,10 @@ object KCore {
         .select("u", "v")
         .localCheckpoint() // eager: materializes, truncates lineage
       val degNext = degrees(next)
-      out = out :+ stats(degNext, r) // materializes degNext's cache
-      deg.unpersist(false)
+      out = out.unionAll(statFrame(degNext, r))
       deg = degNext
       e = next // previous checkpoint blocks reclaimed by the ContextCleaner
     }
-    deg.unpersist(false)
-    out.toDF("round", "n_nodes", "n_edges")
+    out
   }
 }

@@ -20,11 +20,18 @@ object LabelProp {
 
   /** @param edges SYMMETRIC edge list (caller provides both directions)
     * @param rounds fixed round count (unrollable into oracle CTEs)
+    * @param edgesPinned the caller passes a frame that is ALREADY
+    *                    persisted and pre-partitioned on the join key
+    *                    (e.g. GraphFrames.partSuppSym) — skip the
+    *                    per-call persist and the exit unpersist so the
+    *                    shared layout survives (guide §2.1/§2.4)
     * @return (node, label) after `rounds` updates
     */
-  def labels(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def labels(edges: DataFrame, rounds: Int,
+             edgesPinned: Boolean = false): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (edgesPinned) e0
+      else e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // symmetric edges: every node appears as a src
     var l = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -40,7 +47,7 @@ object LabelProp {
     // the edge cache can be released instead of accumulating (the same
     // exit discipline as PageRank)
     val out = l.localCheckpoint()
-    e.unpersist(false)
+    if (!edgesPinned) e.unpersist(false)
     out
   }
 }

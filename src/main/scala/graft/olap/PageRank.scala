@@ -32,23 +32,39 @@ object PageRank {
     * @return (node_id, rank) — every node that appears as a source or
     *         destination; nodes with no in-edges hold the base rank
     */
+  /** @param edgesPinned  the caller passes an edge frame ALREADY
+    *                      persisted and pre-partitioned on the source
+    *                      column (GraphFrames.partSuppSym) — skip the
+    *                      per-call repartition/persist/unpersist so the
+    *                      shared layout is built once per process+SF
+    *                      instead of once per call (guide §2.1/§2.4)
+    * @param nodesOpt      prebuilt (node_id) frame ≡ the distinct
+    *                      endpoints of `edges` (e.g. the pinned degree
+    *                      frame's node column) — skips the per-call
+    *                      node-sized distinct
+    * @param outdegOpt     prebuilt (src, outdeg) frame ≡
+    *                      edges.groupBy(src).count
+    */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, damping: Double = 0.85,
-          base: Double = 0.15): DataFrame = {
+          base: Double = 0.15, edgesPinned: Boolean = false,
+          nodesOpt: Option[DataFrame] = None,
+          outdegOpt: Option[DataFrame] = None): DataFrame = {
     // pre-shuffled on the per-iteration join key and persisted: every
     // iteration reuses the cached layout (the iterative analog of
     // bucketing — same trick as graft.dedup.Components), so the big edge
     // side is scanned, shuffled, and sorted exactly once no matter the
     // iteration count. nodes/outdeg are node-sized (orders of magnitude
     // smaller) but also referenced every iteration, so they persist too.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (edgesPinned) e0 else e0.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node_id"))
+    val nodes = nodesOpt.getOrElse(e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val outdeg = outdegOpt.getOrElse(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 1/N initial rank: N via a 1-row aggregate, combined by broadcast
     // cross join (scalar combine — not a data-data cartesian)
     val n = nodes.agg(count(lit(1)).as("__n"))
@@ -80,8 +96,11 @@ object PageRank {
     }
     // the checkpointed result no longer references their lineage, so the
     // iteration-scoped caches can be released instead of accumulating
-    // across invocations (bench runs every query twice)
-    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    // across invocations (bench runs every query twice); pinned/prebuilt
+    // frames belong to the caller and are never released here
+    if (!edgesPinned) e.unpersist(false)
+    if (nodesOpt.isEmpty) nodes.unpersist(false)
+    if (outdegOpt.isEmpty) outdeg.unpersist(false)
     ranks
   }
 
@@ -110,18 +129,21 @@ object PageRank {
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
                       seeds: DataFrame, iterations: Int,
                       damping: Double = 0.85,
-                      base: Double = 0.15): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src"))
+                      base: Double = 0.15, edgesPinned: Boolean = false,
+                      nodesOpt: Option[DataFrame] = None,
+                      outdegOpt: Option[DataFrame] = None): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (edgesPinned) e0 else e0.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col("node_id")).distinct()
-    val nodes = e.select(col("src").as("node_id"))
-      .union(e.select(col("dst").as("node_id"))).distinct()
+    val nodes = nodesOpt.getOrElse(e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id"))).distinct())
       .join(sd.withColumn("is_seed", lit(true)), Seq("node_id"), "left")
       .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = outdegOpt.getOrElse(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // teleport mass per seed: (1-d) * (1 / |S|) — two single IEEE ops,
     // identical chain in the oracle; |S| via a 1-row scalar combine
     val nSeeds = nodes.filter(col("is_seed"))
@@ -151,7 +173,11 @@ object PageRank {
         .select("node_id", "is_seed", "rank")
         .localCheckpoint() // constant plan depth per iteration, as in run()
     }
-    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    // nodes (the per-call seed-flag join) is always function-owned;
+    // pinned/prebuilt edge and outdeg frames belong to the caller
+    if (!edgesPinned) e.unpersist(false)
+    nodes.unpersist(false)
+    if (outdegOpt.isEmpty) outdeg.unpersist(false)
     ranks
   }
 }

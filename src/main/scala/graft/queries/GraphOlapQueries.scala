@@ -243,12 +243,11 @@ object GraphOlapQueries {
     // induced-subgraph semi-joins over a shrinking edge list — the
     // bounded-iteration shape shared with graph_pagerank.
     "graph_kcore" -> ((s, dir) => {
+      // per-round degree caches ride the registry (released by the
+      // harness); the per-round stat rows are lazy and fold into ONE
+      // final union action (r11; guide §1.2)
       val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      // peelStats is eager (per-round 1-row collects), so the base edge
-      // cache can be released before returning the tiny result frame
-      val out = graft.olap.KCore.peelStats(e, 3).orderBy("round")
-      e.unpersist(false)
-      out
+      graft.olap.KCore.peelStats(e, 3).orderBy("round")
     }),
 
     // Degree distribution in log₂ buckets — the first diagnostic run on
@@ -270,11 +269,9 @@ object GraphOlapQueries {
     // of sums appear), a single fixed IEEE chain at the end. Two keyed
     // joins to attach endpoint degrees, one global aggregate.
     "graph_assortativity" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("u"),
-                           (col("l_suppkey") * 2 + 1).as("v"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
-                               (col("l_partkey") * 2).as("v")))
+      // pinned symmetric doubled-id frame (§2.4; r11)
+      val e = graft.olap.GraphFrames.partSuppSym(s, dir)
+        .select(col("src").as("u"), col("dst").as("v"))
       val deg = graft.olap.GraphFrames.partSuppDegrees(s, dir)
       val withDeg = e
         .join(deg.select(col("n").as("u"), col("d").as("ju")), "u")
@@ -331,13 +328,15 @@ object GraphOlapQueries {
     // materialized per round (the KCore discipline) so finished frontiers
     // release their caches.
     "graph_bfs_reach" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("src"),
-                           (col("l_suppkey") * 2 + 1).as("dst"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                               (col("l_partkey") * 2).as("dst")))
-      val source = e.agg(min(col("src")).as("node"))
-      graft.olap.Bfs.distanceCounts(e, source, 3).orderBy("distance")
+      // pinned pre-partitioned symmetric edges — the per-hop frontier
+      // join reuses the cached layout, and the root (min node id) reads
+      // the node-sized pinned degree frame instead of an edge scan
+      // (guide §2.1/§2.4; r11)
+      val G = graft.olap.GraphFrames
+      val source = G.partSuppDegrees(s, dir).agg(min(col("n")).as("node"))
+      graft.olap.Bfs.distanceCounts(G.partSuppSym(s, dir), source, 3,
+          edgesPinned = true)
+        .orderBy("distance")
     }),
 
     // Label-propagation community detection over the bipartite
@@ -347,24 +346,28 @@ object GraphOlapQueries {
     // the tie-break rides inside the lexicographic max). Output is the
     // community-size histogram.
     "graph_label_prop" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("src"),
-                           (col("l_suppkey") * 2 + 1).as("dst"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                               (col("l_partkey") * 2).as("dst")))
-      graft.olap.LabelProp.labels(e, 2)
+      // the 2-round LPA labels are the PINNED shared frame this query
+      // and graph_modularity both derive from (guide §2.4; r11) — one
+      // iterative run per process+SF, the histogram is one node-sized
+      // aggregate over it
+      graft.olap.GraphFrames.partSuppLabels2(s, dir)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("community")
     }),
 
     "graph_pagerank" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
-                             (col("l_suppkey") * 2 + 1).as("dst"))
-      val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                             (col("l_partkey") * 2).as("dst"))
-      graft.olap.PageRank.run(fwd.union(rev), "src", "dst", iterations = 3)
+      // pinned pre-partitioned symmetric edges + pinned degree frame:
+      // the per-call edge repartition and the node/outdeg rebuilds are
+      // gone — the symmetric graph's degree IS the out-degree and its
+      // node set IS the degree frame's key column (guide §2.1/§2.4; r11)
+      val G = graft.olap.GraphFrames
+      val deg = G.partSuppDegrees(s, dir)
+      graft.olap.PageRank.run(G.partSuppSym(s, dir), "src", "dst",
+          iterations = 3, edgesPinned = true,
+          nodesOpt = Some(deg.select(col("n").as("node_id"))),
+          outdegOpt = Some(deg.select(col("n").as("src"),
+            col("d").as("outdeg"))))
         .withColumn("node_type",
           when(col("node_id") % 2 === 0, "part").otherwise("supplier"))
         .select("node_id", "node_type", "rank")
@@ -605,8 +608,9 @@ object GraphOlapQueries {
     "graph_common_neighbors" -> ((s, dir) => {
       val cap = 32L
       val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      val sym = e.select(col("u").as("c"), col("v").as("x"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      // pinned symmetric co-purchase frame (§2.4; r11)
+      val sym = graft.olap.GraphFrames.coPurchaseSym(s, dir)
+        .select(col("u").as("c"), col("v").as("x"))
       // pinned full-degree frame (≡ sym.groupBy count) serves the cap
       val okc = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .filter(col("d") <= cap).select(col("n").as("c"))
@@ -633,8 +637,9 @@ object GraphOlapQueries {
     "graph_jaccard_links" -> ((s, dir) => {
       val cap = 64L
       val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      val sym = e.select(col("u").as("c"), col("v").as("x"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      // pinned symmetric co-purchase frame (§2.4; r11)
+      val sym = graft.olap.GraphFrames.coPurchaseSym(s, dir)
+        .select(col("u").as("c"), col("v").as("x"))
       // pinned full-degree frame serves the cap filter AND du/dv lookups
       val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .select(col("n").as("c"), col("d").as("dc"))
@@ -665,12 +670,12 @@ object GraphOlapQueries {
     // magnitudes stay < 2⁵³ so the double conversion is exact on both
     // engines.
     "graph_modularity" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("src"),
-                           (col("l_suppkey") * 2 + 1).as("dst"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                               (col("l_partkey") * 2).as("dst")))
-      val lab = graft.olap.LabelProp.labels(e, 2).tracked
+      val G = graft.olap.GraphFrames
+      val pairs = G.partSuppPairs(s, dir)
+      // PINNED shared 2-round LPA labels (also graph_label_prop's frame)
+      // + the pinned degree frame in place of the per-call edge-scale
+      // degree rebuild (guide §2.4; r11)
+      val lab = G.partSuppLabels2(s, dir)
       val m = pairs.agg(count(lit(1)).as("m_edges"))
       val intra = pairs
         .join(lab.select((col("node")).as("pn"), col("label").as("la")),
@@ -679,7 +684,8 @@ object GraphOlapQueries {
               col("sn") === col("l_suppkey") * 2 + 1)
         .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L))
           .as("intra_edges"))
-      val dc = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val dc = G.partSuppDegrees(s, dir)
+        .select(col("n").as("src"), col("d"))
         .join(lab, col("src") === col("node"))
         .groupBy("label").agg(sum(col("d")).as("dsum"))
       val dstats = dc.agg(count(lit(1)).as("n_communities"),
@@ -700,15 +706,13 @@ object GraphOlapQueries {
     // behind funnel discovery — where sessionize_funnel checks a GIVEN
     // path, this MINES the paths.
     "mine_event_trigrams" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type").as("e1"))
-        .withColumn("e2", lead(col("e1"), 1).over(w))
-        .withColumn("e3", lead(col("e1"), 2).over(w))
-        .filter(col("e3").isNotNull)
-        .groupBy("e1", "e2", "e3")
+      // leads 1–2 come off the PINNED shared event-sequence frame — the
+      // one fact-scale window pass the whole transition family shares
+      // (§2.4; r11)
+      Shared.eventSeqLeads(s, dir)
+        .filter(col("l2").isNotNull)
+        .groupBy(col("et").as("e1"), col("l1").as("e2"),
+          col("l2").as("e3"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(10)
@@ -829,14 +833,11 @@ object GraphOlapQueries {
     // samples at depth 3. 5×5 output here; the same plan is the n²-cell
     // estimation at any state-space size.
     "mine_transition_matrix" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type").as("e_from"))
-        .withColumn("e_to", lead(col("e_from"), 1).over(w))
-        .filter(col("e_to").isNotNull)
-        .groupBy("e_from", "e_to").agg(count(lit(1)).as("n"))
+      // transition counts come off the PINNED shared bigram frame — the
+      // identical window + groupBy this query used to re-run (guide
+      // §2.4; r11 — one fact-scale window pass for the whole family)
+      val pairs = Shared.eventBigramCounts(s, dir)
+        .select(col("a").as("e_from"), col("b").as("e_to"), col("n"))
       val totals = pairs.groupBy("e_from").agg(sum(col("n")).as("row_n"))
       pairs.join(broadcast(totals), Seq("e_from"))
         .select(col("e_from"), col("e_to"), col("n"),
@@ -868,7 +869,7 @@ object GraphOlapQueries {
       var h = e.select(col("p")).distinct().withColumn("hv", lit(1L))
         .tracked
       var a: DataFrame = null
-      for (_ <- 1 to 2) {
+      for (r <- 1 to 2) {
         val a2 = norm(e.join(h, Seq("p"))
           .groupBy("sk").agg(sum(col("hv")).as("av")), "sk", "av")
           .tracked
@@ -878,7 +879,12 @@ object GraphOlapQueries {
         val h2 = norm(e.join(a, Seq("sk"))
           .groupBy("p").agg(sum(col("av")).as("hv")), "p", "hv")
           .tracked
-        h2.count()
+        // the FINAL h needs no eager count: its lineage reads only the
+        // already-counted a2 cache, so the output action materializes it
+        // exactly once and the retired h is not in its lineage (r11 —
+        // one fewer job per run; intermediate rounds keep the count,
+        // which is the recompute-race sequencing)
+        if (r < 2) h2.count()
         h.unpersist(false)
         h = h2
       }
@@ -900,17 +906,20 @@ object GraphOlapQueries {
     // normalization, no teleport. Edge frame persisted across rounds;
     // deterministic (katz desc, node) top-20 boundary.
     "graph_katz_centrality" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("src"),
-                           (col("l_suppkey") * 2 + 1).as("dst"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                               (col("l_partkey") * 2).as("dst")))
-        .tracked
-      var v = e.select(col("src").as("node")).distinct()
+      // pinned pre-partitioned symmetric edges; the matvec join is
+      // flipped to key on the cached partitioning column (src) — on a
+      // SYMMETRIC edge set Σ katz over in-neighbors ≡ Σ over
+      // out-neighbors (each undirected edge contributes both directed
+      // rows; integer sums are order-free), so per round the edge side
+      // never re-exchanges and only the node-sized rank frame moves
+      // (guide §2.1/§2.4; r11). Node universe off the pinned degrees.
+      val G = graft.olap.GraphFrames
+      val e = G.partSuppSym(s, dir)
+      var v = G.partSuppDegrees(s, dir).select(col("n").as("node"))
         .withColumn("katz", lit(1L))
       for (_ <- 1 to 3) {
-        v = e.join(v, col("dst") === col("node"))
-          .groupBy(col("src").as("n2"))
+        v = e.join(v, col("src") === col("node"))
+          .groupBy(col("dst").as("n2"))
           .agg(sum(col("katz")).as("m"))
           .select(col("n2").as("node"),
                   (lit(1L) + expr("m DIV 4")).as("katz"))
@@ -974,11 +983,9 @@ object GraphOlapQueries {
     // same two keyed degree joins graph_assortativity makes, zero extra
     // shuffles, thresholds bounded by the ladder not the data.
     "graph_rich_club" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("u"),
-                           (col("l_suppkey") * 2 + 1).as("v"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("u"),
-                               (col("l_partkey") * 2).as("v")))
+      // pinned symmetric doubled-id frame (§2.4; r11)
+      val e = graft.olap.GraphFrames.partSuppSym(s, dir)
+        .select(col("src").as("u"), col("dst").as("v"))
       val deg = graft.olap.GraphFrames.partSuppDegrees(s, dir)
       val em = e
         .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
@@ -1041,12 +1048,9 @@ object GraphOlapQueries {
     // same frontier shape as graph_bfs_reach but batched over sources so
     // the engine amortizes one edge scan per round across all of them.
     "graph_harmonic_sample" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val e = pairs.select((col("l_partkey") * 2).as("src"),
-                           (col("l_suppkey") * 2 + 1).as("dst"))
-        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                               (col("l_partkey") * 2).as("dst")))
-        .tracked
+      // pinned pre-partitioned symmetric doubled-id frame — both BFS
+      // layers join on src, the cached partitioning key (§2.1/§2.4; r11)
+      val e = graft.olap.GraphFrames.partSuppSym(s, dir)
       // layer-0 per source is just {s} (node == source), so the layer-1/2
       // "not already visited at distance 0" exclusion is node =!= s; the
       // layer-2-vs-layer-1 exclusion is a keyed anti-join on (s, node)
@@ -1081,14 +1085,9 @@ object GraphOlapQueries {
     "mine_transition_entropy" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val L = graft.functions.FixedLog2.log2_fp _
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type").as("e_from"))
-        .withColumn("e_to", lead(col("e_from"), 1).over(w))
-        .filter(col("e_to").isNotNull)
-        .groupBy("e_from", "e_to").agg(count(lit(1)).as("n")).tracked
+      // transition counts off the PINNED shared bigram frame (§2.4; r11)
+      val pairs = Shared.eventBigramCounts(s, dir)
+        .select(col("a").as("e_from"), col("b").as("e_to"), col("n"))
       val totals = pairs.groupBy("e_from").agg(sum(col("n")).as("row_n"))
       pairs.join(broadcast(totals), "e_from")
         .withColumn("term",
@@ -1224,19 +1223,13 @@ object GraphOlapQueries {
     // artifacts.
     "mine_transition_lift" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type").as("a"))
-        .withColumn("b", lead("a", 1).over(w))
-        .filter(col("b").isNotNull)
-        .select("a", "b")
-        .tracked // pair counts + both marginals scan it
-      val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      val ca = pairs.groupBy("a").agg(count(lit(1)).as("c_a"))
-      val cb = pairs.groupBy("b").agg(count(lit(1)).as("c_b"))
-      val n = pairs.agg(count(lit(1)).as("n_trans"))
+      // counts + both marginals + total all derive from the PINNED
+      // shared bigram frame (integer sums of the same counts — §2.4; r11)
+      val cab = Shared.eventBigramCounts(s, dir)
+        .select(col("a"), col("b"), col("n").as("c_ab"))
+      val ca = cab.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+      val cb = cab.groupBy("b").agg(sum(col("c_ab")).as("c_b"))
+      val n = cab.agg(sum(col("c_ab")).as("n_trans"))
       cab.join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
         .withColumn("lift_ppm", expr(
           "(cast(c_ab as decimal(38,0)) * n_trans * 1000000)" +
@@ -1328,15 +1321,11 @@ object GraphOlapQueries {
     // both exact integers until one ppm floor-div each. The symmetry
     // diagnostic for any directed interaction graph.
     "graph_transition_reciprocity" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type").as("a"))
-        .withColumn("b", lead("a", 1).over(w))
-        .filter(col("b").isNotNull && col("b") =!= col("a"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-        .tracked // both directions of the reverse join
+      // directed transition counts off the PINNED shared bigram frame
+      // (pre-group row filter b≠a ≡ post-group cell filter — §2.4; r11)
+      val pairs = Shared.eventBigramCounts(s, dir)
+        .filter(col("b") =!= col("a"))
+        .select(col("a"), col("b"), col("n").as("c_ab"))
       val rev = pairs.select(col("a").as("b"), col("b").as("a"),
         col("c_ab").as("c_ba"))
       pairs.join(rev, Seq("a", "b"), "left")
@@ -1403,13 +1392,9 @@ object GraphOlapQueries {
     // iteration frame is bounded and broadcast; the normalizer is the
     // allowlisted 1-row combine.
     "mine_markov_stationary" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = Tables.events(s, dir)
-        .select(col("event_type").as("e_from"),
-          lead(col("event_type"), 1).over(W).as("e_to"))
-        .filter(col("e_to").isNotNull)
-      val p = pairs.groupBy("e_from", "e_to").agg(count(lit(1)).as("n"))
+      // transition counts off the PINNED shared bigram frame (§2.4; r11)
+      val p = Shared.eventBigramCounts(s, dir)
+        .select(col("a").as("e_from"), col("b").as("e_to"), col("n"))
       val t = p.groupBy("e_from").agg(sum("n").cast("long").as("row_n"))
       // the transition matrix is EVENT-TYPE-universe-bounded (k² ≤ 64²
       // cells) — the olap_attribution_markov rule: the corpus-sized work
@@ -1453,8 +1438,9 @@ object GraphOlapQueries {
       val cap = 64L
       val L = graft.functions.FixedLog2.log2_fp _
       val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      val sym = e.select(col("u").as("c"), col("v").as("x"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      // pinned symmetric co-purchase frame (§2.4; r11)
+      val sym = graft.olap.GraphFrames.coPurchaseSym(s, dir)
+        .select(col("u").as("c"), col("v").as("x"))
       val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .select(col("n").as("c"), col("d").as("dc"))
       // wedge centers have dc >= 2 by construction, so log2fp(dc) >= 2^20
@@ -1555,8 +1541,13 @@ object GraphOlapQueries {
     // components (log-round convergence, pre-partitioned edge cache) on
     // the graph edge frame; the census is component-sized, not edge-sized.
     "graph_lcc_share" -> ((s, dir) => {
-      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      graft.dedup.Components.canonicalLabels(e, "u", "v")
+      // the PINNED pre-partitioned symmetric co-purchase frame feeds CC
+      // directly (symInput): the per-call symmetrize + edge-scale
+      // re-exchange + re-sort are gone, every CC round's frontier join
+      // reads the cached layout (guide §2.1/§2.4; r11)
+      graft.dedup.Components.canonicalLabels(
+          graft.olap.GraphFrames.coPurchaseSym(s, dir), "u", "v",
+          symInput = true)
         .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
         .agg(sum("sz").cast("long").as("n_nodes"),
           count(lit(1)).as("n_components"),
@@ -1724,9 +1715,10 @@ object GraphOlapQueries {
     // Rising curve = hubs prefer hubs. Same symmetrized co-purchase
     // edges as graph_assortativity; degrees join back per endpoint.
     "graph_knn_degree_curve" -> ((s, dir) => {
-      val e = graft.olap.GraphFrames.coPurchaseEdges(s, dir)
-      val sym = e.select(col("u").as("c"), col("v").as("x"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+      // pinned symmetric co-purchase frame (shared with the wedge
+      // generators, Louvain and CC — §2.4; r11)
+      val sym = graft.olap.GraphFrames.coPurchaseSym(s, dir)
+        .select(col("u").as("c"), col("v").as("x"))
       // pinned full-degree frame (≡ sym.groupBy count), renamed
       val deg = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .select(col("n").as("c"), col("d").as("dc"))
@@ -1754,15 +1746,10 @@ object GraphOlapQueries {
     // one floor-div + one IEEE division.
     "mine_transition_2step" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val c1 = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type").as("a"))
-        .withColumn("b", lead("a", 1).over(w))
-        .filter(col("b").isNotNull)
-        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-        .tracked // both sides of the matrix square
+      // both sides of the matrix square read the PINNED shared bigram
+      // frame (§2.4; r11)
+      val c1 = Shared.eventBigramCounts(s, dir)
+        .select(col("a"), col("b"), col("n").as("c_ab"))
       val n2 = c1.select(col("a"), col("b"), col("c_ab"))
         .join(c1.select(col("a").as("b"), col("b").as("cc"),
           col("c_ab").as("c_bc")), "b")
@@ -1919,15 +1906,12 @@ object GraphOlapQueries {
     // state bounded by the gap, never the session), then a
     // partial-aggregable pair count with per-gap support.
     "mine_seq_gap_pairs" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("a_type"))
-      val pairs = (2 to 4).map(g => ev
-        .withColumn("b_type", lead(col("a_type"), g).over(W))
-        .filter(col("b_type").isNotNull)
-        .select(col("a_type"), col("b_type"),
+      // leads 2–4 come off the PINNED shared event-sequence frame — one
+      // cached scan per gap instead of three window passes (§2.4; r11)
+      val seq = Shared.eventSeqLeads(s, dir)
+      val pairs = (2 to 4).map(g => seq
+        .filter(col(s"l$g").isNotNull)
+        .select(col("et").as("a_type"), col(s"l$g").as("b_type"),
           lit(g.toLong - 1).as("gap")))
         .reduce(_ unionByName _)
       val tot = pairs.groupBy("gap").agg(count(lit(1)).as("n_gap"))
@@ -1973,8 +1957,9 @@ object GraphOlapQueries {
       val G = graft.olap.GraphFrames
       val deg = G.coPurchaseDegrees(s, dir) // (n, d)
       val e = G.coPurchaseEdges(s, dir) // undirected (u, v), u < v
-      val sym = e.select(col("u").as("i"), col("v").as("j"))
-        .unionByName(e.select(col("v").as("i"), col("u").as("j")))
+      // pinned symmetric co-purchase frame (§2.4; r11)
+      val sym = G.coPurchaseSym(s, dir)
+        .select(col("u").as("i"), col("v").as("j"))
       val m2 = e.agg((count(lit(1)) * 2L).as("two_m")) // 2m = Σ degrees
       val gains = sym
         .join(deg.select(col("n").as("i"), col("d").as("k_i")), "i")
@@ -2022,7 +2007,10 @@ object GraphOlapQueries {
         .tracked // edge count + CC both scan it
       val labels = graft.dedup.Components.canonicalLabels(
         chosen, "ea", "eb")
-      val nNodes = sym.select(col("i")).distinct()
+      // node count off the pinned node-sized degree frame — the weighted
+      // graph's node set ≡ the edge set's endpoints (r11; was an
+      // edge-scale distinct over sym)
+      val nNodes = graft.olap.GraphFrames.coPurchaseDegrees(s, dir)
         .agg(count(lit(1)).as("n_nodes"))
       val nChosen = chosen.agg(count(lit(1)).as("n_edges"))
       labels.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
@@ -2078,20 +2066,21 @@ object GraphOlapQueries {
     // pre-shuffles once and persists across the 3 iterations; seeds is a
     // node-sized predicate — no collect, no windows.
     "graph_ppr_seeded" -> ((s, dir) => {
-      val pairs = graft.olap.GraphFrames.partSuppPairs(s, dir)
-      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
-                             (col("l_suppkey") * 2 + 1).as("dst"))
-      val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-                             (col("l_partkey") * 2).as("dst"))
-      val edges = fwd.union(rev)
+      // pinned pre-partitioned symmetric edges + pinned degree frame
+      // (nodes, out-degrees, and the seed predicate's node universe all
+      // read the node-sized cached frame — guide §2.1/§2.4; r11)
+      val G = graft.olap.GraphFrames
+      val deg = G.partSuppDegrees(s, dir)
       // seeds: part nodes whose partkey is a multiple of 50 — node ids are
       // partkey*2, so the predicate is node_id % 100 == 0 (also implies
       // the part side of the bipartite encoding)
-      val seeds = edges.select(col("src").as("node_id"))
-        .union(edges.select(col("dst").as("node_id"))).distinct()
+      val seeds = deg.select(col("n").as("node_id"))
         .filter(col("node_id") % 100 === 0)
-      graft.olap.PageRank.runPersonalized(edges, "src", "dst", seeds,
-          iterations = 3)
+      graft.olap.PageRank.runPersonalized(G.partSuppSym(s, dir), "src",
+          "dst", seeds, iterations = 3, edgesPinned = true,
+          nodesOpt = Some(deg.select(col("n").as("node_id"))),
+          outdegOpt = Some(deg.select(col("n").as("src"),
+            col("d").as("outdeg"))))
         .withColumn("node_type",
           when(col("node_id") % 2 === 0, "part").otherwise("supplier"))
         .select(col("node_id"), col("node_type"), col("is_seed"),
@@ -2302,8 +2291,11 @@ object GraphOlapQueries {
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               deg AS (SELECT n, count(*) AS d
                       FROM (SELECT u AS n FROM e
                             UNION ALL SELECT v AS n FROM e)
@@ -2358,9 +2350,13 @@ object GraphOlapQueries {
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                         FROM lineitem),
               ic AS (SELECT pk, count(*) AS n_item FROM items GROUP BY 1),
+              lbw AS (SELECT ok FROM items GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT items.ok, items.pk FROM items
+                      JOIN lbw USING (ok)),
               p AS (SELECT a.pk AS part_a, b.pk AS part_b,
                            count(*) AS n_pair
-                    FROM items a JOIN items b
+                    FROM lcp a JOIN lcp b
                       ON a.ok = b.ok AND a.pk < b.pk
                     GROUP BY 1, 2)
          SELECT p.part_a, p.part_b, p.n_pair,
@@ -2423,8 +2419,11 @@ object GraphOlapQueries {
     "graph_kcore" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
-                     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                     FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               d0 AS (SELECT n, count(*) AS d FROM
                        (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
                      GROUP BY 1),
@@ -2736,8 +2735,11 @@ object GraphOlapQueries {
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               deg AS (SELECT n, count(*) AS d
                       FROM (SELECT u AS n FROM e
                             UNION ALL SELECT v AS n FROM e)
@@ -2768,8 +2770,11 @@ object GraphOlapQueries {
     "graph_common_neighbors" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               sym AS (SELECT u AS c, v AS x FROM e
                       UNION ALL SELECT v, u FROM e),
               okc AS (SELECT c FROM (SELECT c, count(*) AS dc FROM sym
@@ -2789,8 +2794,11 @@ object GraphOlapQueries {
     "graph_jaccard_links" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               sym AS (SELECT u AS c, v AS x FROM e
                       UNION ALL SELECT v, u FROM e),
               deg AS (SELECT c, count(*) AS dc FROM sym GROUP BY 1),
@@ -3056,9 +3064,12 @@ object GraphOlapQueries {
                     FROM lineitem),
               nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM i),
               ic AS (SELECT pk, count(*) AS n_item FROM i GROUP BY 1),
+              lbw AS (SELECT ok FROM i GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT i.ok, i.pk FROM i JOIN lbw USING (ok)),
               p AS (SELECT a.pk AS part_a, b.pk AS part_b,
                            count(*) AS n_pair
-                    FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.pk < b.pk
                     GROUP BY 1, 2 HAVING count(*) >= 3)
          SELECT p.part_a, p.part_b, p.n_pair,
                 ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets,
@@ -3157,8 +3168,11 @@ object GraphOlapQueries {
       val lg = graft.functions.FixedLog2.sql("dc")
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                       FROM lineitem),
+               lbw AS (SELECT ok FROM li GROUP BY ok
+                       HAVING count(*) <= 256),
+               lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
                e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                     FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
                sym AS (SELECT u AS c, v AS x FROM e
                        UNION ALL SELECT v, u FROM e),
                deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
@@ -3215,8 +3229,11 @@ object GraphOlapQueries {
     "graph_path3_census" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               sym AS (SELECT u AS c, v AS x FROM e
                       UNION ALL SELECT v, u FROM e),
               deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d
@@ -3250,8 +3267,11 @@ object GraphOlapQueries {
     "graph_truss_support" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               sym AS (SELECT u AS c, v AS x FROM e
                       UNION ALL SELECT v, u FROM e),
               deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d
@@ -3292,8 +3312,11 @@ object GraphOlapQueries {
           .stripMargin
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                       FROM lineitem),
+               lbw AS (SELECT ok FROM li GROUP BY ok
+                       HAVING count(*) <= 256),
+               lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
                e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                     FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
                sym AS (SELECT u AS c, v AS x FROM e
                        UNION ALL SELECT v, u FROM e),
                deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d
@@ -3386,8 +3409,11 @@ object GraphOlapQueries {
       """WITH RECURSIVE
               li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               sym AS (SELECT u AS a, v AS b FROM e
                       UNION ALL SELECT v, u FROM e),
               reach(node, label) AS (
@@ -3654,8 +3680,10 @@ object GraphOlapQueries {
     "graph_butterflies" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+     lbw AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 256),
+     lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
      w AS (SELECT a.p AS x, b.p AS y
-           FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
      cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt
             FROM w GROUP BY 1, 2)
          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
@@ -3762,8 +3790,10 @@ object GraphOlapQueries {
     "graph_knn_degree_curve" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+     lbw AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 256),
+     lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
      e AS (SELECT DISTINCT a.p AS u, b.p AS v
-           FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
      sym AS (SELECT u AS c, v AS x FROM e
              UNION ALL SELECT v, u FROM e),
      deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
@@ -4014,9 +4044,12 @@ object GraphOlapQueries {
       """WITH RECURSIVE
             li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                    FROM lineitem),
+            lbw AS (SELECT ok FROM li GROUP BY ok
+                    HAVING count(*) <= 256),
+            lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
             we AS (SELECT a.p AS u, b.p AS v,
                           CAST(count(*) AS BIGINT) AS w
-                   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+                   FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p
                    GROUP BY 1, 2),
             sym AS (SELECT u AS i, v AS j, w FROM we
                     UNION ALL SELECT v, u, w FROM we),
@@ -4101,8 +4134,11 @@ object GraphOlapQueries {
     "graph_louvain_step" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
+              lbw AS (SELECT ok FROM li GROUP BY ok
+                      HAVING count(*) <= 256),
+              lcp AS (SELECT li.ok, li.p FROM li JOIN lbw USING (ok)),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+                    FROM lcp a JOIN lcp b ON a.ok = b.ok AND a.p < b.p),
               sym AS (SELECT u AS i, v AS j FROM e
                       UNION ALL SELECT v, u FROM e),
               deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d

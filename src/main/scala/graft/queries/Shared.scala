@@ -27,19 +27,75 @@ object Shared {
     * streamed == batch bitwise pin is structural rather than maintained.
     * Input schema: (event_type, dt, n).
     */
-  /** Pinned canonical near-dup labels over the standard corpus banding
-    * (SimHash banded, Hamming ≤ 1, 2 bands): three queries — canonical
-    * labels, cluster stats, dedup-aware split — derive from this one
+  /** Pinned full-corpus near-dup PAIRS under the standard banding
+    * (SimHash banded, Hamming ≤ 1, 2 bands) — the candidate-verify step
+    * every simhash dedup consumer starts from. At production scale this
+    * is the materialized pair index maintained at ingest; here it is
+    * built once per process+SF so `dedup_simhash_banded`, the CC label
+    * chain and the incremental-CC delta all read ONE banded self-join
+    * instead of each re-running it (guide §2.4). Columns
+    * (doc_a, doc_b, hamming), doc_a < doc_b, rows distinct.
+    */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CacheRegistry.pinned(s"neardup_pairs:$dir") {
+      SimHash.bandedNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 1, bands = 2)
+    }
+  }
+
+  /** Pinned canonical near-dup labels over the standard corpus banding:
+    * four queries — canonical labels, cluster stats, dedup-aware split,
+    * incremental CC's star-compression arm — derive from this one
     * clustering, and connected components is the most expensive dedup
     * step, so it runs once per process+SF (the materialized-dedup-table
-    * posture a production corpus pipeline takes).
+    * posture a production corpus pipeline takes). Built off the pinned
+    * [[nearDupPairs]] frame (resolved BEFORE entering pinned —
+    * computeIfAbsent must not recurse into the same map).
     */
   def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val pairs = nearDupPairs(s, dir)
     CacheRegistry.pinned(s"neardup_labels:$dir") {
-      graft.dedup.Components.canonicalLabels(
-        SimHash.bandedNearDupPairs(docs, "doc_id", "text",
-          maxHamming = 1, bands = 2), "doc_a", "doc_b")
+      graft.dedup.Components.canonicalLabels(pairs, "doc_a", "doc_b")
+    }
+  }
+
+  /** Pinned per-user ordered event-sequence frame with the next four
+    * event types attached (leads 1–4 under the strict (ts, event_id)
+    * per-user order) — the ONE fact-scale window pass the whole
+    * transition-mining family derives from (VERDICT r10 item 4, guide
+    * §2.4). Eight queries each re-ran this exchange+sort+lead over
+    * events; at production scale this is the materialized sessionized
+    * event-sequence table maintained next to the fact table. Only the
+    * type columns survive the projection — every consumer aggregates
+    * over types, so user_id/ts/event_id do not ride the cache.
+    */
+  def eventSeqLeads(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.pinned(s"event_seq_leads:$dir") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          lead(col("event_type"), 1).over(w).as("l1"),
+          lead(col("event_type"), 2).over(w).as("l2"),
+          lead(col("event_type"), 3).over(w).as("l3"),
+          lead(col("event_type"), 4).over(w).as("l4"))
+    }
+
+  /** Pinned first-order transition counts (a, b, n) over consecutive
+    * per-user event types — the type-universe-bounded (≤ k² rows)
+    * derived table six transition queries (matrix, entropy, lift,
+    * reciprocity, markov, 2-step) each rebuilt with their own window
+    * pass. Marginals, totals and filters all derive from it exactly
+    * (integer sums of the same counts). Built off the pinned
+    * [[eventSeqLeads]] frame (resolved before entering pinned).
+    */
+  def eventBigramCounts(s: SparkSession, dir: String): DataFrame = {
+    val seq = eventSeqLeads(s, dir)
+    CacheRegistry.pinned(s"event_bigrams:$dir") {
+      seq.filter(col("l1").isNotNull)
+        .groupBy(col("et").as("a"), col("l1").as("b"))
+        .agg(count(lit(1)).as("n"))
     }
   }
 

@@ -574,8 +574,10 @@ object TextSimQueries {
     // 16-bit halves (pigeonhole), so candidates collide in buckets and
     // only bucket-mates get the exact bit_count(xor) verify. No O(n²).
     "dedup_simhash_banded" -> ((s, dir) =>
-      SimHash.bandedNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 1, bands = 2)
+      // the banded self-join is the pinned shared pair index — built once
+      // per process+SF for this query, the CC label chain and the
+      // incremental-CC delta (guide §2.4; r11)
+      Shared.nearDupPairs(s, dir)
         .orderBy("doc_a", "doc_b")),
 
     // The banding-free Hamming≤1 plan for TEMPLATED corpora: banding
@@ -808,35 +810,31 @@ object TextSimQueries {
     // (new = doc_id % 5 == 0).
     "dedup_cc_incremental" -> ((s, dir) => {
       import graft.dedup.Components
-      val docs = Tables.documents(s, dir)
-      val isNewId = col("doc_id") % 5 === 0
-      // yesterday: the standard banding restricted to the old corpus
-      val oldPairs = SimHash.bandedNearDupPairs(docs.filter(!isNewId),
-        "doc_id", "text", maxHamming = 1, bands = 2)
-      val oldLabels = Components.canonicalLabels(oldPairs,
-          "doc_a", "doc_b")
+      // yesterday: the stored label table, star-compressed to
+      // (doc → canonical) edges. Round 11 (guide §2.4, VERDICT r10 item
+      // 2): the old arm reads the PINNED label table restricted to old
+      // docs instead of re-clustering the old corpus from scratch. The
+      // final labels are provably unchanged: every star edge connects
+      // nodes of one full component (components can only merge along
+      // true pairs), and within a component old docs reach the canonical
+      // directly by their star edge while every edge incident to a new
+      // doc is in the delta by definition — so (stars ∪ delta) has
+      // exactly the full graph's components over exactly the same node
+      // set (old-pair endpoints ∪ delta endpoints; canonicals are
+      // themselves members of one of those sets).
+      // IncrementalCcSemiJoinSpec pins the equivalence against an
+      // independent full re-cluster; the oracle pins it bitwise.
+      val oldArm = Shared.nearDupLabels(s, dir)
+        .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("a"), col("canonical_id").as("b"))
-      // today: banded pairs with ≥ 1 new endpoint, off ONE banded frame
-      val bk = docs
-        .select(col("doc_id"), SimHash.simhash32(col("text")).as("sh"))
-        .select(col("doc_id"), col("sh"), explode(array(
-            struct(lit(0).as("band"),
-              col("sh").bitwiseAND(lit(65535L)).as("key")),
-            struct(lit(1).as("band"),
-              shiftright(col("sh"), 16).bitwiseAND(lit(65535L))
-                .as("key")))).as("bk"))
-        .select(col("doc_id"), col("sh"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-        .tracked // both delta-join sides slice it
-      val delta = bk.as("x").join(bk.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id") &&
-            (col("x.doc_id") % 5 === 0 || col("y.doc_id") % 5 === 0))
-        .filter(bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= 1)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      Components.canonicalLabels(oldLabels.unionByName(delta), "a", "b")
+      // today: banded pairs with ≥ 1 new endpoint — a FILTER of the
+      // pinned shared pair index (banding keys depend only on each doc's
+      // own hash, so the full-corpus pair set restricted to ≥1-new
+      // endpoints IS the delta the per-batch banding would emit)
+      val delta = Shared.nearDupPairs(s, dir)
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Components.canonicalLabels(oldArm.unionByName(delta), "a", "b")
         .withColumn("is_new_doc", col("doc_id") % 5 === 0)
         .orderBy("doc_id")
     }),
