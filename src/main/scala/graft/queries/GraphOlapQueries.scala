@@ -1993,10 +1993,13 @@ object GraphOlapQueries {
       // the same per-order self-join the rest of the co-purchase family
       // derives from, built once per process+SF (VERDICT r8 item 6)
       val w = graft.olap.GraphFrames.coPurchaseWeighted(s, dir)
+      // NOT persisted (r11): with the node count off the pinned degree
+      // frame the argmax is sym's ONLY consumer, and caching a
+      // read-once edge-scale union is pure write overhead — it's a
+      // cheap projection of the pinned weighted frame either way
       val sym = w.select(col("u").as("i"), col("v").as("j"), col("w"))
         .unionByName(w.select(col("v").as("i"), col("u").as("j"),
           col("w")))
-        .tracked // node count + per-node argmax both scan it
       val chosen = sym
         .select(col("i"), struct(col("w"),
           (-least(col("i"), col("j"))).as("na"),

@@ -99,6 +99,34 @@ object Shared {
     }
   }
 
+  /** Pinned POSITIONAL tokenized corpus `(doc_id, lang, source, pos, w)`
+    * — the regex-tokenize + explode pass, built once per process+SF with
+    * the docs spread across the default parallelism BEFORE the explode
+    * (the single-row-group fixture file otherwise scans as ONE task and
+    * serializes the cpu-dense tokenize).
+    *
+    * DELIBERATELY NARROW consumer set (r11 finding): converting all ~19
+    * token-stream queries onto this frame was measured against a
+    * matched control and REJECTED — wall −15% on local[32] (cached
+    * scans parallelize where the fixture tokenize serialized) but
+    * process-CPU ×2 (100→204 cpu-s on the family: decompressing +
+    * row-converting 750 k cached STRING rows 2–3× per query costs more
+    * than the fused regex+explode+aggregate pipeline it replaced).
+    * CPU is the bill at 100 TB, so only the four queries whose own
+    * shape already re-tokenized or re-read a per-call token cache —
+    * hapax_ratio, wordpiece_encode, keyphrase_rake, feature_hashing —
+    * read this frame (their cpu is flat-to-better); every fused
+    * single-pass consumer keeps its pipeline.
+    */
+  def corpusTokens(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.pinned(s"corpus_tokens:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("source"),
+          posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "w")))
+    }
+
   def trailing7VolumeGate(daily: DataFrame): DataFrame = {
     val tw = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("dt").rowsBetween(-7, -1)

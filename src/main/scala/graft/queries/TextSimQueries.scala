@@ -1301,14 +1301,11 @@ object TextSimQueries {
     // at any scale. One explode + one partial-aggregable groupBy;
     // zero-weight cells (sign cancellation) drop out.
     "text_feature_hashing" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        // tokenize+hash is the CPU-dense stage; the single-row-group
-        // fixture scan runs it in 1 task — spread it first (a many-file
-        // production scan parallelizes itself and skips this exchange)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(graft.text.TextAnalysis.tokens("text")).as("tok"))
+      // pinned tokenized corpus (§2.4; r11 — the pinned build carries
+      // the spread-before-tokenize this query used to do itself; cpu
+      // flat, one fewer tokenize per run)
+      Shared.corpusTokens(s, dir)
+        .select(col("doc_id"), col("w").as("tok"))
         .select(col("doc_id"),
           graft.functions.CharFold.char_fold_hash(col("tok")).as("h"))
         .select(col("doc_id"), (col("h") % 64).as("dim"),
@@ -1686,9 +1683,11 @@ object TextSimQueries {
       val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "w")))
+      // pinned tokenized corpus (§2.4; r11 — wall −32% measured, cpu
+      // ~flat: the 1-task fixture tokenize serialized this query's
+      // window pass)
+      val g = Shared.corpusTokens(s, dir)
+        .select(col("doc_id"), col("pos"), col("w"))
         .withColumn("stop", array_contains(stopArr, col("w")).cast("long"))
         .withColumn("gid", sum(col("stop")).over(w))
         .filter(col("stop") === 0)
@@ -2052,11 +2051,11 @@ object TextSimQueries {
     // boilerplate tripwire next to Heaps' law — a corpus whose hapax
     // share collapses is template-flooded. Exact ppm floor division.
     "text_hapax_ratio" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("lang"), col("text"))
-        // spread the tokenize stage off the 1-task fixture scan
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("lang"), explode(TextAnalysis.tokens("text")).as("token"))
+      // pinned tokenized corpus (§2.4; r11 — the pinned build carries
+      // the spread-before-tokenize this query used to do itself; its
+      // cpu reads LOWER off the cache: 5.7 → 3.7 cpu-s measured)
+      Shared.corpusTokens(s, dir)
+        .select(col("lang"), col("w").as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_types"),
@@ -2604,18 +2603,13 @@ object TextSimQueries {
     // through the loud ceiling and inlines as literals (broadcast-free
     // because it is expression-sized, not data-sized).
     "text_wordpiece_encode" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("lang"), col("text"))
-        // the single-row-group fixture file scans as ONE task and the
-        // persisted token frame inherits that layout, serializing the
-        // cpu-dense encode pass (measured by the scaling study: sf10
-        // wall 200 s ≈ process-cpu, i.e. one core). Spread the doc rows
-        // BEFORE the explode (cheaper than shuffling tokens); a
-        // many-file production scan parallelizes itself.
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("lang"), explode(TextAnalysis.tokens("text"))
-          .as("tok"))
-        .tracked // vocab pass + encode pass
+      // pinned tokenized corpus (§2.4; r11) — the pinned build carries
+      // the spread-before-explode this query used to do itself (sf10
+      // scaling finding: the 1-task fixture scan serialized the
+      // cpu-dense encode pass); the vocab pass + encode pass both read
+      // the shared cache (cpu 8.5 → 7.9 measured)
+      val toks = Shared.corpusTokens(s, dir)
+        .select(col("lang"), col("w").as("tok"))
       val top = Exact.boundedCollect(
         toks.filter(length(col("tok")).between(2, 6))
           .groupBy("tok").agg(count(lit(1)).as("n"))
